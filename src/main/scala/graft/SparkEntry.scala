@@ -1,13 +1,135 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys map 1:1 to SURVEY §2.12's DQ inventory (q01…q21) plus the
+  * LLM-pipeline extension operators (q22…q33). Each oracle-backed entry
+  * aliases every computed column identically in Spark and SQL, keeps
+  * aggregate sums in DECIMAL (order-independent) cast to double at the end,
+  * and casts computed integers to BIGINT on both sides so schemas line up.
+  * Sketch-based ops (MinHash/SimHash/LSH) have no SQL equivalent → rows-only.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q11BroadcastJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_count"        -> Relational.q01ScanCount _,
+    "q02_filter_sentinel"   -> Relational.q02FilterSentinel _,
+    "q03_parquet_roundtrip" -> Relational.q03ParquetRoundtrip _,
+    "q04_project"           -> Relational.q04Project _,
+    "q05_isnan_filter"      -> Relational.q05IsNanFilter _,
+    "q06_filter_gt"         -> Relational.q06FilterGt _,
+    "q07_filter_eq"         -> Relational.q07FilterEqString _,
+    "q08_band_revenue"      -> Relational.q08BandRevenue _,
+    "q09_cast_sum"          -> Relational.q09CastSum _,
+    "q10_na_drop"           -> Relational.q10NaDrop _,
+    "q11_broadcast_join"    -> Relational.q11BroadcastJoin _,
+    "q12_distinct_count"    -> Relational.q12DistinctCount _,
+    "q13_class_ratio"       -> Relational.q13ClassRatio _,
+    "q14_window_first"      -> Relational.q14WindowRowNumber _,
+    "q15_topk"              -> Relational.q15TopK _,
+    "q16_union_partition"   -> Relational.q16UnionPartition _,
+    "q17_except_all"        -> Relational.q17ExceptAll _,
+    "q18_case_when"         -> Relational.q18CaseWhenBand _,
+    "q19_datetime_parts"    -> Relational.q19DatetimeParts _,
+    "q20_haversine"         -> Relational.q20Haversine _,
+    "q21_array_max"         -> Relational.q21ArrayMax _,
+    "q22_dedup_exact"       -> Dedup.exactStats _,
+    "q23_dedup_tokenset"    -> Dedup.tokenSetKeepFirst _,
+    "q24_dedup_minhash"     -> ((s: SparkSession, d: String) =>
+      Dedup.minhashCandidatePairs(s, d)),
+    "q25_dedup_simhash"     -> ((s: SparkSession, d: String) =>
+      Dedup.simhashCandidatePairs(s, d)),
+    "q26_text_tokens"       -> TextAnalysis.qTokenStats _,
+    "q27_text_quality"      -> TextAnalysis.qQuality _,
+    "q28_lang_id"           -> TextAnalysis.qLangId _,
+    "q29_fingerprint"       -> TextAnalysis.qFingerprint _,
+    "q30_ann_cosine"        -> ((s: SparkSession, d: String) =>
+      Similarity.bruteForceTopK(s, d)),
+    "q31_ann_lsh"           -> ((s: SparkSession, d: String) =>
+      Similarity.lshTopKAllPairs(s, d, nBits = 8)),
+    "q32_event_windows"     -> Relational.q32EventWindows _,
+    "q33_json_extract"      -> Relational.q33JsonExtract _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for sketch/LSH ops (q24, q25, q31)
+    * → driver records the weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q02_filter_sentinel" ->
+      "SELECT count(*) AS cnt FROM documents WHERE NOT contains(text, '?') AND length(text) > 0",
+    "q03_parquet_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000.0",
+    "q04_project" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
+    "q05_isnan_filter" ->
+      "SELECT count(*) AS cnt FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN CAST('NaN' AS DOUBLE) ELSE o_totalprice END AS v FROM orders) t WHERE isnan(v)",
+    "q06_filter_gt" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45.0",
+    "q07_filter_eq" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'",
+    "q08_band_revenue" ->
+      "SELECT count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0",
+    "q09_cast_sum" ->
+      "SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY yr",
+    "q10_na_drop" ->
+      "SELECT count(*) AS cnt FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS s FROM orders) t WHERE s IS NOT NULL",
+    "q11_broadcast_join" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "q12_distinct_count" ->
+      "SELECT count(DISTINCT o_orderpriority) AS cnt FROM orders",
+    "q13_class_ratio" ->
+      "SELECT o_orderstatus, count(*) AS cnt, CAST(count(*) AS DOUBLE) / CAST(SUM(count(*)) OVER () AS DOUBLE) AS ratio FROM orders GROUP BY o_orderstatus",
+    "q14_window_first" ->
+      "SELECT l_orderkey, l_linenumber FROM (SELECT l_orderkey, l_linenumber, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn FROM lineitem) t WHERE rn = 1",
+    "q15_topk" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100",
+    "q16_union_partition" ->
+      "SELECT count(*) AS cnt FROM (SELECT * FROM lineitem WHERE l_quantity > 25.0 UNION ALL SELECT * FROM lineitem WHERE l_quantity <= 25.0) t",
+    "q17_except_all" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM (SELECT l_returnflag FROM lineitem EXCEPT ALL SELECT l_returnflag FROM lineitem WHERE l_quantity > 10.0) t GROUP BY l_returnflag",
+    "q18_case_when" ->
+      "SELECT CASE WHEN o_totalprice > 100000.0 THEN 'hi' ELSE 'lo' END AS band, count(*) AS cnt FROM orders GROUP BY band",
+    "q19_datetime_parts" ->
+      "SELECT event_id, CAST(month(ts) AS BIGINT) AS mo, CAST(day(ts) AS BIGINT) AS dy, hour(ts) + minute(ts)/60.0 + CAST(second(ts) AS BIGINT)/3600.0 AS frac_hour FROM events",
+    "q20_haversine" ->
+      ("WITH c AS (SELECT event_id, value % 90.0 AS lat1, CAST(user_id % 180 AS DOUBLE) - 90.0 AS lon1 FROM events), " +
+       "s AS (SELECT event_id, sin(radians(40.7128 - lat1)/2.0) AS slat, sin(radians(-74.0060 - lon1)/2.0) AS slon, cos(radians(lat1)) AS c1, cos(radians(40.7128)) AS c2 FROM c), " +
+       "a AS (SELECT event_id, slat*slat + c1*c2*slon*slon AS a FROM s) " +
+       "SELECT event_id, round(6371.0*2.0*atan2(sqrt(a), sqrt(1.0 - a)), 2) AS dist_km FROM a"),
+    "q21_array_max" ->
+      "SELECT l_orderkey, l_linenumber, greatest(l_quantity, l_discount, l_tax) AS mx FROM lineitem",
+    "q22_dedup_exact" ->
+      "SELECT count(*) AS n_total, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique FROM (SELECT text FROM documents UNION ALL SELECT text FROM documents WHERE doc_id % 100 = 0) t",
+    "q23_dedup_tokenset" ->
+      "SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS h, min(doc_id) AS keeper, count(*) AS cnt FROM (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0) t GROUP BY h",
+    "q26_text_tokens" ->
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "q27_text_quality" ->
+      "SELECT doc_id, n_tokens, n_stop, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop FROM documents) t",
+    "q28_lang_id" ->
+      "SELECT doc_id, lang, CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(string_split(text, ' ')) > 0.05 THEN 'en' ELSE 'other' END AS lang_pred FROM documents",
+    "q29_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha FROM documents",
+    "q30_ann_cosine" ->
+      ("WITH e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) u), " +
+       "q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0), " +
+       "d AS (SELECT e.vec_id, SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS n1, SUM(q.qx * q.qx) AS n2 FROM e JOIN q USING (i) WHERE e.vec_id <> 0 GROUP BY e.vec_id) " +
+       "SELECT vec_id, round(dot / (sqrt(n1) * sqrt(n2)), 4) AS sim FROM d ORDER BY sim DESC, vec_id LIMIT 10"),
+    "q32_event_windows" ->
+      "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY bucket",
+    "q33_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+  )
 }

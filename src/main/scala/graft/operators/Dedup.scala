@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * Scale design: every variant reduces documents to small fixed-size keys
+  * (hashes / sketches) BEFORE any shuffle, so the exchange moves O(32B) per
+  * row, never document bodies; keep-first selection is a window row_number
+  * (one shuffle) rather than a self-join; LSH banding turns the O(n²) pair
+  * space into per-bucket joins whose fan-out is bounded by band width.
+  */
+object Dedup {
+
+  /** documents ∪ a deterministic resample (doc_id % 100 == 0) — gives the
+    * sf tables actual duplicates to exercise dedup paths; mirrored in the
+    * DuckDB oracles. */
+  def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.union(d.filter(col("doc_id") % 100 === 0))
+  }
+
+  /** Exact dedup stats: total vs distinct-by-content. */
+  def exactStats(spark: SparkSession, dir: String): DataFrame =
+    docsWithDups(spark, dir)
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** Exact dedup, keep-first by doc_id: hash-groupBy on content digest.
+    * Returns one row per distinct content with the surviving doc_id and
+    * multiplicity. */
+  def exactKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    docsWithDups(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** Token-multiset (bag-of-words) dedup: catches reordered duplicates. */
+  def tokenSetKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    docsWithDups(spark, dir)
+      .groupBy(tokenSetKey(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Word w-shingles of a document as an array column. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(text, " ")
+    // slide a w-window over token indices; sequence is empty-safe
+    val idx = sequence(lit(0), greatest(size(toks) - w, lit(0)) - 1)
+    when(size(toks) < w, array(text))
+      .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded murmur3 functions,
+    * the min hash over the shingle set. Pure expression — the per-row cost
+    * is numHashes × |shingles| hashes, all inside codegen. */
+  def minhashSignature(text: Column, numHashes: Int = 32, w: Int = 3): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingles(text, w), s => hash(s, lit(seed))))
+    }: _*)
+
+  /** LSH candidate pairs via banding: signature split into `bands` bands of
+    * `rows` hashes; docs sharing any band bucket become a candidate pair.
+    * The bucket join is an equi-join on (band, band-hash) — co-partitioned,
+    * no cross product. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    */
+  def minhashCandidatePairs(spark: SparkSession, dir: String,
+      numHashes: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docsWithDups(spark, dir)
+      .select(col("doc_id"), minhashSignature(col("text"), numHashes, w).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash from xxhash64 token hashes: bit i of the result is set
+    * iff more tokens have bit i set than clear. Built as a balanced sum of
+    * 64 bit-count expressions — large but fully codegen'd, one pass. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(text, " "), w => xxhash64(w))
+    val n = size(hashes)
+    val bits = (0 until 64).map { i =>
+      val ones = size(filter(hashes,
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: exact-match on rotated 16-bit blocks
+    * (docs within Hamming distance 3 share ≥1 of 4 blocks). */
+  def simhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docsWithDups(spark, dir)
+      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val blocked = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b,
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs (verification stage after
+    * LSH): explode shingles to (doc, shingle), join, |∩| / |∪|. Only called
+    * on the candidate set, never all-pairs. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, w: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), w))).as("sh"))
+    val counts = docs.select(col("doc_id"),
+      size(array_distinct(shingles(col("text"), w))).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+  }
+}

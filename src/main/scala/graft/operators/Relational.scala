@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import graft.sources.Tables
+
+/** The relational operator inventory of SURVEY.md §2, expressed as declared
+  * queries DQ-1…DQ-21 (§2.12) over the driver's TPC-H-ish testdata, each with
+  * a DuckDB oracle (see [[graft.SparkEntry.oracleSql]]).
+  *
+  * Design rules (100 TB stance):
+  *  - every query is a single declarative Catalyst plan — no collect loops,
+  *    no RDDs; filters/projections reach the parquet scan (pushdown + pruning);
+  *  - aggregates over doubles that must hash-match the oracle go through
+  *    DECIMAL (exact, order-independent) and are cast to double at the end;
+  *  - small-dimension joins are explicitly `broadcast()` (DQ-11);
+  *  - top-k is sort+limit → Catalyst TakeOrderedAndProject, never a full sort.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** DQ-1 — scan + count of lineitem.
+    * (ref: CSV scan S1, SemiSupervisedAndBaseClassifiers.scala:53-57; global
+    * count A1, SelfTraining.scala:133) */
+  def q01ScanCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** DQ-2 — sentinel-substring filter + non-empty filter, count.
+    * (ref: manual line parse S3 `!_.contains("?")`,
+    * SemiSupervisedAndBaseClassifiers.scala:287-288) */
+  def q02FilterSentinel(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(!col("text").contains("?") && length(col("text")) > 0)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DQ-3 — parquet write + read-back round trip of a filtered projection.
+    * (ref: vestigial file sink S9, BaseClassifiers.scala:837) */
+  def q03ParquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q03_roundtrip"
+    t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** DQ-4 — two-column projection (ref: P1 select, SelfTraining.scala:137). */
+  def q04Project(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+
+  /** DQ-5 — NaN sentinel: inject NaN on a keyed predicate, filter isnan, count.
+    * This is the reference's load-bearing unlabeled-row encoding
+    * (ref: UnlabeledTransformer.scala:44; SelfTraining.scala:129). */
+  def q05IsNanFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("v",
+        when(col("o_orderkey") % 10 === 0, lit(Double.NaN))
+          .otherwise(col("o_totalprice")))
+      .filter(isnan(col("v")))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DQ-6 — numeric comparison filter (ref: P3 confidence gate
+    * `probMax > t`, SelfTraining.scala:149). Strict `>` preserved. */
+  def q06FilterGt(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** DQ-7 — string equality filter (ref: P4,
+    * SemiSupervisedAndBaseClassifiers.scala:343). */
+  def q07FilterEqString(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+
+  /** DQ-8 — conjunctive band predicate + exact aggregate (TPC-H Q6 shape).
+    * (ref: P5 trip-cleaning band filters,
+    * SemiSupervisedAndBaseClassifiers.scala:931-934.)
+    * Sum runs in DECIMAL so the result is order-independent and exact. */
+  def q08BandRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+
+  /** DQ-9 — string→numeric cast chain then grouped exact sum
+    * (ref: P10 casts, SemiSupervisedAndBaseClassifiers.scala:320-324). */
+  def q09CastSum(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("yr", year(col("l_shipdate")).cast("long"))
+      .withColumn("qty_d",
+        col("l_quantity").cast("string").cast("decimal(18,2)"))
+      .groupBy(col("yr"))
+      .agg(sum(col("qty_d")).cast("double").as("sum_qty"))
+
+  /** DQ-10 — na.drop on injected nulls (ref: P11,
+    * SemiSupervisedAndBaseClassifiers.scala:58). */
+  def q10NaDrop(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("s",
+        when(col("o_orderkey") % 7 === 0, lit(null: String))
+          .otherwise(col("o_orderstatus")))
+      .na.drop(Seq("s"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DQ-11 — small-dimension broadcast equi-join (ref: J2 scatter-update
+    * replaced by join, FunctionsSemiSupervised.scala:203-253). Region/nation
+    * are tiny at any SF — broadcast keeps this shuffle-free at 100 TB. */
+  def q11BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    nation.join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+  }
+
+  /** DQ-12 — distinct cardinality of a column (ref: A2,
+    * SemiSupervisedAndBaseClassifiers.scala:352). */
+  def q12DistinctCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(countDistinct(col("o_orderpriority")).as("cnt"))
+
+  /** DQ-13 — class-distribution ratio: one shuffle (groupBy + window-total)
+    * instead of the reference's 2·k separate count jobs (ref: A3,
+    * SemiSupervisedAndBaseClassifiers.scala:83-84,343-344). */
+  def q13ClassRatio(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ratio",
+        col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy()))
+
+  /** DQ-14 — per-group first row via row_number window (the scalable
+    * per-key dedup idiom; SURVEY §2.5). */
+  def q14WindowRowNumber(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** DQ-15 — deterministic global top-k (ref: O1 kBest selection
+    * `sort.desc.limit(k)`, SelfTraining.scala:177). Ties broken by key so
+    * the result set is unique; plans as TakeOrderedAndProject (no full sort
+    * materialization — O(k) per partition then driver merge). */
+  def q15TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(100)
+
+  /** DQ-16 — bag union of complementary selections reassembles the relation
+    * (ref: E1/E2 union of labeled+newly-labeled, SelfTraining.scala:154;
+    * UnlabeledTransformer.scala:45). */
+  def q16UnionPartition(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_quantity") > 25.0)
+      .union(li.filter(col("l_quantity") <= 25.0))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DQ-17 — bag difference with duplicate preservation (ref: E3 exceptAll,
+    * SelfTraining.scala:130,178). Grouped afterwards so the output is a
+    * small deterministic multiset summary. */
+  def q17ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.select(col("l_returnflag"))
+      .exceptAll(li.filter(col("l_quantity") > 10.0).select(col("l_returnflag")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DQ-18 — CASE WHEN banding then group count (ref: F1 binarization,
+    * SemiSupervisedAndBaseClassifiers.scala:571-573). */
+  def q18CaseWhenBand(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("band",
+        when(col("o_totalprice") > 100000.0, lit("hi")).otherwise(lit("lo")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DQ-19 — datetime part extraction incl. fractional hour (ref: F3 manual
+    * string-split date parsing, SemiSupervisedAndBaseClassifiers.scala:881-892
+    * — replaced by Catalyst datetime functions). */
+  def q19DatetimeParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("dy"),
+        (hour(col("ts")) +
+          minute(col("ts")) / lit(60.0) +
+          second(col("ts")) / lit(3600.0)).as("frac_hour"))
+
+  /** DQ-20 — haversine distance as a pure Catalyst expression (ref: F4 RDD
+    * Scala-math haversine, SemiSupervisedAndBaseClassifiers.scala:899-913).
+    * Lat/lon synthesized deterministically from events columns; rounded to
+    * 2dp to absorb cross-engine libm ULP differences. */
+  def q20Haversine(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("lat1", col("value") % 90.0)
+      .withColumn("lon1", (col("user_id") % 180).cast("double") - 90.0)
+      .select(
+        col("event_id"),
+        round(Geo.haversineKm(col("lat1"), col("lon1"),
+          lit(40.7128), lit(-74.0060)), 2).as("dist_km"))
+
+  /** DQ-21 — array_max over an array column (ref: U1, the reference's only
+    * UDF — max over the probability vector, SelfTraining.scala:128 — replaced
+    * by codegen'd built-ins array_max/greatest). */
+  def q21ArrayMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        array_max(array(col("l_quantity"), col("l_discount"), col("l_tax")))
+          .as("mx"))
+
+  /** JSON field extraction from the events.props payload column — the
+    * schema-on-read idiom a training-data pipeline needs for raw metadata. */
+  def q33JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Tumbling 1-hour event-time window aggregation, batch form — identical
+    * semantics to the Structured Streaming version in graft.streaming
+    * (groupBy window(ts) ≡ date_trunc bucket). Exact sums via DECIMAL. */
+  def q32EventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector and
+  * one codegen'd pass over the corpus (the right plan at any scale for a
+  * single query). Scale path for query WORKLOADS: random-hyperplane LSH
+  * bucketing, so candidate generation is an equi-join on bucket signature
+  * instead of a cross product.
+  */
+object Similarity {
+
+  /** Elementwise double-cast of a float-array column (so all arithmetic is
+    * IEEE double, matching the DuckDB oracle). */
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Left-fold dot product of two double-array columns (fixed index order —
+    * deterministic summation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Brute-force cosine top-k against the vector with id `queryId`.
+    * The 1-row query side is broadcast; corpus scan stays partition-parallel;
+    * top-k plans as TakeOrderedAndProject. Rounded to 4dp for oracle parity.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = emb.filter(col("vec_id") === queryId).select(col("e").as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane (sign) LSH signature: bit i = sign(v · h_i) where h_i
+    * is a deterministic pseudo-hyperplane derived from murmur3(i, j) — no
+    * stored model, reproducible across runs and engines that share the
+    * hash. Returns an int bucket of `nBits` sign bits. */
+  def signLshBucket(v: Column, dim: Int, nBits: Int = 12): Column = {
+    val bits = (0 until nBits).map { i =>
+      // pseudo-random ±1 hyperplane component for (bit i, dim j)
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) =>
+          x * when(hash(lit(i), j) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: co-bucket join then exact cosine within bucket, top-k
+    * per query vector by window rank. This is the 100 TB shape: candidate
+    * generation is an equi-join on the bucket key (shuffle on int keys),
+    * exact scoring touches only co-bucketed pairs. */
+  def lshTopKAllPairs(spark: SparkSession, dir: String, dim: Int = 64,
+      nBits: Int = 12, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("bucket", signLshBucket(col("e"), dim, nBits))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    val scored = a.join(b,
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        cosine(col("a.e"), col("b.e")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+      dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("bucket", signLshBucket(col("e"), dim, nBits))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.e"), col("b.e")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+}

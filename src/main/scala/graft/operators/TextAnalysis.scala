@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Corpus analysis queries over the documents table — token accounting,
+  * quality scoring, language ID, fingerprinting. All single-pass Catalyst
+  * expression plans over the scan (SURVEY §7 step 10 extension surface).
+  */
+object TextAnalysis {
+
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        stopwordCount(col("text")).cast("long").as("n_stop"),
+        stopwordRatio(col("text")).as("stop_ratio"))
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        langIdEn(col("text")).as("lang_pred"))
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        fpMd5(col("text")).as("fp_md5"),
+        fpSha256(col("text")).as("fp_sha"))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for specs. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every SparkEntry query runs and returns a readable schema on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.fields.nonEmpty, s"$name: empty schema")
+      // force execution — catches analysis and runtime errors per query
+      df.count()
+    }
+  }
+
+  test("every oracle key exists in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q16 union of complementary filters reassembles lineitem (bag semantics)") {
+    val total = operators.Relational.q01ScanCount(spark, sf).head().getLong(0)
+    val union = operators.Relational.q16UnionPartition(spark, sf).head().getLong(0)
+    assert(total === union)
+  }
+
+  test("q15 top-k is ordered desc and unique") {
+    val rows = operators.Relational.q15TopK(spark, sf).collect()
+    assert(rows.length === 100)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q05 NaN sentinel: isnan catches exactly the injected rows") {
+    val cnt = operators.Relational.q05IsNanFilter(spark, sf).head().getLong(0)
+    val expected = graft.sources.Tables.load(spark, sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 10 === 0)
+      .count()
+    assert(cnt === expected)
+  }
+
+  test("dedup keep-first marks resampled docs with multiplicity 2") {
+    import org.apache.spark.sql.functions._
+    val dups = operators.Dedup.exactKeepFirst(spark, sf)
+      .filter(col("cnt") > 1)
+    // resample is doc_id % 100 == 0 over sf0.001's 50 docs → ids 0 (and any
+    // multiples of 100 present); at least one duplicated group must exist
+    assert(dups.count() >= 1)
+    assert(dups.filter(col("cnt") =!= 2).count() === 0)
+  }
+
+  test("brute-force ANN: self-similarity of a vector with itself is 1") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val sim = emb.filter(col("vec_id") === 1)
+      .select(round(operators.Similarity.cosine(col("e"), col("e")), 6).as("s"))
+      .head().getDouble(0)
+    assert(sim === 1.0)
+  }
+}
