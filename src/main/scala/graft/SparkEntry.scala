@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, SemiSupervised, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,9 +16,11 @@ import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship flow: synthetic unlabeling → self-training →
+    * one 15-column result row (SURVEY §3.1). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q11BroadcastJoin(spark, "/root/testdata/sf0.001")
+    SemiSupervised.qSelfTraining(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -59,6 +61,11 @@ object SparkEntry {
       Similarity.lshTopKAllPairs(s, d, nBits = 8)),
     "q32_event_windows"     -> Relational.q32EventWindows _,
     "q33_json_extract"      -> Relational.q33JsonExtract _,
+    // semi-supervised ML flows (SURVEY §2.11) — model fits, rows-only checks
+    "q40_selftrain_threshold" -> SemiSupervised.qSelfTraining _,
+    "q41_selftrain_kbest"     -> SemiSupervised.qSelfTrainingKBest _,
+    "q42_cotrain"             -> SemiSupervised.qCoTraining _,
+    "q43_supervised_cv"       -> SemiSupervised.qSupervisedCv _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,161 @@
+package graft.ml
+
+import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.{LongParam, ParamMap}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/** Co-Training (Blum & Mitchell 1998, the reference's single-classifier
+  * two-view variant): labeled and unlabeled data are each split 50/50 into
+  * two views (ref: CoTraining.scala:137-142, seed 8); each view's model
+  * teaches the OTHER view its confident self-labels (cross-teaching, ref
+  * :172-173); the final model is fit on the union of both views' labeled
+  * sets (ref :251).
+  *
+  * Departures (documented behavioral deltas):
+  *  - the reference's kBest branch shadows its unlabeled-view vars with loop
+  *    locals (ref :207,:214), so refits keep predicting the ORIGINAL
+  *    unlabeled views and the loop counters go stale — a latent bug SURVEY
+  *    §7 flags. Here the frontier is updated properly in both criteria.
+  *  - same scale fixes as [[SelfTrainingClassifier]]: isnan partition pair
+  *    instead of exceptAll, fused count jobs, broadcast anti-join for the
+  *    kBest remainder, early exit when neither view accepts anything.
+  */
+class CoTrainingClassifier[
+    E <: ProbabilisticClassifier[Vector, E, M],
+    M <: ProbabilisticClassificationModel[Vector, M]](
+    override val uid: String,
+    val baseClassifier: ProbabilisticClassifier[Vector, E, M])
+  extends Estimator[M] with SelfLabelingParams {
+
+  def this(baseClassifier: ProbabilisticClassifier[Vector, E, M]) =
+    this(Identifiable.randomUID("coTraining"), baseClassifier)
+
+  final val viewSeed: LongParam = new LongParam(this, "viewSeed",
+    "seed for the 50/50 view splits")
+
+  setDefault(maxIter -> 3, viewSeed -> 8L)
+
+  def setThreshold(v: Double): this.type = set(threshold, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setCriterion(v: String): this.type = set(criterion, v)
+  def setKBest(v: Double): this.type = set(kBest, v)
+  def setUnlabeledCol(v: String): this.type = set(unlabeledCol, v)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setViewSeed(v: Long): this.type = set(viewSeed, v)
+
+  @volatile private var lastSummary: Option[SemiSupervisedSummary] = None
+  def summary: Option[SemiSupervisedSummary] = lastSummary
+
+  override def fit(dataset: Dataset[_]): M = {
+    val (model, s) = fitWithSummary(dataset)
+    lastSummary = Some(s)
+    model
+  }
+
+  def fitWithSummary(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
+    val fCol = $(featuresCol); val lCol = $(labelCol)
+    val df = dataset.toDF
+    val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
+
+    val ini = df.agg(
+      sum(when(Sentinels.isLabeled(col($(unlabeledCol))), 1L).otherwise(0L)),
+      sum(when(Sentinels.isUnlabeled(col($(unlabeledCol))), 1L).otherwise(0L)))
+      .head
+    val labeledIni = Option(ini.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val unlabeledIni = Option(ini.get(1)).fold(0L)(_.asInstanceOf[Long])
+
+    val sel = (d: DataFrame) => d.select(col(fCol), col(lCol))
+    val Array(l1a, l2a) = labeled0.randomSplit(Array(0.5, 0.5), $(viewSeed))
+    val Array(u1a, u2a) = unlabeled0.randomSplit(Array(0.5, 0.5), $(viewSeed))
+
+    val persist = (d: DataFrame) => d.persist(StorageLevel.MEMORY_AND_DISK)
+    var labeled1 = persist(sel(l1a)); var labeled2 = persist(sel(l2a))
+    var unlabeled1 = persist(sel(u1a)); var unlabeled2 = persist(sel(u2a))
+
+    var uCount1 = unlabeled1.count(); var uCount2 = unlabeled2.count()
+    var lCount1 = labeled1.count(); var lCount2 = labeled2.count()
+
+    var model1 = baseClassifier.fit(labeled1)
+    var model2 = baseClassifier.fit(labeled2)
+    var iter = 1
+
+    val probMax = array_max(vector_to_array(col(baseClassifier.getProbabilityCol)))
+    val relabel = (d: DataFrame) => d
+      .select(col(fCol), col(baseClassifier.getPredictionCol).as(lCol))
+    // k frozen before the loop from the TOTAL initial unlabeled count
+    // (ref: CoTraining.scala:199 uses countDataUnLabeled, the full set)
+    val numberOfKBest = (($(kBest) * unlabeledIni) / ($(maxIter) - 1).max(1))
+      .round.toInt
+
+    /** One view's acceptance pass → (newly-labeled, rest, nNew). */
+    def accept(preds: DataFrame): (DataFrame, DataFrame, Long) =
+      if ($(criterion) == "threshold") {
+        val conf = preds.filter(col("probMax") > $(threshold))
+        val rst = preds.filter(col("probMax") <= $(threshold))
+        val n = preds.agg(
+          sum(when(col("probMax") > $(threshold), 1L).otherwise(0L))).head
+        (conf, rst, Option(n.get(0)).fold(0L)(_.asInstanceOf[Long]))
+      } else {
+        val withId = preds.withColumn("__id", monotonically_increasing_id())
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val top = withId.orderBy(col("probMax").desc, col("__id"))
+          .limit(numberOfKBest)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nTop = top.count()
+        val rst = withId.join(broadcast(top.select("__id")), Seq("__id"), "left_anti")
+        (top, rst, nTop)
+      }
+
+    var converged = false
+    while (iter < $(maxIter) && uCount1 > 0 && uCount2 > 0 && !converged) {
+      val preds1 = persist(model1.transform(unlabeled1).withColumn("probMax", probMax))
+      val preds2 = persist(model2.transform(unlabeled2).withColumn("probMax", probMax))
+
+      val (new1, rest1, n1) = accept(preds1)
+      val (new2, rest2, n2) = accept(preds2)
+
+      if (n1 == 0 && n2 == 0) {
+        preds1.unpersist(); preds2.unpersist()
+        iter = $(maxIter)
+        converged = true
+      } else {
+        val prev = Seq(labeled1, labeled2, unlabeled1, unlabeled2)
+        // cross-teaching: view 1 learns view 2's confident labels & v.v.
+        // (ref: CoTraining.scala:172-173)
+        labeled1 = persist(labeled1.union(relabel(new2)))
+        labeled2 = persist(labeled2.union(relabel(new1)))
+        unlabeled1 = persist(relabel(rest1))
+        unlabeled2 = persist(relabel(rest2))
+        lCount1 += n2; lCount2 += n1
+        uCount1 -= n1; uCount2 -= n2
+        if (uCount1 > 0 && uCount2 > 0) {
+          model1 = baseClassifier.fit(labeled1)
+          model2 = baseClassifier.fit(labeled2)
+          iter += 1
+        }
+        prev.foreach(_.unpersist())
+        preds1.unpersist(); preds2.unpersist()
+      }
+    }
+
+    // final model on both views' labeled union (ref: CoTraining.scala:251)
+    val both = persist(labeled1.union(labeled2))
+    val finalModel = baseClassifier.fit(both)
+    both.unpersist()
+    Seq(labeled1, labeled2, unlabeled1, unlabeled2).foreach(_.unpersist())
+
+    (finalModel, SemiSupervisedSummary(labeledIni, unlabeledIni,
+      lCount1 + lCount2, uCount1 + uCount2, iter))
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): Estimator[M] = defaultCopy(extra)
+}

@@ -1,0 +1,164 @@
+package graft.ml
+
+import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/** Self-Training (Yarowsky 1995) meta-estimator: fit the base classifier on
+  * the labeled slice, self-label the unlabeled rows the model is confident
+  * about, refit, repeat (ref: SelfTraining.scala:121-207).
+  *
+  * Same generic bounds as the reference (any Spark ML
+  * `ProbabilisticClassifier`), same acceptance criteria (`threshold` strict
+  * `>`, `kBest` with k frozen before the loop from the initial unlabeled
+  * count — ref :149,:173), same relabeling (`prediction` becomes the new
+  * `label` — ref :152).
+  *
+  * Deliberate departures for scale (SURVEY §7):
+  *  - labeled/unlabeled partition via `isnan` predicate pair, not
+  *    `exceptAll` (ref :129-130) — no whole-row shuffle on vector columns;
+  *  - per-iteration bookkeeping fused into ONE aggregate job instead of two
+  *    `count()` actions (ref :156-157);
+  *  - kBest remainder via broadcast anti-join on a row id, not `exceptAll`
+  *    over vectors (ref :178);
+  *  - iterations that would accept zero new labels terminate the loop (the
+  *    reference keeps refitting an unchanged training set until maxIter —
+  *    same final model, wasted jobs);
+  *  - summary is an immutable value (see [[SemiSupervisedSummary]]), not a
+  *    shared mutable side-channel.
+  */
+class SelfTrainingClassifier[
+    E <: ProbabilisticClassifier[Vector, E, M],
+    M <: ProbabilisticClassificationModel[Vector, M]](
+    override val uid: String,
+    val baseClassifier: ProbabilisticClassifier[Vector, E, M])
+  extends Estimator[M] with SelfLabelingParams {
+
+  def this(baseClassifier: ProbabilisticClassifier[Vector, E, M]) =
+    this(Identifiable.randomUID("selfTraining"), baseClassifier)
+
+  setDefault(maxIter -> 7)
+
+  def setThreshold(v: Double): this.type = set(threshold, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setCriterion(v: String): this.type = set(criterion, v)
+  def setKBest(v: Double): this.type = set(kBest, v)
+  def setUnlabeledCol(v: String): this.type = set(unlabeledCol, v)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+
+  @volatile private var lastSummary: Option[SemiSupervisedSummary] = None
+
+  /** Summary of the most recent `fit` on this estimator instance. */
+  def summary: Option[SemiSupervisedSummary] = lastSummary
+
+  override def fit(dataset: Dataset[_]): M = {
+    val (model, s) = fitWithSummary(dataset)
+    lastSummary = Some(s)
+    model
+  }
+
+  def fitWithSummary(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
+    val fCol = $(featuresCol); val lCol = $(labelCol)
+    val df = dataset.toDF
+    val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
+
+    var labeled = labeled0.select(col(fCol), col(lCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var unlabeled = unlabeled0.select(col(fCol), col(lCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one fused job for both initial counts (ref runs four separate counts,
+    // SelfTraining.scala:133-140)
+    val ini = df.agg(
+      sum(when(Sentinels.isLabeled(col($(unlabeledCol))), 1L).otherwise(0L)),
+      sum(when(Sentinels.isUnlabeled(col($(unlabeledCol))), 1L).otherwise(0L)))
+      .head
+    val labeledIni = Option(ini.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val unlabeledIni = Option(ini.get(1)).fold(0L)(_.asInstanceOf[Long])
+    var labeledCount = labeledIni
+    var unlabeledCount = unlabeledIni
+
+    var model = baseClassifier.fit(labeled)
+    var iter = 1
+
+    val probMax = array_max(vector_to_array(col(baseClassifier.getProbabilityCol)))
+    // k frozen BEFORE the loop from the initial unlabeled count
+    // (ref: SelfTraining.scala:173 — rounding preserved)
+    val numberOfKBest = (($(kBest) * unlabeledCount) / ($(maxIter) - 1).max(1))
+      .round.toInt
+
+    // Loop contract (ref: SelfTraining.scala:147-169): refit after every
+    // acceptance; `iter` counts passes and only advances while unlabeled
+    // rows remain, so a run that labels everything on pass 1 reports iter=1
+    // (matches the reference's published degenerate rows, BASELINE.md).
+    var converged = false
+    while (iter < $(maxIter) && unlabeledCount > 0 && !converged) {
+      val preds = model.transform(unlabeled)
+        .withColumn("probMax", probMax)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val (newLabeled, rest, nNew): (DataFrame, DataFrame, Long) =
+        if ($(criterion) == "threshold") {
+          val conf = preds.filter(col("probMax") > $(threshold))
+          val rst = preds.filter(col("probMax") <= $(threshold))
+          val n = preds.agg(
+            sum(when(col("probMax") > $(threshold), 1L).otherwise(0L))).head
+          (conf, rst, Option(n.get(0)).fold(0L)(_.asInstanceOf[Long]))
+        } else { // kBest
+          val withId = preds.withColumn("__id", monotonically_increasing_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val top = withId.orderBy(col("probMax").desc, col("__id"))
+            .limit(numberOfKBest)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val nTop = top.count() // small (≤ k)
+          val rst = withId.join(broadcast(top.select("__id")), Seq("__id"), "left_anti")
+          (top, rst, nTop)
+        }
+
+      val relabel = (d: DataFrame) => d
+        .select(col(fCol), col(baseClassifier.getPredictionCol).as(lCol))
+
+      if (nNew == 0) {
+        // A deterministic base learner refit on an unchanged training set
+        // yields the same model → no later pass can accept either. The
+        // reference keeps refitting until maxIter (same final model, wasted
+        // jobs); we stop and report iter as the reference would.
+        preds.unpersist()
+        iter = $(maxIter)
+        converged = true
+      } else {
+        val prevLabeled = labeled
+        val prevUnlabeled = unlabeled
+        labeled = labeled.union(relabel(newLabeled))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        unlabeled = relabel(rest).persist(StorageLevel.MEMORY_AND_DISK)
+        labeledCount += nNew
+        unlabeledCount -= nNew
+        model = baseClassifier.fit(labeled)
+        if (unlabeledCount > 0) iter += 1
+        // release the PREVIOUS iteration's handles (the reference unpersists
+        // the freshly-built plans before refitting — SelfTraining.scala:167,
+        // a subtle inefficiency SURVEY §4 flags; we release the old ones)
+        prevLabeled.unpersist()
+        prevUnlabeled.unpersist()
+        preds.unpersist()
+      }
+    }
+    labeled.unpersist()
+    unlabeled.unpersist()
+
+    (model, SemiSupervisedSummary(labeledIni, unlabeledIni,
+      labeledCount, unlabeledCount, iter))
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): Estimator[M] = defaultCopy(extra)
+}

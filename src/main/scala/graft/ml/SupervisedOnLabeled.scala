@@ -1,0 +1,44 @@
+package graft.ml
+
+import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Supervised baseline: drop the NaN-masked (unlabeled) rows, fit the base
+  * classifier on what remains (ref: Supervised.scala:12-43).
+  *
+  * The reference computes the labeled slice as
+  * `dataset.exceptAll(filter(isNaN))` (ref :39-40); here it is the direct
+  * `!isnan` predicate — identical rows, no shuffle.
+  */
+class SupervisedOnLabeled[
+    E <: ProbabilisticClassifier[Vector, E, M],
+    M <: ProbabilisticClassificationModel[Vector, M]](
+    override val uid: String,
+    val baseClassifier: ProbabilisticClassifier[Vector, E, M])
+  extends Estimator[M] with SelfLabelingParams {
+
+  def this(baseClassifier: ProbabilisticClassifier[Vector, E, M]) =
+    this(Identifiable.randomUID("supervisedOnLabeled"), baseClassifier)
+
+  setDefault(maxIter -> 1)
+
+  def setUnlabeledCol(v: String): this.type = set(unlabeledCol, v)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+
+  override def fit(dataset: Dataset[_]): M = {
+    val labeled = dataset.toDF
+      .filter(Sentinels.isLabeled(col($(unlabeledCol))))
+      .select(col($(featuresCol)), col($(labelCol)))
+    baseClassifier.fit(labeled)
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): Estimator[M] = defaultCopy(extra)
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml._
+import graft.sources.Tables
+
+/** Semi-supervised learning flows exposed as driver queries (rows-only —
+  * model fits have no SQL oracle). Each emits one 15-column result row in
+  * the reference's results schema, exercising the full chain:
+  * embeddings → features vector → UnlabeledTransformer → estimator →
+  * evaluators (SURVEY §2.11 M1-M4, M8-M10).
+  */
+object SemiSupervised {
+
+  /** Binary classification frame from the embeddings table: features from
+    * the 64-dim embedding, label = label mod 2 (the testdata's label column
+    * is 10-class). */
+  def dataset(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(
+        array_to_vector(col("embedding")).as("features"),
+        (col("label") % 2).cast("double").as("label"))
+
+  private def base() = new DecisionTreeClassifier().setSeed(8L)
+
+  private def evalRow(spark: SparkSession, algo: String, criterion: String,
+      pct: Double, thr: Double, model: org.apache.spark.ml.Transformer,
+      s: SemiSupervisedSummary, test: DataFrame): DataFrame = {
+    import org.apache.spark.ml.evaluation._
+    val predictions = model.transform(test)
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(predictions)
+    val f1 = new MulticlassClassificationEvaluator()
+      .setMetricName("fMeasureByLabel").setMetricLabel(1.0).evaluate(predictions)
+    val auc = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").evaluate(predictions)
+    val pr = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderPR").evaluate(predictions)
+    Evaluation.resultsDF(spark, Seq(Evaluation.ExperimentResult(
+      "embeddings", algo, criterion, pct, thr, s.iterations,
+      s.labeledInitial, s.unlabeledInitial, s.labeledFinal, s.unlabeledFinal,
+      s.percentageLabeledFinal, acc, auc, pr, f1)))
+  }
+
+  /** Self-training with threshold criterion (flagship flow, ref M1). */
+  def qSelfTraining(spark: SparkSession, dir: String): DataFrame = {
+    val df = new UnlabeledTransformer()
+      .setPercentageLabeled(0.3).setSeed(11L)
+      .transform(dataset(spark, dir))
+    val st = new SelfTrainingClassifier(base())
+      .setThreshold(0.8).setMaxIter(3).setCriterion("threshold")
+    val (model, s) = st.fitWithSummary(df)
+    evalRow(spark, "ST-DT", "threshold", 0.3, 0.8, model, s, df)
+  }
+
+  /** Self-training with kBest criterion (ref M1 kBest branch). */
+  def qSelfTrainingKBest(spark: SparkSession, dir: String): DataFrame = {
+    val df = new UnlabeledTransformer()
+      .setPercentageLabeled(0.3).setSeed(11L)
+      .transform(dataset(spark, dir))
+    val st = new SelfTrainingClassifier(base())
+      .setCriterion("kBest").setKBest(0.5).setMaxIter(3)
+    val (model, s) = st.fitWithSummary(df)
+    evalRow(spark, "ST-DT", "kBest", 0.3, 0.5, model, s, df)
+  }
+
+  /** Co-training with cross-teaching views (ref M2). */
+  def qCoTraining(spark: SparkSession, dir: String): DataFrame = {
+    val df = new UnlabeledTransformer()
+      .setPercentageLabeled(0.3).setSeed(11L)
+      .transform(dataset(spark, dir))
+    val ct = new CoTrainingClassifier(base())
+      .setThreshold(0.8).setMaxIter(3).setCriterion("threshold")
+    val (model, s) = ct.fitWithSummary(df)
+    evalRow(spark, "CT-DT", "threshold", 0.3, 0.8, model, s, df)
+  }
+
+  /** Supervised baseline through k-fold CV (ref M3 + M10). */
+  def qSupervisedCv(spark: SparkSession, dir: String): DataFrame = {
+    val df = new UnlabeledTransformer()
+      .setPercentageLabeled(0.5).setSeed(11L)
+      .transform(dataset(spark, dir))
+    val m = Evaluation.crossValidate(df, k = 2, seed = 8L, train => {
+      val sup = new SupervisedOnLabeled(base())
+      (sup.fit(train), None)
+    })
+    Evaluation.resultsDF(spark, Seq(Evaluation.ExperimentResult(
+      "embeddings", "supervised-DT", "na", 0.5, 0.0, 1,
+      m.labeledInitial, m.unlabeledInitial, m.labeledFinal, m.unlabeledFinal,
+      0.5, m.accuracy, m.auc, m.pr, m.f1)))
+  }
+}
