@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9: absent in the reference —
+  * extension required by the large-pipeline mandate).
+  *
+  * Design: the streaming plans are the SAME logical aggregations as their
+  * batch twins in [[graft.operators.Relational.q32EventWindows]] — watermark +
+  * tumbling window groupBy — so correctness is testable by equivalence with
+  * the batch result on a static directory. State is bounded by the watermark
+  * (late data beyond 10 minutes is dropped), which is what keeps executor
+  * state finite on an unbounded 100 TB/day feed.
+  */
+object EventStreams {
+
+  /** events schema as produced by the testdata (ts arrives as LongType nanos
+    * under nanosAsLong and is converted exactly like the batch path). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark —
+    * the streaming twin of the batch q32. */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session state: running event count + last-seen time, emitted
+    * on each update (mapGroupsWithState; SURVEY §2.9 stateful surface).
+    * State per key is O(1) — two longs — so 10⁹ users fit in executor state
+    * stores. NoTimeout here: with a processing-time timeout the
+    * AvailableNow drain keeps scheduling no-data batches to service pending
+    * timeouts and never terminates; a production continuous deployment
+    * would reap idle keys with an event-time timeout + watermark instead.
+    */
+  case class UserState(count: Long, lastTsMicros: Long)
+  case class UserUpdate(user_id: Long, count: Long, lastTsMicros: Long)
+
+  def userRunningCounts(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS tsm")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var c = prev.count; var last = prev.lastTsMicros
+          rows.foreach { case (_, t) => c += 1; if (t > last) last = t }
+          state.update(UserState(c, last))
+          UserUpdate(uid, c, last)
+      }
+  }
+
+  /** Run a streaming frame to completion against a static directory via the
+    * memory sink; returns the materialized result table. Local smoke path —
+    * production would use a real sink + checkpointLocation. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

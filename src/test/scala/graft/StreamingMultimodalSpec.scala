@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** File-source streams need a directory; testdata tables are single
+    * files — stage events.parquet into a temp dir once. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly windows equal the batch q32 aggregation") {
+    val streamed = EventStreams.hourlyWindows(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.runToMemory(spark, streamed, "hourly_test")
+      .groupBy("bucket").agg(sum("n").as("n"),
+        sum("sum_value").as("sum_value"))
+    val expected = operators.Relational.q32EventWindows(spark, sf)
+    // append mode emits only windows finalized by the watermark — the last
+    // open window(s) are withheld, everything emitted must match the batch
+    // twin exactly
+    val nGot = got.count(); val nExpected = expected.count()
+    assert(nGot >= nExpected - 2 && nGot <= nExpected,
+      s"emitted $nGot buckets, batch has $nExpected")
+    val joined = got.as("g").join(expected.as("e"), Seq("bucket"))
+      .filter(col("g.n") =!= col("e.n") ||
+        // re-summing per-type doubles loses the batch's exact decimal
+        // associativity — compare within float tolerance
+        abs(col("g.sum_value") - col("e.sum_value")) > 1e-6)
+    assert(joined.count() === 0, "per-bucket aggregates diverge from batch twin")
+    assert(got.join(expected, Seq("bucket"), "left_anti").count() === 0,
+      "stream emitted a bucket the batch twin does not have")
+  }
+
+  test("stateful user running counts cover every user exactly once per final state") {
+    val events = EventStreams.readEvents(spark, eventsDir)
+    val updates = EventStreams.userRunningCounts(spark, events.toDF)
+    val res = EventStreams.runToMemory(spark, updates.toDF, "user_counts",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // final state per user (last update) must equal the batch per-user count
+    val finalCounts = res.groupBy("user_id").agg(max("count").as("count"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("count"))
+    val diff = finalCounts.as("s").join(batch.as("b"), Seq("user_id"))
+      .filter(col("s.count") =!= col("b.count"))
+    assert(diff.count() === 0)
+    assert(finalCounts.count() === batch.count())
+  }
+
+  test("multimodal decode keeps every row, drops payload, emits typed metadata") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val decoded = Multimodal.decodeMeta(media)
+    assert(decoded.count() === media.count())
+    assert(!decoded.columns.contains("payload"))
+    assert(decoded.filter(col("width") < 64 || col("height") < 64).count() === 0)
+    assert(decoded.filter(col("n_bytes") <= 0).count() === 0)
+    // images have no duration; audio/video do
+    assert(decoded.filter(col("media_type") === "image" &&
+      col("duration_s") =!= 0.0).count() === 0)
+  }
+
+  test("multimodal feature extraction is deterministic and fixed-dim") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val f1 = Multimodal.extractFeatures(media, dim = 16)
+    assert(f1.filter(size(col("features")) =!= 16).count() === 0)
+    val twice = Multimodal.extractFeatures(media, dim = 16)
+    val diff = f1.as("a").join(twice.as("b"), Seq("media_id"))
+      .filter(col("a.features") =!= col("b.features"))
+    assert(diff.count() === 0)
+  }
+
+  test("frame sampling emits keys only, one row per sampled frame") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val frames = Multimodal.sampleFrames(media, fps = 1.0)
+    assert(frames.columns.toSeq === Seq("media_id", "frame_no"))
+    assert(frames.count() > 0)
+    // frame numbers start at 0 per media
+    assert(frames.groupBy("media_id").agg(min("frame_no").as("m"))
+      .filter(col("m") =!= 0).count() === 0)
+  }
+}
