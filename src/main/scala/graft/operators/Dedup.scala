@@ -56,13 +56,31 @@ object Dedup {
       .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded murmur3 functions,
-    * the min hash over the shingle set. Pure expression — the per-row cost
-    * is numHashes × |shingles| hashes, all inside codegen. */
+  /** MinHash signature as a single per-row expression. Composable, but the
+    * shingle subtree is re-expanded under every hash seed (Catalyst
+    * collapses the projection back in), so for corpus-scale signature
+    * computation use [[minhashSignatures]] instead. */
   def minhashSignature(text: Column, numHashes: Int = 32, w: Int = 3): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shingles(text, w), s => hash(s, lit(seed))))
     }: _*)
+
+  /** Corpus-scale MinHash: explode distinct shingles once, then ONE
+    * partial-aggregating groupBy computing all `numHashes` mins. Each
+    * shingle is hashed `numHashes` times total (vs. the per-row expression
+    * form which also re-builds the shingle array per seed), and the shuffle
+    * moves only numHashes partial mins per (doc, partition) — the shape
+    * that survives a 100 TB corpus. Output: (doc_id, sig: array<int>). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32, w: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), w))).as("sh"))
+    val mins = (0 until numHashes).map(seed =>
+      min(hash(col("sh"), lit(seed))).as(s"h$seed"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs via banding: signature split into `bands` bands of
     * `rows` hashes; docs sharing any band bucket become a candidate pair.
@@ -72,8 +90,7 @@ object Dedup {
   def minhashCandidatePairs(spark: SparkSession, dir: String,
       numHashes: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docsWithDups(spark, dir)
-      .select(col("doc_id"), minhashSignature(col("text"), numHashes, w).as("sig"))
+    val sigs = minhashSignatures(docsWithDups(spark, dir), numHashes, w)
     val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
@@ -107,11 +124,29 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Corpus-scale SimHash: explode tokens once, hash each once, one
+    * partial-aggregating groupBy summing ±1 per bit (sum(±1) > 0 ⇔ strict
+    * majority of token hashes set the bit — identical to [[simhash64]],
+    * duplicates counted). Output: (doc_id, sh: long). */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), 1)
+        .otherwise(-1)).as(s"b$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** SimHash near-dup candidates: exact-match on rotated 16-bit blocks
     * (docs within Hamming distance 3 share ≥1 of 4 blocks). */
   def simhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docsWithDups(spark, dir)
-      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val sh = simhashes(docsWithDups(spark, dir))
     val blocked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),

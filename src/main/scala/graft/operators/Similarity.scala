@@ -61,22 +61,42 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Corpus-scale sign-LSH buckets: posexplode the vector once, ONE
+    * partial-aggregating groupBy computing all `nBits` projections (vs the
+    * per-row expression form which re-traverses the array per bit). Input
+    * needs columns (vec_id, e: array<double>); output (vec_id, bucket). */
+  def signLshBuckets(emb: DataFrame, nBits: Int = 12): DataFrame = {
+    val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("j", "x")))
+    val projs = (0 until nBits).map(i =>
+      sum(col("x") *
+        when(hash(lit(i), col("j")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+        .as(s"p$i"))
+    ex.groupBy(col("vec_id"))
+      .agg(projs.head, projs.tail: _*)
+      .select(col("vec_id"),
+        (0 until nBits).map(i =>
+          when(col(s"p$i") > 0, lit(1 << i)).otherwise(lit(0)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+  }
+
   /** LSH-bucketed ANN: co-bucket join then exact cosine within bucket, top-k
     * per query vector by window rank. This is the 100 TB shape: candidate
     * generation is an equi-join on the bucket key (shuffle on int keys),
     * exact scoring touches only co-bucketed pairs. */
   def lshTopKAllPairs(spark: SparkSession, dir: String, dim: Int = 64,
       nBits: Int = 12, k: Int = 5): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("bucket", signLshBucket(col("e"), dim, nBits))
+      // norms once per vector, not per candidate pair
+      .withColumn("nrm", norm2(col("e")))
+    val emb = vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id"))
     val a = emb.as("a")
     val b = emb.as("b")
     val scored = a.join(b,
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
-        cosine(col("a.e"), col("b.e")).as("sim"))
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -87,16 +107,17 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("bucket", signLshBucket(col("e"), dim, nBits))
+      .withColumn("nrm", norm2(col("e")))
+    val emb = vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id"))
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.e"), col("b.e")).as("sim"))
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") > threshold)
   }
 }
