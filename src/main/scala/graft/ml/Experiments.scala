@@ -1,0 +1,112 @@
+package graft.ml
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+
+import Evaluation.{crossValidate, CvMetrics, ExperimentResult}
+
+/** Experiment-grid runner: the engine's version of the reference's nested
+  * tuple grids + scatter-updated results template (ref:
+  * FunctionsSemiSupervised.scala:51-126 grid builders, :188-257 runner;
+  * notebooks M11). A grid is the flat cross product of configs; each cell
+  * runs k-fold CV and yields ONE immutable [[Evaluation.ExperimentResult]]
+  * row — no shared mutable state, so cells could run concurrently (the
+  * reference's side-channel forbids that, SURVEY §3.3).
+  */
+object Experiments {
+
+  /** One grid cell. `thresholdOrKBest` is the threshold for
+    * criterion="threshold", the kBest fraction for criterion="kBest",
+    * ignored for algo="supervised" (reference convention). */
+  case class Cell(
+      dataName: String, classifierName: String, algo: String,
+      criterion: String, percentageLabeled: Double, thresholdOrKBest: Double,
+      maxIter: Int = 7)
+
+  /** The reference's base-classifier roster (ref M12:
+    * SemiSupervisedAndBaseClassifiers.scala:140-143) — all probabilistic;
+    * LinearSVC is excluded by the same type bound the reference uses. */
+  def baseClassifier(name: String, maxBins: Int = 32)
+      : ProbabilisticClassifier[Vector, _, _] = name match {
+    case "DT" => new DecisionTreeClassifier().setSeed(8L).setMaxBins(maxBins)
+    case "RF" => new RandomForestClassifier().setSeed(8L).setMaxBins(maxBins)
+    case "NB" => new NaiveBayes()
+    case "LR" => new LogisticRegression()
+    case other => throw new IllegalArgumentException(
+      s"unknown classifier '$other' (expected DT|RF|NB|LR)")
+  }
+
+  /** Build the per-fold fit function for a cell (mask → estimator →
+    * model+summary). Concrete type parameters are pinned per classifier
+    * branch so the generic bounds hold. */
+  private def fitFor[E <: ProbabilisticClassifier[Vector, E, M],
+      M <: ProbabilisticClassificationModel[Vector, M]](
+      base: ProbabilisticClassifier[Vector, E, M], cell: Cell)
+      : DataFrame => (Transformer, Option[SemiSupervisedSummary]) = { train =>
+    val masked = new UnlabeledTransformer()
+      .setPercentageLabeled(cell.percentageLabeled).setSeed(11L)
+      .transform(train)
+    cell.algo match {
+      case "ST" =>
+        val st = new SelfTrainingClassifier(base)
+          .setCriterion(cell.criterion).setMaxIter(cell.maxIter)
+        if (cell.criterion == "threshold") st.setThreshold(cell.thresholdOrKBest)
+        else st.setKBest(cell.thresholdOrKBest)
+        val (m, s) = st.fitWithSummary(masked)
+        (m, Some(s))
+      case "CT" =>
+        val ct = new CoTrainingClassifier(base)
+          .setCriterion(cell.criterion).setMaxIter(cell.maxIter)
+        if (cell.criterion == "threshold") ct.setThreshold(cell.thresholdOrKBest)
+        else ct.setKBest(cell.thresholdOrKBest)
+        val (m, s) = ct.fitWithSummary(masked)
+        (m, Some(s))
+      case "supervised" =>
+        (new SupervisedOnLabeled(base).fit(masked), None)
+      case other => throw new IllegalArgumentException(
+        s"unknown algo '$other' (expected ST|CT|supervised)")
+    }
+  }
+
+  /** Run one cell through k-fold CV → one result row. */
+  def runCell(data: DataFrame, cell: Cell, k: Int = 4, seed: Long = 8L)
+      : ExperimentResult = {
+    val m: CvMetrics = baseClassifier(cell.classifierName) match {
+      case c: DecisionTreeClassifier => crossValidate(data, k, seed, fitFor(c, cell))
+      case c: RandomForestClassifier => crossValidate(data, k, seed, fitFor(c, cell))
+      case c: NaiveBayes => crossValidate(data, k, seed, fitFor(c, cell))
+      case c: LogisticRegression => crossValidate(data, k, seed, fitFor(c, cell))
+    }
+    val total = m.labeledInitial + m.unlabeledInitial
+    ExperimentResult(
+      cell.dataName, s"${cell.algo}-${cell.classifierName}", cell.criterion,
+      cell.percentageLabeled, cell.thresholdOrKBest, m.iterations,
+      m.labeledInitial, m.unlabeledInitial, m.labeledFinal, m.unlabeledFinal,
+      if (total == 0) 0.0 else m.labeledFinal.toDouble / total,
+      m.accuracy, m.auc, m.pr, m.f1)
+  }
+
+  /** Run a whole grid → results DataFrame in the reference's 15-column
+    * schema. Cells are independent; executed sequentially here since each
+    * cell already saturates the cluster, but nothing shares state. */
+  def runGrid(data: DataFrame, cells: Seq[Cell], k: Int = 4, seed: Long = 8L)
+      : DataFrame =
+    Evaluation.resultsDF(data.sparkSession, cells.map(runCell(data, _, k, seed)))
+
+  /** Cross-product grid builder (ref M7's nested tuples, flattened). */
+  def grid(dataName: String, classifiers: Seq[String], algos: Seq[String],
+      pcts: Seq[Double], criterionValues: Map[String, Seq[Double]],
+      maxIter: Int = 7): Seq[Cell] = {
+    val cells = for {
+      algo <- algos
+      clf <- classifiers
+      pct <- pcts
+      (crit, values) <- criterionValues.toSeq
+      v <- if (algo == "supervised") Seq(0.0) else values
+    } yield Cell(dataName, clf, algo,
+      if (algo == "supervised") "na" else crit, pct, v, maxIter)
+    cells.distinct // supervised cells collapse across criteria
+  }
+}
