@@ -87,7 +87,11 @@ class CoTrainingClassifier[
     var model2 = baseClassifier.fit(labeled2)
     var iter = 1
 
-    val probMax = array_max(vector_to_array(col(baseClassifier.getProbabilityCol)))
+    // custom codegen'd expression instead of the reference's UDF barrier
+    // (graft.functions.VectorMax; built-in equivalent:
+    // array_max(vector_to_array(col)))
+    graft.functions.VectorMax.register(df.sparkSession)
+    val probMax = expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)")
     val relabel = (d: DataFrame) => d
       .select(col(fCol), col(baseClassifier.getPredictionCol).as(lCol))
     // k frozen before the loop from the TOTAL initial unlabeled count

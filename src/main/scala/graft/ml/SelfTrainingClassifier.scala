@@ -89,7 +89,11 @@ class SelfTrainingClassifier[
     var model = baseClassifier.fit(labeled)
     var iter = 1
 
-    val probMax = array_max(vector_to_array(col(baseClassifier.getProbabilityCol)))
+    // custom codegen'd expression instead of the reference's UDF barrier
+    // (graft.functions.VectorMax; built-in equivalent:
+    // array_max(vector_to_array(col)))
+    graft.functions.VectorMax.register(df.sparkSession)
+    val probMax = expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)")
     // k frozen BEFORE the loop from the initial unlabeled count
     // (ref: SelfTraining.scala:173 — rounding preserved)
     val numberOfKBest = (($(kBest) * unlabeledCount) / ($(maxIter) - 1).max(1))
