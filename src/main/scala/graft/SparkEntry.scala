@@ -61,6 +61,10 @@ object SparkEntry {
       Similarity.lshTopKAllPairs(s, d, nBits = 8)),
     "q32_event_windows"     -> Relational.q32EventWindows _,
     "q33_json_extract"      -> Relational.q33JsonExtract _,
+    "q34_stream_hourly"     -> graft.streaming.EventStreams.qStreamHourly _,
+    "q35_ann_ivf"           -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopK(s, d)),
+    "q36_fingerprint_rolling" -> TextAnalysis.qRollingFingerprint _,
     // semi-supervised ML flows (SURVEY §2.11) — model fits, rows-only checks
     "q40_selftrain_threshold" -> SemiSupervised.qSelfTraining _,
     "q41_selftrain_kbest"     -> SemiSupervised.qSelfTrainingKBest _,

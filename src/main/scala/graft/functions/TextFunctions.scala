@@ -52,4 +52,19 @@ object TextFunctions {
     * Approximates tokenizer load for cost accounting. */
   def subwordCount(text: Column): Column =
     size(split(text, "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9 ])(?=[a-z0-9])"))
+
+  /** Winnowed rolling fingerprint set: hash every character k-gram, keep the
+    * min of each sliding window of `window` consecutive hashes (winnowing —
+    * Schleimer/Wilkerson/Aiken MOSS scheme), dedup. Guarantees any shared
+    * substring of length ≥ k+window−1 yields a shared fingerprint, so
+    * chunk-level near-dups are joinable on fingerprints. One expression
+    * pass; output is a small long-array per document. */
+  def rollingFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
+    val nGrams = greatest(length(text) - (k - 1), lit(0))
+    val hashes = transform(sequence(lit(1), greatest(nGrams, lit(1))),
+      i => xxhash64(text.substr(i, lit(k))))
+    val nWin = greatest(nGrams - (window - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), nWin - 1),
+      j => array_min(slice(hashes, j + lit(1), lit(window)))))
+  }
 }

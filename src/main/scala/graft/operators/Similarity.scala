@@ -104,6 +104,45 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every vector
+    * to a centroid cell; a query probes only the `nProbe` nearest cells and
+    * scores exact cosine inside them. The scale path for repeated query
+    * workloads: cell assignment is precomputable + partitionable by cell id,
+    * and each query touches ~nProbe/nCells of the corpus. Centroids are
+    * driver-local by construction (KMeans model), so probe selection costs
+    * no job. */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("fv", array_to_vector(col("e")))
+    val km = new KMeans().setK(nCells).setSeed(8L).setFeaturesCol("fv")
+    val model = km.fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("e"), col("prediction").as("cell"))
+      .persist()
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("e")).head.getSeq[Double](0).toArray
+    // probe the nProbe nearest cells (centroids are local to the driver)
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        var d = 0.0; var j = 0
+        while (j < arr.length) { val t = arr(j) - q(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val qlit = array(q.map(lit): _*)
+    val out = assigned
+      .filter(col("cell").isin(probes.toSeq: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("e"), qlit), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95): DataFrame = {

@@ -40,4 +40,12 @@ object TextAnalysis {
         col("doc_id"),
         fpMd5(col("text")).as("fp_md5"),
         fpSha256(col("text")).as("fp_sha"))
+
+  /** Winnowed rolling fingerprints exploded to (doc_id, fp) — the joinable
+    * chunk-dedup form; docs sharing any ≥(k+window−1)-char substring share
+    * a fingerprint. */
+  def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(rollingFingerprints(col("text"))).as("fp"))
 }

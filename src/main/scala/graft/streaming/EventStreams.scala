@@ -75,6 +75,19 @@ object EventStreams {
       }
   }
 
+  /** Driver-contract query: stage the events table into a temp dir, run the
+    * watermarked hourly-window stream to completion, return the emitted
+    * (closed) windows. Rows-only check — append-mode emission depends on
+    * the final watermark, which has no clean SQL twin. */
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    runToMemory(spark, hourlyWindows(readEvents(spark, tmp.toString)),
+      s"q34_stream_${System.nanoTime()}")
+  }
+
   /** Run a streaming frame to completion against a static directory via the
     * memory sink; returns the materialized result table. Local smoke path —
     * production would use a real sink + checkpointLocation. */

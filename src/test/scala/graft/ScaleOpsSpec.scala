@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MinHashAggregator, TextFunctions}
+import graft.operators.Similarity
+import graft.plans.Skew
+
+/** Tests for the scale-path additions: IVF ANN, winnowed fingerprints,
+  * MinHash Aggregator, salting. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("IVF top-k finds high-overlap results vs brute force (recall ≥ 0.5)") {
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, k = 10, nCells = 8, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall (ivf=$ivf brute=$brute)")
+  }
+
+  test("winnowed fingerprints: shared long substring ⇒ shared fingerprint") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"completely different start $common and another ending"),
+      (3L, "nothing in common with the others at all, separate text entirely"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      explode(TextFunctions.rollingFingerprints(col("text"))).as("fp"))
+    val shared12 = fps.filter(col("doc_id") === 1).as("a")
+      .join(fps.filter(col("doc_id") === 2).as("b"), Seq("fp")).count()
+    val shared13 = fps.filter(col("doc_id") === 1).as("a")
+      .join(fps.filter(col("doc_id") === 3).as("b"), Seq("fp")).count()
+    assert(shared12 > 0, "docs sharing a 50-char substring must share fingerprints")
+    assert(shared13 === 0, "unrelated docs should share no fingerprints")
+  }
+
+  test("MinHashAggregator: identical shingle streams agree, estimator tracks Jaccard") {
+    import spark.implicits._
+    val shingles = Seq(
+      ("a", "w1 w2 w3"), ("a", "w2 w3 w4"), ("a", "w3 w4 w5"),
+      ("b", "w1 w2 w3"), ("b", "w2 w3 w4"), ("b", "w3 w4 w5"), // same as a
+      ("c", "x1 x2 x3"), ("c", "x2 x3 x4")) // disjoint
+      .toDF("doc", "sh").as[(String, String)]
+    val sketches = shingles.groupByKey(_._1).mapValues(_._2)
+      .agg(new MinHashAggregator(64).toColumn)
+      .collect().toMap
+    assert(MinHashAggregator.estimatedJaccard(sketches("a"), sketches("b")) === 1.0)
+    assert(MinHashAggregator.estimatedJaccard(sketches("a"), sketches("c")) < 0.3)
+  }
+
+  test("saltedJoin equals plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of fact rows hit one hot key
+    val fact = (0 until 2000).map(i =>
+      (if (i % 10 == 0) i % 5 else 42, i.toDouble)).toDF("k", "v")
+    val dim = (0 until 50).map(i => (i, s"name$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum("v")).head.getDouble(0) ===
+      plain.agg(sum("v")).head.getDouble(0))
+  }
+
+  test("saltedSumCount equals direct groupBy aggregation") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+    val salted = Skew.saltedSumCount(df, "k", "v", salt = 4)
+    val joined = direct.as("d").join(salted.as("s"), Seq("k"))
+      .filter(col("d.sum_v") =!= col("s.sum_v") || col("d.cnt") =!= col("s.cnt"))
+    assert(joined.count() === 0)
+    assert(direct.count() === salted.count())
+  }
+}
