@@ -65,6 +65,9 @@ object SparkEntry {
     "q35_ann_ivf"           -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d)),
     "q36_fingerprint_rolling" -> TextAnalysis.qRollingFingerprint _,
+    "q37_embedding_neardup" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingNearDupPairs(s, d, nBits = 6, threshold = 0.1)),
+    "q38_corpus_stats"      -> TextAnalysis.qCorpusStats _,
     // semi-supervised ML flows (SURVEY §2.11) — model fits, rows-only checks
     "q40_selftrain_threshold" -> SemiSupervised.qSelfTraining _,
     "q41_selftrain_kbest"     -> SemiSupervised.qSelfTrainingKBest _,
@@ -142,5 +145,7 @@ object SparkEntry {
       "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY bucket",
     "q33_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "q38_corpus_stats" ->
+      "SELECT lang, count(*) AS cnt, CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_chars FROM documents GROUP BY lang",
   )
 }

@@ -41,6 +41,16 @@ object TextAnalysis {
         fpMd5(col("text")).as("fp_md5"),
         fpSha256(col("text")).as("fp_sha"))
 
+  /** Per-language corpus profile: row counts and exact mean document length
+    * (decimal sum / count — one deterministic division, oracle-safe). */
+  def qCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(col("n_chars").cast("decimal(18,0)")).cast("double") /
+          count(lit(1))).as("avg_chars"))
+
   /** Winnowed rolling fingerprints exploded to (doc_id, fp) — the joinable
     * chunk-dedup form; docs sharing any ≥(k+window−1)-char substring share
     * a fingerprint. */
