@@ -122,3 +122,62 @@ class MlSpec extends AnyFunSuite {
     assert(s.iterations <= 3)
   }
 }
+
+/** End-to-end SSC flow on a Keel-shaped CSV fixture (SURVEY §7 step 4: the
+  * minimum slice that answers one real query — CSV → featurization →
+  * UnlabeledTransformer → estimator → metric). */
+class KeelEndToEndSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  test("CSV → pipeline → self-training → accuracy on wisconsin-shaped fixture") {
+    val rnd = new scala.util.Random(13)
+    val header = (1 to 6).map(i => s"f$i").mkString(",") + ",diagnosis"
+    val rows = (0 until 400).map { i =>
+      val cls = i % 2
+      val center = cls * 4.0
+      (1 to 6).map(_ => f"${center + rnd.nextGaussian()}%.4f").mkString(",") +
+        (if (cls == 1) ",M" else ",B")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("keel_e2e")
+    val path = dir.resolve("wisconsin.csv")
+    java.nio.file.Files.write(path, (header +: rows).mkString("\n").getBytes)
+
+    val (raw, features, labelCol) = graft.sources.Ingestion.loadKeelCsv(spark, path.toString)
+    val featurized = graft.ml.Featurization.pipeline(
+      numericCols = features.toSeq, categoricalCols = Nil,
+      labelInputCol = labelCol).fit(raw).transform(raw)
+    val masked = new graft.ml.UnlabeledTransformer()
+      .setPercentageLabeled(0.2).setSeed(11L).transform(featurized)
+    val st = new graft.ml.SelfTrainingClassifier(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier().setSeed(8L))
+      .setThreshold(0.6).setMaxIter(5)
+    val (model, s) = st.fitWithSummary(masked)
+    assert(s.labeledFinal > s.labeledInitial, s"no self-labeling happened: $s")
+    import org.apache.spark.sql.functions.col
+    val acc = model.transform(featurized)
+      .filter(col("prediction") === col("label")).count().toDouble / 400
+    assert(acc > 0.85, s"end-to-end accuracy $acc")
+  }
+
+  test("CoTraining kBest criterion accepts k per view per pass and converges") {
+    val rnd = new scala.util.Random(21)
+    import spark.implicits._
+    val df = (0 until 300).map { i =>
+      val label = (i % 2).toDouble
+      (org.apache.spark.ml.linalg.Vectors.dense(
+        label * 9 + rnd.nextGaussian(), label * 9 + rnd.nextGaussian()), label)
+    }.toDF("features", "label")
+    val masked = new graft.ml.UnlabeledTransformer()
+      .setPercentageLabeled(0.3).setSeed(11L).transform(df)
+    val ct = new graft.ml.CoTrainingClassifier(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier().setSeed(8L))
+      .setCriterion("kBest").setKBest(0.6).setMaxIter(3)
+    val (model, s) = ct.fitWithSummary(masked)
+    assert(s.labeledFinal > s.labeledInitial)
+    assert(s.labeledFinal + s.unlabeledFinal === 300L)
+    import org.apache.spark.sql.functions.col
+    val acc = model.transform(df)
+      .filter(col("prediction") === col("label")).count().toDouble / 300
+    assert(acc > 0.9, s"CT-kBest accuracy $acc")
+  }
+}
