@@ -73,6 +73,7 @@ object SparkEntry {
     "q41_selftrain_kbest"     -> SemiSupervised.qSelfTrainingKBest _,
     "q42_cotrain"             -> SemiSupervised.qCoTraining _,
     "q43_supervised_cv"       -> SemiSupervised.qSupervisedCv _,
+    "q44_cotrain_featsplit"   -> SemiSupervised.qCoTrainingFeatureSplit _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -40,7 +40,16 @@ class CoTrainingClassifier[
   final val viewSeed: LongParam = new LongParam(this, "viewSeed",
     "seed for the 50/50 view splits")
 
-  setDefault(maxIter -> 3, viewSeed -> 8L)
+  /** false (default): the reference's row-split views (50/50 random rows).
+    * true: Blum & Mitchell's original formulation — the FEATURE vector is
+    * split in half; both views see all labeled rows but only their feature
+    * slice, teach each other from a shared unlabeled pool, and the final
+    * model is fit on full features over everything labeled by either view. */
+  final val featureSplit: org.apache.spark.ml.param.BooleanParam =
+    new org.apache.spark.ml.param.BooleanParam(this, "featureSplit",
+      "split features (Blum-Mitchell) instead of rows")
+
+  setDefault(maxIter -> 3, viewSeed -> 8L, featureSplit -> false)
 
   def setThreshold(v: Double): this.type = set(threshold, v)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
@@ -50,6 +59,7 @@ class CoTrainingClassifier[
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setViewSeed(v: Long): this.type = set(viewSeed, v)
+  def setFeatureSplit(v: Boolean): this.type = set(featureSplit, v)
 
   @volatile private var lastSummary: Option[SemiSupervisedSummary] = None
   def summary: Option[SemiSupervisedSummary] = lastSummary
@@ -60,7 +70,11 @@ class CoTrainingClassifier[
     model
   }
 
-  def fitWithSummary(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
+  def fitWithSummary(dataset: Dataset[_]): (M, SemiSupervisedSummary) =
+    if ($(featureSplit)) fitFeatureSplit(dataset)
+    else fitRowSplit(dataset)
+
+  private def fitRowSplit(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
     val fCol = $(featuresCol); val lCol = $(labelCol)
     val df = dataset.toDF
     val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
@@ -158,6 +172,115 @@ class CoTrainingClassifier[
 
     (finalModel, SemiSupervisedSummary(labeledIni, unlabeledIni,
       lCount1 + lCount2, uCount1 + uCount2, iter))
+  }
+
+  /** Blum-Mitchell feature-split co-training. Views see feature halves:
+    * view i trains on (slice_i(features), label) over ALL labeled rows and
+    * predicts the shared unlabeled pool; rows a view accepts get its
+    * predicted label, are removed from the pool, and teach the OTHER view.
+    * The returned model is fit on FULL features over labeled ∪ accepted
+    * (view-1 label wins if both views accept the same row in one pass).
+    */
+  private def fitFeatureSplit(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val fCol = $(featuresCol); val lCol = $(labelCol)
+    val df = dataset.toDF
+    val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
+
+    val dim = labeled0.select(col(fCol)).head
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    require(dim >= 2, s"featureSplit needs >=2 features, got $dim")
+    val half = dim / 2
+    val asArr = vector_to_array(col(fCol))
+    val f1 = array_to_vector(slice(asArr, 1, half))
+    val f2 = array_to_vector(slice(asArr, half + 1, dim - half))
+
+    val persist = (d: DataFrame) => d.persist(StorageLevel.MEMORY_AND_DISK)
+    // full-featured labeled set (also the final model's training base)
+    var labeledFull = persist(df.filter(Sentinels.isLabeled(col($(unlabeledCol))))
+      .select(col(fCol), col(lCol)))
+    var labeled1 = persist(labeled0.select(f1.as(fCol), col(lCol)))
+    var labeled2 = persist(labeled0.select(f2.as(fCol), col(lCol)))
+    // shared pool with a stable row id and both slices
+    var pool = persist(unlabeled0
+      .select(monotonically_increasing_id().as("__pid"),
+        col(fCol), f1.as("__f1"), f2.as("__f2")))
+    pool.count() // materialize so __pid is stable across uses
+
+    val labeledIni = labeledFull.count()
+    val unlabeledIni = pool.count()
+    var labeledCount = labeledIni
+    var poolCount = unlabeledIni
+
+    var model1 = baseClassifier.fit(labeled1)
+    var model2 = baseClassifier.fit(labeled2)
+    var iter = 1
+
+    graft.functions.VectorMax.register(df.sparkSession)
+    val probMax = expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)")
+    val predCol = baseClassifier.getPredictionCol
+    val numberOfKBest = (($(kBest) * unlabeledIni) / ($(maxIter) - 1).max(1))
+      .round.toInt
+
+    /** View pass: predict the pool on this view's slice, accept per
+      * criterion → (pid, predictedLabel) rows. */
+    def accept(model: M, sliceCol: String): DataFrame = {
+      val preds = model.transform(
+          pool.select(col("__pid"), col(sliceCol).as(fCol)))
+        .withColumn("probMax", probMax)
+      if ($(criterion) == "threshold")
+        preds.filter(col("probMax") > $(threshold))
+          .select(col("__pid"), col(predCol))
+      else
+        preds.orderBy(col("probMax").desc, col("__pid"))
+          .limit(numberOfKBest)
+          .select(col("__pid"), col(predCol))
+    }
+
+    var converged = false
+    while (iter < $(maxIter) && poolCount > 0 && !converged) {
+      val acc1 = persist(accept(model1, "__f1"))
+      val acc2 = persist(accept(model2, "__f2"))
+      // distinct accepted ids; view-1 wins duplicate rows for the full set
+      val acceptedIds = persist(
+        acc1.select("__pid").union(acc2.select("__pid")).distinct())
+      val nAccepted = acceptedIds.count()
+
+      if (nAccepted == 0) {
+        Seq(acc1, acc2, acceptedIds).foreach(_.unpersist())
+        iter = $(maxIter)
+        converged = true
+      } else {
+        val prev = Seq(labeledFull, labeled1, labeled2, pool)
+        // cross-teach: view 2 learns rows view 1 accepted, and vice versa
+        labeled2 = persist(labeled2.union(
+          acc1.join(pool, "__pid").select(col("__f2").as(fCol),
+            col(predCol).as(lCol))))
+        labeled1 = persist(labeled1.union(
+          acc2.join(pool, "__pid").select(col("__f1").as(fCol),
+            col(predCol).as(lCol))))
+        // full set: view-1's label where both accepted (left-anti the overlap)
+        val onlyAcc2 = acc2.join(acc1.select("__pid"), Seq("__pid"), "left_anti")
+        labeledFull = persist(labeledFull
+          .union(acc1.join(pool, "__pid").select(col(fCol), col(predCol).as(lCol)))
+          .union(onlyAcc2.join(pool, "__pid").select(col(fCol), col(predCol).as(lCol))))
+        pool = persist(pool.join(broadcast(acceptedIds), Seq("__pid"), "left_anti"))
+        labeledCount += nAccepted
+        poolCount -= nAccepted
+        if (poolCount > 0) {
+          model1 = baseClassifier.fit(labeled1)
+          model2 = baseClassifier.fit(labeled2)
+          iter += 1
+        }
+        prev.foreach(_.unpersist())
+        Seq(acc1, acc2, acceptedIds).foreach(_.unpersist())
+      }
+    }
+
+    val finalModel = baseClassifier.fit(labeledFull)
+    Seq(labeledFull, labeled1, labeled2, pool).foreach(_.unpersist())
+    (finalModel, SemiSupervisedSummary(labeledIni, unlabeledIni,
+      labeledCount, poolCount, iter))
   }
 
   override def transformSchema(schema: StructType): StructType = schema

@@ -79,6 +79,18 @@ object SemiSupervised {
     evalRow(spark, "CT-DT", "threshold", 0.3, 0.8, model, s, df)
   }
 
+  /** Feature-split (Blum-Mitchell) co-training — the engine's beyond-parity
+    * variant: views see feature halves of a shared pool. */
+  def qCoTrainingFeatureSplit(spark: SparkSession, dir: String): DataFrame = {
+    val df = new UnlabeledTransformer()
+      .setPercentageLabeled(0.3).setSeed(11L)
+      .transform(dataset(spark, dir))
+    val ct = new CoTrainingClassifier(base())
+      .setFeatureSplit(true).setThreshold(0.8).setMaxIter(3)
+    val (model, s) = ct.fitWithSummary(df)
+    evalRow(spark, "CTFS-DT", "threshold", 0.3, 0.8, model, s, df)
+  }
+
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
   def qSupervisedCv(spark: SparkSession, dir: String): DataFrame = {
     val df = new UnlabeledTransformer()

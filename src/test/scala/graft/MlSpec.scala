@@ -181,3 +181,69 @@ class KeelEndToEndSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(acc > 0.9, s"CT-kBest accuracy $acc")
   }
 }
+
+/** Feature-split (Blum-Mitchell) co-training. */
+class FeatureSplitCoTrainingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  // 4-dim blobs: BOTH halves are independently informative (the B&M
+  // conditional-independence setting)
+  private lazy val fourDim = {
+    val rnd = new scala.util.Random(33)
+    import spark.implicits._
+    (0 until 400).map { i =>
+      val label = (i % 2).toDouble
+      val c = label * 8
+      (org.apache.spark.ml.linalg.Vectors.dense(
+        c + rnd.nextGaussian(), c + rnd.nextGaussian(),
+        c + rnd.nextGaussian(), c + rnd.nextGaussian()), label)
+    }.toDF("features", "label")
+  }
+
+  test("feature-split co-training labels the pool and learns (threshold)") {
+    val masked = new graft.ml.UnlabeledTransformer()
+      .setPercentageLabeled(0.2).setSeed(11L).transform(fourDim)
+    val ct = new graft.ml.CoTrainingClassifier(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier().setSeed(8L))
+      .setFeatureSplit(true).setThreshold(0.5).setMaxIter(4)
+    val (model, s) = ct.fitWithSummary(masked)
+    assert(s.labeledFinal > s.labeledInitial, s"pool never shrank: $s")
+    assert(s.labeledFinal + s.unlabeledFinal === 400L)
+    import org.apache.spark.sql.functions.col
+    val acc = model.transform(fourDim)
+      .filter(col("prediction") === col("label")).count().toDouble / 400
+    assert(acc > 0.9, s"feature-split accuracy $acc")
+    // final model consumes FULL features (4-dim)
+    assert(model.numFeatures === 4)
+  }
+
+  test("feature-split kBest accepts at most 2k rows per pass") {
+    val masked = new graft.ml.UnlabeledTransformer()
+      .setPercentageLabeled(0.3).setSeed(11L).transform(fourDim)
+    val u0 = masked.filter(
+      org.apache.spark.sql.functions.isnan(
+        org.apache.spark.sql.functions.col("labelSelection"))).count()
+    val ct = new graft.ml.CoTrainingClassifier(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier().setSeed(8L))
+      .setFeatureSplit(true).setCriterion("kBest").setKBest(0.3).setMaxIter(3)
+    val (_, s) = ct.fitWithSummary(masked)
+    val k = ((0.3 * u0) / 2).round
+    // per pass each view accepts ≤ k → ≤ 2k new labels per pass, 2 passes
+    assert(s.labeledFinal - s.labeledInitial <= 2 * 2 * k)
+    assert(s.labeledFinal > s.labeledInitial)
+  }
+
+  test("featureSplit rejects 1-dim feature vectors") {
+    import spark.implicits._
+    val tiny = Seq(
+      (org.apache.spark.ml.linalg.Vectors.dense(1.0), 0.0),
+      (org.apache.spark.ml.linalg.Vectors.dense(2.0), 1.0))
+      .toDF("features", "label")
+    val masked = new graft.ml.UnlabeledTransformer()
+      .setPercentageLabeled(0.5).setSeed(11L).transform(tiny)
+    val ct = new graft.ml.CoTrainingClassifier(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier().setSeed(8L))
+      .setFeatureSplit(true)
+    intercept[IllegalArgumentException] { ct.fitWithSummary(masked) }
+  }
+}
