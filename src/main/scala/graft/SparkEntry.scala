@@ -74,6 +74,9 @@ object SparkEntry {
     "q42_cotrain"             -> SemiSupervised.qCoTraining _,
     "q43_supervised_cv"       -> SemiSupervised.qSupervisedCv _,
     "q44_cotrain_featsplit"   -> SemiSupervised.qCoTrainingFeatureSplit _,
+    "q45_window_analytics"    -> Relational.q45WindowAnalytics _,
+    "q46_intersect_all"       -> Relational.q46IntersectAll _,
+    "q47_rollup"              -> Relational.q47Rollup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +151,15 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "q38_corpus_stats" ->
       "SELECT lang, count(*) AS cnt, CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avg_chars FROM documents GROUP BY lang",
+    "q45_window_analytics" ->
+      ("SELECT user_id, event_id, " +
+       "CAST(row_number() OVER w AS BIGINT) AS rn, " +
+       "lag(value, 1) OVER w AS prev_value, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "q46_intersect_all" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM (SELECT l_returnflag FROM lineitem WHERE l_quantity <= 25.0 INTERSECT ALL SELECT l_returnflag FROM lineitem WHERE l_quantity > 25.0) t GROUP BY l_returnflag",
+    "q47_rollup" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
   )
 }

@@ -228,6 +228,44 @@ object Relational {
         array_max(array(col("l_quantity"), col("l_discount"), col("l_tax")))
           .as("mx"))
 
+  /** Analytic window functions over event streams: per-user ordered
+    * row_number, lag, and running sum (DECIMAL accumulation so the running
+    * values are exact and order-defined). SURVEY §2.5 notes the reference
+    * has no windows; these are table stakes for a 100 TB pipeline. */
+  def q45WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"))
+  }
+
+  /** Bag intersection (E4 — absent in the reference, completes the set-op
+    * family): multiset of return flags present in both halves of lineitem. */
+  def q46IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_quantity") <= 25.0).select(col("l_returnflag"))
+      .intersectAll(
+        li.filter(col("l_quantity") > 25.0).select(col("l_returnflag")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Hierarchical subtotals via ROLLUP (flag → flag×status → grand total) —
+    * one shuffle produces all levels; exact DECIMAL sums. */
+  def q47Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+
   /** JSON field extraction from the events.props payload column — the
     * schema-on-read idiom a training-data pipeline needs for raw metadata. */
   def q33JsonExtract(spark: SparkSession, dir: String): DataFrame =
