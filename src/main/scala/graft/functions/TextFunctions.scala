@@ -57,8 +57,13 @@ object TextFunctions {
     * min of each sliding window of `window` consecutive hashes (winnowing —
     * Schleimer/Wilkerson/Aiken MOSS scheme), dedup. Guarantees any shared
     * substring of length ≥ k+window−1 yields a shared fingerprint, so
-    * chunk-level near-dups are joinable on fingerprints. One expression
-    * pass; output is a small long-array per document. */
+    * chunk-level near-dups are joinable on fingerprints.
+    *
+    * WARNING — per-row expression form: Catalyst's projection collapse
+    * re-expands the k-gram hash subtree under every window element, making
+    * this O(len²) hashes per document. Fine for short strings; for corpus
+    * work use [[graft.operators.TextAnalysis.rollingFingerprintTable]]
+    * (posexplode + sliding window-min: linear, one shuffle). */
   def rollingFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
     val nGrams = greatest(length(text) - (k - 1), lit(0))
     val hashes = transform(sequence(lit(1), greatest(nGrams, lit(1))),

@@ -77,4 +77,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() === 0)
     assert(direct.count() === salted.count())
   }
+
+  test("rollingFingerprintTable equals the per-row expression form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"), // shorter than k → single gram path
+      (3L, "abcdefghijabcdefghijabcdefghij"))
+      .toDF("doc_id", "text")
+    val viaTable = graft.operators.TextAnalysis.rollingFingerprintTable(docs)
+      .orderBy("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaExpr = docs.select(col("doc_id"),
+        explode(TextFunctions.rollingFingerprints(col("text"))).as("fp"))
+      .distinct().orderBy("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaTable.toSeq === viaExpr.toSeq)
+  }
 }
