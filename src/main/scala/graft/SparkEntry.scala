@@ -77,6 +77,7 @@ object SparkEntry {
     "q45_window_analytics"    -> Relational.q45WindowAnalytics _,
     "q46_intersect_all"       -> Relational.q46IntersectAll _,
     "q47_rollup"              -> Relational.q47Rollup _,
+    "q48_bucketed_join"       -> Relational.q48BucketedJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +162,7 @@ object SparkEntry {
       "SELECT l_returnflag, count(*) AS cnt FROM (SELECT l_returnflag FROM lineitem WHERE l_quantity <= 25.0 INTERSECT ALL SELECT l_returnflag FROM lineitem WHERE l_quantity > 25.0) t GROUP BY l_returnflag",
     "q47_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "q48_bucketed_join" ->
+      "SELECT o_orderstatus, count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus",
   )
 }

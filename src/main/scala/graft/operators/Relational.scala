@@ -266,6 +266,29 @@ object Relational {
         sum(col("l_quantity").cast("decimal(18,2)"))
           .cast("double").as("sum_qty"))
 
+  /** Fact⋈fact join through bucketed tables: both sides are written
+    * bucketed by their join key (one-time shuffle at write), then joined
+    * without any exchange and aggregated. Result is oracle-checked against
+    * the plain join on the raw tables; the zero-Exchange plan property is
+    * asserted in PlanSpec. */
+  def q48BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.Bucketing.writeBucketed(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_li_bucketed", "l_orderkey")
+    graft.plans.Bucketing.writeBucketed(
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_ord_bucketed", "o_orderkey")
+    graft.plans.Bucketing.bucketedJoin(spark,
+        "graft_li_bucketed", "l_orderkey", "graft_ord_bucketed", "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+  }
+
   /** JSON field extraction from the events.props payload column — the
     * schema-on-read idiom a training-data pipeline needs for raw metadata. */
   def q33JsonExtract(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketing: pre-shuffling data ONCE at write time so repeated joins and
+  * aggregations on the bucket key run with no exchange at read time — the
+  * canonical 100 TB pattern for fact⋈fact joins that are too big to
+  * broadcast and too frequent to re-shuffle per query.
+  *
+  * With both sides bucketed by their join key into the same bucket count,
+  * Catalyst plans a sort-merge join whose children read co-located buckets
+  * directly (zero Exchange; see the PlanSpec assertion). Sorting within
+  * buckets at write time also drops the per-query Sort.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and in-bucket sorted) managed parquet table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 16): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join two bucketed tables on their (same-bucket-count) keys. */
+  def bucketedJoin(spark: SparkSession, tableA: String, keyA: String,
+      tableB: String, keyB: String): DataFrame = {
+    val a = spark.table(tableA)
+    val b = spark.table(tableB)
+    a.join(b, a(keyA) === b(keyB))
+  }
+}

@@ -39,6 +39,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("\n(4) Sort"), s"q15 materializes a full sort:\n$p")
   }
 
+  test("bucketed join reads co-located buckets with zero Exchange") {
+    // write the bucketed tables, then force sort-merge (broadcast would
+    // hide the bucketing) and check the join plan has no shuffle
+    graft.plans.Bucketing.writeBucketed(
+      graft.sources.Tables.load(spark, sf, "lineitem")
+        .select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_extendedprice")),
+      "graft_li_bucketed_t", "l_orderkey")
+    graft.plans.Bucketing.writeBucketed(
+      graft.sources.Tables.load(spark, sf, "orders")
+        .select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_orderstatus")),
+      "graft_ord_bucketed_t", "o_orderkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.plans.Bucketing.bucketedJoin(spark,
+        "graft_li_bucketed_t", "l_orderkey", "graft_ord_bucketed_t", "o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      // bucket-sorted data: no per-side Sort either
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("scan-side queries stay inside whole-stage codegen (q20 haversine)") {
     val p = formatted("q20_haversine")
     // FormattedMode marks codegen'd operators with "[codegen id : N]"
