@@ -14,13 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and in-bucket sorted) managed parquet table. */
+  /** Write `df` as a bucketed (and in-bucket sorted) managed parquet table.
+    * Idempotent across JVMs: the in-memory catalog forgets tables between
+    * sessions while the warehouse directory persists, and CTAS refuses a
+    * managed-table location that already exists — so drop the catalog entry
+    * AND clear any stale location first. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int = 16): Unit =
+      buckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Equi-join two bucketed tables on their (same-bucket-count) keys. */
   def bucketedJoin(spark: SparkSession, tableA: String, keyA: String,
