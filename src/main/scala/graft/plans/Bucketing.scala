@@ -33,6 +33,15 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Write `df` partitioned by a low-cardinality column (hive-style
+    * directory layout). Reads filtered on that column prune whole
+    * partitions at planning time — the scan never opens non-matching files
+    * (see PlanSpec's PartitionFilters assertion). The complement to
+    * bucketing: partitionBy for selective scans, bucketBy for co-located
+    * joins. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Equi-join two bucketed tables on their (same-bucket-count) keys. */
   def bucketedJoin(spark: SparkSession, tableA: String, keyA: String,
       tableB: String, keyB: String): DataFrame = {

@@ -113,6 +113,22 @@ class MlSpec extends AnyFunSuite {
     assert(m.auc > 0.9 && m.pr > 0.9 && m.f1 > 0.9)
   }
 
+  test("UnlabeledTransformer save/load round-trips params (DefaultParamsWritable)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ut_persist")
+      .resolve("ut").toString
+    val ut = new UnlabeledTransformer()
+      .setPercentageLabeled(0.42).setSeed(99L).setOutputCol("mask")
+    ut.write.overwrite().save(dir)
+    val loaded = UnlabeledTransformer.load(dir)
+    assert(loaded.getOrDefault(loaded.percentageLabeled) === 0.42)
+    assert(loaded.getOrDefault(loaded.seed) === 99L)
+    assert(loaded.getOrDefault(loaded.outputCol) === "mask")
+    // loaded instance produces the identical split (same seed)
+    val a = ut.transform(separable).filter(isnan(col("mask"))).count()
+    val b = loaded.transform(separable).filter(isnan(col("mask"))).count()
+    assert(a === b)
+  }
+
   test("degenerate tiny-label case self-labels everything in one pass (BASELINE sonar-shaped)") {
     val st = new SelfTrainingClassifier(base).setThreshold(0.7).setMaxIter(7)
     val (_, s) = st.fitWithSummary(masked(0.05))

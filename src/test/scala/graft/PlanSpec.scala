@@ -67,6 +67,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned write enables partition pruning at the scan") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.plans.Bucketing.writePartitioned(
+      graft.sources.Tables.load(spark, sf, "orders"), out, "o_orderstatus")
+    val filtered = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val p = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      s"no partition pruning:\n$p")
+    // pruned read returns exactly the F slice
+    val expected = graft.sources.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(filtered.count() === expected)
+  }
+
   test("scan-side queries stay inside whole-stage codegen (q20 haversine)") {
     val p = formatted("q20_haversine")
     // FormattedMode marks codegen'd operators with "[codegen id : N]"

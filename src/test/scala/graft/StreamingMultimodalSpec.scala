@@ -57,6 +57,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(finalCounts.count() === batch.count())
   }
 
+  test("streaming file sink + checkpoint: restart resumes exactly-once") {
+    import java.nio.file.{Files, Paths}
+    // stage input; start with ONE file, then add a second and restart
+    val in = Files.createTempDirectory("graft_ckpt_in")
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_meta").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), in.resolve("a.parquet"))
+
+    def runOnce(): Unit = {
+      val q = EventStreams.readEvents(spark, in.toString)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    val perFile = graft.sources.Tables.events(spark, sf).count()
+    assert(afterFirst === perFile)
+
+    // second input file appears; restart from the same checkpoint
+    Files.copy(Paths.get(s"$sf/events.parquet"), in.resolve("b.parquet"))
+    runOnce()
+    val afterSecond = spark.read.parquet(out).count()
+    // exactly-once: file a NOT reprocessed, file b processed once
+    assert(afterSecond === 2 * perFile,
+      s"expected ${2 * perFile}, got $afterSecond (duplicate or lost batch)")
+  }
+
   test("multimodal decode keeps every row, drops payload, emits typed metadata") {
     val media = Multimodal.fromDocuments(spark, sf)
     val decoded = Multimodal.decodeMeta(media)
