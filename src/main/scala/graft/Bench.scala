@@ -13,6 +13,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/session warmup so the first measured query doesn't absorb
+    // context-startup cost
+    spark.range(100).count()
     // deterministic name-sorted execution (Map iteration order is
     // hash-dependent; sorted order makes per-round timings comparable)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

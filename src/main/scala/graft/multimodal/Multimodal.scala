@@ -113,6 +113,36 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize plan: payload → resized payload + updated metadata, partition-
+    * local single pass. The transform itself is stubbed (deterministic
+    * byte-level downsample standing in for a pixel resampler); the contract
+    * — binary in/out, new dims columns, no shuffle — is the real part. */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          // ??? <- real pixel resampler goes here; deterministic fake:
+          // sample every stride-th byte down to a target budget
+          val target = math.max(1, width * height / 256)
+          val out = if (payload == null || payload.isEmpty) Array.empty[Byte]
+            else {
+              val stride = math.max(1, payload.length / target)
+              payload.indices.by(stride).map(payload).toArray
+            }
+          Row(r.getLong(0), r.getString(1), out, width, height)
+        }
+      }(enc)
+  }
+
   /** Frame sampling plan for videos: one row per sampled frame index —
     * payload NOT duplicated per frame (keys only; decode happens lazily in
     * a later partition-local stage). */

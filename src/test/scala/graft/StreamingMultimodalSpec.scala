@@ -112,6 +112,17 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("resize keeps every row, rewrites payload deterministically, sets dims") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val resized = Multimodal.resize(media, 64, 64)
+    assert(resized.count() === media.count())
+    assert(resized.filter(col("width") =!= 64 || col("height") =!= 64).count() === 0)
+    val twice = Multimodal.resize(media, 64, 64)
+    val diff = resized.as("a").join(twice.as("b"), Seq("media_id"))
+      .filter(col("a.payload") =!= col("b.payload"))
+    assert(diff.count() === 0)
+  }
+
   test("frame sampling emits keys only, one row per sampled frame") {
     val media = Multimodal.fromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, fps = 1.0)
