@@ -78,6 +78,8 @@ object SparkEntry {
     "q46_intersect_all"       -> Relational.q46IntersectAll _,
     "q47_rollup"              -> Relational.q47Rollup _,
     "q48_bucketed_join"       -> Relational.q48BucketedJoin _,
+    "q49_neardup_pipeline"    -> ((s: SparkSession, d: String) =>
+      Dedup.nearDupPairs(s, d, minJaccard = 0.5)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -50,8 +50,8 @@ object Dedup {
   /** Word w-shingles of a document as an array column. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(text, " ")
-    // slide a w-window over token indices; sequence is empty-safe
-    val idx = sequence(lit(0), greatest(size(toks) - w, lit(0)) - 1)
+    // window starts 0 .. size-w inclusive (size-w+1 shingles)
+    val idx = sequence(lit(0), greatest(size(toks) - w, lit(0)))
     when(size(toks) < w, array(text))
       .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
@@ -160,6 +160,20 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Full near-dup pipeline: MinHash-LSH candidate generation → n-gram
+    * Jaccard verification → pairs above `minJaccard`. The two-stage shape
+    * is the 100 TB contract: candidates come from co-bucket equi-joins
+    * (bounded fan-out), exact verification touches only candidates. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.8): DataFrame = {
+    val docs = docsWithDups(spark, dir)
+    val pairs = minhashCandidatePairs(spark, dir)
+    ngramJaccard(docs, pairs)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** n-gram Jaccard similarity for candidate pairs (verification stage after

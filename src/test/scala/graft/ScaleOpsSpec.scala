@@ -93,4 +93,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(viaTable.toSeq === viaExpr.toSeq)
   }
+
+  test("ngramJaccard: identical docs score 1.0, near-dup pipeline finds them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+      (4L, "one two three four five six seven eight"))       // unrelated
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val j = graft.operators.Dedup.ngramJaccard(docs, pairs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L)) || j((1L, 4L)) < 0.1) // zero intersection drops out
+  }
 }
