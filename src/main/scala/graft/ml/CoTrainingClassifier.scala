@@ -113,6 +113,10 @@ class CoTrainingClassifier[
     val numberOfKBest = (($(kBest) * unlabeledIni) / ($(maxIter) - 1).max(1))
       .round.toInt
 
+    // kBest intermediates released together at the end of the fit (their
+    // lazy consumers are still in flight during the loop)
+    val deferredUnpersist = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
     /** One view's acceptance pass → (newly-labeled, rest, nNew). */
     def accept(preds: DataFrame): (DataFrame, DataFrame, Long) =
       if ($(criterion) == "threshold") {
@@ -127,6 +131,7 @@ class CoTrainingClassifier[
         val top = withId.orderBy(col("probMax").desc, col("__id"))
           .limit(numberOfKBest)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        deferredUnpersist += withId += top
         val nTop = top.count()
         val rst = withId.join(broadcast(top.select("__id")), Seq("__id"), "left_anti")
         (top, rst, nTop)
@@ -169,6 +174,7 @@ class CoTrainingClassifier[
     val finalModel = baseClassifier.fit(both)
     both.unpersist()
     Seq(labeled1, labeled2, unlabeled1, unlabeled2).foreach(_.unpersist())
+    deferredUnpersist.foreach(_.unpersist())
 
     (finalModel, SemiSupervisedSummary(labeledIni, unlabeledIni,
       lCount1 + lCount2, uCount1 + uCount2, iter))
@@ -197,8 +203,7 @@ class CoTrainingClassifier[
 
     val persist = (d: DataFrame) => d.persist(StorageLevel.MEMORY_AND_DISK)
     // full-featured labeled set (also the final model's training base)
-    var labeledFull = persist(df.filter(Sentinels.isLabeled(col($(unlabeledCol))))
-      .select(col(fCol), col(lCol)))
+    var labeledFull = persist(labeled0.select(col(fCol), col(lCol)))
     var labeled1 = persist(labeled0.select(f1.as(fCol), col(lCol)))
     var labeled2 = persist(labeled0.select(f2.as(fCol), col(lCol)))
     // shared pool with a stable row id and both slices

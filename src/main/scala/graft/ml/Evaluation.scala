@@ -75,16 +75,20 @@ object Evaluation {
     folded.unpersist()
 
     val n = per.size.toDouble
+    // counters are rounded means (integer division would truncate toward
+    // zero and systematically under-report)
+    def meanL(f: SemiSupervisedSummary => Long): Long =
+      math.round(per.map(s => f(s._2)).sum.toDouble / n)
     CvMetrics(
       accuracy = per.map(_._1._1).sum / n,
       auc = per.map(_._1._2).sum / n,
       pr = per.map(_._1._3).sum / n,
       f1 = per.map(_._1._4).sum / n,
-      labeledInitial = (per.map(_._2.labeledInitial).sum / k),
-      unlabeledInitial = (per.map(_._2.unlabeledInitial).sum / k),
-      labeledFinal = (per.map(_._2.labeledFinal).sum / k),
-      unlabeledFinal = (per.map(_._2.unlabeledFinal).sum / k),
-      iterations = (per.map(_._2.iterations).sum / k))
+      labeledInitial = meanL(_.labeledInitial),
+      unlabeledInitial = meanL(_.unlabeledInitial),
+      labeledFinal = meanL(_.labeledFinal),
+      unlabeledFinal = meanL(_.unlabeledFinal),
+      iterations = math.round(per.map(_._2.iterations).sum.toDouble / n).toInt)
   }
 
   /** Assemble grid-cell results into the reference's 15-column results

@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.ml.Estimator
 import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.util.Identifiable
@@ -104,6 +103,9 @@ class SelfTrainingClassifier[
     // rows remain, so a run that labels everything on pass 1 reports iter=1
     // (matches the reference's published degenerate rows, BASELINE.md).
     var converged = false
+    // kBest intermediates stay cached while their lazy consumers (`rest`)
+    // are in flight; released together at the end of the fit
+    val deferredUnpersist = scala.collection.mutable.ListBuffer.empty[DataFrame]
     while (iter < $(maxIter) && unlabeledCount > 0 && !converged) {
       val preds = model.transform(unlabeled)
         .withColumn("probMax", probMax)
@@ -122,6 +124,7 @@ class SelfTrainingClassifier[
           val top = withId.orderBy(col("probMax").desc, col("__id"))
             .limit(numberOfKBest)
             .persist(StorageLevel.MEMORY_AND_DISK)
+          deferredUnpersist += withId += top
           val nTop = top.count() // small (≤ k)
           val rst = withId.join(broadcast(top.select("__id")), Seq("__id"), "left_anti")
           (top, rst, nTop)
@@ -158,6 +161,7 @@ class SelfTrainingClassifier[
     }
     labeled.unpersist()
     unlabeled.unpersist()
+    deferredUnpersist.foreach(_.unpersist())
 
     (model, SemiSupervisedSummary(labeledIni, unlabeledIni,
       labeledCount, unlabeledCount, iter))

@@ -148,10 +148,13 @@ object Multimodal {
     * a later partition-local stage). */
   def sampleFrames(media: DataFrame, fps: Double = 1.0): DataFrame = {
     val withDur = decodeMeta(media).filter(col("media_type") === "video")
-    withDur.select(
-      col("media_id"),
-      explode(sequence(lit(0),
-        greatest(floor(col("duration_s") * fps).cast("int") - 1, lit(0))))
-        .as("frame_no"))
+    withDur
+      .withColumn("n_frames", floor(col("duration_s") * fps).cast("int"))
+      // zero sampled frames ⇒ zero rows (clamping to sequence(0,0) would
+      // fabricate a frame 0 that doesn't exist)
+      .filter(col("n_frames") >= 1)
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
   }
 }

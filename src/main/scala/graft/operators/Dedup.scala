@@ -168,7 +168,9 @@ object Dedup {
     * (bounded fan-out), exact verification touches only candidates. */
   def nearDupPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.8): DataFrame = {
-    val docs = docsWithDups(spark, dir)
+    // one row per doc_id: duplicated ids would double-count intersections
+    // in the Jaccard join (and fan out the counts join)
+    val docs = docsWithDups(spark, dir).dropDuplicates("doc_id")
     val pairs = minhashCandidatePairs(spark, dir)
     ngramJaccard(docs, pairs)
       .filter(col("jaccard") >= minJaccard)

@@ -41,7 +41,10 @@ object Relational {
   /** DQ-3 — parquet write + read-back round trip of a filtered projection.
     * (ref: vestigial file sink S9, BaseClassifiers.scala:837) */
   def q03ParquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q03_roundtrip"
+    // per-invocation path: a fixed one races concurrent sessions (one
+    // session's overwrite deleting part-files under another's read)
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q03_" +
+      java.util.UUID.randomUUID().toString
     t(spark, dir, "orders")
       .filter(col("o_totalprice") > 150000.0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

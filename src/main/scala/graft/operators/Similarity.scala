@@ -140,6 +140,10 @@ object Similarity {
       .select(col("vec_id"), round(cosine(col("e"), qlit), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+    // release the assignment cache (fit + query lookup already consumed it;
+    // the returned frame recomputes one transform pass when materialized —
+    // bounded cost vs leaking a corpus-sized cache entry per invocation)
+    assigned.unpersist(blocking = false)
     out
   }
 

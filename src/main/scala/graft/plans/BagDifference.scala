@@ -49,8 +49,17 @@ object BagDifferenceToAntiJoin extends Rule[LogicalPlan] {
   private def uidOf(p: LogicalPlan) =
     p.output.find(_.name == BagOps.UidCol)
 
+  /** Double opt-in: the extension must be injected AND this conf enabled.
+    * The rewrite changes exceptAll from value-based bag difference to
+    * identity-based difference, which is only correct when both sides'
+    * __uid values come from one shared tagging (e.g. a frame and its
+    * filtered subset) — a property the planner cannot verify, so it must
+    * not be on by default. */
+  val ConfKey = "spark.graft.rewriteBagDifference"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Except(left, right, true) if left.resolved && right.resolved &&
+        conf.getConfString(ConfKey, "false") == "true" &&
         uidOf(left).isDefined && uidOf(right).isDefined &&
         // guard: a right side derived from the left shares exprIds; building
         // a Join with duplicate attribute ids is unsound — leave those to

@@ -79,6 +79,7 @@ class CatalystSpec extends AnyFunSuite {
       .getOrCreate()
     try {
       import s2.implicits._
+      s2.conf.set(graft.plans.BagDifferenceToAntiJoin.ConfKey, "true")
       val a = BagOps.withUid(Seq(1, 2, 3, 4).toDF("x"))
         .persist(); a.count()
       // the contract: __uid is row identity in a shared universe — build the
