@@ -77,4 +77,8 @@ class RelationalSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(sim === 1.0)
   }
+
+  test("driver entry() flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
