@@ -80,6 +80,8 @@ object SparkEntry {
     "q48_bucketed_join"       -> Relational.q48BucketedJoin _,
     "q49_neardup_pipeline"    -> ((s: SparkSession, d: String) =>
       Dedup.nearDupPairs(s, d, minJaccard = 0.5)),
+    "q50_session_windows"     -> Relational.q50SessionWindows _,
+    "q51_sliding_windows"     -> Relational.q51SlidingWindows _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,5 +168,14 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q48_bucketed_join" ->
       "SELECT o_orderstatus, count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus",
+    "q50_session_windows" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events), " +
+       "s AS (SELECT user_id, tu, CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 600000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+       "g AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) " +
+       "SELECT user_id, min(tu) AS session_start, count(*) AS n FROM g GROUP BY user_id, sid"),
+    "q51_sliding_windows" ->
+      ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
+       "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +
+       "UNION ALL SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 AS start, value FROM events) t GROUP BY start"),
   )
 }

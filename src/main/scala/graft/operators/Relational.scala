@@ -300,6 +300,32 @@ object Relational {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** Per-user session windows (10-minute gap): Spark's session_window
+    * merges events whose gap to the previous event is < the timeout; the
+    * oracle reproduces that with a lag/cumulative-sum session id. Session
+    * identity is compared by (user, first-event time in exact epoch µs). */
+  def q50SessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n"))
+
+  /** Sliding 2-hour windows advancing hourly — every event lands in two
+    * buckets; the oracle mirrors that as a UNION ALL of the two shifted
+    * hour-truncations. */
+  def q51SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("start"),
+        col("n"), col("sum_value"))
+
   /** Tumbling 1-hour event-time window aggregation, batch form — identical
     * semantics to the Structured Streaming version in graft.streaming
     * (groupBy window(ts) ≡ date_trunc bucket). Exact sums via DECIMAL. */
