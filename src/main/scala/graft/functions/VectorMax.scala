@@ -68,8 +68,14 @@ object VectorMax {
   }
 
   /** Register `vector_max` in the session's function registry so it is
-    * callable from Column/SQL surfaces (`expr("vector_max(probability)")`). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_max", exprs => VectorMax(exprs.head), "scala_udf")
+    * callable from Column/SQL surfaces (`expr("vector_max(probability)")`).
+    * Idempotent: skips when already present, so per-fit callers don't spam
+    * the registry's replace-warnings. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("vector_max")
+    if (!registry.functionExists(ident))
+      registry.createOrReplaceTempFunction(
+        "vector_max", exprs => VectorMax(exprs.head), "scala_udf")
+  }
 }

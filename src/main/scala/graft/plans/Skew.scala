@@ -13,6 +13,18 @@ object Skew {
 
   private val SaltCol = "__salt"
 
+  /** Spray each row into one of `salt` sub-keys by ROW POSITION, not row
+    * content: `monotonically_increasing_id` is consecutive within each
+    * partition, so `pmod(id, salt)` round-robins — identical duplicate rows
+    * (exactly the hot case in a dedup-heavy pipeline) land on DIFFERENT
+    * salts, where a content hash would pin them all to one reducer.
+    * Deterministic given the input partitioning (no rand()). */
+  private[graft] def spray(df: DataFrame, salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    df.withColumn(SaltCol, pmod(monotonically_increasing_id(), lit(salt.toLong))
+      .cast("int"))
+  }
+
   /** Salted equi-join: the fact side sprays each row into one of `salt`
     * sub-keys; the dim side is replicated `salt` times so every sub-key
     * finds its match. Result equals `fact.join(dim, key)` exactly; the
@@ -21,11 +33,7 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
-    require(salt > 0, "salt must be positive")
-    // deterministic spray: hash of the whole fact row modulo salt (spreads
-    // duplicates of the hot key; no rand() so plans stay reproducible)
-    val sprayed = fact.withColumn(SaltCol,
-      pmod(hash(fact.columns.map(col).toSeq: _*), lit(salt)))
+    val sprayed = spray(fact, salt)
     val replicated = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salt - 1))))
     sprayed.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
@@ -37,8 +45,7 @@ object Skew {
     * work is spread over `salt` reducers. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
       salt: Int = 16): DataFrame = {
-    val sprayed = df.withColumn(SaltCol,
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(salt)))
+    val sprayed = spray(df, salt)
     sprayed
       .groupBy(col(key), col(SaltCol))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

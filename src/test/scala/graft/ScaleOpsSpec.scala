@@ -66,6 +66,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       plain.agg(sum("v")).head.getDouble(0))
   }
 
+  test("salt spreads identical duplicate rows across >1 reducer sub-key") {
+    import spark.implicits._
+    // one hot key duplicated 1000× with IDENTICAL row content — a content
+    // hash would pin all of them to a single salt (the round-1 flaw)
+    val hot = Seq.fill(1000)(("hot", 1.0)).toDF("k", "v").repartition(4)
+    val salts = Skew.spray(hot, 8).select("__salt").distinct().count()
+    assert(salts > 1, s"duplicate rows collapsed onto $salts salt(s)")
+    // and the salted aggregate over those duplicates is still exact
+    val agg = Skew.saltedSumCount(hot, "k", "v", salt = 8).head
+    assert(agg.getDouble(1) === 1000.0 && agg.getLong(2) === 1000L)
+  }
+
   test("saltedSumCount equals direct groupBy aggregation") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toDouble))
