@@ -24,8 +24,9 @@ import org.apache.spark.storage.StorageLevel
   *    unlabeled views and the loop counters go stale — a latent bug SURVEY
   *    §7 flags. Here the frontier is updated properly in both criteria.
   *  - same scale fixes as [[SelfTrainingClassifier]]: isnan partition pair
-  *    instead of exceptAll, fused count jobs, broadcast anti-join for the
-  *    kBest remainder, early exit when neither view accepts anything.
+  *    instead of exceptAll, fused count jobs, exact order-statistic cutoff
+  *    for kBest acceptance ([[graft.plans.Selection]]), early exit when
+  *    neither view accepts anything.
   */
 class CoTrainingClassifier[
     E <: ProbabilisticClassifier[Vector, E, M],
@@ -128,13 +129,14 @@ class CoTrainingClassifier[
       } else {
         val withId = preds.withColumn("__id", monotonically_increasing_id())
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val top = withId.orderBy(col("probMax").desc, col("__id"))
-          .limit(numberOfKBest)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        deferredUnpersist += withId += top
-        val nTop = top.count()
-        val rst = withId.join(broadcast(top.select("__id")), Seq("__id"), "left_anti")
-        (top, rst, nTop)
+        deferredUnpersist += withId
+        val nU = withId.count() // pins __id; also the pass's pool size
+        val kNow = math.min(numberOfKBest.toLong, nU)
+        // exact top-k via distributed order-statistic cutoff — see
+        // SelfTrainingClassifier's kBest branch for the scale rationale
+        val pred = graft.plans.Selection
+          .topKPredicate(withId, "probMax", "__id", kNow, nU)
+        (withId.filter(pred), withId.filter(!pred), kNow)
       }
 
     var converged = false
@@ -227,6 +229,10 @@ class CoTrainingClassifier[
     val numberOfKBest = (($(kBest) * unlabeledIni) / ($(maxIter) - 1).max(1))
       .round.toInt
 
+    // kBest intermediates stay cached while their lazy consumers are in
+    // flight; released together at the end of the fit
+    val deferredUnpersist = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
     /** View pass: predict the pool on this view's slice, accept per
       * criterion → (pid, predictedLabel) rows. */
     def accept(model: M, sliceCol: String): DataFrame = {
@@ -236,10 +242,17 @@ class CoTrainingClassifier[
       if ($(criterion) == "threshold")
         preds.filter(col("probMax") > $(threshold))
           .select(col("__pid"), col(predCol))
-      else
-        preds.orderBy(col("probMax").desc, col("__pid"))
-          .limit(numberOfKBest)
-          .select(col("__pid"), col(predCol))
+      else {
+        val cached = preds.persist(StorageLevel.MEMORY_AND_DISK)
+        deferredUnpersist += cached
+        val nPool = cached.count()
+        // exact top-k via distributed order-statistic cutoff (__pid is
+        // unique and pinned by the pool materialization) — no
+        // TakeOrderedAndProject with data-dependent k
+        val pred = graft.plans.Selection.topKPredicate(
+          cached, "probMax", "__pid", math.min(numberOfKBest.toLong, nPool), nPool)
+        cached.filter(pred).select(col("__pid"), col(predCol))
+      }
     }
 
     var converged = false
@@ -284,6 +297,7 @@ class CoTrainingClassifier[
 
     val finalModel = baseClassifier.fit(labeledFull)
     Seq(labeledFull, labeled1, labeled2, pool).foreach(_.unpersist())
+    deferredUnpersist.foreach(_.unpersist())
     (finalModel, SemiSupervisedSummary(labeledIni, unlabeledIni,
       labeledCount, poolCount, iter))
   }

@@ -25,8 +25,9 @@ import org.apache.spark.storage.StorageLevel
   *    `exceptAll` (ref :129-130) — no whole-row shuffle on vector columns;
   *  - per-iteration bookkeeping fused into ONE aggregate job instead of two
   *    `count()` actions (ref :156-157);
-  *  - kBest remainder via broadcast anti-join on a row id, not `exceptAll`
-  *    over vectors (ref :178);
+  *  - kBest acceptance via an exact distributed order-statistic cutoff
+  *    ([[graft.plans.Selection]]), not `orderBy.limit(k)` over vectors with
+  *    k ∝ |unlabeled| (ref :173-178 funnels k rows through one task);
   *  - iterations that would accept zero new labels terminate the loop (the
   *    reference keeps refitting an unchanged training set until maxIter —
   *    same final model, wasted jobs);
@@ -121,13 +122,17 @@ class SelfTrainingClassifier[
         } else { // kBest
           val withId = preds.withColumn("__id", monotonically_increasing_id())
             .persist(StorageLevel.MEMORY_AND_DISK)
-          val top = withId.orderBy(col("probMax").desc, col("__id"))
-            .limit(numberOfKBest)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          deferredUnpersist += withId += top
-          val nTop = top.count() // small (≤ k)
-          val rst = withId.join(broadcast(top.select("__id")), Seq("__id"), "left_anti")
-          (top, rst, nTop)
+          deferredUnpersist += withId
+          val nU = withId.count() // pins __id; also the pass's pool size
+          val kNow = math.min(numberOfKBest.toLong, nU)
+          // exact top-k acceptance WITHOUT a single-point funnel: the
+          // histogram-refined cutoff (probMax > c, ties by smallest __id)
+          // replaces orderBy.limit(k) + broadcast anti-join — no
+          // TakeOrderedAndProject with data-dependent k, no k-row
+          // broadcast; acceptance and remainder are complementary filters
+          val pred = graft.plans.Selection
+            .topKPredicate(withId, "probMax", "__id", kNow, nU)
+          (withId.filter(pred), withId.filter(!pred), kNow)
         }
 
       val relabel = (d: DataFrame) => d
