@@ -69,6 +69,7 @@ object SparkEntry {
       Similarity.embeddingNearDupPairs(s, d, nBits = 6, threshold = 0.1)),
     "q38_corpus_stats"      -> TextAnalysis.qCorpusStats _,
     // semi-supervised ML flows (SURVEY §2.11) — model fits, rows-only checks
+    "q39_supervised_roster"   -> SemiSupervised.qSupervisedRoster _,
     "q40_selftrain_threshold" -> SemiSupervised.qSelfTraining _,
     "q41_selftrain_kbest"     -> SemiSupervised.qSelfTrainingKBest _,
     "q42_cotrain"             -> SemiSupervised.qCoTraining _,

@@ -27,7 +27,8 @@ object Experiments {
 
   /** The reference's base-classifier roster (ref M12:
     * SemiSupervisedAndBaseClassifiers.scala:140-143) — all probabilistic;
-    * LinearSVC is excluded by the same type bound the reference uses. */
+    * LinearSVC is excluded by the same type bound the reference uses (the
+    * self-labeling criteria read the probability column). */
   def baseClassifier(name: String, maxBins: Int = 32)
       : ProbabilisticClassifier[Vector, _, _] = name match {
     case "DT" => new DecisionTreeClassifier().setSeed(8L).setMaxBins(maxBins)
@@ -36,6 +37,27 @@ object Experiments {
     case "LR" => new LogisticRegression()
     case other => throw new IllegalArgumentException(
       s"unknown classifier '$other' (expected DT|RF|NB|LR)")
+  }
+
+  /** Supervised-only roster: the probabilistic four plus LinearSVC, which
+    * the reference fits supervised-only (ref:
+    * notebooks/Supervised/BaseClassifiers.scala:334 — LSVC produces
+    * rawPrediction but no probability, so it cannot drive self-labeling). */
+  def supervisedClassifier(name: String, maxBins: Int = 32)
+      : Classifier[Vector, _, _] = name match {
+    case "SVM" | "LSVC" => new LinearSVC()
+    case other => baseClassifier(other, maxBins)
+  }
+
+  /** Fit the named classifier supervised-only on a NaN-masked frame
+    * (concrete types pinned per branch so the generic bounds hold). */
+  def fitSupervised(name: String, data: DataFrame, maxBins: Int = 32)
+      : Transformer = supervisedClassifier(name, maxBins) match {
+    case c: DecisionTreeClassifier => new SupervisedOnLabeled(c).fit(data)
+    case c: RandomForestClassifier => new SupervisedOnLabeled(c).fit(data)
+    case c: NaiveBayes => new SupervisedOnLabeled(c).fit(data)
+    case c: LogisticRegression => new SupervisedOnLabeled(c).fit(data)
+    case c: LinearSVC => new SupervisedOnLabeled(c).fit(data)
   }
 
   /** Build the per-fold fit function for a cell (mask → estimator →
@@ -63,17 +85,25 @@ object Experiments {
         else ct.setKBest(cell.thresholdOrKBest)
         val (m, s) = ct.fitWithSummary(masked)
         (m, Some(s))
-      case "supervised" =>
-        (new SupervisedOnLabeled(base).fit(masked), None)
       case other => throw new IllegalArgumentException(
         s"unknown algo '$other' (expected ST|CT|supervised)")
     }
   }
 
-  /** Run one cell through k-fold CV → one result row. */
+  /** Run one cell through k-fold CV → one result row. The supervised algo
+    * routes through [[supervisedClassifier]] (roster includes SVM); ST/CT
+    * require the probabilistic roster. */
   def runCell(data: DataFrame, cell: Cell, k: Int = 4, seed: Long = 8L)
       : ExperimentResult = {
-    val m: CvMetrics = baseClassifier(cell.classifierName) match {
+    val m: CvMetrics =
+      if (cell.algo == "supervised")
+        crossValidate(data, k, seed, train => {
+          val masked = new UnlabeledTransformer()
+            .setPercentageLabeled(cell.percentageLabeled).setSeed(11L)
+            .transform(train)
+          (fitSupervised(cell.classifierName, masked), None)
+        })
+      else baseClassifier(cell.classifierName) match {
       case c: DecisionTreeClassifier => crossValidate(data, k, seed, fitFor(c, cell))
       case c: RandomForestClassifier => crossValidate(data, k, seed, fitFor(c, cell))
       case c: NaiveBayes => crossValidate(data, k, seed, fitFor(c, cell))

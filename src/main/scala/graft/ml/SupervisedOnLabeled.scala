@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.Estimator
-import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
+import org.apache.spark.ml.classification.{ClassificationModel, Classifier}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.util.Identifiable
@@ -15,15 +15,22 @@ import org.apache.spark.sql.types.StructType
   * The reference computes the labeled slice as
   * `dataset.exceptAll(filter(isNaN))` (ref :39-40); here it is the direct
   * `!isnan` predicate — identical rows, no shuffle.
+  *
+  * Bound is `Classifier`, not `ProbabilisticClassifier`: the supervised-only
+  * path must also take LinearSVC, which the reference's supervised grid
+  * includes (ref: notebooks/Supervised/BaseClassifiers.scala:334) and which
+  * produces rawPrediction but no probability column. The self-labeling
+  * estimators keep the probabilistic bound — they need `probability` for
+  * their confidence criterion.
   */
 class SupervisedOnLabeled[
-    E <: ProbabilisticClassifier[Vector, E, M],
-    M <: ProbabilisticClassificationModel[Vector, M]](
+    E <: Classifier[Vector, E, M],
+    M <: ClassificationModel[Vector, M]](
     override val uid: String,
-    val baseClassifier: ProbabilisticClassifier[Vector, E, M])
+    val baseClassifier: Classifier[Vector, E, M])
   extends Estimator[M] with SelfLabelingParams {
 
-  def this(baseClassifier: ProbabilisticClassifier[Vector, E, M]) =
+  def this(baseClassifier: Classifier[Vector, E, M]) =
     this(Identifiable.randomUID("supervisedOnLabeled"), baseClassifier)
 
   setDefault(maxIter -> 1)

@@ -91,6 +91,45 @@ object SemiSupervised {
     evalRow(spark, "CTFS-DT", "threshold", 0.3, 0.8, model, s, df)
   }
 
+  /** The reference's full supervised base-classifier roster (M12): DT, RF,
+    * NB, LR plus LinearSVC (supervised-only, ref:
+    * notebooks/Supervised/BaseClassifiers.scala:334). One result row per
+    * classifier, all fit on the same masked frame. Features are
+    * abs(embedding): multinomial NaiveBayes requires non-negative inputs,
+    * and a shared representation keeps the five rows comparable. */
+  def qSupervisedRoster(spark: SparkSession, dir: String): DataFrame = {
+    val data = Tables.load(spark, dir, "embeddings")
+      .select(
+        array_to_vector(transform(col("embedding"), x => abs(x))).as("features"),
+        (col("label") % 2).cast("double").as("label"))
+    val df = new UnlabeledTransformer()
+      .setPercentageLabeled(0.5).setSeed(11L).transform(data)
+      .cache()
+    val counts = df.agg(
+      sum(when(isnan(col("labelSelection")), 0L).otherwise(1L)),
+      sum(when(isnan(col("labelSelection")), 1L).otherwise(0L))).head
+    val (lab, unl) = (counts.getLong(0), counts.getLong(1))
+    val rows = Seq("DT", "RF", "NB", "LR", "SVM").map { name =>
+      val model = Experiments.fitSupervised(name, df)
+      val predictions = model.transform(df)
+      import org.apache.spark.ml.evaluation._
+      val acc = new MulticlassClassificationEvaluator()
+        .setMetricName("accuracy").evaluate(predictions)
+      val f1 = new MulticlassClassificationEvaluator()
+        .setMetricName("fMeasureByLabel").setMetricLabel(1.0).evaluate(predictions)
+      // rawPrediction-based, so LinearSVC (no probability column) evaluates too
+      val auc = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderROC").evaluate(predictions)
+      val pr = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderPR").evaluate(predictions)
+      Evaluation.ExperimentResult(
+        "embeddings", s"supervised-$name", "na", 0.5, 0.0, 1,
+        lab, unl, lab, unl, 0.5, acc, auc, pr, f1)
+    }
+    df.unpersist()
+    Evaluation.resultsDF(spark, rows)
+  }
+
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
   def qSupervisedCv(spark: SparkSession, dir: String): DataFrame = {
     val df = new UnlabeledTransformer()

@@ -46,11 +46,57 @@ class ExperimentsSpec extends AnyFunSuite {
 
   test("unknown classifier or algo is rejected") {
     intercept[IllegalArgumentException] {
-      Experiments.baseClassifier("SVM")
+      Experiments.baseClassifier("SVM") // probabilistic roster excludes LSVC
     }
     intercept[IllegalArgumentException] {
       Experiments.runCell(separable,
         Experiments.Cell("toy", "DT", "bogus", "threshold", 0.3, 0.6), k = 2)
     }
+  }
+
+  /** Strictly positive, proportion-separated blobs: class 0 is heavy in
+    * dim 0, class 1 heavy in dim 1. Multinomial NaiveBayes rejects negative
+    * features AND classifies by feature PROPORTIONS (equal-proportion blobs
+    * are invisible to it), so the roster fixture needs both properties. */
+  private lazy val positiveBlobs = {
+    val rnd = new scala.util.Random(17)
+    import spark.implicits._
+    (0 until 240).map { i =>
+      val label = (i % 2).toDouble
+      val (hi, lo) = (8 + rnd.nextDouble() * 2, rnd.nextDouble() * 2)
+      (if (label == 0.0) Vectors.dense(hi, lo) else Vectors.dense(lo, hi), label)
+    }.toDF("features", "label")
+  }
+
+  test("full roster fits end-to-end: RF/NB/LR through ST and CT (VERDICT M12)") {
+    for (clf <- Seq("RF", "NB", "LR"); algo <- Seq("ST", "CT")) {
+      val r = Experiments.runCell(positiveBlobs,
+        Experiments.Cell("toy", clf, algo, "threshold", 0.3, 0.6, maxIter = 2),
+        k = 2)
+      assert(r.accuracy > 0.85, s"$algo-$clf accuracy ${r.accuracy}")
+      assert(r.LabeledFinal >= r.LabeledInitial, s"$algo-$clf never self-labeled")
+      assert(r.classifier === s"$algo-$clf")
+    }
+  }
+
+  test("LinearSVC fits through the supervised-only branch (VERDICT gap 2)") {
+    val r = Experiments.runCell(positiveBlobs,
+      Experiments.Cell("toy", "SVM", "supervised", "na", 0.5, 0.0), k = 2)
+    assert(r.accuracy > 0.85, s"supervised-SVM accuracy ${r.accuracy}")
+    // but SVM through a self-labeling algo is rejected (needs probability)
+    intercept[IllegalArgumentException] {
+      Experiments.runCell(positiveBlobs,
+        Experiments.Cell("toy", "SVM", "ST", "threshold", 0.3, 0.6), k = 2)
+    }
+  }
+
+  test("supervised roster incl. NB and RF runs under grid CV") {
+    val cells = Seq("RF", "NB").map(clf =>
+      Experiments.Cell("toy", clf, "supervised", "na", 0.5, 0.0))
+    val out = Experiments.runGrid(positiveBlobs, cells, k = 2)
+    val accs = out.select("classifier", "accuracy").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(accs.size === 2)
+    assert(accs.values.forall(_ > 0.85), s"roster accuracies: $accs")
   }
 }
