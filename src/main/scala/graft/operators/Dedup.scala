@@ -88,21 +88,25 @@ object Dedup {
     * no cross product. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
-      numHashes: Int = 32, bands: Int = 8, w: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, w: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docsWithDups(spark, dir), numHashes, w)
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = graft.plans.Skew.capBuckets(
+      sigs.select(
+        col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
+      Seq("band", "bucket"), "doc_id", bucketCap)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
+        col("a.__sub") === col("b.__sub") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -145,18 +149,22 @@ object Dedup {
 
   /** SimHash near-dup candidates: exact-match on rotated 16-bit blocks
     * (docs within Hamming distance 3 share ≥1 of 4 blocks). */
-  def simhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  def simhashCandidatePairs(spark: SparkSession, dir: String,
+      bucketCap: Int = 10000): DataFrame = {
     val sh = simhashes(docsWithDups(spark, dir))
-    val blocked = sh.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key"))
+    val blocked = graft.plans.Skew.capBuckets(
+      sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key")),
+      Seq("blk", "key"), "doc_id", bucketCap)
     val a = blocked.as("a")
     val b = blocked.as("b")
     a.join(b,
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.__sub") === col("b.__sub") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -84,16 +84,19 @@ object Similarity {
     * generation is an equi-join on the bucket key (shuffle on int keys),
     * exact scoring touches only co-bucketed pairs. */
   def lshTopKAllPairs(spark: SparkSession, dir: String, dim: Int = 64,
-      nBits: Int = 12, k: Int = 5): DataFrame = {
+      nBits: Int = 12, k: Int = 5, bucketCap: Int = 10000): DataFrame = {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       // norms once per vector, not per candidate pair
       .withColumn("nrm", norm2(col("e")))
-    val emb = vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id"))
+    val emb = graft.plans.Skew.capBuckets(
+      vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id")),
+      Seq("bucket"), "vec_id", bucketCap)
     val a = emb.as("a")
     val b = emb.as("b")
     val scored = a.join(b,
         col("a.bucket") === col("b.bucket") &&
+        col("a.__sub") === col("b.__sub") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
@@ -104,60 +107,108 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"))
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every vector
-    * to a centroid cell; a query probes only the `nProbe` nearest cells and
-    * scores exact cosine inside them. The scale path for repeated query
-    * workloads: cell assignment is precomputable + partitionable by cell id,
-    * and each query touches ~nProbe/nCells of the corpus. Centroids are
-    * driver-local by construction (KMeans model), so probe selection costs
-    * no job. */
-  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
-      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** IVF (inverted-file) ANN, split into an index-build phase and a probe
+    * phase — the shape an inverted-file index must have at scale: the
+    * O(corpus) quantizer fit + assignment happens ONCE per corpus, queries
+    * touch only `nProbe` of `nCells` partitions.
+    *
+    * Index layout under `indexRoot`:
+    *  - `vectors/`   — (vec_id, e, nrm) hive-partitioned by `cell`, so a
+    *    probe's `cell IN (...)` filter prunes whole directories at planning
+    *    time (PlanSpec asserts PartitionFilters on this read);
+    *  - `centroids/` — nCells small rows (cell, centroid), read +
+    *    collected at query time (O(nCells·dim), driver-local probe choice).
+    * Vector norms are precomputed into the index so probe-time scoring is a
+    * dot product against the broadcast query literal, not a re-norm. */
+  def ivfBuildIndex(spark: SparkSession, dir: String, indexRoot: String,
+      nCells: Int = 16): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("fv", array_to_vector(col("e")))
-    val km = new KMeans().setK(nCells).setSeed(8L).setFeaturesCol("fv")
-    val model = km.fit(emb)
+    val model = new KMeans().setK(nCells).setSeed(8L).setFeaturesCol("fv")
+      .fit(emb)
     val assigned = model.transform(emb)
-      .select(col("vec_id"), col("e"), col("prediction").as("cell"))
-      .persist()
-    val q = assigned.filter(col("vec_id") === queryId)
-      .select(col("e")).head.getSeq[Double](0).toArray
-    // probe the nProbe nearest cells (centroids are local to the driver)
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
-        var d = 0.0; var j = 0
-        while (j < arr.length) { val t = arr(j) - q(j); d += t * t; j += 1 }
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
-    val qlit = array(q.map(lit): _*)
-    val out = assigned
-      .filter(col("cell").isin(probes.toSeq: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(cosine(col("e"), qlit), 4).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
-    // release the assignment cache (fit + query lookup already consumed it;
-    // the returned frame recomputes one transform pass when materialized —
-    // bounded cost vs leaking a corpus-sized cache entry per invocation)
-    assigned.unpersist(blocking = false)
-    out
+      .select(col("vec_id"), col("e"), norm2(col("e")).as("nrm"),
+        col("prediction").as("cell"))
+    graft.plans.Bucketing.writePartitioned(assigned, s"$indexRoot/vectors", "cell")
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/centroids")
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked. */
+  /** Build-once cache: the index for (dir, nCells) lives under the JVM temp
+    * dir and is reused across calls and JVMs (marker file). Repeated q35
+    * invocations — and every query in a workload — pay only the probe. */
+  private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  def ivfIndexFor(spark: SparkSession, dir: String, nCells: Int = 16): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ivf/${slug}_c$nCells"
+    builtIndexes.getOrElseUpdate(root, {
+      val marker = new java.io.File(root, "_BUILT")
+      if (!marker.exists()) {
+        ivfBuildIndex(spark, dir, root, nCells)
+        marker.createNewFile()
+      }
+      root
+    })
+  }
+
+  /** Probe an IVF index: pick the `nProbe` nearest cells driver-side from
+    * the tiny centroids table, then scan ONLY those cell partitions
+    * (partition-pruned read) scoring exact cosine against the query
+    * literal. No quantizer fit, no full-corpus pass. */
+  def ivfProbe(spark: SparkSession, indexRoot: String, query: Array[Double],
+      k: Int = 10, nProbe: Int = 4, excludeId: Long = -1L): DataFrame = {
+    val probes = spark.read.parquet(s"$indexRoot/centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](r.fieldIndex("centroid"))
+        var d = 0.0; var j = 0
+        while (j < query.length) { val t = c(j) - query(j); d += t * t; j += 1 }
+        (r.getInt(r.fieldIndex("cell")), d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val qnorm = math.sqrt(query.map(x => x * x).sum)
+    val qlit = array(query.map(lit): _*)
+    spark.read.parquet(s"$indexRoot/vectors")
+      .filter(col("cell").isin(probes.toSeq: _*) && col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        round(dot(col("e"), qlit) / (col("nrm") * lit(qnorm)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF top-k for one query id: reuse (or lazily build) the corpus index,
+    * fetch the query vector via a pushed-down point read, probe. */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val root = ivfIndexFor(spark, dir, nCells)
+    val q = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    ivfProbe(spark, root, q, k, nProbe, excludeId = queryId)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked,
+    * bucket fan-out capped (see [[graft.plans.Skew.capBuckets]]). */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
-      dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95): DataFrame = {
+      dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95,
+      bucketCap: Int = 10000): DataFrame = {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm2(col("e")))
-    val emb = vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id"))
+    val emb = graft.plans.Skew.capBuckets(
+      vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id")),
+      Seq("bucket"), "vec_id", bucketCap)
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") &&
+        col("a.__sub") === col("b.__sub") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))

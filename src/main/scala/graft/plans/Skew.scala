@@ -39,6 +39,31 @@ object Skew {
     sprayed.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
   }
 
+  /** Cap LSH/blocking bucket fan-out before a self-join. A bucketed
+    * candidate join is O(b²) per bucket; one degenerate bucket (constant
+    * vectors, empty docs — signatures carry no information there) becomes a
+    * straggler/OOM task at scale. This annotates each bucket member with a
+    * sub-bucket `__sub` = secondary hash of `idCol` mod ceil(n/cap), so no
+    * (bucket, __sub) group exceeds ~`cap` members; the self-join adds
+    * `__sub` to its equi-keys and per-task fan-out is bounded by cap².
+    *
+    * Semantics: buckets at or under `cap` are untouched (single sub-bucket —
+    * exact same pairs). Oversized buckets trade recall for boundedness:
+    * pairs across sub-buckets are dropped, which is the banding math's own
+    * assumption — a bucket that big means the signature failed to
+    * discriminate, not that all b² pairs are genuine near-dup candidates.
+    * Deterministic (hash, not rand), so results are reproducible. */
+  def capBuckets(members: DataFrame, bucketCols: Seq[String], idCol: String,
+      cap: Int = 1000): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val keys = bucketCols.map(col)
+    val counts = members.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    members.join(counts, bucketCols)
+      .withColumn("__sub",
+        pmod(hash(col(idCol)), ceil(col("__n") / lit(cap)).cast("int")))
+      .drop("__n")
+  }
+
   /** Two-phase skewed aggregation: partial-aggregate on (key, salt), then
     * final-aggregate on key. For algebraic aggregates (sum/count/min/max)
     * the result is identical to a direct groupBy; the hot key's first-phase

@@ -83,6 +83,25 @@ class PlanSpec extends AnyFunSuite {
     assert(filtered.count() === expected)
   }
 
+  test("IVF probe is partition-pruned and fits no quantizer at query time") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.operators.Similarity.ivfIndexFor(spark, sf, nCells = 8)
+    val q = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0L)
+      .select(org.apache.spark.sql.functions.transform(
+        col("embedding"), _.cast("double")))
+      .head.getSeq[Double](0).toArray
+    val probe = graft.operators.Similarity.ivfProbe(spark, root, q,
+      k = 10, nProbe = 2, excludeId = 0L)
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: [cell") && p.contains(" IN ("),
+      s"IVF probe not partition-pruned:\n$p")
+    // probe reads only the index — no KMeans stage, no embeddings scan
+    assert(!p.contains("embeddings.parquet"), s"probe re-reads the corpus:\n$p")
+    assert(probe.count() === 10)
+  }
+
   test("scan-side queries stay inside whole-stage codegen (q20 haversine)") {
     val p = formatted("q20_haversine")
     // FormattedMode marks codegen'd operators with "[codegen id : N]"

@@ -78,6 +78,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(agg.getDouble(1) === 1000.0 && agg.getLong(2) === 1000L)
   }
 
+  test("capBuckets bounds degenerate LSH bucket fan-out, leaves small buckets exact") {
+    import spark.implicits._
+    // adversarial corpus: 500 members collapse into ONE bucket (constant
+    // vectors → identical sign bits); uncapped self-join would be 500²
+    val members = (0 until 500).map(i => (i.toLong, 7)).toDF("vec_id", "bucket")
+    val capped = Skew.capBuckets(members, Seq("bucket"), "vec_id", cap = 50)
+    val sizes = capped.groupBy("bucket", "__sub").count()
+      .collect().map(_.getLong(2))
+    assert(sizes.length > 1, "oversized bucket was not split")
+    assert(sizes.max <= 100, s"sub-bucket too large: ${sizes.max}")
+    val a = capped.as("a"); val b = capped.as("b")
+    val pairs = a.join(b,
+      col("a.bucket") === col("b.bucket") &&
+      col("a.__sub") === col("b.__sub") &&
+      col("a.vec_id") < col("b.vec_id")).count()
+    assert(pairs < 500L * 499 / 4, s"fan-out not reduced: $pairs pairs")
+    // buckets at/under the cap get one sub-bucket — pair set unchanged
+    val small = (0 until 20).map(i => (i.toLong, i % 4)).toDF("vec_id", "bucket")
+    val subs = Skew.capBuckets(small, Seq("bucket"), "vec_id", cap = 50)
+      .select("__sub").distinct().collect().map(_.getInt(0)).toSeq
+    assert(subs === Seq(0), s"small buckets were split: $subs")
+  }
+
   test("saltedSumCount equals direct groupBy aggregation") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toDouble))
