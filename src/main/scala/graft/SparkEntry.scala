@@ -12,7 +12,9 @@ import graft.operators.{Dedup, Relational, SemiSupervised, Similarity, TextAnaly
   * aliases every computed column identically in Spark and SQL, keeps
   * aggregate sums in DECIMAL (order-independent) cast to double at the end,
   * and casts computed integers to BIGINT on both sides so schemas line up.
-  * Sketch-based ops (MinHash/SimHash/LSH) have no SQL equivalent → rows-only.
+  * Sketch ops (MinHash/SimHash/winnowing/sign-LSH) use the portable hex60
+  * hash family so they are oracle-checked too; only float-tie top-k (q31),
+  * KMeans (q35) and model fits (q39-q44) remain rows-only.
   */
 object SparkEntry {
 
@@ -86,9 +88,53 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for sketch/LSH ops (q24, q25, q31)
-    * → driver records the weaker rows-only check. */
+    * the same parquet tables. The sketch queries (q24/q25/q36/q37/q49) are
+    * oracle-checked too: their hash family is hex60 (first 15 hex digits of
+    * md5 as BIGINT — [[graft.functions.TextFunctions.hex60]]), which DuckDB
+    * recomputes as `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
+    * Omitted only where no SQL twin exists (q31 float-tie top-k; q35
+    * KMeans; q39-q44 model fits) → driver records the rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
+    "q24_dedup_minhash" ->
+      (minhashCtes + " SELECT doc_a, doc_b FROM pairs"),
+    "q49_neardup_pipeline" ->
+      (minhashCtes + ", " +
+       "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+       "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p " +
+       "JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s GROUP BY p.doc_a, p.doc_b) " +
+       "SELECT i.doc_a, i.doc_b, round(CAST(i.i AS DOUBLE)/(ca.n + cb.n - i.i), 4) AS jaccard " +
+       "FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a JOIN cnt cb ON cb.doc_id = i.doc_b " +
+       "WHERE CAST(i.i AS DOUBLE)/(ca.n + cb.n - i.i) >= 0.5"),
+    "q25_dedup_simhash" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0), " +
+       s"tok AS (SELECT doc_id, ${hex60Sql("w")} AS h FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) t), " +
+       "bits AS (SELECT doc_id, u.i, SUM(CASE WHEN (h >> u.i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn " +
+       "FROM tok, UNNEST(generate_series(0, 59)) AS u(i) GROUP BY doc_id, u.i), " +
+       "sh AS (SELECT doc_id, SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS s60 FROM bits GROUP BY doc_id), " +
+       "bl AS (SELECT doc_id, v.b, (s60 >> (v.b*15)) & 32767 AS key FROM sh, UNNEST(generate_series(0,3)) AS v(b)) " +
+       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+       "FROM bl a JOIN bl b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id"),
+    "q34_stream_hourly" ->
+      ("SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type, count(*) AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY bucket, event_type"),
+    "q36_fingerprint_rolling" ->
+      ("WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-7, 1))) AS i FROM documents), " +
+       s"h AS (SELECT doc_id, i, ${hex60Sql("substr(text, i, 8)")} AS h FROM pos), " +
+       "w AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
+       "count(*) OVER (PARTITION BY doc_id) AS n FROM h) " +
+       "SELECT DISTINCT doc_id, fp FROM w WHERE i - 1 <= greatest(n - 4, 0)"),
+    "q37_embedding_neardup" ->
+      (s"WITH g AS (SELECT t.i, u.j, CASE WHEN ${hex60Sql("concat(t.i, ':', u.j)")} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s " +
+       "FROM UNNEST(generate_series(0,5)) t(i), UNNEST(generate_series(0,63)) u(j)), " +
+       "e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i - 1 AS j FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1) AS i FROM embeddings) q), " +
+       "p AS (SELECT e.vec_id, g.i, SUM(e.x * g.s) AS proj FROM e JOIN g ON e.j = g.j GROUP BY e.vec_id, g.i), " +
+       "b AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket FROM p GROUP BY vec_id), " +
+       "n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM e GROUP BY vec_id), " +
+       "pr AS (SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id), " +
+       "d AS (SELECT pr.vec_a, pr.vec_b, SUM(ea.x * eb.x) AS dot FROM pr JOIN e ea ON ea.vec_id = pr.vec_a JOIN e eb ON eb.vec_id = pr.vec_b AND eb.j = ea.j GROUP BY pr.vec_a, pr.vec_b) " +
+       "SELECT d.vec_a, d.vec_b, round(d.dot/(na.nrm*nb.nrm), 4) AS sim FROM d JOIN n na ON na.vec_id = d.vec_a JOIN n nb ON nb.vec_id = d.vec_b " +
+       "WHERE d.dot/(na.nrm*nb.nrm) > 0.1"),
     "q01_scan_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
     "q02_filter_sentinel" ->
@@ -179,4 +225,27 @@ object SparkEntry {
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +
        "UNION ALL SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 AS start, value FROM events) t GROUP BY start"),
   )
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */
+  private def hex60Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr),1,15)) AS BIGINT)"
+
+  /** Shared CTE chain for the MinHash oracles (q24 candidates, q49 full
+    * pipeline): duplicated corpus → distinct 3-word shingles → 30-bit
+    * portable base hash → 32 affine-variant mins → 8 band buckets →
+    * co-bucket candidate pairs. Mirrors Dedup.minhashSignatures /
+    * minhashCandidatePairs value for value. */
+  private def minhashCtes: String =
+    "WITH docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0), " +
+    "tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM docs), " +
+    "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(t) < 3 THEN text ELSE array_to_string(t[u.i:u.i+2], ' ') END AS s " +
+    "FROM tk, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(i)), " +
+    s"hb AS (SELECT doc_id, ${hex60Sql("s")} % 1073741824 AS hbase, s FROM sh), " +
+    "mh AS (SELECT doc_id, seed, min((hbase * (2*seed+1) + (7919*seed+1)) % 2147483647) AS h " +
+    "FROM hb, UNNEST(generate_series(0, 31)) AS sd(seed) GROUP BY doc_id, seed), " +
+    "bd AS (SELECT doc_id, seed // 4 AS band, " +
+    s"${hex60Sql("string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)")} AS bucket " +
+    "FROM mh GROUP BY doc_id, seed // 4), " +
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+    "FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
 }

@@ -48,6 +48,23 @@ object TextFunctions {
   def tokenSetKey(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(text))))
 
+  /** Engine-portable 60-bit hash: first 15 hex digits of md5, parsed as a
+    * BIGINT. Chosen over xxhash64/murmur3 for the sketch operators because
+    * the SAME value is expressible in standard SQL — DuckDB:
+    * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)` — which is what
+    * lets the MinHash/SimHash/winnowing queries be oracle-checked exactly
+    * instead of rows-only. Always non-negative (60 < 63 bits). */
+  def hex60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver-side twin of [[hex60]] for precomputing literal hash tables
+    * (e.g. LSH hyperplane signs) — same md5, same 15-hex-digit parse. */
+  def hex60Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** BPE-ish subword count: word-chars runs + digit runs + punct singletons.
     * Approximates tokenizer load for cost accounting. */
   def subwordCount(text: Column): Column =
@@ -67,7 +84,7 @@ object TextFunctions {
   def rollingFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
     val nGrams = greatest(length(text) - (k - 1), lit(0))
     val hashes = transform(sequence(lit(1), greatest(nGrams, lit(1))),
-      i => xxhash64(text.substr(i, lit(k))))
+      i => hex60(text.substr(i, lit(k))))
     val nWin = greatest(nGrams - (window - 1), lit(1))
     array_distinct(transform(sequence(lit(0), nWin - 1),
       j => array_min(slice(hashes, j + lit(1), lit(window)))))

@@ -56,26 +56,39 @@ object Dedup {
       .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
 
+  /** MinHash family: ONE portable base hash per shingle ([[hex60]], md5-
+    * derived, DuckDB-expressible), folded to 30 bits, then `numHashes`
+    * affine variants `(2i+1)·H + (7919i+1) mod P` over the Mersenne prime
+    * P = 2³¹−1. One md5 per distinct shingle total (not per seed) — the
+    * seed variants are integer arithmetic, free in codegen — and every
+    * value is reproducible in the DuckDB oracle (q24/q49). */
+  private val MinHashP = 2147483647L // 2^31 - 1
+  private def affineHash(base: Column, i: Int): Column =
+    (base * lit(2L * i + 1) + lit(7919L * i + 1)) % MinHashP
+
   /** MinHash signature as a single per-row expression. Composable, but the
     * shingle subtree is re-expanded under every hash seed (Catalyst
     * collapses the projection back in), so for corpus-scale signature
     * computation use [[minhashSignatures]] instead. */
-  def minhashSignature(text: Column, numHashes: Int = 32, w: Int = 3): Column =
+  def minhashSignature(text: Column, numHashes: Int = 32, w: Int = 3): Column = {
+    val bases = transform(array_distinct(shingles(text, w)),
+      s => hex60(s) % (1L << 30))
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingles(text, w), s => hash(s, lit(seed))))
+      array_min(transform(bases, b => affineHash(b, seed)))
     }: _*)
+  }
 
-  /** Corpus-scale MinHash: explode distinct shingles once, then ONE
-    * partial-aggregating groupBy computing all `numHashes` mins. Each
-    * shingle is hashed `numHashes` times total (vs. the per-row expression
-    * form which also re-builds the shingle array per seed), and the shuffle
-    * moves only numHashes partial mins per (doc, partition) — the shape
-    * that survives a 100 TB corpus. Output: (doc_id, sig: array<int>). */
+  /** Corpus-scale MinHash: explode distinct shingles once, hash each ONCE
+    * (md5-based portable hash), then ONE partial-aggregating groupBy
+    * computing all `numHashes` affine-variant mins. The shuffle moves only
+    * numHashes partial mins per (doc, partition) — the shape that survives
+    * a 100 TB corpus. Output: (doc_id, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, w: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), w))).as("sh"))
+      .select(col("doc_id"), (hex60(col("sh")) % (1L << 30)).as("hb"))
     val mins = (0 until numHashes).map(seed =>
-      min(hash(col("sh"), lit(seed))).as(s"h$seed"))
+      min(affineHash(col("hb"), seed)).as(s"h$seed"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -92,12 +105,16 @@ object Dedup {
       bucketCap: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docsWithDups(spark, dir), numHashes, w)
+    // band bucket = portable hash of the band's mins joined as decimal
+    // strings — mirrors the oracle's string_agg(h, ',' ORDER BY seed)
     val banded = graft.plans.Skew.capBuckets(
       sigs.select(
         col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            hash(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+            hex60(concat_ws(",",
+              transform(slice(col("sig"), b * rows + 1, rows),
+                m => m.cast("string")))).as("bucket"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
       Seq("band", "bucket"), "doc_id", bucketCap)
@@ -114,13 +131,18 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash from xxhash64 token hashes: bit i of the result is set
+  /** SimHash width: 60 bits (the portable [[hex60]] hash width), split into
+    * 4 blocks of 15 bits for candidate blocking. */
+  private val SimHashBits = 60
+  private val SimHashBlockBits = 15
+
+  /** 60-bit SimHash from portable token hashes: bit i of the result is set
     * iff more tokens have bit i set than clear. Built as a balanced sum of
-    * 64 bit-count expressions — large but fully codegen'd, one pass. */
+    * 60 bit-count expressions — large but fully codegen'd, one pass. */
   def simhash64(text: Column): Column = {
-    val hashes = transform(split(text, " "), w => xxhash64(w))
+    val hashes = transform(split(text, " "), w => hex60(w))
     val n = size(hashes)
-    val bits = (0 until 64).map { i =>
+    val bits = (0 until SimHashBits).map { i =>
       val ones = size(filter(hashes,
         h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L)))
       when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
@@ -128,26 +150,27 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Corpus-scale SimHash: explode tokens once, hash each once, one
+  /** Corpus-scale SimHash: explode tokens once, hash each once (md5-based
+    * portable hash — the value the DuckDB oracle recomputes), one
     * partial-aggregating groupBy summing ±1 per bit (sum(±1) > 0 ⇔ strict
     * majority of token hashes set the bit — identical to [[simhash64]],
     * duplicates counted). Output: (doc_id, sh: long). */
   def simhashes(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("doc_id"), hex60(col("w")).as("h"))
+    val bitSums = (0 until SimHashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), 1)
         .otherwise(-1)).as(s"b$i"))
     tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
+        (0 until SimHashBits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
-  /** SimHash near-dup candidates: exact-match on rotated 16-bit blocks
+  /** SimHash near-dup candidates: exact-match on rotated 15-bit blocks
     * (docs within Hamming distance 3 share ≥1 of 4 blocks). */
   def simhashCandidatePairs(spark: SparkSession, dir: String,
       bucketCap: Int = 10000): DataFrame = {
@@ -156,7 +179,8 @@ object Dedup {
       sh.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("blk"),
-            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+            shiftright(col("sh"), b * SimHashBlockBits)
+              .bitwiseAND(lit(0x7FFFL)).as("key"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key")),
       Seq("blk", "key"), "doc_id", bucketCap)

@@ -45,16 +45,24 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane (sign) LSH signature: bit i = sign(v · h_i) where h_i
-    * is a deterministic pseudo-hyperplane derived from murmur3(i, j) — no
-    * stored model, reproducible across runs and engines that share the
-    * hash. Returns an int bucket of `nBits` sign bits. */
+  /** Hyperplane sign table for sign-LSH: ±1 for (bit i, dim j), derived
+    * from the portable md5 hash ([[graft.functions.TextFunctions.hex60Local]]
+    * of "i:j") — no stored model, reproducible across runs AND by the
+    * DuckDB oracle in plain SQL (`md5(concat(i,':',j))`, q37). Computed
+    * once driver-side and embedded as array literals, so bucketing costs
+    * zero per-row hashing. */
+  private[graft] def planeSigns(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim)((i, j) =>
+      if (graft.functions.TextFunctions.hex60Local(s"$i:$j") % 2 == 0) 1.0
+      else -1.0)
+
+  /** Random-hyperplane (sign) LSH signature as a per-row expression:
+    * bit i = sign(v · h_i). Returns an int bucket of `nBits` sign bits. */
   def signLshBucket(v: Column, dim: Int, nBits: Int = 12): Column = {
+    val signs = planeSigns(nBits, dim)
     val bits = (0 until nBits).map { i =>
-      // pseudo-random ±1 hyperplane component for (bit i, dim j)
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) =>
-          x * when(hash(lit(i), j) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))),
+        zip_with(v, array(signs(i).map(lit): _*), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1 << i)).otherwise(lit(0))
     }
@@ -65,11 +73,11 @@ object Similarity {
     * partial-aggregating groupBy computing all `nBits` projections (vs the
     * per-row expression form which re-traverses the array per bit). Input
     * needs columns (vec_id, e: array<double>); output (vec_id, bucket). */
-  def signLshBuckets(emb: DataFrame, nBits: Int = 12): DataFrame = {
+  def signLshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame = {
+    val signs = planeSigns(nBits, dim)
     val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("j", "x")))
     val projs = (0 until nBits).map(i =>
-      sum(col("x") *
-        when(hash(lit(i), col("j")) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+      sum(col("x") * element_at(array(signs(i).map(lit): _*), col("j") + 1))
         .as(s"p$i"))
     ex.groupBy(col("vec_id"))
       .agg(projs.head, projs.tail: _*)
@@ -213,5 +221,7 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") > threshold)
+      // filter on the raw value, emit 4dp (oracle parity for libm-heavy math)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 }

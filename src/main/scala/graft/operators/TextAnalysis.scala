@@ -62,7 +62,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val nGrams = greatest(length(col("text")) - (k - 1), lit(1))
     val hashes = transform(sequence(lit(1), nGrams),
-      i => xxhash64(col("text").substr(i, lit(k))))
+      i => hex60(col("text").substr(i, lit(k))))
     val exploded = docs.select(col("doc_id"),
       posexplode(hashes).as(Seq("pos", "h")))
     val byDoc = Window.partitionBy(col("doc_id"))

@@ -76,16 +76,23 @@ object EventStreams {
   }
 
   /** Driver-contract query: stage the events table into a temp dir, run the
-    * watermarked hourly-window stream to completion, return the emitted
-    * (closed) windows. Rows-only check — append-mode emission depends on
-    * the final watermark, which has no clean SQL twin. */
+    * hourly-window stream to completion in COMPLETE mode, return every
+    * window. Complete-mode emission over a drained static source equals the
+    * batch aggregation exactly — which is what gives this query a real SQL
+    * oracle (same GROUP BY as q32 plus event_type) instead of the round-1
+    * rows-only check, whose append-mode output depended on the final
+    * watermark position. */
   def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))
-    runToMemory(spark, hourlyWindows(readEvents(spark, tmp.toString)),
-      s"q34_stream_${System.nanoTime()}")
+    val out = runToMemory(spark, hourlyWindows(readEvents(spark, tmp.toString)),
+      s"q34_stream_${System.nanoTime()}", OutputMode.Complete())
+    // memory sink holds the rows; the staged source dir is no longer needed
+    java.nio.file.Files.deleteIfExists(tmp.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(tmp)
+    out
   }
 
   /** Run a streaming frame to completion against a static directory via the
