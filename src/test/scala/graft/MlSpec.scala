@@ -249,6 +249,40 @@ class FeatureSplitCoTrainingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(s.labeledFinal > s.labeledInitial)
   }
 
+  test("DF-native folds keep MLUtils.kFold's contract (SURVEY §7 step 7)") {
+    import spark.implicits._
+    val data = (0 until 1000).map(i => (i.toLong, (i % 2).toDouble))
+      .toDF("id", "y")
+    val k = 4
+    // the fold assignment crossValidate uses (seeded rand column)
+    val folded = data.withColumn("__fold", (rand(8) * k).cast("int")).cache()
+    val total = folded.count()
+    val sizes = folded.groupBy("__fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // contract 1: folds partition the data (disjoint by construction, cover
+    // all rows, every fold id present)
+    assert(sizes.keySet === (0 until k).toSet)
+    assert(sizes.values.sum === total)
+    // contract 2: deterministic — same seed reproduces the exact assignment
+    val again = data.withColumn("__fold", (rand(8) * k).cast("int"))
+    assert(folded.select("id", "__fold").exceptAll(
+      again.select("id", "__fold")).count() === 0)
+    // contract 3: distributional parity with the reference's MLUtils.kFold
+    // on the same rows — both schemes split multinomially, so every fold
+    // (ours and theirs) lands within the same spread around n/k
+    val refFolds = org.apache.spark.mllib.util.MLUtils.kFold(data.rdd, k, 8)
+    assert(refFolds.length === k)
+    refFolds.foreach { case (train, test) =>
+      assert(train.count() + test.count() === total, "kFold split not a partition")
+    }
+    val refSizes = refFolds.map(_._2.count())
+    val expect = total.toDouble / k
+    (sizes.values ++ refSizes).foreach(s =>
+      assert(math.abs(s - expect) / expect < 0.2,
+        s"fold size $s outside 20% of $expect"))
+    folded.unpersist()
+  }
+
   test("featureSplit rejects 1-dim feature vectors") {
     import spark.implicits._
     val tiny = Seq(
