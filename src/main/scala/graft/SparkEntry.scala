@@ -85,6 +85,8 @@ object SparkEntry {
       Dedup.nearDupPairs(s, d, minJaccard = 0.5)),
     "q50_session_windows"     -> Relational.q50SessionWindows _,
     "q51_sliding_windows"     -> Relational.q51SlidingWindows _,
+    "q52_media_profile"       -> graft.multimodal.Multimodal.qMediaProfile _,
+    "q53_stream_user_state"   -> graft.streaming.EventStreams.qStreamUserState _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -224,6 +226,13 @@ object SparkEntry {
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +
        "UNION ALL SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 AS start, value FROM events) t GROUP BY start"),
+    "q52_media_profile" ->
+      ("SELECT media_type, count(*) AS cnt, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
+       "round(SUM(CASE WHEN media_type = 'image' THEN 0.0 ELSE 1.0 + (octet_length(encode(text)) % 300)/10.0 END), 1) AS total_duration_s " +
+       "FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, text FROM documents) t " +
+       "GROUP BY media_type"),
+    "q53_stream_user_state" ->
+      "SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY user_id",
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

@@ -143,6 +143,22 @@ object Multimodal {
       }(enc)
   }
 
+  /** Driver query (q52): per-media-type corpus profile computed THROUGH the
+    * partition-local codec path ([[decodeMeta]] → mapPartitions batch loop),
+    * then aggregated to small typed columns. The stub codec's n_bytes /
+    * duration_s are pure arithmetic on payload length, so the DuckDB oracle
+    * recomputes them exactly (octet_length); width/height derive from a JVM
+    * hash and deliberately stay out of the oracle-facing projection. */
+  def qMediaProfile(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(fromDocuments(spark, dir))
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("n_bytes")).as("total_bytes"),
+        // sums of 0.1-grained durations are decimal-multiples of 0.1; 1dp
+        // round absorbs partial-agg ordering ulps on both engines
+        round(sum(col("duration_s")), 1).as("total_duration_s"))
+
   /** Frame sampling plan for videos: one row per sampled frame index —
     * payload NOT duplicated per frame (keys only; decode happens lazily in
     * a later partition-local stage). */

@@ -95,6 +95,28 @@ object EventStreams {
     out
   }
 
+  /** Driver query (q53): drain the events stream through the
+    * mapGroupsWithState per-user counter in UPDATE mode, then take each
+    * user's final state (counts and last-seen are monotone, so max over
+    * emitted updates = final state regardless of batch count). The final
+    * state of a drained stream equals the batch aggregation — the SQL
+    * oracle — which is what makes the stateful surface oracle-checked. */
+  def qStreamUserState(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_u")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val updates = userRunningCounts(spark, readEvents(spark, tmp.toString))
+    val emitted = runToMemory(spark, updates.toDF(),
+      s"q53_stream_${System.nanoTime()}", OutputMode.Update())
+    val out = emitted.groupBy(col("user_id"))
+      .agg(max(col("count")).as("n_events"),
+        max(col("lastTsMicros")).as("last_ts_us"))
+    java.nio.file.Files.deleteIfExists(tmp.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(tmp)
+    out
+  }
+
   /** Run a streaming frame to completion against a static directory via the
     * memory sink; returns the materialized result table. Local smoke path —
     * production would use a real sink + checkpointLocation. */

@@ -90,6 +90,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"expected ${2 * perFile}, got $afterSecond (duplicate or lost batch)")
   }
 
+  test("q53 drained user state equals the batch per-user aggregation") {
+    val got = EventStreams.qStreamUserState(spark, sf)
+    val expected = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(expr("unix_micros(ts)")).as("last_ts_us"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "stateful drain diverged from batch aggregation")
+  }
+
+  test("q52 media profile flows through the codec path and sums exactly") {
+    val prof = Multimodal.qMediaProfile(spark, sf).collect()
+    assert(prof.length === 3)
+    val byType = prof.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byType.keySet === Set("image", "audio", "video"))
+    // images have zero duration by stub contract; av types positive
+    assert(byType("image")._3 === 0.0)
+    assert(byType("audio")._3 > 0.0 && byType("video")._3 > 0.0)
+    // byte totals equal the raw text byte lengths (codec reads payload once)
+    val totalBytes = graft.sources.Tables.load(spark, sf, "documents")
+      .agg(sum(length(col("text")))).head.getLong(0)
+    assert(byType.values.map(_._2).sum === totalBytes)
+  }
+
   test("multimodal decode keeps every row, drops payload, emits typed metadata") {
     val media = Multimodal.fromDocuments(spark, sf)
     val decoded = Multimodal.decodeMeta(media)
