@@ -87,6 +87,7 @@ object SparkEntry {
     "q51_sliding_windows"     -> Relational.q51SlidingWindows _,
     "q52_media_profile"       -> graft.multimodal.Multimodal.qMediaProfile _,
     "q53_stream_user_state"   -> graft.streaming.EventStreams.qStreamUserState _,
+    "q54_salted_agg"          -> Relational.q54SaltedAgg _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,6 +234,8 @@ object SparkEntry {
        "GROUP BY media_type"),
     "q53_stream_user_state" ->
       "SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY user_id",
+    "q54_salted_agg" ->
+      "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, count(*) AS cnt FROM events GROUP BY event_type",
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

@@ -323,6 +323,20 @@ object Relational {
         unix_micros(col("session_window.start")).as("session_start"),
         col("n"))
 
+  /** Salted two-phase aggregation over a skew-prone key (q54): the driver-
+    * facing twin of [[graft.plans.Skew.saltedSumCount]]. event_type has few
+    * distinct values — exactly the hot-key shape where a direct groupBy
+    * pins one reducer per key at scale. Values pre-cast to DECIMAL so the
+    * two-phase partial sums are order-independent (oracle-exact); one final
+    * cast back to double. */
+  def q54SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Skew.saltedSumCount(
+        Tables.events(spark, dir)
+          .select(col("event_type"), col("value").cast("decimal(18,2)").as("value")),
+        "event_type", "value", salt = 16)
+      .select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("cnt"))
+
   /** Sliding 2-hour windows advancing hourly — every event lands in two
     * buckets; the oracle mirrors that as a UNION ALL of the two shifted
     * hour-truncations. */
