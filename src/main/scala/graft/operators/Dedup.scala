@@ -118,6 +118,11 @@ object Dedup {
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
       Seq("band", "bucket"), "doc_id", bucketCap)
+      // materialize ONCE before the self-join: without this the whole
+      // shingle→md5→32-min pipeline runs on both join sides and again
+      // under capBuckets' counts (8 scans observed). The banded frame is
+      // ~16 bytes/row — exactly what you'd persist at corpus scale.
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -184,6 +189,8 @@ object Dedup {
         }: _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key")),
       Seq("blk", "key"), "doc_id", bucketCap)
+      // materialize the tiny block table once (see minhashCandidatePairs)
+      .localCheckpoint()
     val a = blocked.as("a")
     val b = blocked.as("b")
     a.join(b,
@@ -214,10 +221,14 @@ object Dedup {
     * LSH): explode shingles to (doc, shingle), join, |∩| / |∪|. Only called
     * on the candidate set, never all-pairs. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, w: Int = 3): DataFrame = {
+    // exploded shingles are used on BOTH sides of the intersection join and
+    // (via counts) twice more — materialize once instead of four scans
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), w))).as("sh"))
-    val counts = docs.select(col("doc_id"),
-      size(array_distinct(shingles(col("text"), w))).as("n"))
+      .localCheckpoint()
+    // |shingle set| per doc derived from the materialized frame, not a
+    // second pass over the documents
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),

@@ -100,6 +100,9 @@ object Similarity {
     val emb = graft.plans.Skew.capBuckets(
       vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id")),
       Seq("bucket"), "vec_id", bucketCap)
+      // materialize (vec, norm, bucket) once before the self-join — the
+      // projection pipeline would otherwise run on both sides + counts
+      .localCheckpoint()
     val a = emb.as("a")
     val b = emb.as("b")
     val scored = a.join(b,
@@ -212,6 +215,7 @@ object Similarity {
     val emb = graft.plans.Skew.capBuckets(
       vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id")),
       Seq("bucket"), "vec_id", bucketCap)
+      .localCheckpoint() // see lshTopKAllPairs
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b,
