@@ -111,7 +111,9 @@ object SemiSupervised {
     val (lab, unl) = (counts.getLong(0), counts.getLong(1))
     val rows = Seq("DT", "RF", "NB", "LR", "SVM").map { name =>
       val model = Experiments.fitSupervised(name, df)
+      // four evaluators each trigger a job — score the frame once
       val predictions = model.transform(df)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       import org.apache.spark.ml.evaluation._
       val acc = new MulticlassClassificationEvaluator()
         .setMetricName("accuracy").evaluate(predictions)
@@ -122,6 +124,7 @@ object SemiSupervised {
         .setMetricName("areaUnderROC").evaluate(predictions)
       val pr = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderPR").evaluate(predictions)
+      predictions.unpersist(blocking = false)
       Evaluation.ExperimentResult(
         "embeddings", s"supervised-$name", "na", 0.5, 0.0, 1,
         lab, unl, lab, unl, 0.5, acc, auc, pr, f1)
