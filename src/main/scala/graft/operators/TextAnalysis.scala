@@ -63,13 +63,14 @@ object TextAnalysis {
     val nGrams = greatest(length(col("text")) - (k - 1), lit(1))
     val hashes = transform(sequence(lit(1), nGrams),
       i => hex60(col("text").substr(i, lit(k))))
-    val exploded = docs.select(col("doc_id"),
+    // k-gram count rides along from the scan — known from the text length,
+    // so no second (count) window pass over the exploded rows
+    val exploded = docs.select(col("doc_id"), nGrams.as("n"),
       posexplode(hashes).as(Seq("pos", "h")))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val frame = byDoc.orderBy(col("pos")).rowsBetween(0, window - 1)
+    val frame = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos")).rowsBetween(0, window - 1)
     exploded
       .withColumn("fp", min(col("h")).over(frame))
-      .withColumn("n", count(lit(1)).over(byDoc))
       // window start positions only: 0 .. n-window (or just 0 if n < window)
       .filter(col("pos") <= greatest(col("n") - window, lit(0)))
       .select(col("doc_id"), col("fp"))
