@@ -78,6 +78,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(agg.getDouble(1) === 1000.0 && agg.getLong(2) === 1000L)
   }
 
+  test("per-row and corpus-scale sketch forms agree value-for-value") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(50)
+    // MinHash: the per-row expression and the explode→partial-agg pipeline
+    // share the hex60+affine family — signatures must be identical
+    val perRow = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text")).as("sig"))
+    val corpus = Dedup.minhashSignatures(docs)
+    val joinedM = perRow.as("p").join(corpus.as("c"), Seq("doc_id"))
+      .filter(col("p.sig") =!= col("c.sig"))
+    assert(joinedM.count() === 0, "minhash per-row vs corpus diverged")
+    // SimHash: same contract for the 60-bit signature
+    val perRowS = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val joinedS = perRowS.as("p").join(Dedup.simhashes(docs).as("c"), Seq("doc_id"))
+      .filter(col("p.sh") =!= col("c.sh"))
+    assert(joinedS.count() === 0, "simhash per-row vs corpus diverged")
+  }
+
   test("capBuckets bounds degenerate LSH bucket fan-out, leaves small buckets exact") {
     import spark.implicits._
     // adversarial corpus: 500 members collapse into ONE bucket (constant
