@@ -31,7 +31,9 @@ object SemiSupervised {
       pct: Double, thr: Double, model: org.apache.spark.ml.Transformer,
       s: SemiSupervisedSummary, test: DataFrame): DataFrame = {
     import org.apache.spark.ml.evaluation._
+    // four evaluators each trigger a job — score the frame once
     val predictions = model.transform(test)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy").evaluate(predictions)
     val f1 = new MulticlassClassificationEvaluator()
@@ -40,6 +42,7 @@ object SemiSupervised {
       .setMetricName("areaUnderROC").evaluate(predictions)
     val pr = new BinaryClassificationEvaluator()
       .setMetricName("areaUnderPR").evaluate(predictions)
+    predictions.unpersist(blocking = false)
     Evaluation.resultsDF(spark, Seq(Evaluation.ExperimentResult(
       "embeddings", algo, criterion, pct, thr, s.iterations,
       s.labeledInitial, s.unlabeledInitial, s.labeledFinal, s.unlabeledFinal,
