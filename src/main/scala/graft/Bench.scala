@@ -21,8 +21,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warmup so the first measured query doesn't absorb
-    // context-startup cost
+    // context-startup cost — including the ML codepaths (tree-ensemble
+    // classes JIT ~9s on first fit, which otherwise lands entirely on the
+    // alphabetically-first ML query)
     spark.range(100).count()
+    locally {
+      import org.apache.spark.ml.classification.{DecisionTreeClassifier, RandomForestClassifier}
+      import org.apache.spark.ml.linalg.Vectors
+      import spark.implicits._
+      val tiny = (0 until 64).map(i =>
+        (Vectors.dense(i.toDouble, (i % 2).toDouble), (i % 2).toDouble))
+        .toDF("features", "label")
+      new DecisionTreeClassifier().setSeed(8L).fit(tiny).transform(tiny).count()
+      new RandomForestClassifier().setSeed(8L).setNumTrees(5).fit(tiny)
+        .transform(tiny).count()
+    }
     graft.functions.VectorMax.register(spark)
     // deterministic name-sorted execution (Map iteration order is
     // hash-dependent; sorted order makes per-round timings comparable)
