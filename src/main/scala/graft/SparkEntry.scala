@@ -246,7 +246,14 @@ object SparkEntry {
     * pipeline): duplicated corpus → distinct 3-word shingles → 30-bit
     * portable base hash → 32 affine-variant mins → 8 band buckets →
     * co-bucket candidate pairs. Mirrors Dedup.minhashSignatures /
-    * minhashCandidatePairs value for value. */
+    * minhashCandidatePairs value for value.
+    *
+    * NOTE: the oracles for q24/q25/q31/q37/q49 join on the bucket alone and
+    * do NOT model Skew.capBuckets' __sub split — by design the split only
+    * activates on buckets over `bucketCap` (10000), far above any bucket at
+    * the driver's sf0.01/0.1 gates. On data degenerate enough to trip the
+    * cap, the engine's bounded-recall behavior diverges from the oracle's
+    * unbounded pair set intentionally. */
   private def minhashCtes: String =
     "WITH docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0), " +
     "tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM docs), " +

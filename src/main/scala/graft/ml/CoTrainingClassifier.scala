@@ -106,7 +106,9 @@ class CoTrainingClassifier[
     // (graft.functions.VectorMax; built-in equivalent:
     // array_max(vector_to_array(col)))
     graft.functions.VectorMax.register(df.sparkSession)
-    val probMax = expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)")
+    // NaN confidence → 0.0 ("not confident"), see SelfTrainingClassifier
+    val probMax = nanvl(
+      expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)"), lit(0.0))
     val relabel = (d: DataFrame) => d
       .select(col(fCol), col(baseClassifier.getPredictionCol).as(lCol))
     // k frozen before the loop from the TOTAL initial unlabeled count
@@ -224,7 +226,9 @@ class CoTrainingClassifier[
     var iter = 1
 
     graft.functions.VectorMax.register(df.sparkSession)
-    val probMax = expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)")
+    // NaN confidence → 0.0 ("not confident"), see SelfTrainingClassifier
+    val probMax = nanvl(
+      expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)"), lit(0.0))
     val predCol = baseClassifier.getPredictionCol
     val numberOfKBest = (($(kBest) * unlabeledIni) / ($(maxIter) - 1).max(1))
       .round.toInt

@@ -93,7 +93,12 @@ class SelfTrainingClassifier[
     // (graft.functions.VectorMax; built-in equivalent:
     // array_max(vector_to_array(col)))
     graft.functions.VectorMax.register(df.sparkSession)
-    val probMax = expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)")
+    // nanvl: a NaN probability (degenerate fit) means "not confident" —
+    // coalesce to 0.0 so threshold comparison and kBest selection both keep
+    // the row in the pool instead of dropping it from BOTH filter branches
+    // (NaN fails > t and <= t alike) and breaking the counters
+    val probMax = nanvl(
+      expr(s"vector_max(`${baseClassifier.getProbabilityCol}`)"), lit(0.0))
     // k frozen BEFORE the loop from the initial unlabeled count
     // (ref: SelfTraining.scala:173 — rounding preserved)
     val numberOfKBest = (($(kBest) * unlabeledCount) / ($(maxIter) - 1).max(1))

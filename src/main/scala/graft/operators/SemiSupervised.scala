@@ -27,11 +27,13 @@ object SemiSupervised {
 
   private def base() = new DecisionTreeClassifier().setSeed(8L)
 
-  private def evalRow(spark: SparkSession, algo: String, criterion: String,
-      pct: Double, thr: Double, model: org.apache.spark.ml.Transformer,
-      s: SemiSupervisedSummary, test: DataFrame): DataFrame = {
+  /** Score `test` once and run the four metrics over the cached frame
+    * (each evaluator triggers its own job). AUC/PR are rawPrediction-based
+    * so non-probabilistic models (LinearSVC) evaluate too.
+    * Returns (accuracy, auc, pr, f1). */
+  private[graft] def evaluate4(model: org.apache.spark.ml.Transformer,
+      test: DataFrame): (Double, Double, Double, Double) = {
     import org.apache.spark.ml.evaluation._
-    // four evaluators each trigger a job — score the frame once
     val predictions = model.transform(test)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val acc = new MulticlassClassificationEvaluator()
@@ -43,6 +45,13 @@ object SemiSupervised {
     val pr = new BinaryClassificationEvaluator()
       .setMetricName("areaUnderPR").evaluate(predictions)
     predictions.unpersist(blocking = false)
+    (acc, auc, pr, f1)
+  }
+
+  private def evalRow(spark: SparkSession, algo: String, criterion: String,
+      pct: Double, thr: Double, model: org.apache.spark.ml.Transformer,
+      s: SemiSupervisedSummary, test: DataFrame): DataFrame = {
+    val (acc, auc, pr, f1) = evaluate4(model, test)
     Evaluation.resultsDF(spark, Seq(Evaluation.ExperimentResult(
       "embeddings", algo, criterion, pct, thr, s.iterations,
       s.labeledInitial, s.unlabeledInitial, s.labeledFinal, s.unlabeledFinal,
@@ -114,20 +123,7 @@ object SemiSupervised {
     val (lab, unl) = (counts.getLong(0), counts.getLong(1))
     val rows = Seq("DT", "RF", "NB", "LR", "SVM").map { name =>
       val model = Experiments.fitSupervised(name, df)
-      // four evaluators each trigger a job — score the frame once
-      val predictions = model.transform(df)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      import org.apache.spark.ml.evaluation._
-      val acc = new MulticlassClassificationEvaluator()
-        .setMetricName("accuracy").evaluate(predictions)
-      val f1 = new MulticlassClassificationEvaluator()
-        .setMetricName("fMeasureByLabel").setMetricLabel(1.0).evaluate(predictions)
-      // rawPrediction-based, so LinearSVC (no probability column) evaluates too
-      val auc = new BinaryClassificationEvaluator()
-        .setMetricName("areaUnderROC").evaluate(predictions)
-      val pr = new BinaryClassificationEvaluator()
-        .setMetricName("areaUnderPR").evaluate(predictions)
-      predictions.unpersist(blocking = false)
+      val (acc, auc, pr, f1) = evaluate4(model, df)
       Evaluation.ExperimentResult(
         "embeddings", s"supervised-$name", "na", 0.5, 0.0, 1,
         lab, unl, lab, unl, 0.5, acc, auc, pr, f1)

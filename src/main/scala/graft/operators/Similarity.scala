@@ -98,7 +98,7 @@ object Similarity {
       // norms once per vector, not per candidate pair
       .withColumn("nrm", norm2(col("e")))
     val emb = graft.plans.Skew.capBuckets(
-      vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id")),
+      vecs.join(signLshBuckets(vecs, nBits, dim), Seq("vec_id")),
       Seq("bucket"), "vec_id", bucketCap)
       // materialize (vec, norm, bucket) once before the self-join — the
       // projection pipeline would otherwise run on both sides + counts
@@ -156,7 +156,12 @@ object Similarity {
     * invocations — and every query in a workload — pay only the probe. */
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   def ivfIndexFor(spark: SparkSession, dir: String, nCells: Int = 16): String = {
-    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    // the slug carries a fingerprint of the source file (size + mtime) so a
+    // regenerated corpus at the same path gets a fresh index, not a stale
+    // cache hit from the marker file
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_") +
+      s"_${src.length()}_${src.lastModified()}"
     val root = s"${sys.props("java.io.tmpdir")}/graft_ivf/${slug}_c$nCells"
     builtIndexes.getOrElseUpdate(root, {
       val marker = new java.io.File(root, "_BUILT")
@@ -213,7 +218,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm2(col("e")))
     val emb = graft.plans.Skew.capBuckets(
-      vecs.join(signLshBuckets(vecs, nBits), Seq("vec_id")),
+      vecs.join(signLshBuckets(vecs, nBits, dim), Seq("vec_id")),
       Seq("bucket"), "vec_id", bucketCap)
       .localCheckpoint() // see lshTopKAllPairs
     val a = emb.as("a")

@@ -38,6 +38,11 @@ object Selection {
     require(!r0.isNullAt(0), "kthLargestDouble on empty input")
     var lo = r0.getDouble(0)
     var hi = r0.getDouble(1)
+    // Spark orders NaN above every double, so max() surfaces any NaN in the
+    // column — fail fast instead of returning a silently-wrong cutoff
+    // (callers coalesce confidences with nanvl before selection)
+    require(!hi.isNaN && !lo.isNaN,
+      s"NaN values in $valueCol — nanvl/filter them before selection")
     require(r0.getLong(2) >= k, s"k=$k exceeds row count ${r0.getLong(2)}")
     var nAbove = 0L // rows known to be strictly above [lo, hi]
     var rounds = 0
@@ -57,8 +62,14 @@ object Selection {
         throw new IllegalStateException("histogram counts exhausted below k")
       }
       val w = hi - lo
-      val bucket = least(lit(B - 1), greatest(lit(0),
-        floor((v - lit(lo)) / lit(w) * B).cast("int")))
+      // hi-lo can overflow to +Infinity near the double extremes, which
+      // would zero every bucket index and stall refinement — halve the
+      // interval at the midpoint until the width is finite again
+      val bucket =
+        if (w.isInfinity)
+          when(v < lit(lo / 2 + hi / 2), lit(0)).otherwise(lit(1))
+        else least(lit(B - 1), greatest(lit(0),
+          floor((v - lit(lo)) / lit(w) * B).cast("int")))
       val hist = df.filter(v >= lo && v <= hi)
         .groupBy(bucket.as("b"))
         .agg(count(lit(1)).as("cnt"), min(v).as("mn"), max(v).as("mx"))

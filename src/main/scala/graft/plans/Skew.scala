@@ -57,8 +57,12 @@ object Skew {
       cap: Int = 1000): DataFrame = {
     require(cap > 0, "cap must be positive")
     val keys = bucketCols.map(col)
-    val counts = members.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-    members.join(counts, bucketCols)
+    // `members` feeds both the counts aggregate and the join side below —
+    // materialize it once so an expensive upstream pipeline (shingle
+    // explode → hash → agg) isn't evaluated twice
+    val m = members.localCheckpoint()
+    val counts = m.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    m.join(counts, bucketCols)
       .withColumn("__sub",
         pmod(hash(col(idCol)), ceil(col("__n") / lit(cap)).cast("int")))
       .drop("__n")
