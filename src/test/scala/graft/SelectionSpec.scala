@@ -71,6 +71,26 @@ class SelectionSpec extends AnyFunSuite {
       assert(Selection.kthSmallestLong(df, "id", m.toLong) === sorted(m - 1))
   }
 
+  test("NaN values fail fast instead of corrupting the cutoff") {
+    import spark.implicits._
+    val df = ((0 until 20).map(i => (i.toLong, i.toDouble)) :+ (20L, Double.NaN))
+      .toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Selection.kthLargestDouble(df, "v", 5L)
+    }
+    assert(ex.getMessage.contains("NaN"))
+  }
+
+  test("interval width overflowing to Infinity still refines (midpoint split)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, -1.6e308), (1L, -1.2e308), (2L, 0.0), (3L, 1.1e308), (4L, 1.7e308))
+      .toDF("id", "v")
+    // hi - lo = Infinity on the first round; must still resolve exactly
+    assert(Selection.kthLargestDouble(df, "v", 2L) === (1.1e308, 1L))
+    assert(viaSelection(df, 3) === Set(2L, 3L, 4L))
+  }
+
   test("acceptance plan is a pure filter: no TakeOrderedAndProject, no Exchange") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, (i % 7).toDouble))
