@@ -88,6 +88,7 @@ object SparkEntry {
     "q52_media_profile"       -> graft.multimodal.Multimodal.qMediaProfile _,
     "q53_stream_user_state"   -> graft.streaming.EventStreams.qStreamUserState _,
     "q54_salted_agg"          -> Relational.q54SaltedAgg _,
+    "q55_stream_dedup"        -> graft.streaming.EventStreams.qStreamDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -236,6 +237,8 @@ object SparkEntry {
       "SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY user_id",
     "q54_salted_agg" ->
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, count(*) AS cnt FROM events GROUP BY event_type",
+    "q55_stream_dedup" ->
+      "SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids FROM events",
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

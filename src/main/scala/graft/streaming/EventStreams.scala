@@ -117,6 +117,35 @@ object EventStreams {
     out
   }
 
+  /** Driver query (q55): cross-batch stateful streaming dedup. The staged
+    * source directory holds the SAME events file twice; with
+    * maxFilesPerTrigger=1 the two copies arrive in separate micro-batches,
+    * so every event is a cross-batch duplicate and only the dedup state
+    * store can suppress the second copy. The drained emission therefore
+    * equals the distinct batch count — the SQL oracle. State here is exact
+    * (one key per event_id, never expired); an unbounded production feed
+    * would use dropDuplicatesWithinWatermark to expire state past the
+    * late-data horizon at the cost of bounded-window semantics. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_d")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events_b.parquet"))
+    val deduped = readEvents(spark, tmp.toString).dropDuplicates("event_id")
+    val emitted = runToMemory(spark, deduped,
+      s"q55_stream_${System.nanoTime()}")
+    val out = emitted.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("event_id")).as("n_ids"))
+    java.nio.file.Files.deleteIfExists(tmp.resolve("events_a.parquet"))
+    java.nio.file.Files.deleteIfExists(tmp.resolve("events_b.parquet"))
+    java.nio.file.Files.deleteIfExists(tmp)
+    out
+  }
+
   /** Run a streaming frame to completion against a static directory via the
     * memory sink; returns the materialized result table. Local smoke path —
     * production would use a real sink + checkpointLocation. */

@@ -100,6 +100,14 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "stateful drain diverged from batch aggregation")
   }
 
+  test("q55 streaming dedup suppresses cross-batch duplicates exactly") {
+    val row = EventStreams.qStreamDedup(spark, sf).head
+    val expected = graft.sources.Tables.events(spark, sf).count()
+    assert(row.getLong(0) === expected,
+      s"emitted ${row.getLong(0)} rows, batch distinct count is $expected")
+    assert(row.getLong(0) === row.getLong(1), "an event_id was emitted twice")
+  }
+
   test("q52 media profile flows through the codec path and sums exactly") {
     val prof = Multimodal.qMediaProfile(spark, sf).collect()
     assert(prof.length === 3)
