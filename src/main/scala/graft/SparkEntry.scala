@@ -12,9 +12,13 @@ import graft.operators.{Dedup, Relational, SemiSupervised, Similarity, TextAnaly
   * aliases every computed column identically in Spark and SQL, keeps
   * aggregate sums in DECIMAL (order-independent) cast to double at the end,
   * and casts computed integers to BIGINT on both sides so schemas line up.
-  * Sketch ops (MinHash/SimHash/winnowing/sign-LSH) use the portable hex60
-  * hash family so they are oracle-checked too; only float-tie top-k (q31),
-  * KMeans (q35) and model fits (q39-q44) remain rows-only.
+  * Sketch ops (MinHash/SimHash/winnowing/sign-LSH) hash through the
+  * pluggable [[graft.functions.TextFunctions.sketch60]] family: the
+  * correctness gate ([[Verify]]) enables oracle mode (md5-derived hex60,
+  * DuckDB-expressible) so they are oracle-checked exactly; [[Bench]] and
+  * production callers run the xxhash64 family — same plans, ~an order of
+  * magnitude cheaper per hash. Only KMeans (q35) and model fits (q39-q44)
+  * remain rows-only.
   */
 object SparkEntry {
 
@@ -67,8 +71,14 @@ object SparkEntry {
     "q35_ann_ivf"           -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d)),
     "q36_fingerprint_rolling" -> TextAnalysis.qRollingFingerprint _,
+    // oracle mode pins the params the SQL twin models (nBits=6 keeps the
+    // hyperplane CTE small, threshold=0.1 keeps pairs present at sf0.01);
+    // production mode uses the scale defaults (nBits=10, threshold=0.95 —
+    // 16× fewer co-bucket candidates), which is what Bench measures
     "q37_embedding_neardup" -> ((s: SparkSession, d: String) =>
-      Similarity.embeddingNearDupPairs(s, d, nBits = 6, threshold = 0.1)),
+      if (graft.functions.TextFunctions.oracleMode)
+        Similarity.embeddingNearDupPairs(s, d, nBits = 6, threshold = 0.1)
+      else Similarity.embeddingNearDupPairs(s, d)),
     "q38_corpus_stats"      -> TextAnalysis.qCorpusStats _,
     // semi-supervised ML flows (SURVEY §2.11) — model fits, rows-only checks
     "q39_supervised_roster"   -> SemiSupervised.qSupervisedRoster _,
@@ -91,12 +101,14 @@ object SparkEntry {
     "q55_stream_dedup"        -> graft.streaming.EventStreams.qStreamDedup _,
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. The sketch queries (q24/q25/q36/q37/q49) are
-    * oracle-checked too: their hash family is hex60 (first 15 hex digits of
-    * md5 as BIGINT — [[graft.functions.TextFunctions.hex60]]), which DuckDB
-    * recomputes as `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
-    * Omitted only where no SQL twin exists (q31 float-tie top-k; q35
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. The sketch queries (q24/q25/q31/q36/q37/q49) are
+    * oracle-checked too: under oracle mode their hash family is hex60
+    * (first 15 hex digits of md5 as BIGINT —
+    * [[graft.functions.TextFunctions.hex60]]), which DuckDB recomputes as
+    * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`; q31's top-k ranks
+    * on the 4dp-rounded sim with a vec_id tie-break so ranking is
+    * engine-deterministic. Omitted only where no SQL twin exists (q35
     * KMeans; q39-q44 model fits) → driver records the rows-only check. */
   def oracleSql: Map[String, String] = Map(
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
@@ -128,6 +140,18 @@ object SparkEntry {
        "w AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp, " +
        "count(*) OVER (PARTITION BY doc_id) AS n FROM h) " +
        "SELECT DISTINCT doc_id, fp FROM w WHERE i - 1 <= greatest(n - 4, 0)"),
+    "q31_ann_lsh" ->
+      (s"WITH g AS (SELECT t.i, u.j, CASE WHEN ${hex60Sql("concat(t.i, ':', u.j)")} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s " +
+       "FROM UNNEST(generate_series(0,7)) t(i), UNNEST(generate_series(0,63)) u(j)), " +
+       "e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i - 1 AS j FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1) AS i FROM embeddings) q), " +
+       "p AS (SELECT e.vec_id, g.i, SUM(e.x * g.s) AS proj FROM e JOIN g ON e.j = g.j GROUP BY e.vec_id, g.i), " +
+       "b AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket FROM p GROUP BY vec_id), " +
+       "n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM e GROUP BY vec_id), " +
+       "pr AS (SELECT a.vec_id AS qid, bb.vec_id AS vec_id FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id), " +
+       "d AS (SELECT pr.qid, pr.vec_id, SUM(ea.x * eb.x) AS dot FROM pr JOIN e ea ON ea.vec_id = pr.qid JOIN e eb ON eb.vec_id = pr.vec_id AND eb.j = ea.j GROUP BY pr.qid, pr.vec_id), " +
+       "sc AS (SELECT d.qid, d.vec_id, round(d.dot/(na.nrm*nb.nrm), 4) AS sim FROM d JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.vec_id), " +
+       "rk AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM sc) " +
+       "SELECT qid, vec_id, sim FROM rk WHERE rn <= 5"),
     "q37_embedding_neardup" ->
       (s"WITH g AS (SELECT t.i, u.j, CASE WHEN ${hex60Sql("concat(t.i, ':', u.j)")} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s " +
        "FROM UNNEST(generate_series(0,5)) t(i), UNNEST(generate_series(0,63)) u(j)), " +

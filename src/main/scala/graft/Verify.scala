@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the correctness gate runs the DuckDB-expressible sketch family (hex60)
+    // and the oracle-parity sketch params; production/bench runs xxhash64
+    // (see TextFunctions.oracleMode)
+    graft.functions.TextFunctions.oracleMode = true
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -49,13 +49,33 @@ object TextFunctions {
     md5(concat_ws(" ", array_sort(tokens(text))))
 
   /** Engine-portable 60-bit hash: first 15 hex digits of md5, parsed as a
-    * BIGINT. Chosen over xxhash64/murmur3 for the sketch operators because
-    * the SAME value is expressible in standard SQL — DuckDB:
+    * BIGINT. Chosen over xxhash64/murmur3 for ORACLE runs because the SAME
+    * value is expressible in standard SQL — DuckDB:
     * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)` — which is what
     * lets the MinHash/SimHash/winnowing queries be oracle-checked exactly
     * instead of rows-only. Always non-negative (60 < 63 bits). */
   def hex60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Sketch hash family switch. md5 is ~5-10× the per-call cost of xxhash64
+    * and at corpus scale the sketch scan is hash-bound, so production runs
+    * must not pay md5 per shingle/token/k-gram. `oracleMode = false`
+    * (default): xxhash64 masked to 60 bits — one codegen'd hash, the
+    * production family. `oracleMode = true`: [[hex60]], so every sketch
+    * value is recomputable by the DuckDB oracle ([[graft.Verify]] — the
+    * driver's correctness gate — enables it; [[graft.Bench]] measures the
+    * production family). Both families are non-negative 60-bit, so every
+    * downstream fold (30-bit MinHash base, 60-bit SimHash/winnowing,
+    * 15-bit SimHash blocks) is family-agnostic. */
+  @volatile var oracleMode: Boolean = false
+
+  /** The active 60-bit sketch hash (see [[oracleMode]]). All sketch
+    * operators (MinHash, SimHash, winnowing, LSH band buckets) hash through
+    * this; per-document content digests ([[fpMd5]], [[tokenSetKey]]) stay
+    * md5 — one hash per document is scan-noise, and md5 is their spec. */
+  def sketch60(c: Column): Column =
+    if (oracleMode) hex60(c)
+    else xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
 
   /** Driver-side twin of [[hex60]] for precomputing literal hash tables
     * (e.g. LSH hyperplane signs) — same md5, same 15-hex-digit parse. */
@@ -84,7 +104,7 @@ object TextFunctions {
   def rollingFingerprints(text: Column, k: Int = 8, window: Int = 4): Column = {
     val nGrams = greatest(length(text) - (k - 1), lit(0))
     val hashes = transform(sequence(lit(1), greatest(nGrams, lit(1))),
-      i => hex60(text.substr(i, lit(k))))
+      i => sketch60(text.substr(i, lit(k))))
     val nWin = greatest(nGrams - (window - 1), lit(1))
     array_distinct(transform(sequence(lit(0), nWin - 1),
       j => array_min(slice(hashes, j + lit(1), lit(window)))))

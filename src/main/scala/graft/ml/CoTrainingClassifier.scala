@@ -95,8 +95,18 @@ class CoTrainingClassifier[
     var labeled1 = persist(sel(l1a)); var labeled2 = persist(sel(l2a))
     var unlabeled1 = persist(sel(u1a)); var unlabeled2 = persist(sel(u2a))
 
-    var uCount1 = unlabeled1.count(); var uCount2 = unlabeled2.count()
-    var lCount1 = labeled1.count(); var lCount2 = labeled2.count()
+    // four initial view counts in ONE tagged-union job instead of four
+    // count() actions (the job also populates all four view caches)
+    val viewCounts = labeled1.select(lit(0).as("__v"))
+      .union(labeled2.select(lit(1).as("__v")))
+      .union(unlabeled1.select(lit(2).as("__v")))
+      .union(unlabeled2.select(lit(3).as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var lCount1 = viewCounts.getOrElse(0, 0L)
+    var lCount2 = viewCounts.getOrElse(1, 0L)
+    var uCount1 = viewCounts.getOrElse(2, 0L)
+    var uCount2 = viewCounts.getOrElse(3, 0L)
 
     var model1 = baseClassifier.fit(labeled1)
     var model2 = baseClassifier.fit(labeled2)

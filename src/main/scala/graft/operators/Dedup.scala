@@ -56,12 +56,13 @@ object Dedup {
       .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
 
-  /** MinHash family: ONE portable base hash per shingle ([[hex60]], md5-
-    * derived, DuckDB-expressible), folded to 30 bits, then `numHashes`
-    * affine variants `(2i+1)·H + (7919i+1) mod P` over the Mersenne prime
-    * P = 2³¹−1. One md5 per distinct shingle total (not per seed) — the
-    * seed variants are integer arithmetic, free in codegen — and every
-    * value is reproducible in the DuckDB oracle (q24/q49). */
+  /** MinHash family: ONE base hash per shingle ([[sketch60]] — xxhash64 in
+    * production, md5-derived hex60 under oracle mode so the DuckDB oracle
+    * reproduces q24/q49 value-for-value), folded to 30 bits, then
+    * `numHashes` affine variants `(2i+1)·H + (7919i+1) mod P` over the
+    * Mersenne prime P = 2³¹−1. One hash per distinct shingle total (not
+    * per seed) — the seed variants are integer arithmetic, free in
+    * codegen. */
   private val MinHashP = 2147483647L // 2^31 - 1
   private def affineHash(base: Column, i: Int): Column =
     (base * lit(2L * i + 1) + lit(7919L * i + 1)) % MinHashP
@@ -72,21 +73,21 @@ object Dedup {
     * computation use [[minhashSignatures]] instead. */
   def minhashSignature(text: Column, numHashes: Int = 32, w: Int = 3): Column = {
     val bases = transform(array_distinct(shingles(text, w)),
-      s => hex60(s) % (1L << 30))
+      s => sketch60(s) % (1L << 30))
     array((0 until numHashes).map { seed =>
       array_min(transform(bases, b => affineHash(b, seed)))
     }: _*)
   }
 
   /** Corpus-scale MinHash: explode distinct shingles once, hash each ONCE
-    * (md5-based portable hash), then ONE partial-aggregating groupBy
+    * ([[sketch60]] family), then ONE partial-aggregating groupBy
     * computing all `numHashes` affine-variant mins. The shuffle moves only
     * numHashes partial mins per (doc, partition) — the shape that survives
     * a 100 TB corpus. Output: (doc_id, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, w: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), w))).as("sh"))
-      .select(col("doc_id"), (hex60(col("sh")) % (1L << 30)).as("hb"))
+      .select(col("doc_id"), (sketch60(col("sh")) % (1L << 30)).as("hb"))
     val mins = (0 until numHashes).map(seed =>
       min(affineHash(col("hb"), seed)).as(s"h$seed"))
     sh.groupBy(col("doc_id"))
@@ -105,14 +106,14 @@ object Dedup {
       bucketCap: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docsWithDups(spark, dir), numHashes, w)
-    // band bucket = portable hash of the band's mins joined as decimal
+    // band bucket = sketch-family hash of the band's mins joined as decimal
     // strings — mirrors the oracle's string_agg(h, ',' ORDER BY seed)
     val banded = graft.plans.Skew.capBuckets(
       sigs.select(
         col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            hex60(concat_ws(",",
+            sketch60(concat_ws(",",
               transform(slice(col("sig"), b * rows + 1, rows),
                 m => m.cast("string")))).as("bucket"))
         }: _*)).as("bb"))
@@ -141,11 +142,11 @@ object Dedup {
   private val SimHashBits = 60
   private val SimHashBlockBits = 15
 
-  /** 60-bit SimHash from portable token hashes: bit i of the result is set
-    * iff more tokens have bit i set than clear. Built as a balanced sum of
-    * 60 bit-count expressions — large but fully codegen'd, one pass. */
+  /** 60-bit SimHash from sketch-family token hashes: bit i of the result is
+    * set iff more tokens have bit i set than clear. Built as a balanced sum
+    * of 60 bit-count expressions — large but fully codegen'd, one pass. */
   def simhash64(text: Column): Column = {
-    val hashes = transform(split(text, " "), w => hex60(w))
+    val hashes = transform(split(text, " "), w => sketch60(w))
     val n = size(hashes)
     val bits = (0 until SimHashBits).map { i =>
       val ones = size(filter(hashes,
@@ -155,15 +156,15 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Corpus-scale SimHash: explode tokens once, hash each once (md5-based
-    * portable hash — the value the DuckDB oracle recomputes), one
-    * partial-aggregating groupBy summing ±1 per bit (sum(±1) > 0 ⇔ strict
-    * majority of token hashes set the bit — identical to [[simhash64]],
-    * duplicates counted). Output: (doc_id, sh: long). */
+  /** Corpus-scale SimHash: explode tokens once, hash each once
+    * ([[sketch60]] family — hex60 under oracle mode is what the DuckDB
+    * oracle recomputes), one partial-aggregating groupBy summing ±1 per bit
+    * (sum(±1) > 0 ⇔ strict majority of token hashes set the bit — identical
+    * to [[simhash64]], duplicates counted). Output: (doc_id, sh: long). */
   def simhashes(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), hex60(col("w")).as("h"))
+      .select(col("doc_id"), sketch60(col("w")).as("h"))
     val bitSums = (0 until SimHashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), 1)
         .otherwise(-1)).as(s"b$i"))

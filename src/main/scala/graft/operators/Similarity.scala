@@ -105,17 +105,22 @@ object Similarity {
       .localCheckpoint()
     val a = emb.as("a")
     val b = emb.as("b")
+    // rank on the 4dp-ROUNDED sim with vec_id tie-break: raw IEEE doubles
+    // differ across engines in the last ulp (summation order), so ranking
+    // on them makes top-k membership engine-dependent at float ties; the
+    // rounded ordering is deterministic in Spark and the DuckDB oracle
     val scored = a.join(b,
         col("a.bucket") === col("b.bucket") &&
         col("a.__sub") === col("b.__sub") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+        round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .select(col("qid"), col("vec_id"), col("sim"))
   }
 
   /** IVF (inverted-file) ANN, split into an index-build phase and a probe

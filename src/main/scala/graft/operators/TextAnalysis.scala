@@ -62,7 +62,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val nGrams = greatest(length(col("text")) - (k - 1), lit(1))
     val hashes = transform(sequence(lit(1), nGrams),
-      i => hex60(col("text").substr(i, lit(k))))
+      i => sketch60(col("text").substr(i, lit(k))))
     // k-gram count rides along from the scan — known from the text length,
     // so no second (count) window pass over the exploded rows
     val exploded = docs.select(col("doc_id"), nGrams.as("n"),

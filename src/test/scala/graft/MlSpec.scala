@@ -129,6 +129,27 @@ class MlSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("evaluate4 fused metrics equal the four separate evaluator passes") {
+    import org.apache.spark.ml.evaluation._
+    val df = masked(0.6)
+    val model = new SupervisedOnLabeled(base).fit(df)
+    val (acc, auc, pr, f1) = graft.operators.SemiSupervised.evaluate4(model, df)
+    val predictions = model.transform(df).cache()
+    val accE = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(predictions)
+    val f1E = new MulticlassClassificationEvaluator()
+      .setMetricName("fMeasureByLabel").setMetricLabel(1.0).evaluate(predictions)
+    val aucE = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").evaluate(predictions)
+    val prE = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderPR").evaluate(predictions)
+    predictions.unpersist()
+    assert(math.abs(acc - accE) < 1e-12, s"accuracy $acc vs evaluator $accE")
+    assert(math.abs(f1 - f1E) < 1e-12, s"f1 $f1 vs evaluator $f1E")
+    assert(math.abs(auc - aucE) < 1e-12, s"auc $auc vs evaluator $aucE")
+    assert(math.abs(pr - prE) < 1e-12, s"pr $pr vs evaluator $prE")
+  }
+
   test("degenerate tiny-label case self-labels everything in one pass (BASELINE sonar-shaped)") {
     val st = new SelfTrainingClassifier(base).setThreshold(0.7).setMaxIter(7)
     val (_, s) = st.fitWithSummary(masked(0.05))
