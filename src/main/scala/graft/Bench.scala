@@ -20,6 +20,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench measures the PRODUCTION sketch family. oracleMode is process
+    // state: if Verify ran earlier in this JVM (e.g. both under one sbt
+    // invocation) the md5 oracle family would silently leak into every
+    // sketch query's timing — force it off.
+    graft.functions.TextFunctions.oracleMode = false
     // JVM/session warmup so the first measured query doesn't absorb
     // context-startup cost — including the ML codepaths (tree-ensemble
     // classes JIT ~9s on first fit, which otherwise lands entirely on the

@@ -51,31 +51,23 @@ object TextAnalysis {
         (sum(col("n_chars").cast("decimal(18,0)")).cast("double") /
           count(lit(1))).as("avg_chars"))
 
-  /** Corpus-scale winnowed fingerprints: the k-gram hash array is computed
-    * ONCE per document, posexploded to (doc_id, pos, h), and the winnowing
-    * min runs as a sliding window frame — linear in document length (the
-    * per-row expression form is O(len²) after projection collapse; at sf0.1
-    * that was 625s vs ~3s for this shape). Output: (doc_id, fp) distinct;
-    * same fingerprints as [[graft.functions.TextFunctions.rollingFingerprints]]. */
+  /** Corpus-scale winnowed fingerprints. Winnowing is row-local, so the
+    * whole computation lives in one codegen'd Catalyst Expression
+    * ([[graft.functions.WinnowedFingerprints]]): one linear pass per
+    * document, per-doc distinct mins, exploded to (doc_id, fp). The plan is
+    * scan → project → generate with ZERO exchanges — no window sort, no
+    * global distinct (per-doc dedup already makes (doc_id, fp) unique).
+    * Earlier declarative shapes for comparison: per-row higher-order-function
+    * form is O(len²) after projection collapse (~625 s at sf0.1); posexplode
+    * + window-min was linear but paid a full sort shuffle of ~|text| rows
+    * per doc plus a distinct shuffle (~7 s warm); this shape is sub-second.
+    * Same fingerprints as
+    * [[graft.functions.TextFunctions.rollingFingerprints]]. */
   def rollingFingerprintTable(docs: DataFrame, k: Int = 8,
-      window: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nGrams = greatest(length(col("text")) - (k - 1), lit(1))
-    val hashes = transform(sequence(lit(1), nGrams),
-      i => sketch60(col("text").substr(i, lit(k))))
-    // k-gram count rides along from the scan — known from the text length,
-    // so no second (count) window pass over the exploded rows
-    val exploded = docs.select(col("doc_id"), nGrams.as("n"),
-      posexplode(hashes).as(Seq("pos", "h")))
-    val frame = Window.partitionBy(col("doc_id"))
-      .orderBy(col("pos")).rowsBetween(0, window - 1)
-    exploded
-      .withColumn("fp", min(col("h")).over(frame))
-      // window start positions only: 0 .. n-window (or just 0 if n < window)
-      .filter(col("pos") <= greatest(col("n") - window, lit(0)))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
-  }
+      window: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowedFingerprints.winnowed(
+        col("text"), k, window)).as("fp"))
 
   /** Winnowed rolling fingerprints exploded to (doc_id, fp) — the joinable
     * chunk-dedup form; docs sharing any ≥(k+window−1)-char substring share

@@ -102,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
     assert(probe.count() === 10)
   }
 
+  test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
+    // winnowing is row-local: the WinnowedFingerprints Expression makes the
+    // plan scan → project → generate with no window sort and no distinct
+    val p = formatted("q36_fingerprint_rolling")
+    assert(!p.contains("Exchange"), s"q36 reintroduced a shuffle:\n$p")
+    assert(!p.contains("Window"), s"q36 reintroduced a window sort:\n$p")
+  }
+
   test("scan-side queries stay inside whole-stage codegen (q20 haversine)") {
     val p = formatted("q20_haversine")
     // FormattedMode marks codegen'd operators with "[codegen id : N]"

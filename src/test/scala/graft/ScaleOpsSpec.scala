@@ -131,20 +131,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(direct.count() === salted.count())
   }
 
-  test("rollingFingerprintTable equals the per-row expression form") {
+  test("rollingFingerprintTable equals the per-row expression form (both families)") {
     import spark.implicits._
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "short"), // shorter than k → single gram path
-      (3L, "abcdefghijabcdefghijabcdefghij"))
+      (3L, "abcdefghijabcdefghijabcdefghij"),
+      (4L, "ünïcödé text with ünïcödé rëpeated ünïcödé graphemes")) // non-ASCII
       .toDF("doc_id", "text")
-    val viaTable = graft.operators.TextAnalysis.rollingFingerprintTable(docs)
-      .orderBy("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val viaExpr = docs.select(col("doc_id"),
-        explode(TextFunctions.rollingFingerprints(col("text"))).as("fp"))
-      .distinct().orderBy("doc_id", "fp").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(viaTable.toSeq === viaExpr.toSeq)
+    // the custom-Expression table form must reproduce the sketch60-based
+    // higher-order-function form under BOTH hash families: xxhash64+mask
+    // (production, incl. the non-ASCII substring fallback) and hex60
+    // (oracle; pins the byte-wise md5 twin against the hex-string parse)
+    for (mode <- Seq(false, true)) {
+      TextFunctions.oracleMode = mode
+      try {
+        val viaTable = graft.operators.TextAnalysis.rollingFingerprintTable(docs)
+          .orderBy("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val viaExpr = docs.select(col("doc_id"),
+            explode(TextFunctions.rollingFingerprints(col("text"))).as("fp"))
+          .distinct().orderBy("doc_id", "fp").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(viaTable.toSeq === viaExpr.toSeq, s"oracleMode=$mode")
+        assert(viaTable.forall { case (_, fp) => fp >= 0 && fp < (1L << 60) },
+          s"fingerprints must be non-negative 60-bit (oracleMode=$mode)")
+      } finally TextFunctions.oracleMode = false
+    }
   }
 
   test("ngramJaccard: identical docs score 1.0, near-dup pipeline finds them") {
