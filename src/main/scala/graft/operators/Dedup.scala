@@ -119,11 +119,9 @@ object Dedup {
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
       Seq("band", "bucket"), "doc_id", bucketCap)
-      // materialize ONCE before the self-join: without this the whole
-      // shingle→md5→32-min pipeline runs on both join sides and again
-      // under capBuckets' counts (8 scans observed). The banded frame is
-      // ~16 bytes/row — exactly what you'd persist at corpus scale.
-      .localCheckpoint()
+    // capBuckets returns the banded frame MATERIALIZED (its single
+    // boundary): the shingle→hash→32-min pipeline runs once, both
+    // self-join sides read the cached ~16 B/row bucket table
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -190,8 +188,7 @@ object Dedup {
         }: _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key")),
       Seq("blk", "key"), "doc_id", bucketCap)
-      // materialize the tiny block table once (see minhashCandidatePairs)
-      .localCheckpoint()
+    // capBuckets materializes the tiny block table (single boundary)
     val a = blocked.as("a")
     val b = blocked.as("b")
     a.join(b,

@@ -50,7 +50,13 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
       .write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
+    // materialize the read-back eagerly so the scratch dir can be deleted
+    // NOW instead of leaking one UUID dir per invocation for the session
+    // lifetime (the checkpoint blocks are freed by the ContextCleaner once
+    // the frame is unreachable)
+    val back = spark.read.parquet(out).localCheckpoint()
+    graft.util.Fs.deleteRecursively(out)
+    back
   }
 
   /** DQ-4 — two-column projection (ref: P1 select, SelfTraining.scala:137). */

@@ -75,7 +75,13 @@ object Similarity {
     * needs columns (vec_id, e: array<double>); output (vec_id, bucket). */
   def signLshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame = {
     val signs = planeSigns(nBits, dim)
-    val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("j", "x")))
+    // fail-fast dim check: element_at past the sign-array end would return
+    // null under non-ANSI SQL and sum() would silently SKIP it — wrong
+    // buckets with no error. A mismatched vector must be loud.
+    val checked = when(size(col("e")) === dim, col("e")).otherwise(
+      raise_error(concat(lit("signLshBuckets: vector dim "),
+        size(col("e")).cast("string"), lit(s" != configured dim $dim"))))
+    val ex = emb.select(col("vec_id"), posexplode(checked).as(Seq("j", "x")))
     val projs = (0 until nBits).map(i =>
       sum(col("x") * element_at(array(signs(i).map(lit): _*), col("j") + 1))
         .as(s"p$i"))
@@ -100,9 +106,8 @@ object Similarity {
     val emb = graft.plans.Skew.capBuckets(
       vecs.join(signLshBuckets(vecs, nBits, dim), Seq("vec_id")),
       Seq("bucket"), "vec_id", bucketCap)
-      // materialize (vec, norm, bucket) once before the self-join — the
-      // projection pipeline would otherwise run on both sides + counts
-      .localCheckpoint()
+    // capBuckets materializes (vec, norm, bucket) once — its single
+    // boundary feeds both self-join sides
     val a = emb.as("a")
     val b = emb.as("b")
     // rank on the 4dp-ROUNDED sim with vec_id tie-break: raw IEEE doubles
@@ -157,24 +162,38 @@ object Similarity {
   }
 
   /** Build-once cache: the index for (dir, nCells) lives under the JVM temp
-    * dir and is reused across calls and JVMs (marker file). Repeated q35
-    * invocations — and every query in a workload — pay only the probe. */
+    * dir and is reused across calls and JVMs. Publication is ATOMIC: the
+    * index is built into a staging dir and `renameTo`'d into place, so a
+    * concurrent builder in another JVM either wins the rename or discards
+    * its staging copy — no two processes ever write into the same live
+    * index, and a crashed build leaves only a staging dir, never a
+    * half-valid root. Repeated q35 invocations — and every query in a
+    * workload — pay only the probe. */
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   def ivfIndexFor(spark: SparkSession, dir: String, nCells: Int = 16): String = {
     // the slug carries a fingerprint of the source file (size + mtime) so a
     // regenerated corpus at the same path gets a fresh index, not a stale
-    // cache hit from the marker file
+    // cache hit from a previous run's publish
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_") +
       s"_${src.length()}_${src.lastModified()}"
-    val root = s"${sys.props("java.io.tmpdir")}/graft_ivf/${slug}_c$nCells"
-    builtIndexes.getOrElseUpdate(root, {
-      val marker = new java.io.File(root, "_BUILT")
-      if (!marker.exists()) {
-        ivfBuildIndex(spark, dir, root, nCells)
-        marker.createNewFile()
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_ivf/${slug}_c$nCells")
+    builtIndexes.getOrElseUpdate(root.getPath, {
+      if (!new java.io.File(root, "_BUILT").exists()) {
+        // root without a marker = crashed pre-atomic build or unrelated
+        // junk; clear it so the rename below can land
+        graft.util.Fs.deleteRecursively(root)
+        val staging = new java.io.File(root.getParentFile,
+          s".${root.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        ivfBuildIndex(spark, dir, staging.getPath, nCells)
+        new java.io.File(staging, "_BUILT").createNewFile()
+        if (!staging.renameTo(root)) {
+          // lost the publish race to a concurrent builder — use theirs
+          graft.util.Fs.deleteRecursively(staging)
+        }
       }
-      root
+      root.getPath
     })
   }
 
@@ -224,8 +243,7 @@ object Similarity {
       .withColumn("nrm", norm2(col("e")))
     val emb = graft.plans.Skew.capBuckets(
       vecs.join(signLshBuckets(vecs, nBits, dim), Seq("vec_id")),
-      Seq("bucket"), "vec_id", bucketCap)
-      .localCheckpoint() // see lshTopKAllPairs
+      Seq("bucket"), "vec_id", bucketCap) // materialized by capBuckets
     val a = emb.as("a")
     val b = emb.as("b")
     a.join(b,

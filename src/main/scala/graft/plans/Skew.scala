@@ -52,20 +52,27 @@ object Skew {
     * pairs across sub-buckets are dropped, which is the banding math's own
     * assumption — a bucket that big means the signature failed to
     * discriminate, not that all b² pairs are genuine near-dup candidates.
-    * Deterministic (hash, not rand), so results are reproducible. */
+    * Deterministic (hash, not rand), so results are reproducible.
+    *
+    * The RETURNED frame is materialized (`localCheckpoint`) — it is the
+    * SINGLE materialization boundary for the self-join every caller feeds
+    * it to: upstream (shingle explode → hash → agg) runs exactly once, and
+    * both join sides read the cached ~16 B/row bucket table. The bucket
+    * count is a window count over the same shuffle (one exchange, not an
+    * aggregate + re-join). Callers must NOT re-checkpoint. On a real
+    * cluster, prefer `spark.checkpoint()` with a checkpointDir for this
+    * boundary — localCheckpoint blocks die with an executor; at local[n]
+    * (one JVM) that distinction is moot. */
   def capBuckets(members: DataFrame, bucketCols: Seq[String], idCol: String,
       cap: Int = 1000): DataFrame = {
     require(cap > 0, "cap must be positive")
-    val keys = bucketCols.map(col)
-    // `members` feeds both the counts aggregate and the join side below —
-    // materialize it once so an expensive upstream pipeline (shingle
-    // explode → hash → agg) isn't evaluated twice
-    val m = members.localCheckpoint()
-    val counts = m.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-    m.join(counts, bucketCols)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    members
       .withColumn("__sub",
-        pmod(hash(col(idCol)), ceil(col("__n") / lit(cap)).cast("int")))
-      .drop("__n")
+        pmod(hash(col(idCol)),
+          ceil(count(lit(1)).over(w) / lit(cap)).cast("int")))
+      .localCheckpoint()
   }
 
   /** Two-phase skewed aggregation: partial-aggregate on (key, salt), then

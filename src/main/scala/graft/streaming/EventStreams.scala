@@ -158,6 +158,11 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // detach the result from the memory sink: checkpoint the rows, then drop
+    // the temp view so the sink (which pins the full result set in driver
+    // memory) is collectable instead of accumulating one table per call
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -131,6 +131,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(direct.count() === salted.count())
   }
 
+  test("signLshBuckets fails fast on a vector/dim mismatch") {
+    import spark.implicits._
+    // 3-wide vectors vs configured dim=8: without the guard, element_at past
+    // the sign-array end is null, sum skips it, and the buckets are silently
+    // wrong — this must throw instead
+    val emb = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "e")
+    val ex = intercept[Throwable] {
+      Similarity.signLshBuckets(emb, nBits = 4, dim = 8).collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(messages.contains("signLshBuckets"), s"unexpected failure: $messages")
+  }
+
   test("rollingFingerprintTable equals the per-row expression form (both families)") {
     import spark.implicits._
     val docs = Seq(
