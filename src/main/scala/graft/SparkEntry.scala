@@ -71,14 +71,13 @@ object SparkEntry {
     "q35_ann_ivf"           -> ((s: SparkSession, d: String) =>
       Similarity.ivfTopK(s, d)),
     "q36_fingerprint_rolling" -> TextAnalysis.qRollingFingerprint _,
-    // oracle mode pins the params the SQL twin models (nBits=6 keeps the
-    // hyperplane CTE small, threshold=0.1 keeps pairs present at sf0.01);
-    // production mode uses the scale defaults (nBits=10, threshold=0.95 —
-    // 16× fewer co-bucket candidates), which is what Bench measures
+    // ONE param set for both gates (bench times exactly what the oracle
+    // checks): nBits=6 keeps the hyperplane CTE small, threshold=0.1 keeps
+    // pairs present in the synthetic corpus — the scale defaults
+    // (nBits=10, t=0.95) return ZERO rows on testdata (no planted
+    // high-cosine near-dups), which would make the bench a no-op measure
     "q37_embedding_neardup" -> ((s: SparkSession, d: String) =>
-      if (graft.functions.TextFunctions.oracleMode)
-        Similarity.embeddingNearDupPairs(s, d, nBits = 6, threshold = 0.1)
-      else Similarity.embeddingNearDupPairs(s, d)),
+      Similarity.embeddingNearDupPairs(s, d, nBits = 6, threshold = 0.1)),
     "q38_corpus_stats"      -> TextAnalysis.qCorpusStats _,
     // semi-supervised ML flows (SURVEY §2.11) — model fits, rows-only checks
     "q39_supervised_roster"   -> SemiSupervised.qSupervisedRoster _,

@@ -173,6 +173,67 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch60 production branch is pinned: xxhash64 masked to 60 bits") {
+    import spark.implicits._
+    // fixed vector: xxhash64('graft', seed 42) = -4815631219266125053;
+    // & (2^60-1) = 948976303768109827. A transposed mask or sign bug in the
+    // production branch (which every Bench sketch number rides on) fails
+    // here even though the oracle gate only ever exercises hex60.
+    TextFunctions.oracleMode = false
+    val r = Seq("graft").toDF("s")
+      .select(TextFunctions.sketch60(col("s"))).head.getLong(0)
+    assert(r === 948976303768109827L)
+    assert(r >= 0 && r < (1L << 60))
+    // and the oracle branch agrees with its driver-side twin
+    TextFunctions.oracleMode = true
+    try {
+      val o = Seq("graft").toDF("s")
+        .select(TextFunctions.sketch60(col("s"))).head.getLong(0)
+      assert(o === TextFunctions.hex60Local("graft"))
+    } finally TextFunctions.oracleMode = false
+  }
+
+  test("sketch family invariance on sf0.01: production results track the oracle-checked family") {
+    // The correctness gate runs every sketch oracle under hex60; Bench and
+    // production run xxhash64. This pins the production family's end-to-end
+    // results against the oracle-checked ones so a production-branch-only
+    // bug cannot ship invisibly. Family-agnostic ops (q22/q23 — md5 content
+    // digests) must be EXACTLY equal; banding candidate counts (q24) move
+    // only within banding noise; Jaccard-VERIFIED survivors (q49) and
+    // sign-LSH pairs (q37 — hyperplanes are md5-driver-side in both
+    // families) are exactly equal on this corpus; SimHash blocks (q25) are
+    // vocabulary-driven (bit biases of common tokens shift whole buckets),
+    // so only the order of magnitude is pinned.
+    val dir = "/root/testdata/sf0.01"
+    def counts(mode: Boolean): Map[String, Long] = {
+      TextFunctions.oracleMode = mode
+      try Map(
+        "q22" -> SparkEntry.queries("q22_dedup_exact")(spark, dir)
+          .collect().map(_.toString).mkString.hashCode.toLong,
+        "q23" -> SparkEntry.queries("q23_dedup_tokenset")(spark, dir).count(),
+        "q24" -> SparkEntry.queries("q24_dedup_minhash")(spark, dir).count(),
+        "q25" -> SparkEntry.queries("q25_dedup_simhash")(spark, dir).count(),
+        "q37" -> SparkEntry.queries("q37_embedding_neardup")(spark, dir).count(),
+        "q49" -> SparkEntry.queries("q49_neardup_pipeline")(spark, dir).count())
+      finally TextFunctions.oracleMode = false
+    }
+    val prod = counts(mode = false)
+    val oracle = counts(mode = true)
+    assert(prod("q22") === oracle("q22"), "exact dedup must be family-agnostic")
+    assert(prod("q23") === oracle("q23"), "tokenset dedup must be family-agnostic")
+    val relDiff = math.abs(prod("q24") - oracle("q24")).toDouble /
+      math.max(prod("q24"), oracle("q24"))
+    assert(relDiff <= 0.5, s"q24 candidate counts diverged: $prod vs $oracle")
+    val ratio = math.max(prod("q25"), oracle("q25")).toDouble /
+      math.min(prod("q25"), oracle("q25"))
+    assert(ratio <= 4.0 && prod("q25") > 0,
+      s"q25 block-candidate counts diverged: $prod vs $oracle")
+    assert(prod("q37") === oracle("q37"),
+      "sign-LSH pairs must be family-independent (md5 hyperplanes)")
+    assert(prod("q49") === oracle("q49"),
+      s"verified near-dup survivors diverged: $prod vs $oracle")
+  }
+
   test("ngramJaccard: identical docs score 1.0, near-dup pipeline finds them") {
     import spark.implicits._
     val docs = Seq(
