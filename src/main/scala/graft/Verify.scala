@@ -15,16 +15,17 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the correctness gate runs the DuckDB-expressible sketch family (hex60)
-    // and the oracle-parity sketch params; production/bench runs xxhash64
-    // (see TextFunctions.oracleMode)
-    graft.functions.TextFunctions.oracleMode = true
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // the correctness gate runs the DuckDB-expressible sketch family (hex60);
+    // production/bench runs xxhash64. Scoped so the oracle family cannot
+    // leak into plans built after the dump in the same JVM.
+    graft.functions.TextFunctions.withOracleMode(on = true) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

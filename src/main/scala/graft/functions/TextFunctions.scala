@@ -69,6 +69,19 @@ object TextFunctions {
     * 15-bit SimHash blocks) is family-agnostic. */
   @volatile var oracleMode: Boolean = false
 
+  /** Scoped oracle-mode switch: runs `body` with the hex60 family active and
+    * ALWAYS restores the previous family, so a Verify run (or a test) can't
+    * leak the oracle family into plans built later in the same JVM.
+    * The flag is read at PLAN CONSTRUCTION time — build and execute the
+    * query inside the scope. Not reentrancy-safe across threads building
+    * plans concurrently with different families (the process has one
+    * family at a time by design; Bench additionally forces production). */
+  def withOracleMode[T](on: Boolean)(body: => T): T = {
+    val prev = oracleMode
+    oracleMode = on
+    try body finally oracleMode = prev
+  }
+
   /** The active 60-bit sketch hash (see [[oracleMode]]). All sketch
     * operators (MinHash, SimHash, winnowing, LSH band buckets) hash through
     * this; per-document content digests ([[fpMd5]], [[tokenSetKey]]) stay

@@ -45,6 +45,8 @@ object SemiSupervised {
     val cm = predictions.groupBy(col("prediction"), col("label"))
       .agg(count(lit(1)).as("n")).collect()
     val n = cm.map(_.getLong(2)).sum.toDouble
+    // loud beats NaN: correct/0 would flow a silent NaN into the result row
+    require(n > 0, "evaluate4: empty test frame (no rows to score)")
     val correct = cm.filter(r => r.getDouble(0) == r.getDouble(1))
       .map(_.getLong(2)).sum.toDouble
     val tp = cm.filter(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
@@ -81,49 +83,62 @@ object SemiSupervised {
       s.percentageLabeledFinal, acc, auc, pr, f1)))
   }
 
+  /** Seeded 75/25 train/test holdout (the reference's holdout shape —
+    * BaseClassifiers.scala:100 splits with seed 8), so every emitted metric
+    * is a GENERALIZATION number, not resubstitution accuracy on the
+    * training frame. */
+  private def holdout(df: DataFrame): (DataFrame, DataFrame) = {
+    val Array(tr, te) = df.randomSplit(Array(0.75, 0.25), seed = 8L)
+    (tr, te)
+  }
+
   /** Self-training with threshold criterion (flagship flow, ref M1). */
   def qSelfTraining(spark: SparkSession, dir: String): DataFrame = {
+    val (train, test) = holdout(dataset(spark, dir))
     val df = new UnlabeledTransformer()
       .setPercentageLabeled(0.3).setSeed(11L)
-      .transform(dataset(spark, dir))
+      .transform(train)
     val st = new SelfTrainingClassifier(base())
       .setThreshold(0.8).setMaxIter(3).setCriterion("threshold")
     val (model, s) = st.fitWithSummary(df)
-    evalRow(spark, "ST-DT", "threshold", 0.3, 0.8, model, s, df)
+    evalRow(spark, "ST-DT", "threshold", 0.3, 0.8, model, s, test)
   }
 
   /** Self-training with kBest criterion (ref M1 kBest branch). */
   def qSelfTrainingKBest(spark: SparkSession, dir: String): DataFrame = {
+    val (train, test) = holdout(dataset(spark, dir))
     val df = new UnlabeledTransformer()
       .setPercentageLabeled(0.3).setSeed(11L)
-      .transform(dataset(spark, dir))
+      .transform(train)
     val st = new SelfTrainingClassifier(base())
       .setCriterion("kBest").setKBest(0.5).setMaxIter(3)
     val (model, s) = st.fitWithSummary(df)
-    evalRow(spark, "ST-DT", "kBest", 0.3, 0.5, model, s, df)
+    evalRow(spark, "ST-DT", "kBest", 0.3, 0.5, model, s, test)
   }
 
   /** Co-training with cross-teaching views (ref M2). */
   def qCoTraining(spark: SparkSession, dir: String): DataFrame = {
+    val (train, test) = holdout(dataset(spark, dir))
     val df = new UnlabeledTransformer()
       .setPercentageLabeled(0.3).setSeed(11L)
-      .transform(dataset(spark, dir))
+      .transform(train)
     val ct = new CoTrainingClassifier(base())
       .setThreshold(0.8).setMaxIter(3).setCriterion("threshold")
     val (model, s) = ct.fitWithSummary(df)
-    evalRow(spark, "CT-DT", "threshold", 0.3, 0.8, model, s, df)
+    evalRow(spark, "CT-DT", "threshold", 0.3, 0.8, model, s, test)
   }
 
   /** Feature-split (Blum-Mitchell) co-training — the engine's beyond-parity
     * variant: views see feature halves of a shared pool. */
   def qCoTrainingFeatureSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (train, test) = holdout(dataset(spark, dir))
     val df = new UnlabeledTransformer()
       .setPercentageLabeled(0.3).setSeed(11L)
-      .transform(dataset(spark, dir))
+      .transform(train)
     val ct = new CoTrainingClassifier(base())
       .setFeatureSplit(true).setThreshold(0.8).setMaxIter(3)
     val (model, s) = ct.fitWithSummary(df)
-    evalRow(spark, "CTFS-DT", "threshold", 0.3, 0.8, model, s, df)
+    evalRow(spark, "CTFS-DT", "threshold", 0.3, 0.8, model, s, test)
   }
 
   /** The reference's full supervised base-classifier roster (M12): DT, RF,
@@ -137,8 +152,9 @@ object SemiSupervised {
       .select(
         array_to_vector(transform(col("embedding"), x => abs(x))).as("features"),
         (col("label") % 2).cast("double").as("label"))
+    val (train, test) = holdout(data)
     val df = new UnlabeledTransformer()
-      .setPercentageLabeled(0.5).setSeed(11L).transform(data)
+      .setPercentageLabeled(0.5).setSeed(11L).transform(train)
       .cache()
     val counts = df.agg(
       sum(when(isnan(col("labelSelection")), 0L).otherwise(1L)),
@@ -146,7 +162,7 @@ object SemiSupervised {
     val (lab, unl) = (counts.getLong(0), counts.getLong(1))
     val rows = Seq("DT", "RF", "NB", "LR", "SVM").map { name =>
       val model = Experiments.fitSupervised(name, df)
-      val (acc, auc, pr, f1) = evaluate4(model, df)
+      val (acc, auc, pr, f1) = evaluate4(model, test)
       Evaluation.ExperimentResult(
         "embeddings", s"supervised-$name", "na", 0.5, 0.0, 1,
         lab, unl, lab, unl, 0.5, acc, auc, pr, f1)

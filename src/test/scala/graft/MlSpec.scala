@@ -150,6 +150,40 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(pr - prE) < 1e-12, s"pr $pr vs evaluator $prE")
   }
 
+  test("evaluate4 parity holds for LinearSVC (rawPrediction is a signed margin)") {
+    import org.apache.spark.ml.evaluation._
+    // non-probabilistic model: rawPrediction(1) is an unbounded signed
+    // margin, not a probability — pins the extraction evaluate4's AUC/PR
+    // ride on for the SVM roster entry
+    val df = masked(0.6)
+    val model = new SupervisedOnLabeled(
+      new org.apache.spark.ml.classification.LinearSVC().setMaxIter(20)).fit(df)
+    val (acc, auc, pr, f1) = graft.operators.SemiSupervised.evaluate4(model, df)
+    val predictions = model.transform(df).cache()
+    val accE = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(predictions)
+    val f1E = new MulticlassClassificationEvaluator()
+      .setMetricName("fMeasureByLabel").setMetricLabel(1.0).evaluate(predictions)
+    val aucE = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").evaluate(predictions)
+    val prE = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderPR").evaluate(predictions)
+    predictions.unpersist()
+    assert(math.abs(acc - accE) < 1e-12, s"accuracy $acc vs evaluator $accE")
+    assert(math.abs(f1 - f1E) < 1e-12, s"f1 $f1 vs evaluator $f1E")
+    assert(math.abs(auc - aucE) < 1e-12, s"auc $auc vs evaluator $aucE")
+    assert(math.abs(pr - prE) < 1e-12, s"pr $pr vs evaluator $prE")
+  }
+
+  test("evaluate4 fails loudly on an empty test frame") {
+    val df = masked(0.6)
+    val model = new SupervisedOnLabeled(base).fit(df)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.SemiSupervised.evaluate4(model, df.limit(0))
+    }
+    assert(ex.getMessage.contains("empty test frame"))
+  }
+
   test("degenerate tiny-label case self-labels everything in one pass (BASELINE sonar-shaped)") {
     val st = new SelfTrainingClassifier(base).setThreshold(0.7).setMaxIter(7)
     val (_, s) = st.fitWithSummary(masked(0.05))
