@@ -3,9 +3,10 @@ package graft.ml
 import org.apache.spark.ml.Estimator
 import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
 import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.graftbridge.MlPersistenceBridge
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.param.{LongParam, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -33,7 +34,7 @@ class CoTrainingClassifier[
     M <: ProbabilisticClassificationModel[Vector, M]](
     override val uid: String,
     val baseClassifier: ProbabilisticClassifier[Vector, E, M])
-  extends Estimator[M] with SelfLabelingParams {
+  extends Estimator[M] with SelfLabelingParams with MLWritable {
 
   def this(baseClassifier: ProbabilisticClassifier[Vector, E, M]) =
     this(Identifiable.randomUID("coTraining"), baseClassifier)
@@ -317,5 +318,40 @@ class CoTrainingClassifier[
   }
 
   override def transformSchema(schema: StructType): StructType = schema
-  override def copy(extra: ParamMap): Estimator[M] = defaultCopy(extra)
+  // NOT defaultCopy: that reflects for a (String) constructor, which a
+  // meta-estimator carrying a base classifier doesn't have
+  override def copy(extra: ParamMap): Estimator[M] =
+    copyValues(new CoTrainingClassifier[E, M](
+      uid, baseClassifier.copy(ParamMap.empty)), extra)
+
+  /** Same persistence layout as [[SelfTrainingClassifier.write]]. */
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      MlPersistenceBridge.saveMetadata(
+        CoTrainingClassifier.this, path, sparkSession)
+      baseClassifier.asInstanceOf[MLWritable].write
+        .save(s"$path/baseClassifier")
+    }
+  }
+}
+
+object CoTrainingClassifier extends MLReadable[CoTrainingClassifier[_, _]] {
+  // concrete stand-ins for the erased type arguments when loading (the
+  // actual runtime class comes from the saved metadata, not these)
+  private type E0 = org.apache.spark.ml.classification.DecisionTreeClassifier
+  private type M0 = org.apache.spark.ml.classification.DecisionTreeClassificationModel
+
+  override def read: MLReader[CoTrainingClassifier[_, _]] =
+    new MLReader[CoTrainingClassifier[_, _]] {
+      override def load(path: String): CoTrainingClassifier[_, _] = {
+        val cls = classOf[CoTrainingClassifier[_, _]].getName
+        val uid = MlPersistenceBridge.loadUid(path, sparkSession, cls)
+        val base = MlPersistenceBridge.loadParamsInstance[
+          ProbabilisticClassifier[Vector, E0, M0]](
+          s"$path/baseClassifier", sparkSession)
+        val ct = new CoTrainingClassifier[E0, M0](uid, base)
+        MlPersistenceBridge.loadAndSetParams(ct, path, sparkSession, cls)
+        ct
+      }
+    }
 }

@@ -2,9 +2,10 @@ package graft.ml
 
 import org.apache.spark.ml.Estimator
 import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
+import org.apache.spark.ml.graftbridge.MlPersistenceBridge
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.param.ParamMap
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -39,7 +40,7 @@ class SelfTrainingClassifier[
     M <: ProbabilisticClassificationModel[Vector, M]](
     override val uid: String,
     val baseClassifier: ProbabilisticClassifier[Vector, E, M])
-  extends Estimator[M] with SelfLabelingParams {
+  extends Estimator[M] with SelfLabelingParams with MLWritable {
 
   def this(baseClassifier: ProbabilisticClassifier[Vector, E, M]) =
     this(Identifiable.randomUID("selfTraining"), baseClassifier)
@@ -178,5 +179,44 @@ class SelfTrainingClassifier[
   }
 
   override def transformSchema(schema: StructType): StructType = schema
-  override def copy(extra: ParamMap): Estimator[M] = defaultCopy(extra)
+  // NOT defaultCopy: that reflects for a (String) constructor, which a
+  // meta-estimator carrying a base classifier doesn't have
+  override def copy(extra: ParamMap): Estimator[M] =
+    copyValues(new SelfTrainingClassifier[E, M](
+      uid, baseClassifier.copy(ParamMap.empty)), extra)
+
+  /** OneVsRest-style layout: own params at `path/metadata`, the (itself
+    * MLWritable) base classifier under `path/baseClassifier`. A fitted
+    * Pipeline containing this estimator can therefore be saved/loaded like
+    * the reference's `DefaultParamsWritable` transformer
+    * (ref: UnlabeledTransformer.scala:12). */
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      MlPersistenceBridge.saveMetadata(
+        SelfTrainingClassifier.this, path, sparkSession)
+      baseClassifier.asInstanceOf[MLWritable].write
+        .save(s"$path/baseClassifier")
+    }
+  }
+}
+
+object SelfTrainingClassifier extends MLReadable[SelfTrainingClassifier[_, _]] {
+  // concrete stand-ins for the erased type arguments when loading (the
+  // actual runtime class comes from the saved metadata, not these)
+  private type E0 = org.apache.spark.ml.classification.DecisionTreeClassifier
+  private type M0 = org.apache.spark.ml.classification.DecisionTreeClassificationModel
+
+  override def read: MLReader[SelfTrainingClassifier[_, _]] =
+    new MLReader[SelfTrainingClassifier[_, _]] {
+      override def load(path: String): SelfTrainingClassifier[_, _] = {
+        val cls = classOf[SelfTrainingClassifier[_, _]].getName
+        val uid = MlPersistenceBridge.loadUid(path, sparkSession, cls)
+        val base = MlPersistenceBridge.loadParamsInstance[
+          ProbabilisticClassifier[Vector, E0, M0]](
+          s"$path/baseClassifier", sparkSession)
+        val st = new SelfTrainingClassifier[E0, M0](uid, base)
+        MlPersistenceBridge.loadAndSetParams(st, path, sparkSession, cls)
+        st
+      }
+    }
 }

@@ -129,6 +129,80 @@ class MlSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("SelfTrainingClassifier save/load round-trips params and base classifier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_persist")
+      .resolve("st").toString
+    val st = new SelfTrainingClassifier(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier()
+        .setSeed(8L).setMaxDepth(3))
+      .setThreshold(0.85).setMaxIter(4).setCriterion("kBest").setKBest(0.25)
+    st.write.save(dir)
+    val loaded = SelfTrainingClassifier.load(dir)
+    assert(loaded.uid === st.uid)
+    assert(loaded.getOrDefault(loaded.threshold) === 0.85)
+    assert(loaded.getOrDefault(loaded.maxIter) === 4)
+    assert(loaded.getOrDefault(loaded.criterion) === "kBest")
+    assert(loaded.getOrDefault(loaded.kBest) === 0.25)
+    val lb = loaded.baseClassifier
+      .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassifier]
+    assert(lb.getSeed === 8L && lb.getMaxDepth === 3)
+    // the loaded estimator fits end-to-end and converges like the original
+    val (_, s) = loaded.fitWithSummary(masked(0.3))
+    assert(s.labeledFinal > s.labeledInitial)
+    graft.util.Fs.deleteRecursively(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("CoTrainingClassifier save/load round-trips params and base classifier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ct_persist")
+      .resolve("ct").toString
+    val ct = new CoTrainingClassifier(
+      new org.apache.spark.ml.classification.DecisionTreeClassifier().setSeed(8L))
+      .setThreshold(0.75).setMaxIter(2).setViewSeed(17L).setFeatureSplit(true)
+    ct.write.save(dir)
+    val loaded = CoTrainingClassifier.load(dir)
+    assert(loaded.uid === ct.uid)
+    assert(loaded.getOrDefault(loaded.threshold) === 0.75)
+    assert(loaded.getOrDefault(loaded.maxIter) === 2)
+    assert(loaded.getOrDefault(loaded.viewSeed) === 17L)
+    assert(loaded.getOrDefault(loaded.featureSplit) === true)
+    val (_, s) = loaded.fitWithSummary(masked(0.3))
+    assert(s.labeledFinal >= s.labeledInitial)
+    graft.util.Fs.deleteRecursively(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("ProbabilisticSelfTraining facade nests inside OneVsRest") {
+    import spark.implicits._
+    // 3-class separable blobs; OneVsRest drops the mask column by design →
+    // each binary fit degenerates to one supervised base fit
+    val data = (0 until 300).map { i =>
+      val c = i % 3
+      (org.apache.spark.ml.linalg.Vectors.dense(
+        c * 10.0 + (i % 7) * 0.1, c * -5.0 + (i % 5) * 0.1), c.toDouble)
+    }.toDF("features", "label")
+    val ovr = new org.apache.spark.ml.classification.OneVsRest()
+      .setClassifier(new ProbabilisticSelfTraining(base))
+    val model = ovr.fit(data)
+    val acc = model.transform(data)
+      .filter(col("prediction") === col("label")).count().toDouble / 300
+    assert(acc > 0.95, s"OneVsRest(facade) accuracy $acc")
+  }
+
+  test("ProbabilisticSelfTraining runs the self-training loop when the mask is present") {
+    val model = new ProbabilisticSelfTraining(base)
+      .setThreshold(0.8).setMaxIter(3)
+      .fit(masked(0.3))
+    val scored = model.transform(separable)
+    // full probabilistic surface: prediction + rawPrediction + probability
+    assert(Seq("prediction", "rawPrediction", "probability")
+      .forall(scored.columns.contains))
+    val acc = scored.filter(col("prediction") === col("label"))
+      .count().toDouble / 400
+    assert(acc > 0.9, s"facade self-training accuracy $acc")
+    assert(model.numClasses === 2)
+  }
+
   test("evaluate4 fused metrics equal the four separate evaluator passes") {
     import org.apache.spark.ml.evaluation._
     val df = masked(0.6)

@@ -53,6 +53,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(MinHashAggregator.estimatedJaccard(sketches("a"), sketches("c")) < 0.3)
   }
 
+  test("MinHashAggregator sketches equal minhashSignatures output (both families)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five"))
+      .toDF("doc_id", "text")
+    for (mode <- Seq(false, true)) {
+      TextFunctions.oracleMode = mode
+      try {
+        val viaOp = graft.operators.Dedup.minhashSignatures(docs, numHashes = 16)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        val sh = docs.select(col("doc_id"), explode(array_distinct(
+            graft.operators.Dedup.shingles(col("text")))).as("sh"))
+          .as[(Long, String)]
+        val viaUdaf = sh.groupByKey(_._1).mapValues(_._2)
+          .agg(new MinHashAggregator(16).toColumn).collect().toMap
+        for (id <- Seq(1L, 2L))
+          assert(viaOp(id).sameElements(viaUdaf(id)),
+            s"oracleMode=$mode doc $id: op=${viaOp(id).toSeq} udaf=${viaUdaf(id).toSeq}")
+      } finally TextFunctions.oracleMode = false
+    }
+  }
+
   test("saltedJoin equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of fact rows hit one hot key
