@@ -68,8 +68,9 @@ object SparkEntry {
     "q32_event_windows"     -> Relational.q32EventWindows _,
     "q33_json_extract"      -> Relational.q33JsonExtract _,
     "q34_stream_hourly"     -> graft.streaming.EventStreams.qStreamHourly _,
+    // in_exact flags make recall@k driver-visible in the dumped rows
     "q35_ann_ivf"           -> ((s: SparkSession, d: String) =>
-      Similarity.ivfTopK(s, d)),
+      Similarity.ivfTopKWithRecall(s, d)),
     "q36_fingerprint_rolling" -> TextAnalysis.qRollingFingerprint _,
     // ONE param set for both gates (bench times exactly what the oracle
     // checks): nBits=6 keeps the hyperplane CTE small, threshold=0.1 keeps

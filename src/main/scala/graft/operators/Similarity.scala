@@ -233,11 +233,25 @@ object Similarity {
     ivfProbe(spark, root, q, k, nProbe, excludeId = queryId)
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked,
-    * bucket fan-out capped (see [[graft.plans.Skew.capBuckets]]). */
-  def embeddingNearDupPairs(spark: SparkSession, dir: String,
-      dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95,
-      bucketCap: Int = 10000): DataFrame = {
+  /** [[ivfTopK]] with result quality made DRIVER-VISIBLE: each approximate
+    * hit carries `in_exact` = 1 iff it also appears in the exact brute-force
+    * top-k, so the dumped result pins recall@k (sum(in_exact)/k), not just
+    * row count. The flag join is k×k rows — free next to the probe. */
+  def ivfTopKWithRecall(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val ivf = ivfTopK(spark, dir, queryId, k, nCells, nProbe)
+    val exact = bruteForceTopK(spark, dir, queryId, k)
+      .select(col("vec_id"), lit(1L).as("in_exact"))
+    ivf.join(exact, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("sim"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"))
+  }
+
+  /** Raw cosine for every co-bucketed pair (vec_a < vec_b) — the candidate
+    * stage [[embeddingNearDupPairs]] filters; exposed separately so the
+    * oracle-margin guard in ScaleOpsSpec can probe the unrounded sims. */
+  private[graft] def embeddingCoBucketSims(spark: SparkSession, dir: String,
+      dim: Int = 64, nBits: Int = 10, bucketCap: Int = 10000): DataFrame = {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm2(col("e")))
@@ -252,8 +266,15 @@ object Similarity {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked,
+    * bucket fan-out capped (see [[graft.plans.Skew.capBuckets]]). */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+      dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95,
+      bucketCap: Int = 10000): DataFrame =
+    embeddingCoBucketSims(spark, dir, dim, nBits, bucketCap)
       .filter(col("sim") > threshold)
       // filter on the raw value, emit 4dp (oracle parity for libm-heavy math)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
-  }
 }

@@ -21,6 +21,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall (ivf=$ivf brute=$brute)")
   }
 
+  test("q35 emits driver-visible recall flags (recall@10 ≥ 0.5 vs brute force)") {
+    val rows = SparkEntry.queries("q35_ann_ivf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val recall = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    assert(recall >= 0.5, s"q35 recall@k $recall")
+  }
+
+  test("q31/q37 oracle decision boundaries keep a float-noise margin (flake guard)") {
+    // Two cross-engine edges rounding can't fix: sign(proj) near 0 decides
+    // bucket membership (DuckDB SUM order vs Spark fold order), and a raw
+    // sim exactly on a 4dp boundary can round differently. Cross-engine
+    // float disagreement is ~1e-15 absolute; this corpus keeps ≥1e-5
+    // margins (measured: min|proj| 6.2e-4 at nBits=8, 3.0e-3 at nBits=6;
+    // 4dp distance 7.0e-5 in 1e-4 units). If a regenerated corpus ever
+    // breaks the oracle gate, this test names the razor-thin edge.
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    def minAbsProj(nBits: Int): Double = {
+      val signs = Similarity.planeSigns(nBits, 64)
+      val ex = emb.select(col("vec_id"), posexplode(col("e")).as(Seq("j", "x")))
+      val projs = (0 until nBits).map(i =>
+        sum(col("x") * element_at(array(signs(i).map(lit): _*), col("j") + 1))
+          .as(s"p$i"))
+      ex.groupBy(col("vec_id")).agg(projs.head, projs.tail: _*)
+        .select(least((0 until nBits).map(i => abs(col(s"p$i"))): _*).as("m"))
+        .agg(min(col("m"))).head.getDouble(0)
+    }
+    assert(minAbsProj(8) > 1e-5, "q31 sign-LSH projection margin collapsed")
+    assert(minAbsProj(6) > 1e-5, "q37 sign-LSH projection margin collapsed")
+    val simMargins = Similarity.embeddingCoBucketSims(spark, dir, nBits = 6)
+      .agg(
+        min(abs(col("sim") * 10000 - round(col("sim") * 10000, 0))).as("m4dp"),
+        min(abs(col("sim") - 0.1)).as("mthr"))
+      .head
+    assert(simMargins.getDouble(0) > 1e-6, "q37 sim sits on a 4dp boundary")
+    assert(simMargins.getDouble(1) > 1e-5, "q37 sim sits on the 0.1 threshold")
+  }
+
   test("winnowed fingerprints: shared long substring ⇒ shared fingerprint") {
     import spark.implicits._
     val common = "the quick brown fox jumps over the lazy dog repeatedly"
