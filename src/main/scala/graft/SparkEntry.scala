@@ -99,6 +99,7 @@ object SparkEntry {
     "q53_stream_user_state"   -> graft.streaming.EventStreams.qStreamUserState _,
     "q54_salted_agg"          -> Relational.q54SaltedAgg _,
     "q55_stream_dedup"        -> graft.streaming.EventStreams.qStreamDedup _,
+    "q56_token_accounting"    -> TextAnalysis.qTokenAccounting _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -220,6 +221,15 @@ object SparkEntry {
       "SELECT doc_id, lang, CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(string_split(text, ' ')) > 0.05 THEN 'en' ELSE 'other' END AS lang_pred FROM documents",
     "q29_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha FROM documents",
+    // subword count = 1 + #class-transition boundaries (the Spark side's
+    // lookaround split has no RE2 twin; the two transition patterns can't
+    // self-overlap, so extract_all counts boundaries exactly)
+    "q56_token_accounting" ->
+      ("SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(text, '[a-z0-9][^a-z0-9]')) + " +
+       "len(regexp_extract_all(text, '[^a-z0-9 ][a-z0-9]')) + 1 AS BIGINT) AS n_subwords, " +
+       "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct " +
+       "FROM documents"),
     "q30_ann_cosine" ->
       ("WITH e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) u), " +
        "q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0), " +

@@ -34,6 +34,20 @@ object TextAnalysis {
         col("lang"),
         langIdEn(col("text")).as("lang_pred"))
 
+  /** Tokenizer cost accounting: BPE-ish subword count + punctuation count
+    * per document (what a training pipeline budgets sequence lengths with).
+    * Oracle note: the subword split regex uses lookarounds (no RE2
+    * equivalent), but its piece count equals 1 + #class-transition
+    * boundaries, which the DuckDB twin counts with two plain two-char
+    * patterns (within each pattern matches cannot overlap, so
+    * regexp_extract_all counts them exactly). */
+  def qTokenAccounting(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        subwordCount(col("text")).cast("long").as("n_subwords"),
+        punctCount(col("text")).cast("long").as("n_punct"))
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(
