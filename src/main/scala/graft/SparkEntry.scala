@@ -100,6 +100,7 @@ object SparkEntry {
     "q54_salted_agg"          -> Relational.q54SaltedAgg _,
     "q55_stream_dedup"        -> graft.streaming.EventStreams.qStreamDedup _,
     "q56_token_accounting"    -> TextAnalysis.qTokenAccounting _,
+    "q57_length_quantiles"    -> TextAnalysis.qLengthQuantiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -230,6 +231,14 @@ object SparkEntry {
        "len(regexp_extract_all(text, '[^a-z0-9 ][a-z0-9]')) + 1 AS BIGINT) AS n_subwords, " +
        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct " +
        "FROM documents"),
+    // Spark's exact `percentile` and DuckDB's quantile_cont share the
+    // linear-interpolation definition (index p·(n−1))
+    "q57_length_quantiles" ->
+      ("SELECT lang, count(*) AS cnt, " +
+       "round(quantile_cont(n_chars, 0.5), 2) AS p50, " +
+       "round(quantile_cont(n_chars, 0.9), 2) AS p90, " +
+       "round(quantile_cont(n_chars, 0.99), 2) AS p99 " +
+       "FROM documents GROUP BY lang"),
     "q30_ann_cosine" ->
       ("WITH e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) u), " +
        "q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0), " +

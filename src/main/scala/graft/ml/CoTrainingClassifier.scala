@@ -225,9 +225,10 @@ class CoTrainingClassifier[
     var pool = persist(unlabeled0
       .select(monotonically_increasing_id().as("__pid"),
         col(fCol), f1.as("__f1"), f2.as("__f2")))
-    pool.count() // materialize so __pid is stable across uses
 
     val labeledIni = labeledFull.count()
+    // one count does double duty: the initial tally AND the pool
+    // materialization that pins __pid across uses
     val unlabeledIni = pool.count()
     var labeledCount = labeledIni
     var poolCount = unlabeledIni

@@ -65,6 +65,22 @@ object TextAnalysis {
         (sum(col("n_chars").cast("decimal(18,0)")).cast("double") /
           count(lit(1))).as("avg_chars"))
 
+  /** Per-language document-length quantile profile (median/p90/p99) — the
+    * corpus shape summary a pipeline budgets batch/sequence lengths with.
+    * Uses EXACT `percentile` (linear interpolation, matching DuckDB's
+    * `quantile_cont`) so the oracle hash-matches; exact percentile buffers
+    * each group's values, so at 100 TB swap in `approx_percentile`
+    * (mergeable t-digest sketch, same plan shape, map-side partials) —
+    * the group-by-lang plan is identical either way. */
+  def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
+
   /** Corpus-scale winnowed fingerprints. Winnowing is row-local, so the
     * whole computation lives in one codegen'd Catalyst Expression
     * ([[graft.functions.WinnowedFingerprints]]): one linear pass per
