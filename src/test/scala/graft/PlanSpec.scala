@@ -110,6 +110,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q36 reintroduced a window sort:\n$p")
   }
 
+  test("LSH candidate self-joins read the materialized bucket table only (q24, q37)") {
+    // capBuckets is the single materialization boundary: the final candidate
+    // plan must join two scans of the checkpointed bucket frame — if the
+    // shingle/projection pipeline (Generate) or the source parquet scan
+    // reappears here, the upstream is being recomputed per join side again
+    for (q <- Seq("q24_dedup_minhash", "q37_embedding_neardup")) {
+      val p = formatted(q)
+      assert(!p.contains("Generate"), s"$q re-runs its explode pipeline:\n$p")
+      assert(!p.contains("Scan parquet"), s"$q re-scans source parquet:\n$p")
+    }
+  }
+
   test("scan-side queries stay inside whole-stage codegen (q20 haversine)") {
     val p = formatted("q20_haversine")
     // FormattedMode marks codegen'd operators with "[codegen id : N]"
