@@ -101,6 +101,7 @@ object SparkEntry {
     "q55_stream_dedup"        -> graft.streaming.EventStreams.qStreamDedup _,
     "q56_token_accounting"    -> TextAnalysis.qTokenAccounting _,
     "q57_length_quantiles"    -> TextAnalysis.qLengthQuantiles _,
+    "q58_pivot_event_matrix"  -> Relational.q58PivotEventMatrix _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -239,6 +240,14 @@ object SparkEntry {
        "round(quantile_cont(n_chars, 0.9), 2) AS p90, " +
        "round(quantile_cont(n_chars, 0.99), 2) AS p99 " +
        "FROM documents GROUP BY lang"),
+    "q58_pivot_event_matrix" ->
+      ("SELECT CAST(hour(ts) AS BIGINT) AS hr, " +
+       "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+       "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+       "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+       "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+       "count(*) FILTER (WHERE event_type = 'view') AS view " +
+       "FROM events GROUP BY hr"),
     "q30_ann_cosine" ->
       ("WITH e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) u), " +
        "q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0), " +

@@ -365,4 +365,19 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Hour-of-day × event-type count matrix via `groupBy().pivot()` with an
+    * EXPLICIT value list — one shuffle with map-side partials (an inferred
+    * list would cost an extra distinct pass over the fact table, the thing
+    * to avoid at 100 TB). Empty cells coalesced to 0 so the matrix is
+    * total (Spark pivot-count yields null there; the oracle's FILTER
+    * counts yield 0). */
+  def q58PivotEventMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .pivot("event_type", types)
+      .count()
+      .select(col("hr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
 }
