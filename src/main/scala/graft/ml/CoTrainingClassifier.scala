@@ -78,7 +78,10 @@ class CoTrainingClassifier[
 
   private def fitRowSplit(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
     val fCol = $(featuresCol); val lCol = $(labelCol)
-    val df = dataset.toDF
+    // one materialization of the narrow input — the initial-count aggregate
+    // and all four view caches fork from here (see SelfTrainingClassifier)
+    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
 
     val ini = df.agg(
@@ -190,6 +193,7 @@ class CoTrainingClassifier[
     both.unpersist()
     Seq(labeled1, labeled2, unlabeled1, unlabeled2).foreach(_.unpersist())
     deferredUnpersist.foreach(_.unpersist())
+    df.unpersist()
 
     (finalModel, SemiSupervisedSummary(labeledIni, unlabeledIni,
       lCount1 + lCount2, uCount1 + uCount2, iter))
@@ -205,7 +209,10 @@ class CoTrainingClassifier[
   private def fitFeatureSplit(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val fCol = $(featuresCol); val lCol = $(labelCol)
-    val df = dataset.toDF
+    // one materialization of the narrow input — the dim probe, three labeled
+    // slices and the pool all fork from here (see SelfTrainingClassifier)
+    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
 
     val dim = labeled0.select(col(fCol)).head
@@ -314,6 +321,7 @@ class CoTrainingClassifier[
     val finalModel = baseClassifier.fit(labeledFull)
     Seq(labeledFull, labeled1, labeled2, pool).foreach(_.unpersist())
     deferredUnpersist.foreach(_.unpersist())
+    df.unpersist()
     (finalModel, SemiSupervisedSummary(labeledIni, unlabeledIni,
       labeledCount, poolCount, iter))
   }

@@ -68,7 +68,13 @@ class SelfTrainingClassifier[
 
   def fitWithSummary(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
     val fCol = $(featuresCol); val lCol = $(labelCol)
-    val df = dataset.toDF
+    // Materialize the narrow input ONCE: the initial-count aggregate, the
+    // labeled fit and the unlabeled scoring all fork from here, and without
+    // this persist each would recompute the full upstream lineage (for the
+    // driver queries that lineage contains two randomSplit per-partition
+    // sorts over the corpus — three redundant sorted scans per fit).
+    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
 
     var labeled = labeled0.select(col(fCol), col(lCol))
@@ -173,6 +179,7 @@ class SelfTrainingClassifier[
     labeled.unpersist()
     unlabeled.unpersist()
     deferredUnpersist.foreach(_.unpersist())
+    df.unpersist()
 
     (model, SemiSupervisedSummary(labeledIni, unlabeledIni,
       labeledCount, unlabeledCount, iter))

@@ -152,7 +152,10 @@ object SemiSupervised {
       .select(
         array_to_vector(transform(col("embedding"), x => abs(x))).as("features"),
         (col("label") % 2).cast("double").as("label"))
-    val (train, test) = holdout(data)
+    val (train, test0) = holdout(data)
+    // five models each score the test frame — materialize its randomSplit
+    // lineage once instead of five sorted rescans of the corpus
+    val test = test0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = new UnlabeledTransformer()
       .setPercentageLabeled(0.5).setSeed(11L).transform(train)
       .cache()
@@ -168,6 +171,7 @@ object SemiSupervised {
         lab, unl, lab, unl, 0.5, acc, auc, pr, f1)
     }
     df.unpersist()
+    test.unpersist()
     Evaluation.resultsDF(spark, rows)
   }
 
