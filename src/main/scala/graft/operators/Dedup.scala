@@ -223,15 +223,20 @@ object Dedup {
     * (bounded fan-out), exact verification touches only candidates. */
   def nearDupPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.8): DataFrame = {
-    // one row per doc_id: duplicated ids would double-count intersections
-    // in the Jaccard join (and fan out the counts join)
+    // One row per doc_id: duplicated ids would double-count intersections
+    // in the Jaccard join (and fan out the counts join).
+    //
+    // Materialize the DOCS (post-dedup-shuffle), NOT the exploded shingle
+    // table: the four downstream consumers (signature scan, both sides of
+    // the intersection join, the per-doc counts) re-derive shingles from
+    // this cache with a narrow, codegen'd explode — CPU only, no exchange —
+    // while materializing the exploded table costs an eager serialization
+    // of a ~10x-wider frame (measured 2-4x slower end-to-end at sf0.1).
+    // The cached frame is the corpus slice itself, the smallest thing every
+    // stage provably needs.
     val docs = docsWithDups(spark, dir).dropDuplicates("doc_id")
-    // ONE corpus scan + shingle build feeds BOTH stages: signatures stream
-    // off this materialized table and verification joins read it again —
-    // previously the pipeline re-scanned and re-shingled the documents for
-    // each stage. (Candidates are identical either way: duplicate doc_id
-    // rows can't change a per-doc groupBy-min signature.)
-    val sh = shingleTable(docs).localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleTable(docs)
     val pairs = minhashCandidatePairsFromShingles(sh)
     ngramJaccardFromShingles(sh, pairs)
       .filter(col("jaccard") >= minJaccard)
