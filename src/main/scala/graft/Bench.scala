@@ -49,7 +49,16 @@ object Bench {
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between timed queries, drop per-query scratch blocks (persisted /
+      // localCheckpoint'd frames whose queries have fully materialized).
+      // Without this they linger until a GC cycle notices the dropped
+      // references, and one query's retained blocks show up as eviction and
+      // GC pressure in a LATER query's timing. Durable cross-query state
+      // (bucketed warehouse tables, the IVF disk index) is file-backed and
+      // unaffected.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,6 +26,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // drop per-query scratch blocks (see Bench) — 58 queries' retained
+        // persists otherwise accumulate across the whole dump
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
