@@ -102,6 +102,9 @@ object SparkEntry {
     "q56_token_accounting"    -> TextAnalysis.qTokenAccounting _,
     "q57_length_quantiles"    -> TextAnalysis.qLengthQuantiles _,
     "q58_pivot_event_matrix"  -> Relational.q58PivotEventMatrix _,
+    "q59_asof_join"           -> graft.operators.AsOf.q59AsofRates _,
+    "q60_approx_profile"      -> graft.operators.Sketches.q60ApproxProfile _,
+    "q61_stream_enriched"     -> graft.streaming.EventStreams.qStreamEnriched _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -291,6 +294,22 @@ object SparkEntry {
       "SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, count(*) AS cnt FROM events GROUP BY event_type",
     "q55_stream_dedup" ->
       "SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids FROM events",
+    // portable as-of twin (validity-interval join): rate row r is "current"
+    // for e.ts ∈ [r.rts, next rts) — identical to ASOF JOIN ON ts >= rts
+    "q59_asof_join" ->
+      ("WITH r0 AS (SELECT event_type, date_trunc('hour', ts) AS rts, count(*) AS rate FROM events GROUP BY 1, 2), " +
+       "r AS (SELECT event_type, rts, rate, lead(rts) OVER (PARTITION BY event_type ORDER BY rts) AS nxt FROM r0) " +
+       "SELECT e.event_type, count(*) AS n, CAST(SUM(r.rate) AS BIGINT) AS sum_rate " +
+       "FROM events e JOIN r ON e.event_type = r.event_type AND e.ts >= r.rts AND (e.ts < r.nxt OR r.nxt IS NULL) " +
+       "GROUP BY e.event_type"),
+    // the sketches themselves are engine-specific; the oracle checks the
+    // exact statistics and that Spark's sketches landed within tolerance
+    "q60_approx_profile" ->
+      ("SELECT count(DISTINCT user_id) AS exact_users, true AS hll_ok, " +
+       "round(quantile_cont(value, 0.5), 2) AS p50, true AS pctl_ok FROM events"),
+    "q61_stream_enriched" ->
+      ("SELECT CAST(user_id % 7 AS INT) AS cohort, count(*) AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY cohort"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

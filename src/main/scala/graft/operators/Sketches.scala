@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate sketches for corpus profiling — the operators that replace
+  * exact passes when 100 TB makes exactness a luxury: HyperLogLog++ distinct
+  * counts (`approx_count_distinct`, mergeable map-side partials, O(kB) per
+  * group) and quantile sketches (`approx_percentile`, Greenwald-Khanna
+  * variant, bounded rank error). The reference profiles its datasets with
+  * exact count/distinct/ratio passes (SURVEY §2.4); these are the
+  * scale-path twins.
+  */
+object Sketches {
+
+  /** Driver query (q60): one aggregation computing BOTH the exact and the
+    * sketched statistic, emitting the exact value plus a boolean "sketch
+    * within tolerance" per pair. The booleans make approximation quality a
+    * DETERMINISTIC, oracle-checkable contract (the DuckDB twin emits the
+    * exact values and literal trues) — the sketches themselves are
+    * engine-specific and could never hash-match an oracle directly.
+    *
+    * Tolerances are loose multiples of the configured sketch error (HLL
+    * rsd=0.01 vs 5% tolerance; percentile rank error n/10000 vs 5%-of-value
+    * + 0.01 absolute), so the gate pins "sketch machinery works", not a
+    * lucky hash seed. */
+  def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("hll_users"),
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"))
+      .select(
+        col("exact_users"),
+        (abs(col("hll_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("hll_ok"),
+        round(col("exact_p50"), 2).as("p50"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          greatest(abs(col("exact_p50")) * 0.05, lit(0.01))).as("pctl_ok"))
+}

@@ -146,6 +146,35 @@ object EventStreams {
     out
   }
 
+  /** Driver query (q61): stream-static enrichment join — the standing-query
+    * shape of a feature pipeline (events stream ⋈ slowly-changing profile
+    * dim). The static side is broadcast, so each micro-batch joins map-side
+    * with NO stream-side shuffle before the aggregation; the dim is re-read
+    * per batch by contract (static-side updates between batches are
+    * visible), which at scale argues for a compact, file-backed dim. The
+    * drained COMPLETE-mode aggregate equals the batch join+group — the SQL
+    * oracle (cohort below ≡ user_id % 7 since the dim covers every user). */
+  def qStreamEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_e")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val dim = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(7L)).cast("int"))
+    val joined = readEvents(spark, tmp.toString)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("cohort"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val out = runToMemory(spark, joined,
+      s"q61_stream_${System.nanoTime()}", OutputMode.Complete())
+    java.nio.file.Files.deleteIfExists(tmp.resolve("events.parquet"))
+    java.nio.file.Files.deleteIfExists(tmp)
+    out
+  }
+
   /** Run a streaming frame to completion against a static directory via the
     * memory sink; returns the materialized result table. Local smoke path —
     * production would use a real sink + checkpointLocation. */
