@@ -105,6 +105,8 @@ object SparkEntry {
     "q59_asof_join"           -> graft.operators.AsOf.q59AsofRates _,
     "q60_approx_profile"      -> graft.operators.Sketches.q60ApproxProfile _,
     "q61_stream_enriched"     -> graft.streaming.EventStreams.qStreamEnriched _,
+    "q62_interval_join"       -> Relational.q62IntervalJoin _,
+    "q63_trailing_window"     -> Relational.q63TrailingWindow _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -310,6 +312,17 @@ object SparkEntry {
     "q61_stream_enriched" ->
       ("SELECT CAST(user_id % 7 AS INT) AS cohort, count(*) AS n, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY cohort"),
+    // the oracle states the band join directly; the engine's bin bucketing
+    // must produce the identical pair set
+    "q62_interval_join" ->
+      ("WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_tu FROM events WHERE event_type = 'purchase'), " +
+       "e AS (SELECT event_id AS e_id, epoch_us(ts) AS e_tu FROM events WHERE event_type = 'error') " +
+       "SELECT count(*) AS n_pairs, count(DISTINCT p_id) AS n_purchases_with_error " +
+       "FROM p JOIN e ON abs(p_tu - e_tu) <= 60000000"),
+    "q63_trailing_window" ->
+      ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER " +
+       "(PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_1h " +
+       "FROM events"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

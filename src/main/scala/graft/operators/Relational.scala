@@ -366,6 +366,53 @@ object Relational {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Pure time-range join via bin bucketing (q62): purchases paired with
+    * error events within ±60 s, ACROSS users — no equi key, so Spark's
+    * planner would fall back to a broadcast nested loop (O(|p|·|e|)
+    * comparisons, driver-broadcast side). Bucketing event time into
+    * interval-width bins and exploding one side into its three candidate
+    * bins turns it into a plain equi-join on the bin plus a residual band
+    * filter: shuffle-partitioned, fan-out exactly 3, the shape that
+    * survives 100 TB. Each error lives in ONE bin and every matching
+    * purchase covers that bin, so no pair duplicates and no distinct is
+    * needed. */
+  def q62IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 60L * 1000000L // 60 s in microseconds = the band width
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("tu").as("p_tu"),
+        explode(array(
+          expr(s"tu DIV $binUs") - 1,
+          expr(s"tu DIV $binUs"),
+          expr(s"tu DIV $binUs") + 1)).as("bin"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("tu").as("e_tu"),
+        expr(s"tu DIV $binUs").as("bin"))
+    purchases.join(errors, Seq("bin"))
+      .filter(abs(col("p_tu") - col("e_tu")) <= binUs)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases_with_error"))
+  }
+
+  /** Trailing event-time range window (q63): per event, the 1-hour trailing
+    * value sum for its user — a RANGE frame over microsecond event time
+    * (q45's frames are ROWS-based; range frames are the feature-engineering
+    * workhorse for "activity in the last hour" signals). DECIMAL sum keeps
+    * the windowed aggregate order-independent (oracle-exact). */
+  def q63TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        col("value"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("trail_1h"))
+  }
+
   /** Hour-of-day × event-type count matrix via `groupBy().pivot()` with an
     * EXPLICIT value list — one shuffle with map-side partials (an inferred
     * list would cost an extra distinct pass over the fact table, the thing

@@ -81,4 +81,25 @@ class RelationalSpec extends AnyFunSuite {
   test("driver entry() flagship returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q62 bin-bucketed interval join equals the direct band join, no nested loop") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("tu").as("p_tu"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("tu").as("e_tu"))
+    // reference: the O(n·m) band join the bin bucketing replaces
+    val direct = p.join(e, abs(col("p_tu") - col("e_tu")) <= 60L * 1000000L)
+      .agg(count(lit(1)), countDistinct(col("p_id")))
+      .head()
+    val binned = operators.Relational.q62IntervalJoin(spark, sf).head()
+    assert((binned.getLong(0), binned.getLong(1)) ===
+      (direct.getLong(0), direct.getLong(1)))
+    val plan = operators.Relational.q62IntervalJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bin bucketing must avoid the nested-loop fallback:\n$plan")
+  }
 }
