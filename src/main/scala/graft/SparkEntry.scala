@@ -107,6 +107,7 @@ object SparkEntry {
     "q61_stream_enriched"     -> graft.streaming.EventStreams.qStreamEnriched _,
     "q62_interval_join"       -> Relational.q62IntervalJoin _,
     "q63_trailing_window"     -> Relational.q63TrailingWindow _,
+    "q64_stream_stream_join"  -> graft.streaming.EventStreams.qStreamStreamJoin _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -323,6 +324,13 @@ object SparkEntry {
       ("SELECT user_id, event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER " +
        "(PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_1h " +
        "FROM events"),
+    // drained stream-stream join == the batch attribution join (µs compare:
+    // both engines truncate the parquet ns timestamps to µs here)
+    "q64_stream_stream_join" ->
+      ("WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_tu FROM events WHERE event_type = 'click'), " +
+       "p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_tu FROM events WHERE event_type = 'purchase') " +
+       "SELECT count(*) AS n_pairs, count(DISTINCT p_id) AS n_attributed " +
+       "FROM p JOIN c ON p.user_id = c.user_id AND c.c_tu <= p.p_tu AND c.c_tu >= p.p_tu - 600000000"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

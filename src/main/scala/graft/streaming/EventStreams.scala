@@ -175,6 +175,47 @@ object EventStreams {
     out
   }
 
+  /** Driver query (q64): stream-STREAM join — click→purchase attribution
+    * (purchases joined to a prior click by the same user within 10 minutes).
+    * Both sides are independent file streams with watermarks, and the join
+    * carries BOTH an equi key (user_id — the shuffle partitioning) and a
+    * two-sided event-time band (the state bound: each side's join state is
+    * evicted once the other side's watermark passes the band, so executor
+    * state stays finite on unbounded feeds — the Structured Streaming
+    * symmetric-hash-join contract). The drained append-mode pair stream is
+    * aggregated batch-side; equality with the batch join SQL is the oracle. */
+  def qStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmpC = java.nio.file.Files.createTempDirectory("graft_stream_jc")
+    val tmpP = java.nio.file.Files.createTempDirectory("graft_stream_jp")
+    for (t <- Seq(tmpC, tmpP))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        t.resolve("events.parquet"))
+    val clicks = readEvents(spark, tmpC.toString)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = readEvents(spark, tmpP.toString)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+    val emitted = runToMemory(spark,
+      joined.select(col("p_id"), col("c_id")),
+      s"q64_stream_${System.nanoTime()}")
+    val out = emitted.agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("p_id")).as("n_attributed"))
+    for (t <- Seq(tmpC, tmpP)) {
+      java.nio.file.Files.deleteIfExists(t.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(t)
+    }
+    out
+  }
+
   /** Run a streaming frame to completion against a static directory via the
     * memory sink; returns the materialized result table. Local smoke path —
     * production would use a real sink + checkpointLocation. */
