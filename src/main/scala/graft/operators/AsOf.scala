@@ -56,19 +56,81 @@ object AsOf {
       .drop("__src")
   }
 
+  /** [[asofJoin]] for LOW-CARDINALITY keys: the plain form sorts each key's
+    * whole timeline in one task, so few keys (q59's five event types) means
+    * few tasks no matter how many executors exist. This variant
+    * sub-partitions time into `chunkUs`-wide chunks and restores
+    * parallelism with a two-level prefix scan:
+    *
+    *  1. the running window runs per (key, chunk) — parallel in #keys ×
+    *     #chunks tasks;
+    *  2. each (key, chunk)'s LAST right payload (one tiny row per pair) is
+    *     as-of-joined — recursively, via [[asofJoin]] on the chunk index,
+    *     shifted one chunk so only strictly-earlier chunks carry in — onto
+    *     the chunks each left row lives in;
+    *  3. rows whose within-chunk scan found nothing take the carried-in
+    *     boundary payload.
+    *
+    * Same contract as [[asofJoin]]; chunk width trades task granularity
+    * against boundary-table size (keys × chunks rows). */
+  def asofJoinChunked(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String], chunkUs: Long): DataFrame = {
+    require(chunkUs > 0, "chunk width must be positive")
+    // chunk id over epoch MICROS for timestamps, raw value otherwise (the
+    // double quotient is exact enough: epoch-µs longs are < 2^53 and the
+    // quotient sits several ulps from any wrong integer, so floor can't
+    // misassign a boundary)
+    val tsNum: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      left.schema(tsCol).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros _
+        case _ => _.cast("long")
+      }
+    val chunk = (c: org.apache.spark.sql.Column) =>
+      floor(tsNum(c).cast("double") / lit(chunkUs.toDouble)).cast("long")
+    val lc = left.withColumn("__chunk", chunk(col(tsCol)))
+    val rc = right.withColumn("__chunk", chunk(col(tsCol)))
+    // (1) within-chunk running attach, parallel over (key, chunk)
+    val within = asofJoin(lc, rc, keys :+ "__chunk", tsCol, payloadCols)
+      .withColumnRenamed("__chunk", "__lchunk")
+    val withinRenamed = payloadCols.foldLeft(within)(
+      (d, c) => d.withColumnRenamed(c, s"__in_$c"))
+    // (2) per-(key, chunk) boundary payloads: the chunk's latest right row
+    val bounds = rc.groupBy((keys.map(col) :+ col("__chunk")): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), col(tsCol)).as("__p"))
+      // valid from the NEXT chunk on — carry-in must be strictly earlier
+      .select(keys.map(col) ++ Seq((col("__chunk") + 1).as("__chunk")) ++
+        payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+    val leftChunks = lc.select(keys.map(col) :+ col("__chunk"): _*).distinct()
+    val carry = asofJoin(leftChunks, bounds, keys, "__chunk", payloadCols)
+      .withColumnRenamed("__chunk", "__lchunk")
+    val carryRenamed = payloadCols.foldLeft(carry)(
+      (d, c) => d.withColumnRenamed(c, s"__carry_$c"))
+    // (3) stitch: within-chunk hit wins, else the carried boundary payload
+    withinRenamed.join(carryRenamed, keys :+ "__lchunk")
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++
+        left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol).map(col) ++
+        payloadCols.map(c =>
+          coalesce(col(s"__in_$c"), col(s"__carry_$c")).as(c)): _*)
+  }
+
   /** Driver query (q59): every event joined as-of to the per-type hourly
     * "rate checkpoint" feed derived from the same table (rate = that hour's
     * event count for the type — deterministic integers, so the aggregate is
     * oracle-exact). Emits one row per event_type with the count of matched
     * events and the sum of attached rates; every event matches its own
-    * hour's checkpoint, so the inner/left distinction can't bite. */
+    * hour's checkpoint, so the inner/left distinction can't bite.
+    *
+    * Uses the CHUNKED form: event_type has five values, exactly the
+    * low-cardinality regime where the plain window would collapse to five
+    * tasks at scale; day-wide chunks keep #keys × #days tasks in flight. */
   def q59AsofRates(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("ts"))
     val rates = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("rts"))
       .agg(count(lit(1)).as("rate"))
       .select(col("event_type"), col("rts").as("ts"), col("rate"))
-    asofJoin(ev, rates, Seq("event_type"), "ts", Seq("rate"))
+    asofJoinChunked(ev, rates, Seq("event_type"), "ts", Seq("rate"),
+        chunkUs = 24L * 3600L * 1000000L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("rate")).as("sum_rate"))
   }

@@ -61,6 +61,41 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected a running window:\n$plan")
   }
 
+  test("chunked as-of equals the plain form on the fixture (all chunk widths)") {
+    val (left, right) = fixture()
+    val l = left.withColumn("t", unix_micros(col("t")))
+    val r = right.withColumn("t", unix_micros(col("t")))
+    val plain = AsOf.asofJoin(l, r, Seq("k"), "t", Seq("payload"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    // widths spanning sub-gap to everything-in-one-chunk exercise carry-in,
+    // within-chunk hits, and empty boundary chunks
+    for (w <- Seq(60L * 1000000L, 3600L * 1000000L, 365L * 86400L * 1000000L)) {
+      val chunked = AsOf.asofJoinChunked(l, r, Seq("k"), "t", Seq("payload"), w)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+      assert(chunked === plain, s"chunk width $w diverged")
+    }
+  }
+
+  test("chunked as-of equals the plain form on sf0.001 events") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+    val rates = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("rts"))
+      .agg(count(lit(1)).as("rate"))
+      .select(col("event_type"), col("rts").as("ts"), col("rate"))
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("event_id"), col("rate"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val plain = key(AsOf.asofJoin(ev, rates, Seq("event_type"), "ts", Seq("rate")))
+    val chunked = key(AsOf.asofJoinChunked(
+      ev, rates, Seq("event_type"), "ts", Seq("rate"), 6L * 3600L * 1000000L))
+    assert(chunked === plain)
+  }
+
   test("q59 aggregate matches a literal per-event lookup at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val evId = graft.sources.Tables.events(spark, dir)
