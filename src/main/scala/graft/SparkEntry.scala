@@ -108,6 +108,9 @@ object SparkEntry {
     "q62_interval_join"       -> Relational.q62IntervalJoin _,
     "q63_trailing_window"     -> Relational.q63TrailingWindow _,
     "q64_stream_stream_join"  -> graft.streaming.EventStreams.qStreamStreamJoin _,
+    "q65_hash_sample"         -> graft.operators.Sketches.q65HashSample _,
+    "q66_incremental_dedup"   -> ((s: SparkSession, d: String) =>
+      Dedup.q66IncrementalDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -331,6 +334,15 @@ object SparkEntry {
        "p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_tu FROM events WHERE event_type = 'purchase') " +
        "SELECT count(*) AS n_pairs, count(DISTINCT p_id) AS n_attributed " +
        "FROM p JOIN c ON p.user_id = c.user_id AND c.c_tu <= p.p_tu AND c.c_tu >= p.p_tu - 600000000"),
+    // content-hash sample through the portable hex60 family (oracle mode)
+    "q65_hash_sample" ->
+      (s"SELECT event_type, count(*) AS n_sampled FROM events " +
+       s"WHERE ${hex60Sql("CAST(event_id AS VARCHAR)")} % 10 = 0 GROUP BY event_type"),
+    "q66_incremental_dedup" ->
+      ("WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0), " +
+       "inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1) " +
+       "SELECT (SELECT count(*) FROM inc) AS n_incoming, " +
+       "count(*) AS n_new FROM inc WHERE h NOT IN (SELECT h FROM seen)"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

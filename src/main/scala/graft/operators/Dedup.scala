@@ -45,6 +45,26 @@ object Dedup {
       .groupBy(tokenSetKey(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
 
+  /** Incremental (cross-batch) exact dedup (q66): an incoming batch
+    * anti-joined on content digest against the already-ingested corpus's
+    * hash set — the daily-ingest shape, where re-deduplicating the full
+    * historical corpus per batch is the thing to avoid at 100 TB. The
+    * exchange carries 16-byte digests, never documents; the seen side
+    * projects to the digest column only (column pruning reaches the scan),
+    * and in production the seen-hash table is the pipeline's persisted
+    * state, not a rescan. Batches here are a deterministic doc_id parity
+    * split so the oracle can restate them. */
+  def q66IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val seenHashes = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val fresh = incoming.join(seenHashes, Seq("h"), "left_anti")
+    incoming.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(fresh.agg(count(lit(1)).as("n_new")))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Word w-shingles of a document as an array column. */

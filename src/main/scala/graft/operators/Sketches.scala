@@ -26,6 +26,21 @@ object Sketches {
     * rsd=0.01 vs 5% tolerance; percentile rank error n/10000 vs 5%-of-value
     * + 0.01 absolute), so the gate pins "sketch machinery works", not a
     * lucky hash seed. */
+  /** Driver query (q65): content-hash sampling — `hash(key) % k == 0`
+    * instead of RNG sampling. The sample is a pure function of the data:
+    * reproducible across runs, engines, repartitioning, and executor
+    * failure/retry (an RNG sample is none of these without carefully pinned
+    * seeds AND partitioning), and consistent across tables sharing the key
+    * — the contract a training-data holdout needs so no eval row ever
+    * leaks into training. Hashes through the pluggable sketch60 family
+    * (portable hex60 under the oracle gate, xxhash64 in production). */
+  def q65HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(graft.functions.TextFunctions.sketch60(
+        col("event_id").cast("string")) % 10 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"))
+
   def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(

@@ -277,7 +277,9 @@ class ScaleOpsSpec extends AnyFunSuite {
         "q24" -> SparkEntry.queries("q24_dedup_minhash")(spark, dir).count(),
         "q25" -> SparkEntry.queries("q25_dedup_simhash")(spark, dir).count(),
         "q37" -> SparkEntry.queries("q37_embedding_neardup")(spark, dir).count(),
-        "q49" -> SparkEntry.queries("q49_neardup_pipeline")(spark, dir).count())
+        "q49" -> SparkEntry.queries("q49_neardup_pipeline")(spark, dir).count(),
+        "q65" -> SparkEntry.queries("q65_hash_sample")(spark, dir)
+          .agg(org.apache.spark.sql.functions.sum("n_sampled")).head.getLong(0))
       finally TextFunctions.oracleMode = false
     }
     val prod = counts(mode = false)
@@ -295,6 +297,11 @@ class ScaleOpsSpec extends AnyFunSuite {
       "sign-LSH pairs must be family-independent (md5 hyperplanes)")
     assert(prod("q49") === oracle("q49"),
       s"verified near-dup survivors diverged: $prod vs $oracle")
+    // hash-sampling keeps ~10% of 10k events under EITHER family; a broken
+    // production branch (wrong mask/sign) would skew the rate wildly
+    for ((fam, n) <- Seq("prod" -> prod("q65"), "oracle" -> oracle("q65")))
+      assert(n > 600 && n < 1400,
+        s"q65 $fam-family sample rate implausible: $n of 10000")
   }
 
   test("ngramJaccard: identical docs score 1.0, near-dup pipeline finds them") {
