@@ -112,8 +112,12 @@ class CoTrainingClassifier[
     var uCount1 = viewCounts.getOrElse(2, 0L)
     var uCount2 = viewCounts.getOrElse(3, 0L)
 
-    var model1 = baseClassifier.fit(labeled1)
-    var model2 = baseClassifier.fit(labeled2)
+    // the two view fits are independent — run them as concurrent jobs (the
+    // second on a param-copy so no estimator instance is shared across
+    // threads); deterministic per view regardless of scheduling
+    var (model1, model2) = Par.both(
+      baseClassifier.fit(labeled1),
+      baseClassifier.copy(ParamMap.empty).fit(labeled2))
     var iter = 1
 
     // custom codegen'd expression instead of the reference's UDF barrier
@@ -145,7 +149,8 @@ class CoTrainingClassifier[
       } else {
         val withId = preds.withColumn("__id", monotonically_increasing_id())
           .persist(StorageLevel.MEMORY_AND_DISK)
-        deferredUnpersist += withId
+        // the two views' accepts run concurrently — guard the shared buffer
+        deferredUnpersist.synchronized { deferredUnpersist += withId }
         val nU = withId.count() // pins __id; also the pass's pool size
         val kNow = math.min(numberOfKBest.toLong, nU)
         // exact top-k via distributed order-statistic cutoff — see
@@ -160,8 +165,8 @@ class CoTrainingClassifier[
       val preds1 = persist(model1.transform(unlabeled1).withColumn("probMax", probMax))
       val preds2 = persist(model2.transform(unlabeled2).withColumn("probMax", probMax))
 
-      val (new1, rest1, n1) = accept(preds1)
-      val (new2, rest2, n2) = accept(preds2)
+      val ((new1, rest1, n1), (new2, rest2, n2)) =
+        Par.both(accept(preds1), accept(preds2))
 
       if (n1 == 0 && n2 == 0) {
         preds1.unpersist(); preds2.unpersist()
@@ -178,8 +183,10 @@ class CoTrainingClassifier[
         lCount1 += n2; lCount2 += n1
         uCount1 -= n1; uCount2 -= n2
         if (uCount1 > 0 && uCount2 > 0) {
-          model1 = baseClassifier.fit(labeled1)
-          model2 = baseClassifier.fit(labeled2)
+          val (m1, m2) = Par.both(
+            baseClassifier.fit(labeled1),
+            baseClassifier.copy(ParamMap.empty).fit(labeled2))
+          model1 = m1; model2 = m2
           iter += 1
         }
         prev.foreach(_.unpersist())
@@ -240,8 +247,10 @@ class CoTrainingClassifier[
     var labeledCount = labeledIni
     var poolCount = unlabeledIni
 
-    var model1 = baseClassifier.fit(labeled1)
-    var model2 = baseClassifier.fit(labeled2)
+    // independent view fits → concurrent jobs (see fitRowSplit)
+    var (model1, model2) = Par.both(
+      baseClassifier.fit(labeled1),
+      baseClassifier.copy(ParamMap.empty).fit(labeled2))
     var iter = 1
 
     graft.functions.VectorMax.register(df.sparkSession)
@@ -267,7 +276,8 @@ class CoTrainingClassifier[
           .select(col("__pid"), col(predCol))
       else {
         val cached = preds.persist(StorageLevel.MEMORY_AND_DISK)
-        deferredUnpersist += cached
+        // the two views' accepts run concurrently — guard the shared buffer
+        deferredUnpersist.synchronized { deferredUnpersist += cached }
         val nPool = cached.count()
         // exact top-k via distributed order-statistic cutoff (__pid is
         // unique and pinned by the pool materialization) — no
@@ -280,8 +290,9 @@ class CoTrainingClassifier[
 
     var converged = false
     while (iter < $(maxIter) && poolCount > 0 && !converged) {
-      val acc1 = persist(accept(model1, "__f1"))
-      val acc2 = persist(accept(model2, "__f2"))
+      val (a1, a2) = Par.both(accept(model1, "__f1"), accept(model2, "__f2"))
+      val acc1 = persist(a1)
+      val acc2 = persist(a2)
       // distinct accepted ids; view-1 wins duplicate rows for the full set
       val acceptedIds = persist(
         acc1.select("__pid").union(acc2.select("__pid")).distinct())
@@ -309,8 +320,10 @@ class CoTrainingClassifier[
         labeledCount += nAccepted
         poolCount -= nAccepted
         if (poolCount > 0) {
-          model1 = baseClassifier.fit(labeled1)
-          model2 = baseClassifier.fit(labeled2)
+          val (m1, m2) = Par.both(
+            baseClassifier.fit(labeled1),
+            baseClassifier.copy(ParamMap.empty).fit(labeled2))
+          model1 = m1; model2 = m2
           iter += 1
         }
         prev.foreach(_.unpersist())

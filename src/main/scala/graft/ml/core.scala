@@ -26,6 +26,40 @@ object Sentinels {
     (df.filter(isLabeled(col(maskCol))), df.filter(isUnlabeled(col(maskCol))))
 }
 
+/** Driver-side concurrency for INDEPENDENT Spark actions. A Spark driver
+  * schedules jobs from any thread; a sequential `fit(a); fit(b)` of two
+  * independent models leaves the cluster half-idle while each job's final
+  * stages taper. Running them from two threads overlaps the jobs — the
+  * standard multi-tenant scheduler shape — without touching result
+  * semantics (each fit is deterministic given its data and seed).
+  */
+object Par {
+  /** Evaluate both thunks concurrently, return both results. */
+  def both[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val ec = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2))
+    try {
+      val fa = Future(a)(ec); val fb = Future(b)(ec)
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    } finally ec.shutdown()
+  }
+
+  /** Concurrent map preserving order; one thread per element (callers pass
+    * small rosters, not data-sized collections). */
+  def mapAll[A, B](in: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val ec = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(in.size, 1)))
+    try {
+      val fs = in.map(x => Future(f(x))(ec))
+      fs.map(Await.result(_, Duration.Inf))
+    } finally ec.shutdown()
+  }
+}
+
 /** Immutable run summary — replaces the reference's mutable
   * `SemiSupervisedDataResults` side-channel (ref:
   * SemiSupervisedDataResults.scala:3-11; hazard noted in SURVEY §3.3: one

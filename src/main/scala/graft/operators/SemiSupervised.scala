@@ -163,7 +163,9 @@ object SemiSupervised {
       sum(when(isnan(col("labelSelection")), 0L).otherwise(1L)),
       sum(when(isnan(col("labelSelection")), 1L).otherwise(0L))).head
     val (lab, unl) = (counts.getLong(0), counts.getLong(1))
-    val rows = Seq("DT", "RF", "NB", "LR", "SVM").map { name =>
+    // the five fits are independent jobs — schedule them concurrently so
+    // the cluster isn't idle through each job's tapering final stages
+    val rows = Par.mapAll(Seq("DT", "RF", "NB", "LR", "SVM")) { name =>
       val model = Experiments.fitSupervised(name, df)
       val (acc, auc, pr, f1) = evaluate4(model, test)
       Evaluation.ExperimentResult(
