@@ -119,11 +119,16 @@ object Experiments {
   }
 
   /** Run a whole grid → results DataFrame in the reference's 15-column
-    * schema. Cells are independent; executed sequentially here since each
-    * cell already saturates the cluster, but nothing shares state. */
-  def runGrid(data: DataFrame, cells: Seq[Cell], k: Int = 4, seed: Long = 8L)
-      : DataFrame =
-    Evaluation.resultsDF(data.sparkSession, cells.map(runCell(data, _, k, seed)))
+    * schema. Cells share no state (the summary is an immutable value — the
+    * reference's mutable side-channel forbids exactly this, SURVEY §3.3),
+    * so `parallelism` cells run as concurrent job streams; row order stays
+    * the grid order regardless of completion order. Small folds leave
+    * scheduler slack that a second in-flight cell absorbs; keep the bound
+    * modest — each cell is itself a multi-job pipeline. */
+  def runGrid(data: DataFrame, cells: Seq[Cell], k: Int = 4, seed: Long = 8L,
+      parallelism: Int = 2): DataFrame =
+    Evaluation.resultsDF(data.sparkSession,
+      Par.mapBounded(cells, parallelism)(runCell(data, _, k, seed)))
 
   /** Cross-product grid builder (ref M7's nested tuples, flattened). */
   def grid(dataName: String, classifiers: Seq[String], algos: Seq[String],

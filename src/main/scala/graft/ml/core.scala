@@ -48,11 +48,18 @@ object Par {
 
   /** Concurrent map preserving order; one thread per element (callers pass
     * small rosters, not data-sized collections). */
-  def mapAll[A, B](in: Seq[A])(f: A => B): Seq[B] = {
+  def mapAll[A, B](in: Seq[A])(f: A => B): Seq[B] =
+    mapBounded(in, math.max(in.size, 1))(f)
+
+  /** Concurrent map preserving order with at most `threads` in flight —
+    * for grids whose cells each launch their own Spark jobs, where
+    * unbounded fan-out would oversubscribe the scheduler. */
+  def mapBounded[A, B](in: Seq[A], threads: Int)(f: A => B): Seq[B] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    require(threads > 0, "threads must be positive")
     val ec = ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(in.size, 1)))
+      java.util.concurrent.Executors.newFixedThreadPool(threads))
     try {
       val fs = in.map(x => Future(f(x))(ec))
       fs.map(Await.result(_, Duration.Inf))
