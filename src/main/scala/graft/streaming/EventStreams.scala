@@ -218,16 +218,31 @@ object EventStreams {
 
   /** Run a streaming frame to completion against a static directory via the
     * memory sink; returns the materialized result table. Local smoke path —
-    * production would use a real sink + checkpointLocation. */
+    * production would use a real sink + checkpointLocation.
+    *
+    * `statePartitions` sizes the stream's shuffle — and therefore its STATE
+    * STORE count, which is fixed per stateful operator at first start and
+    * paid per micro-batch. A drained local test stream carries thousands of
+    * keys, not billions; 8 stores beat 32 here, and a production deployment
+    * sizes this to sustained rate (it cannot be changed after the first
+    * checkpoint without rebuilding state). Scoped set-and-restore: the
+    * session value is read at plan time inside `start()`. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q: StreamingQuery = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: OutputMode = OutputMode.Append,
+      statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // restore only after the drain: micro-batches plan asynchronously after
+    // start(), each reading the session value
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      val q: StreamingQuery = streamed.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // detach the result from the memory sink: checkpoint the rows, then drop
     // the temp view so the sink (which pins the full result set in driver
     // memory) is collectable instead of accumulating one table per call
