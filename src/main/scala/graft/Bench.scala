@@ -60,14 +60,19 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       (name, elapsed, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The harness keeps only the LAST ~2000 chars of stdout: with 60+
+    // queries, full query names at full double precision overflow that
+    // window and the line gets decapitated. Short keys (the unique qNN
+    // prefix) at millisecond precision keep the whole line under ~1 KB.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => f""""${shortKey(k)}":$v%.3f""" }
       .mkString("{", ",", "}")
     // a failed query must be VISIBLE, not a silently tiny timing: every
     // failure lands in `errors` and the exit code is nonzero
     val errors = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }.mkString("{", ",", "}")
+      s"\"" + shortKey(k) + "\":\"" + jsonEscape(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

@@ -111,6 +111,13 @@ object SparkEntry {
     "q65_hash_sample"         -> graft.operators.Sketches.q65HashSample _,
     "q66_incremental_dedup"   -> ((s: SparkSession, d: String) =>
       Dedup.q66IncrementalDedup(s, d)),
+    "q67_dedup_clusters"      -> Dedup.q67DedupClusters _,
+    "q68_tfidf_terms"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qTfIdfTopTerms(s, d)),
+    "q69_unpivot"             -> Relational.q69Unpivot _,
+    "q70_stratified_sample"   -> graft.operators.Sketches.q70StratifiedSample _,
+    "q71_label_centroids"     -> graft.operators.Similarity.q71LabelCentroids _,
+    "q72_cube"                -> Relational.q72Cube _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -126,6 +133,54 @@ object SparkEntry {
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
     "q24_dedup_minhash" ->
       (minhashCtes + " SELECT doc_a, doc_b FROM pairs"),
+    // components via recursive reachability: every node collects all labels
+    // it can reach over symmetric edges, min = the component's canonical id
+    // (duplicate-cluster shapes are tiny, so the quadratic reach table is
+    // nothing at oracle scale — the engine side uses iterative min-label
+    // propagation instead, see Dedup.connectedComponents)
+    "q67_dedup_clusters" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n) " +
+       "SELECT root AS cluster_id, count(*) AS n_docs FROM lab GROUP BY root"),
+    // log-free tf·(N/df) weight: only correctly-rounded IEEE ops, so the
+    // rank key is bit-identical across engines (see TextAnalysis scaladoc)
+    "q68_tfidf_terms" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), " +
+       "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+       "n AS (SELECT count(*) AS n FROM documents), " +
+       "sc AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS w " +
+       "FROM tf JOIN dfq ON dfq.term = tf.term CROSS JOIN n), " +
+       "rk AS (SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rnk FROM sc) " +
+       "SELECT doc_id, term, rnk FROM rk WHERE rnk <= 3"),
+    "q69_unpivot" ->
+      ("WITH w AS (SELECT l_returnflag, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price, " +
+       "CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc " +
+       "FROM lineitem GROUP BY l_returnflag) " +
+       "SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w " +
+       "UNION ALL SELECT l_returnflag, 'price', price FROM w " +
+       "UNION ALL SELECT l_returnflag, 'disc', disc FROM w"),
+    "q70_stratified_sample" ->
+      (s"SELECT event_type, count(*) AS n_sampled FROM events " +
+       s"WHERE ${hex60Sql("CAST(event_id AS VARCHAR)")} % " +
+       "(CASE event_type WHEN 'view' THEN 20 WHEN 'click' THEN 10 " +
+       "WHEN 'signup' THEN 5 WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 1 END) = 0 " +
+       "GROUP BY event_type"),
+    // fixed-point at 2^-20: float·2^20 is exponent-shift-exact, trunc is
+    // engine-exact, integer sums are order-independent (see Similarity)
+    "q71_label_centroids" ->
+      ("WITH e AS (SELECT label, i - 1 AS pos, CAST(x AS DOUBLE) AS x FROM " +
+       "(SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) q) " +
+       "SELECT label, pos, CAST(CAST(SUM(CAST(trunc(x * 1048576) AS BIGINT)) AS DOUBLE) / (count(*) * 1048576) AS DOUBLE) AS centroid " +
+       "FROM e GROUP BY label, pos"),
+    "q72_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
     "q49_neardup_pipeline" ->
       (minhashCtes + ", " +
        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +

@@ -246,23 +246,88 @@ object Dedup {
     // One row per doc_id: duplicated ids would double-count intersections
     // in the Jaccard join (and fan out the counts join).
     //
-    // Materialize the DOCS (post-dedup-shuffle), NOT the exploded shingle
-    // table: the four downstream consumers (signature scan, both sides of
-    // the intersection join, the per-doc counts) re-derive shingles from
-    // this cache with a narrow, codegen'd explode — CPU only, no exchange —
-    // while materializing the exploded table costs an eager serialization
-    // of a ~10x-wider frame (measured 2-4x slower end-to-end at sf0.1).
-    // The cached frame is the corpus slice itself, the smallest thing every
-    // stage provably needs.
+    // Materialize the DOCS (post-dedup-shuffle): the corpus slice is the
+    // smallest frame every stage provably needs. Full-corpus shingling then
+    // happens exactly ONCE — inside the capBuckets materialization job that
+    // computes signatures. Verification never touches the full shingle
+    // table: the candidate ids (LSH output, orders of magnitude smaller
+    // than the corpus) are broadcast back onto the cached docs as a
+    // semi-join, and only the surviving docs are re-shingled. At 100 TB
+    // that is the difference between shuffling the corpus-sized shingle
+    // table into the Jaccard join and shuffling just the candidates.
     val docs = docsWithDups(spark, dir).dropDuplicates("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = shingleTable(docs)
-    val pairs = minhashCandidatePairsFromShingles(sh)
-    ngramJaccardFromShingles(sh, pairs)
+    val pairs = minhashCandidatePairsFromShingles(shingleTable(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // Broadcast: the candidate-id set is bounded by 2·|pairs|, already far
+    // below the corpus; a shuffled semi-join would instead re-exchange the
+    // docs. (If candidates ever outgrew the driver, drop the hint and let
+    // AQE plan the semi-join — the shape stays correct.)
+    val docsCand = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    ngramJaccardFromShingles(shingleTable(docsCand), pairs)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
   }
+
+  // ------------------------------------------------------- dedup clusters
+
+  /** Connected components over a (doc_a, doc_b) pair table — the step that
+    * turns pairwise near-dup hits into KEEP/DROP decisions: every component
+    * is one duplicate cluster, its minimum doc_id the canonical survivor.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label in its neighborhood, `localCheckpoint` truncates the
+    * per-round lineage (an iterative plan would otherwise grow
+    * exponentially), and convergence is detected by the label sum — labels
+    * only ever decrease, so an unchanged sum IS the fixpoint. Rounds needed
+    * = component diameter: near-dup clusters are dense and shallow (every
+    * member collides with the canonical doc in some band), so 2-4 rounds in
+    * practice. For adversarially long chain-shaped components at 100 TB the
+    * O(log n)-round large-star/small-star variant is the drop-in upgrade;
+    * the per-round shape (equi-join on node id, partial-agg min) is already
+    * the scalable one.
+    *
+    * Output: (node, label) — one row per distinct doc in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label")).cast("decimal(38,0)").as("s"))
+        .head.getDecimal(0)
+      converged = s == prevSum || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** q67: duplicate-cluster roster — LSH candidate pairs collapsed to
+    * connected components, one row per cluster with its canonical
+    * (minimum) doc_id and member count. The DuckDB oracle recomputes the
+    * same components with a recursive reachability CTE. */
+  def q67DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashCandidatePairs(spark, dir))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
 
   /** n-gram Jaccard similarity for candidate pairs (verification stage after
     * LSH): explode shingles to (doc, shingle), join, |∩| / |∪|. Only called

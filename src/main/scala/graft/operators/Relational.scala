@@ -280,33 +280,62 @@ object Relational {
     * without any exchange and aggregated. Result is oracle-checked against
     * the plain join on the raw tables; the zero-Exchange plan property is
     * asserted in PlanSpec. */
-  // one-time bucketed staging per (JVM, sf dir): the write-side shuffle is
-  // the amortized cost of bucketing, so repeated q48 calls (bench loops)
-  // must not re-pay — or re-measure — it
-  @volatile private var bucketedStagedFor: String = null
-
+  // One-time bucketed staging per input fingerprint — across JVMs, via an
+  // on-disk marker (Bucketing.stageBucketedOnce): the write-side shuffle is
+  // the amortized cost of bucketing, so repeated q48 calls (bench loops AND
+  // fresh bench JVMs over unchanged testdata) must not re-pay — or
+  // re-measure — it. Table names carry the sf-dir basename so the sf0.01
+  // verify staging and the sf0.1 bench staging coexist in one warehouse.
   def q48BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    if (bucketedStagedFor != dir) synchronized {
-      if (bucketedStagedFor != dir) {
-        graft.plans.Bucketing.writeBucketed(
-          t(spark, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_extendedprice")),
-          "graft_li_bucketed", "l_orderkey")
-        graft.plans.Bucketing.writeBucketed(
-          t(spark, dir, "orders")
-            .select(col("o_orderkey"), col("o_orderstatus")),
-          "graft_ord_bucketed", "o_orderkey")
-        bucketedStagedFor = dir
-      }
-    }
+    val suffix = dir.replaceAll(".*/", "").replace('.', '_')
+    val liTable = s"graft_li_bucketed_$suffix"
+    val ordTable = s"graft_ord_bucketed_$suffix"
+    graft.plans.Bucketing.stageBucketedOnce(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      liTable, "l_orderkey",
+      graft.plans.Bucketing.inputFingerprint(spark, s"$dir/lineitem.parquet"))
+    graft.plans.Bucketing.stageBucketedOnce(
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      ordTable, "o_orderkey",
+      graft.plans.Bucketing.inputFingerprint(spark, s"$dir/orders.parquet"))
     graft.plans.Bucketing.bucketedJoin(spark,
-        "graft_li_bucketed", "l_orderkey", "graft_ord_bucketed", "o_orderkey")
+        liTable, "l_orderkey", ordTable, "o_orderkey")
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("l_extendedprice").cast("decimal(18,2)"))
           .cast("double").as("sum_price"))
   }
+
+  /** Unpivot / melt (q69): a wide per-flag aggregate turned into tidy
+    * (id, metric, value) rows with Spark's native `unpivot` — the inverse
+    * of q58's pivot. Runs AFTER the aggregation, so the melt triples a
+    * handful of rows, never the fact table; decimal sums keep the
+    * aggregates order-independent (oracle-exact). */
+  def q69Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price"),
+        sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "metric", "value")
+
+  /** Full cube (q72): all four grouping combinations of
+    * (returnflag, linestatus) in one pass — Spark expands the grouping sets
+    * into a single partial-aggregating exchange, not four scans. Completes
+    * the multi-dimensional family next to q47's rollup and q58's pivot. */
+  def q72Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
 
   /** JSON field extraction from the events.props payload column — the
     * schema-on-read idiom a training-data pipeline needs for raw metadata. */

@@ -270,6 +270,29 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, LSH-blocked,
     * bucket fan-out capped (see [[graft.plans.Skew.capBuckets]]). */
+  /** Per-label embedding centroids (q71): the class-prototype vectors an
+    * embedding pipeline needs for IVF seeding, outlier scoring, and
+    * per-class drift monitoring. posexplode → ONE partial-aggregating
+    * groupBy on (label, dimension): each map-side partial carries 64
+    * decimal sums per label, the exchange moves |labels|·dim tiny rows —
+    * never the vectors. The per-element fixed-point step is ·2²⁰ then
+    * truncate: scaling a float by a power of two only shifts its exponent
+    * (no mantissa rounding), truncation toward zero is exactly specified in
+    * both engines, and the resulting integer sum is order-independent — so
+    * the centroid is oracle-exact BY CONSTRUCTION at 2⁻²⁰ resolution.
+    * (A decimal(27,10) cast is the "obvious" route but engines round a
+    * double's 10th decimal digit through different paths — measured ~1e-12
+    * centroid divergence — while power-of-two fixed point has no rounding
+    * anywhere before the single final IEEE division.) */
+  def q71LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("bigint").as("pos"))
+      .agg(
+        (sum((col("x").cast("double") * lit(1048576d)).cast("long"))
+          .cast("double") /
+          (count(lit(1)) * lit(1048576L))).as("centroid"))
+
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95,
       bucketCap: Int = 10000): DataFrame =

@@ -41,6 +41,26 @@ object Sketches {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Stratified content-hash sampling (q70): per-stratum 1-in-k rates —
+    * hot event types downsampled hard, rare types kept whole, the
+    * class-rebalancing shape of training-data curation. Same deterministic
+    * contract as q65 (sample is a pure function of the data via the
+    * sketch60 family), with the modulus looked up per row from a literal
+    * map — still one codegen'd filter ahead of the aggregation, no join.
+    * Unknown strata fall back to keep-all (coalesce to 1) rather than
+    * silently dropping a class. */
+  def q70StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = typedLit(Map(
+      "view" -> 20L, "click" -> 10L, "signup" -> 5L,
+      "error" -> 2L, "purchase" -> 1L))
+    val k = coalesce(element_at(rate, col("event_type")), lit(1L))
+    Tables.events(spark, dir)
+      .filter(graft.functions.TextFunctions.sketch60(
+        col("event_id").cast("string")) % k === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"))
+  }
+
   def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(

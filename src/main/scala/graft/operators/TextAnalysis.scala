@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -47,6 +48,40 @@ object TextAnalysis {
         col("doc_id"),
         subwordCount(col("text")).cast("long").as("n_subwords"),
         punctCount(col("text")).cast("long").as("n_punct"))
+
+  /** TF-IDF top-k terms per document (q68) — the signal a training-data
+    * pipeline uses for topic tagging and quality filtering. The weight is
+    * the log-free variant tf · (N/df): products and quotients of integers
+    * are correctly-rounded IEEE ops, so the rank key is bit-identical
+    * across engines, which the hash gate needs (log-smoothed idf is a
+    * one-line swap but libm `log` is only 1-ulp-accurate and can flip a
+    * rank across engines). Ties rank by term, engine-independent.
+    *
+    * Shape at scale: the token explode feeds ONE partial-aggregating
+    * groupBy into `tf`; `df` is a second partial agg over tf's (already
+    * distinct) (doc, term) pairs, so document bodies never shuffle twice —
+    * tf is persisted to keep the df pass from re-exploding the corpus. The
+    * corpus size joins in as a broadcast single row. */
+  def qTfIdfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          (col("n").cast("double") / col("df").cast("double"))).as("w"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("rnk"))
+  }
 
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

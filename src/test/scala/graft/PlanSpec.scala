@@ -67,6 +67,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("stageBucketedOnce fingerprint hit re-registers the table with an intact bucket spec") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val fp = graft.plans.Bucketing.inputFingerprint(spark, s"$sf/lineitem.parquet")
+    graft.plans.Bucketing.stageBucketedOnce(li, "graft_li_staged_t", "l_orderkey", fp)
+    val written = spark.table("graft_li_staged_t").count()
+    // a fresh JVM forgets the in-memory catalog but keeps the warehouse:
+    // dropping the catalog entry and re-staging with the same fingerprint
+    // must take the registration-only path (no rewrite) AND the registered
+    // table must still carry the bucket spec — a bucketed self-join plans
+    // with zero Exchange
+    spark.sql("DROP TABLE IF EXISTS graft_li_staged_t")
+    graft.plans.Bucketing.stageBucketedOnce(li, "graft_li_staged_t", "l_orderkey", fp)
+    val t = spark.table("graft_li_staged_t")
+    assert(t.count() === written)
+    graft.plans.Bucketing.stageBucketedOnce(
+      graft.sources.Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_ord_staged_t", "o_orderkey",
+      graft.plans.Bucketing.inputFingerprint(spark, s"$sf/orders.parquet"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.plans.Bucketing.bucketedJoin(spark,
+        "graft_li_staged_t", "l_orderkey", "graft_ord_staged_t", "o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"re-registered bucket spec lost:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // a CHANGED fingerprint must rebuild, not reuse
+    graft.plans.Bucketing.stageBucketedOnce(li, "graft_li_staged_t", "l_orderkey",
+      fp + "changed")
+    assert(spark.table("graft_li_staged_t").count() === written)
+  }
+
   test("partitioned write enables partition pruning at the scan") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString

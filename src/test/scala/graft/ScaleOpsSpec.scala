@@ -319,4 +319,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
     assert(!j.contains((1L, 4L)) || j((1L, 4L)) < 0.1) // zero intersection drops out
   }
+
+  test("connectedComponents: chain needs multiple propagation rounds, disjoint clusters stay apart") {
+    import spark.implicits._
+    // 1-2-3-4-5 is a diameter-4 chain (one hop of label movement per
+    // round — exercises the iteration + convergence logic, not just the
+    // one-round case); {10,11,12} is a triangle; {20,21} an isolated pair.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 10)
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+  }
+
+  test("q67 cluster roster: clusters have >= 2 docs and cover exactly the paired docs") {
+    val rows = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 2L), "a singleton is not a dup cluster")
+    val pairDocs = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
+      .select(col("doc_a").as("d")).union(
+        graft.operators.Dedup.minhashCandidatePairs(spark, sf).select(col("doc_b")))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum === pairDocs,
+      "cluster membership must cover exactly the docs that appear in a pair")
+  }
 }
