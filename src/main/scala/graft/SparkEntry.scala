@@ -118,6 +118,8 @@ object SparkEntry {
     "q70_stratified_sample"   -> graft.operators.Sketches.q70StratifiedSample _,
     "q71_label_centroids"     -> graft.operators.Similarity.q71LabelCentroids _,
     "q72_cube"                -> Relational.q72Cube _,
+    "q73_dedup_survivors"     -> Dedup.q73DedupSurvivors _,
+    "q74_incremental_minhash" -> Dedup.q74IncrementalMinhash _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -144,6 +146,29 @@ object SparkEntry {
        "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
        "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n) " +
        "SELECT root AS cluster_id, count(*) AS n_docs FROM lab GROUP BY root"),
+    // same components as q67, reported as the curation-run summary
+    // (kept = cluster minimum; dropped = every other member)
+    "q73_dedup_survivors" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       "ag AS (SELECT count(DISTINCT root) AS n_clusters, " +
+       "CAST(SUM(CASE WHEN n <> root THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM lab), " +
+       "tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs) " +
+       "SELECT tot.n_docs, ag.n_clusters, ag.n_dropped, " +
+       "tot.n_docs - ag.n_dropped AS n_surviving FROM tot, ag"),
+    // per-doc signatures are independent of the corpus/batch split, so the
+    // oracle reuses the full bd band table and applies the parity split in
+    // the probe join itself
+    "q74_incremental_minhash" ->
+      (minhashCtes + ", " +
+       "cand AS (SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc " +
+       "FROM bd b JOIN bd c ON b.band = c.band AND b.bucket = c.bucket " +
+       "AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0) " +
+       "SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_batch, " +
+       "(SELECT count(DISTINCT batch_doc) FROM cand) AS n_flagged, " +
+       "(SELECT count(*) FROM cand) AS n_pairs"),
     // log-free tf·(N/df) weight: only correctly-rounded IEEE ops, so the
     // rank key is bit-identical across engines (see TextAnalysis scaladoc)
     "q68_tfidf_terms" ->

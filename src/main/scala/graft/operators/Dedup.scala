@@ -138,24 +138,29 @@ object Dedup {
     minhashCandidatePairsFromShingles(
       shingleTable(docsWithDups(spark, dir), w), numHashes, bands, bucketCap)
 
+  /** (doc_id, band, bucket) band table from a signature table: the band
+    * bucket is the sketch-family hash of the band's mins joined as decimal
+    * strings — mirrors the oracle's string_agg(h, ',' ORDER BY seed). */
+  private[graft] def bandTable(sigs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          sketch60(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, rows),
+              m => m.cast("string")))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
   /** [[minhashCandidatePairs]] over a prebuilt (doc_id, sh) table. */
   private[graft] def minhashCandidatePairsFromShingles(sh: DataFrame,
       numHashes: Int = 32, bands: Int = 8,
       bucketCap: Int = 10000): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = minhashSignaturesFromShingles(sh, numHashes)
-    // band bucket = sketch-family hash of the band's mins joined as decimal
-    // strings — mirrors the oracle's string_agg(h, ',' ORDER BY seed)
     val banded = graft.plans.Skew.capBuckets(
-      sigs.select(
-        col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            sketch60(concat_ws(",",
-              transform(slice(col("sig"), b * rows + 1, rows),
-                m => m.cast("string")))).as("bucket"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bucket")),
+      bandTable(minhashSignaturesFromShingles(sh, numHashes), numHashes, bands),
       Seq("band", "bucket"), "doc_id", bucketCap)
     // capBuckets returns the banded frame MATERIALIZED (its single
     // boundary): the shingle→hash→32-min pipeline runs once, both
@@ -293,9 +298,14 @@ object Dedup {
     *
     * Output: (node, label) — one row per distinct doc in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // both edge directions from ONE pass over pairs (a union of two
+    // projections would compute the upstream pair pipeline twice before
+    // the persist materializes)
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -328,6 +338,46 @@ object Dedup {
     connectedComponents(minhashCandidatePairs(spark, dir))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** q73: the corpus-shrink summary a curation run reports — distinct docs
+    * in, duplicate clusters found, non-canonical members dropped, docs
+    * surviving. The KEEP/DROP rule is "cluster minimum survives"
+    * ([[connectedComponents]] labels ARE the canonical ids, so dropped =
+    * rows whose node ≠ label; no second join against the corpus needed). */
+  def q73DedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(minhashCandidatePairs(spark, dir))
+    val total = docsWithDups(spark, dir).dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n_docs"))
+    val cl = labels.agg(
+      countDistinct(col("label")).as("n_clusters"),
+      sum(when(col("node") =!= col("label"), 1L).otherwise(0L)).as("n_dropped"))
+    total.crossJoin(cl)
+      .select(col("n_docs"), col("n_clusters"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_surviving"))
+  }
+
+  /** q74: incremental (cross-batch) near-dup detection — an incoming batch
+    * (odd doc_ids) LSH-banded and equi-joined against the CORPUS's band
+    * table (even doc_ids), the daily-ingest shape where the historical
+    * corpus's signatures are persisted pipeline state and only the batch
+    * is sketched fresh. The exchange carries (band, bucket, doc_id) rows,
+    * never documents; at 100 TB the corpus band table would live as a
+    * table bucketed on (band, bucket) so the batch probe shuffles only
+    * itself ([[graft.plans.Bucketing]]). Summary: batch size, batch docs
+    * flagged as probable dups of the corpus, candidate pairs. */
+  def q74IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpusBands = bandTable(minhashSignatures(docs.filter(col("doc_id") % 2 === 0)))
+    val batchBands = bandTable(minhashSignatures(docs.filter(col("doc_id") % 2 === 1)))
+    val cand = batchBands.as("b")
+      .join(corpusBands.as("c"), Seq("band", "bucket"))
+      .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    docs.filter(col("doc_id") % 2 === 1).agg(count(lit(1)).as("n_batch"))
+      .crossJoin(cand.agg(
+        countDistinct(col("batch_doc")).as("n_flagged"),
+        count(lit(1)).as("n_pairs")))
+  }
 
   /** n-gram Jaccard similarity for candidate pairs (verification stage after
     * LSH): explode shingles to (doc, shingle), join, |∩| / |∪|. Only called
