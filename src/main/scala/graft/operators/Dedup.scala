@@ -327,7 +327,81 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    // loud beats wrong: a component deeper than maxIter would otherwise
+    // return PARTIALLY propagated labels that look plausible
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds — a " +
+        "component is deeper than maxIter; raise it or use " +
+        "connectedComponentsStars (O(log n) rounds on any shape)")
     labels
+  }
+
+  /** O(log n)-round connected components — the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): large-star hangs every
+    * strictly-larger neighbor off its neighborhood minimum, small-star
+    * re-parents the smaller neighbors, and the alternation contracts any
+    * component — including a path graph, [[connectedComponents]]'s
+    * worst case at Θ(diameter) rounds — to a star in O(log n) rounds.
+    * Same per-round shape (equi-join on node, partial-agg min), so it
+    * scales wherever propagation does; prefer it when component shapes are
+    * unknown or adversarial, propagation when clusters are known-shallow
+    * (near-dup groups), where its cheaper rounds win.
+    *
+    * Output: (node, label), identical to [[connectedComponents]]
+    * (parity-tested on randomized graphs). */
+  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    def dedup(e: DataFrame) =
+      e.filter(col("u") =!= col("v")).distinct()
+    // both directions from one pass (see connectedComponents)
+    def sym(e: DataFrame) = e
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s")).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = dedup(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+    var prev: (Long, java.math.BigDecimal) = null
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      // LARGE-STAR: over symmetric neighborhoods, connect v > u to
+      // m(u) = min(Γ(u) ∪ {u})
+      val s = sym(edges)
+      val lsMin = s.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = dedup(
+        s.filter(col("v") > col("u")).join(lsMin, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+      // SMALL-STAR: direct every edge large→small, re-parent each node's
+      // smaller neighbors (and itself) onto the minimum
+      val d = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .distinct()
+      val ssMin = d.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = dedup(
+        d.join(ssMin, Seq("u"))
+          .select(explode(array(
+            struct(col("v").as("a"), col("m").as("b")),
+            struct(col("u").as("a"), col("m").as("b")))).as("x"))
+          .select(col("x.a").as("u"), col("x.b").as("v")))
+        .localCheckpoint()
+      val cs = checksum(ss)
+      stable = cs == prev
+      prev = cs
+      edges = ss
+      round += 1
+    }
+    // fixpoint is a star forest: every edge points a member at its root
+    edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
   }
 
   /** q67: duplicate-cluster roster — LSH candidate pairs collapsed to
@@ -335,7 +409,7 @@ object Dedup {
     * (minimum) doc_id and member count. The DuckDB oracle recomputes the
     * same components with a recursive reachability CTE. */
   def q67DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhashCandidatePairs(spark, dir))
+    connectedComponentsStars(minhashCandidatePairs(spark, dir))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
 
@@ -345,7 +419,7 @@ object Dedup {
     * ([[connectedComponents]] labels ARE the canonical ids, so dropped =
     * rows whose node ≠ label; no second join against the corpus needed). */
   def q73DedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(minhashCandidatePairs(spark, dir))
+    val labels = connectedComponentsStars(minhashCandidatePairs(spark, dir))
     val total = docsWithDups(spark, dir).dropDuplicates("doc_id")
       .agg(count(lit(1)).as("n_docs"))
     val cl = labels.agg(

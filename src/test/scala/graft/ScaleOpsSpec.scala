@@ -337,6 +337,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
   }
 
+  test("connectedComponentsStars equals propagation on randomized graphs, chains, and stars") {
+    import spark.implicits._
+    val rng = new scala.util.Random(8)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic adversarial shapes: a long chain (propagation's worst
+    // case), a star, and seeded Erdős–Rényi-ish edge sets
+    val shapes = Seq(
+      (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      (1L to 20L).map(i => (0L, i)),
+      Seq.fill(60)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter(p => p._1 != p._2),
+      Seq.fill(80)((rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+        .filter(p => p._1 != p._2))
+    for ((es, i) <- shapes.zipWithIndex) {
+      val pairs = es.toDF("doc_a", "doc_b")
+      // the 40-chain exceeds propagation's default round budget (diameter
+      // 39) — that case must fail LOUDLY at the default, not mislabel
+      if (i == 0) intercept[IllegalArgumentException] {
+        graft.operators.Dedup.connectedComponents(pairs, maxIter = 30).collect()
+      }
+      val a = labelsOf(graft.operators.Dedup.connectedComponents(pairs, maxIter = 60))
+      val b = labelsOf(graft.operators.Dedup.connectedComponentsStars(pairs))
+      assert(a === b, s"shape $i: propagation and star-contraction disagree")
+    }
+  }
+
   test("q67 cluster roster: clusters have >= 2 docs and cover exactly the paired docs") {
     val rows = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
     assert(rows.nonEmpty)
