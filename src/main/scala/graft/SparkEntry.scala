@@ -120,6 +120,8 @@ object SparkEntry {
     "q72_cube"                -> Relational.q72Cube _,
     "q73_dedup_survivors"     -> Dedup.q73DedupSurvivors _,
     "q74_incremental_minhash" -> Dedup.q74IncrementalMinhash _,
+    "q75_funnel"              -> Relational.q75Funnel _,
+    "q76_cohort_retention"    -> Relational.q76CohortRetention _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -146,6 +148,22 @@ object SparkEntry {
        "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
        "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n) " +
        "SELECT root AS cluster_id, count(*) AS n_docs FROM lab GROUP BY root"),
+    "q75_funnel" ->
+      ("WITH ev AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tu FROM events), " +
+       "tv AS (SELECT user_id, min(tu) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), " +
+       "tc AS (SELECT ev.user_id, min(tu) AS tc FROM ev JOIN tv ON tv.user_id = ev.user_id " +
+       "WHERE ev.event_type = 'click' AND ev.tu > tv.tv GROUP BY ev.user_id), " +
+       "tp AS (SELECT ev.user_id, min(tu) AS tp FROM ev JOIN tc ON tc.user_id = ev.user_id " +
+       "WHERE ev.event_type = 'purchase' AND ev.tu > tc.tc GROUP BY ev.user_id) " +
+       "SELECT (SELECT count(*) FROM tv) AS n_viewed, " +
+       "(SELECT count(*) FROM tc) AS n_clicked_after_view, " +
+       "(SELECT count(*) FROM tp) AS n_purchased_after_click"),
+    "q76_cohort_retention" ->
+      ("WITH act AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day FROM events), " +
+       "fs AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id) " +
+       "SELECT fs.cohort_day, act.day - fs.cohort_day AS day_offset, " +
+       "count(DISTINCT act.user_id) AS n_users " +
+       "FROM act JOIN fs ON fs.user_id = act.user_id GROUP BY 1, 2"),
     // same components as q67, reported as the curation-run summary
     // (kept = cluster minimum; dropped = every other member)
     "q73_dedup_survivors" ->

@@ -337,6 +337,48 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
 
+  /** Ordered conversion funnel (q75): users who viewed, then clicked AFTER
+    * their first view, then purchased AFTER that first qualifying click.
+    * Each stage reduces events to a per-user minimum timestamp BEFORE the
+    * next join, so the joins carry one row per surviving user — the funnel
+    * narrows the data monotonically, and every stage's per-user frame is
+    * broadcast-sized relative to the event log at any scale. Timestamps
+    * compare as integer microseconds (engine-exact). */
+  def q75Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(broadcast(tv), Seq("user_id"))
+      .filter(col("tu") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(tc), Seq("user_id"))
+      .filter(col("tu") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("tu")).as("tp"))
+    tv.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(tc.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_purchased_after_click")))
+  }
+
+  /** Cohort retention matrix (q76): users bucketed by first-seen epoch day,
+    * activity counted per (cohort day, day offset) — the
+    * training-data-freshness twin of product retention. Day arithmetic is
+    * integer epoch-day division (no timezone/calendar library in the hot
+    * path, engine-exact); the per-user first-seen frame joins back
+    * broadcast, so the event log shuffles once for the distinct and once
+    * for the matrix aggregation. */
+  def q76CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val act = ev.distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(broadcast(first), Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** JSON field extraction from the events.props payload column — the
     * schema-on-read idiom a training-data pipeline needs for raw metadata. */
   def q33JsonExtract(spark: SparkSession, dir: String): DataFrame =
