@@ -122,6 +122,8 @@ object SparkEntry {
     "q74_incremental_minhash" -> Dedup.q74IncrementalMinhash _,
     "q75_funnel"              -> Relational.q75Funnel _,
     "q76_cohort_retention"    -> Relational.q76CohortRetention _,
+    "q77_quantize_embeddings" -> graft.operators.Similarity.q77QuantizeEmbeddings _,
+    "q78_source_dedup"        -> Dedup.q78SourceDedupProfile _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -164,6 +166,20 @@ object SparkEntry {
        "SELECT fs.cohort_day, act.day - fs.cohort_day AS day_offset, " +
        "count(DISTINCT act.user_id) AS n_users " +
        "FROM act JOIN fs ON fs.user_id = act.user_id GROUP BY 1, 2"),
+    // fixed evaluation order (multiply, subtract, divide, floor) on
+    // exactly-converted floats → codes identical across engines
+    "q77_quantize_embeddings" ->
+      ("WITH e AS (SELECT vec_id, i - 1 AS pos, CAST(x AS DOUBLE) AS x FROM " +
+       "(SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) q), " +
+       "r AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos) " +
+       "SELECT e.vec_id, e.pos, CASE WHEN r.mx = r.mn THEN 0 ELSE " +
+       "least(255, greatest(0, CAST(floor(255 * (e.x - r.mn) / (r.mx - r.mn)) AS BIGINT))) END AS code " +
+       "FROM e JOIN r ON r.pos = e.pos WHERE e.vec_id % 100 = 0"),
+    "q78_source_dedup" ->
+      ("WITH docs AS (SELECT source, text FROM documents " +
+       "UNION ALL SELECT source, text FROM documents WHERE doc_id % 100 = 0) " +
+       "SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique, " +
+       "count(*) - count(DISTINCT md5(text)) AS n_dups FROM docs GROUP BY source"),
     // same components as q67, reported as the curation-run summary
     // (kept = cluster minimum; dropped = every other member)
     "q73_dedup_survivors" ->

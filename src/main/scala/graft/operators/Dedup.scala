@@ -65,6 +65,19 @@ object Dedup {
       .crossJoin(fresh.agg(count(lit(1)).as("n_new")))
   }
 
+  /** q78: per-source dedup profile — duplicate pressure broken down by the
+    * ingestion source dimension, the report that tells a curation run WHICH
+    * feed is flooding the corpus with repeats. One partial-aggregating
+    * groupBy; the distinct-content count shuffles 16-byte digests, never
+    * text. */
+  def q78SourceDedupProfile(spark: SparkSession, dir: String): DataFrame =
+    docsWithDups(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+
   // ---------------------------------------------------------------- MinHash
 
   /** Word w-shingles of a document as an array column. */

