@@ -33,6 +33,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q11 fell back to sort-merge:\n$p")
   }
 
+  test("funnel/cohort per-user frames broadcast back onto the event log (q75, q76)") {
+    val p75 = formatted("q75_funnel")
+    assert(p75.contains("BroadcastHashJoin"), s"q75 per-user joins not broadcast:\n$p75")
+    assert(!p75.contains("SortMergeJoin"), s"q75 shuffles the event log per stage:\n$p75")
+    val p76 = formatted("q76_cohort_retention")
+    assert(p76.contains("BroadcastHashJoin"), s"q76 first-seen join not broadcast:\n$p76")
+    assert(!p76.contains("SortMergeJoin"), s"q76 fell back to sort-merge:\n$p76")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort (q15)") {
     val p = formatted("q15_topk")
     assert(p.contains("TakeOrderedAndProject"), s"q15 lost top-k plan:\n$p")
