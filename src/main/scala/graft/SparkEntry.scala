@@ -124,6 +124,10 @@ object SparkEntry {
     "q76_cohort_retention"    -> Relational.q76CohortRetention _,
     "q77_quantize_embeddings" -> graft.operators.Similarity.q77QuantizeEmbeddings _,
     "q78_source_dedup"        -> Dedup.q78SourceDedupProfile _,
+    "q79_chunk_documents"     -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qChunkDocuments(s, d)),
+    "q80_contamination"       -> ((s: SparkSession, d: String) =>
+      Dedup.q80Contamination(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -166,6 +170,24 @@ object SparkEntry {
        "SELECT fs.cohort_day, act.day - fs.cohort_day AS day_offset, " +
        "count(DISTINCT act.user_id) AS n_users " +
        "FROM act JOIN fs ON fs.user_id = act.user_id GROUP BY 1, 2"),
+    "q79_chunk_documents" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "st AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 40)) AS s FROM tk), " +
+       "ch AS (SELECT doc_id, CAST((s - 1) // 40 AS BIGINT) AS chunk_idx, " +
+       "array_to_string(t[s:s+49], ' ') AS chunk FROM st) " +
+       "SELECT doc_id, chunk_idx, chunk, " +
+       "CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens FROM ch"),
+    "q80_contamination" ->
+      ("WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents), " +
+       "sh8 AS (SELECT DISTINCT doc_id, CASE WHEN len(t) < 8 THEN text " +
+       "ELSE array_to_string(t[u.i:u.i+7], ' ') END AS s " +
+       "FROM tk, UNNEST(generate_series(1, greatest(len(t)-7, 1))) AS u(i)), " +
+       "b AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 50 = 0), " +
+       "c AS (SELECT sh8.doc_id, count(*) AS n FROM sh8 JOIN b ON b.s = sh8.s " +
+       "WHERE sh8.doc_id % 50 <> 0 GROUP BY sh8.doc_id) " +
+       "SELECT (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS n_checked, " +
+       "(SELECT count(*) FROM c) AS n_contaminated, " +
+       "(SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM c) AS n_hit_shingles"),
     // fixed evaluation order (multiply, subtract, divide, floor) on
     // exactly-converted floats → codes identical across engines
     "q77_quantize_embeddings" ->

@@ -291,6 +291,27 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** q80: benchmark-contamination check — corpus documents sharing any
+    * word 8-gram with a held-out benchmark slice (deterministic doc_id
+    * slice here; the downloaded eval suite in production). The benchmark's
+    * distinct shingle set is orders of magnitude smaller than the corpus,
+    * so it broadcasts and the corpus-side shingle stream filters in place —
+    * the corpus is never shuffled, which is what makes decontamination
+    * affordable to run on every ingest. */
+  def q80Contamination(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val benchShingles = shingleTable(bench, w).select(col("sh")).distinct()
+    val hits = shingleTable(corpus, w)
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    corpus.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(hits.agg(
+        count(lit(1)).as("n_contaminated"),
+        coalesce(sum(col("n")), lit(0L)).as("n_hit_shingles")))
+  }
+
   // ------------------------------------------------------- dedup clusters
 
   /** Connected components over a (doc_a, doc_b) pair table — the step that

@@ -83,6 +83,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("rnk"))
   }
 
+  /** Token-window document chunking (q79): fixed-size chunks on a stride
+    * (overlap = size − stride), the split every training pipeline applies
+    * before packing sequences. Pure per-row Catalyst (sequence → slice →
+    * posexplode): no shuffle at all until a consumer aggregates, and the
+    * chunk table carries (doc_id, chunk_idx) so provenance survives
+    * packing. Trailing chunks shorter than `size` are kept — dropping them
+    * silently loses corpus tail tokens. */
+  def qChunkDocuments(spark: SparkSession, dir: String,
+      size: Int = 50, stride: Int = 40): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size_(t), lit(1)), lit(stride)),
+          s => concat_ws(" ", slice(t, s, lit(size))))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("chunk"),
+        size_(split(col("chunk"), " ")).cast("bigint").as("n_tokens"))
+  }
+
+  // sql.functions.size under an alias: `size` collides with the chunk size
+  // parameter above
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(
