@@ -128,6 +128,8 @@ object SparkEntry {
       TextAnalysis.qChunkDocuments(s, d)),
     "q80_contamination"       -> ((s: SparkSession, d: String) =>
       Dedup.q80Contamination(s, d)),
+    "q81_pack_chunks"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qPackChunks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -177,6 +179,14 @@ object SparkEntry {
        "array_to_string(t[s:s+49], ' ') AS chunk FROM st) " +
        "SELECT doc_id, chunk_idx, chunk, " +
        "CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens FROM ch"),
+    "q81_pack_chunks" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "st AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 40)) AS s FROM tk), " +
+       "ch AS (SELECT doc_id, CAST((s - 1) // 40 AS BIGINT) AS chunk_idx, " +
+       "CAST(len(string_split(array_to_string(t[s:s+49], ' '), ' ')) AS BIGINT) AS nt FROM st), " +
+       "cm AS (SELECT doc_id, chunk_idx, nt, SUM(nt) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS cum FROM ch) " +
+       "SELECT doc_id, CAST((cum - nt) // 60 AS BIGINT) AS bin, count(*) AS n_chunks, " +
+       "CAST(SUM(nt) AS BIGINT) AS n_tokens FROM cm GROUP BY doc_id, CAST((cum - nt) // 60 AS BIGINT)"),
     "q80_contamination" ->
       ("WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents), " +
        "sh8 AS (SELECT DISTINCT doc_id, CASE WHEN len(t) < 8 THEN text " +

@@ -108,6 +108,22 @@ object TextAnalysis {
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c)
 
+  /** Sequence packing (q81): chunks assigned to fixed token-budget bins by
+    * their running start offset — the deterministic, shuffle-light stand-in
+    * for greedy bin packing (true greedy is a sequential fold; offset
+    * binning parallelizes per document, never reorders chunks, and is the
+    * packing layout sequence-training loaders actually replay). One window
+    * pass (partitioned by doc — no global sort), integer arithmetic
+    * throughout. */
+  def qPackChunks(spark: SparkSession, dir: String, budget: Int = 60): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    qChunkDocuments(spark, dir)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(
