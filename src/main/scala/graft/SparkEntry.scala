@@ -130,6 +130,7 @@ object SparkEntry {
       Dedup.q80Contamination(s, d)),
     "q81_pack_chunks"         -> ((s: SparkSession, d: String) =>
       TextAnalysis.qPackChunks(s, d)),
+    "q82_snapshot_diff"       -> Relational.q82SnapshotDiff _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -179,6 +180,13 @@ object SparkEntry {
        "array_to_string(t[s:s+49], ' ') AS chunk FROM st) " +
        "SELECT doc_id, chunk_idx, chunk, " +
        "CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens FROM ch"),
+    "q82_snapshot_diff" ->
+      ("WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 10 < 8), " +
+       "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS h_new " +
+       "FROM documents WHERE doc_id % 10 > 1) " +
+       "SELECT CASE WHEN h_old IS NULL THEN 'added' WHEN h_new IS NULL THEN 'removed' " +
+       "WHEN h_old <> h_new THEN 'changed' ELSE 'unchanged' END AS status, count(*) AS n " +
+       "FROM o FULL OUTER JOIN n USING (doc_id) GROUP BY 1"),
     "q81_pack_chunks" ->
       ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
        "st AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 40)) AS s FROM tk), " +

@@ -379,6 +379,30 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Snapshot diff (q82): full-outer reconciliation of two corpus versions
+    * on the document key, each row classified added / removed / changed /
+    * unchanged by digest comparison — the bookkeeping op an incremental
+    * ingest publishes with every refresh. Compares md5 digests, never
+    * bodies, so the join carries (id, 16-byte hash); the snapshots here are
+    * deterministic doc_id slices with a deterministic mutation so the
+    * oracle can restate them. */
+  def q82SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val nw = docs.filter(col("doc_id") % 10 > 1)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") =!= col("h_new"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** JSON field extraction from the events.props payload column — the
     * schema-on-read idiom a training-data pipeline needs for raw metadata. */
   def q33JsonExtract(spark: SparkSession, dir: String): DataFrame =
