@@ -65,14 +65,17 @@ object Bench {
     // window and the line gets decapitated. Short keys (the unique qNN
     // prefix) at millisecond precision keep the whole line under ~1 KB.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _) => f""""${shortKey(k)}":$v%.3f""" }
+    // Locale.ROOT: the f-interpolator uses the default JVM locale, and a
+    // decimal-comma locale (de_DE) would emit invalid JSON with wrong values.
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s""""${shortKey(k)}":${sec(v)}""" }
       .mkString("{", ",", "}")
     // a failed query must be VISIBLE, not a silently tiny timing: every
     // failure lands in `errors` and the exit code is nonzero
     val errors = results.collect { case (k, _, Some(e)) =>
       s"\"" + shortKey(k) + "\":\"" + jsonEscape(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

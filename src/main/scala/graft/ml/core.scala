@@ -34,16 +34,27 @@ object Sentinels {
   * semantics (each fit is deterministic given its data and seed).
   */
 object Par {
+  // One shared pool for `both`, not a fresh 2-thread pool per call: `both`
+  // runs inside fit loops (every co-training iteration), where per-call
+  // pool construction is pure thread churn. Cached + daemon: idle threads
+  // are reaped after 60 s, nested `both` calls can't deadlock on a fixed
+  // bound, and the pool never blocks JVM exit.
+  private lazy val sharedPool = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    java.util.concurrent.Executors.newCachedThreadPool { (r: Runnable) =>
+      val t = new Thread(r, s"graft-par-${n.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    }
+  }
+
   /** Evaluate both thunks concurrently, return both results. */
   def both[A, B](a: => A, b: => B): (A, B) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val ec = ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(2))
-    try {
-      val fa = Future(a)(ec); val fb = Future(b)(ec)
-      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-    } finally ec.shutdown()
+    val ec = ExecutionContext.fromExecutor(sharedPool)
+    val fa = Future(a)(ec); val fb = Future(b)(ec)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
   }
 
   /** Concurrent map preserving order; one thread per element (callers pass

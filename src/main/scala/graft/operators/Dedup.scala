@@ -432,6 +432,13 @@ object Dedup {
       edges = ss
       round += 1
     }
+    // loud beats wrong, mirroring connectedComponents: exiting at
+    // maxRounds without a fixpoint would return plausible-looking but
+    // unconverged labels
+    require(stable,
+      s"connectedComponentsStars: not converged after $maxRounds rounds " +
+        "(expected O(log n) — the edge set is still contracting); raise " +
+        "maxRounds")
     // fixpoint is a star forest: every edge points a member at its root
     edges.select(col("u").as("node"), col("v").as("label"))
       .union(edges.select(col("v").as("node"), col("v").as("label")))

@@ -341,20 +341,22 @@ object Relational {
     * their first view, then purchased AFTER that first qualifying click.
     * Each stage reduces events to a per-user minimum timestamp BEFORE the
     * next join, so the joins carry one row per surviving user — the funnel
-    * narrows the data monotonically, and every stage's per-user frame is
-    * broadcast-sized relative to the event log at any scale. Timestamps
-    * compare as integer microseconds (engine-exact). */
+    * narrows the data monotonically. The per-user frames are O(distinct
+    * users), NOT broadcast-sized at scale (10⁹ users is multi-GB), so the
+    * joins carry no hint: AQE picks broadcast when the stage output is
+    * actually small and a shuffled join when it isn't. Timestamps compare
+    * as integer microseconds (engine-exact). */
   def q75Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
     val tv = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tu")).as("tv"))
     val tc = ev.filter(col("event_type") === "click")
-      .join(broadcast(tv), Seq("user_id"))
+      .join(tv, Seq("user_id"))
       .filter(col("tu") > col("tv"))
       .groupBy(col("user_id")).agg(min(col("tu")).as("tc"))
     val tp = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(tc), Seq("user_id"))
+      .join(tc, Seq("user_id"))
       .filter(col("tu") > col("tc"))
       .groupBy(col("user_id")).agg(min(col("tu")).as("tp"))
     tv.agg(count(lit(1)).as("n_viewed"))
@@ -366,15 +368,17 @@ object Relational {
     * activity counted per (cohort day, day offset) — the
     * training-data-freshness twin of product retention. Day arithmetic is
     * integer epoch-day division (no timezone/calendar library in the hot
-    * path, engine-exact); the per-user first-seen frame joins back
-    * broadcast, so the event log shuffles once for the distinct and once
-    * for the matrix aggregation. */
+    * path, engine-exact). The per-user first-seen frame is O(distinct
+    * users) — not safe to pin broadcast at scale — and it shares the
+    * user_id partitioning the distinct just produced, so the un-hinted
+    * join re-uses that exchange (AQE still broadcasts when the frame is
+    * genuinely small). */
   def q76CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
     val act = ev.distinct()
     val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    act.join(broadcast(first), Seq("user_id"))
+    act.join(first, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }

@@ -58,9 +58,21 @@ object Bucketing {
         .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .mkString(p + "|", ",", "")
     }
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(parts.mkString(";")).toLong)
+    // md5 of the listing string, not a 32-bit hash: a collision across
+    // testdata regenerations would silently reuse a STALE bucketed table
+    // with no error. The input is a few hundred bytes, so the wider digest
+    // is free.
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString(";").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
+
+  // One lock per staged table: two driver threads racing stageBucketedOnce's
+  // miss path would interleave DROP TABLE / location delete / write on the
+  // same files. Bench is sequential today, but ml.Par schedules concurrent
+  // driver jobs elsewhere in this codebase — serialize per table name.
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Stage `df` as a bucketed table exactly once per input fingerprint —
     * across JVMs. Bucketing's whole premise is that the write-side shuffle
@@ -72,7 +84,13 @@ object Bucketing {
     * rebuilt and the marker written after the commit, so a crash mid-write
     * re-stages. */
   def stageBucketedOnce(df: DataFrame, table: String, key: String,
-      fingerprint: String, buckets: Int = 16): Unit = {
+      fingerprint: String, buckets: Int = 16): Unit =
+    stageLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      stageBucketedOnceLocked(df, table, key, fingerprint, buckets)
+    }
+
+  private def stageBucketedOnceLocked(df: DataFrame, table: String, key: String,
+      fingerprint: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -148,10 +148,12 @@ object EventStreams {
 
   /** Driver query (q61): stream-static enrichment join — the standing-query
     * shape of a feature pipeline (events stream ⋈ slowly-changing profile
-    * dim). The static side is broadcast, so each micro-batch joins map-side
-    * with NO stream-side shuffle before the aggregation; the dim is re-read
-    * per batch by contract (static-side updates between batches are
-    * visible), which at scale argues for a compact, file-backed dim. The
+    * dim). The static side carries NO broadcast hint: the dim is O(distinct
+    * users), and pinning it broadcast would OOM the driver at 10⁹ users —
+    * Spark picks broadcast per micro-batch only when the dim's actual size
+    * is under the threshold. The dim is re-read per batch by contract
+    * (static-side updates between batches are visible), which at scale
+    * argues for a compact, file-backed dim. The
     * drained COMPLETE-mode aggregate equals the batch join+group — the SQL
     * oracle (cohort below ≡ user_id % 7 since the dim covers every user). */
   def qStreamEnriched(spark: SparkSession, dir: String): DataFrame = {
@@ -163,7 +165,7 @@ object EventStreams {
       .select(col("user_id")).distinct()
       .withColumn("cohort", pmod(col("user_id"), lit(7L)).cast("int"))
     val joined = readEvents(spark, tmp.toString)
-      .join(broadcast(dim), Seq("user_id"))
+      .join(dim, Seq("user_id"))
       .groupBy(col("cohort"))
       .agg(
         count(lit(1)).as("n"),
