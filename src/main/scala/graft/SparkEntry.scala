@@ -17,8 +17,10 @@ import graft.operators.{Dedup, Relational, SemiSupervised, Similarity, TextAnaly
   * correctness gate ([[Verify]]) enables oracle mode (md5-derived hex60,
   * DuckDB-expressible) so they are oracle-checked exactly; [[Bench]] and
   * production callers run the xxhash64 family — same plans, ~an order of
-  * magnitude cheaper per hash. Only KMeans (q35) and model fits (q39-q44)
-  * remain rows-only.
+  * magnitude cheaper per hash. Model fits (q39-q44, q84) are pinned by
+  * golden-value constant oracles (seeded + bit-deterministic, see
+  * [[graft.tools.MlOracleGen]]); only KMeans (q35) remains rows-only — its
+  * deterministic twin q83 hash-checks the IVF probe path itself.
   */
 object SparkEntry {
 
@@ -80,7 +82,7 @@ object SparkEntry {
     "q37_embedding_neardup" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDupPairs(s, d, nBits = 6, threshold = 0.1)),
     "q38_corpus_stats"      -> TextAnalysis.qCorpusStats _,
-    // semi-supervised ML flows (SURVEY §2.11) — model fits, rows-only checks
+    // semi-supervised ML flows (SURVEY §2.11) — model fits, golden-value oracles
     "q39_supervised_roster"   -> SemiSupervised.qSupervisedRoster _,
     "q40_selftrain_threshold" -> SemiSupervised.qSelfTraining _,
     "q41_selftrain_kbest"     -> SemiSupervised.qSelfTrainingKBest _,
@@ -131,6 +133,9 @@ object SparkEntry {
     "q81_pack_chunks"         -> ((s: SparkSession, d: String) =>
       TextAnalysis.qPackChunks(s, d)),
     "q82_snapshot_diff"       -> Relational.q82SnapshotDiff _,
+    "q83_ann_ivf_seeded"      -> ((s: SparkSession, d: String) =>
+      Similarity.q83AnnIvfSeeded(s, d)),
+    "q84_experiment_grid"     -> SemiSupervised.qExperimentGrid _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -140,8 +145,10 @@ object SparkEntry {
     * [[graft.functions.TextFunctions.hex60]]), which DuckDB recomputes as
     * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`; q31's top-k ranks
     * on the 4dp-rounded sim with a vec_id tie-break so ranking is
-    * engine-deterministic. Omitted only where no SQL twin exists (q35
-    * KMeans; q39-q44 model fits) → driver records the rows-only check. */
+    * engine-deterministic. The model-fit queries (q39-q44, q84) are pinned
+    * by golden-value constant oracles (see the comment at their block).
+    * Omitted only where no SQL twin exists (q35 KMeans) → driver records
+    * the rows-only check. */
   def oracleSql: Map[String, String] = Map(
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
     "q24_dedup_minhash" ->
@@ -329,6 +336,44 @@ object SparkEntry {
        "d AS (SELECT pr.vec_a, pr.vec_b, SUM(ea.x * eb.x) AS dot FROM pr JOIN e ea ON ea.vec_id = pr.vec_a JOIN e eb ON eb.vec_id = pr.vec_b AND eb.j = ea.j GROUP BY pr.vec_a, pr.vec_b) " +
        "SELECT d.vec_a, d.vec_b, round(d.dot/(na.nrm*nb.nrm), 4) AS sim FROM d JOIN n na ON na.vec_id = d.vec_a JOIN n nb ON nb.vec_id = d.vec_b " +
        "WHERE d.dot/(na.nrm*nb.nrm) > 0.1"),
+    // seeded IVF (q83): centroids = vectors with vec_id < 16, fixed-point
+    // squared-L2 argmin assignment (ties → lowest cell), 4 probed cells by
+    // the same metric, exact 4dp cosine top-10 within the probed cells —
+    // each stage the exact twin of Similarity.ivfBuildIndexSeeded/
+    // seededProbes/scoreProbedCells
+    "q83_ann_ivf_seeded" ->
+      ("WITH e AS (SELECT vec_id, i - 1 AS j, CAST(x AS DOUBLE) AS x FROM " +
+       "(SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) u), " +
+       "c AS (SELECT vec_id AS cell, j, x AS cx FROM e WHERE vec_id < 16), " +
+       "d AS (SELECT e.vec_id, c.cell, SUM(CAST(trunc((e.x - c.cx)*(e.x - c.cx) * 1048576) AS BIGINT)) AS d2 " +
+       "FROM e JOIN c USING (j) GROUP BY e.vec_id, c.cell), " +
+       "asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d) t WHERE rn = 1), " +
+       "pr AS (SELECT cell FROM d WHERE vec_id = 0 ORDER BY d2, cell LIMIT 4), " +
+       "q AS (SELECT j, x AS qx FROM e WHERE vec_id = 0), " +
+       "s AS (SELECT e.vec_id, SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS n1, SUM(q.qx * q.qx) AS n2 " +
+       "FROM e JOIN q USING (j) JOIN asg ON asg.vec_id = e.vec_id " +
+       "WHERE asg.cell IN (SELECT cell FROM pr) AND e.vec_id <> 0 GROUP BY e.vec_id) " +
+       "SELECT vec_id, round(dot/(sqrt(n1)*sqrt(n2)), 4) AS sim FROM s ORDER BY sim DESC, vec_id LIMIT 10"),
+    // ---- model-fit queries (q39-q44, q84): every value is seeded and
+    // bit-deterministic (verified identical across JVMs and local[4] vs
+    // local[32]), so the oracle pins the OBSERVED sf0.01 result rows as
+    // constants — a golden-value regression gate on the full 15-column
+    // frame (counters AND metrics), replacing the old rows-only check.
+    // Regenerate with graft.tools.MlOracleGen if the testdata changes. ----
+    "q39_supervised_roster" ->
+      "SELECT * FROM (VALUES ('embeddings', 'supervised-DT', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.4609375e0, 0.45281862745098045e0, 0.42335325852837324e0, 0.4297520661157025e0), ('embeddings', 'supervised-RF', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.5078125e0, 0.48946078431372547e0, 0.455404383432448e0, 0.5190839694656488e0), ('embeddings', 'supervised-NB', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.515625e0, 0.582843137254902e0, 0.5208597192388195e0, 0.6172839506172839e0), ('embeddings', 'supervised-LR', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.5e0, 0.5289215686274511e0, 0.4779725027941519e0, 0.5076923076923077e0), ('embeddings', 'supervised-SVM', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.5546875e0, 0.5595588235294119e0, 0.5134255211590378e0, 0.5648854961832062e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    "q40_selftrain_threshold" ->
+      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(3 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(311 AS BIGINT), CAST(61 AS BIGINT), 0.8360215053763441e0, 0.5546875e0, 0.5185955468558845e0, 0.5287540809137564e0, 0.583941605839416e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    "q41_selftrain_kbest" ->
+      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(3 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(245 AS BIGINT), CAST(127 AS BIGINT), 0.6586021505376344e0, 0.5703125e0, 0.5546855884511868e0, 0.571362823449095e0, 0.5669291338582677e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    "q42_cotrain" ->
+      "SELECT * FROM (VALUES ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(366 AS BIGINT), CAST(6 AS BIGINT), 0.9838709677419355e0, 0.5e0, 0.5031808172253487e0, 0.5131155147082951e0, 0.5492957746478874e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    "q43_supervised_cv" ->
+      "SELECT * FROM (VALUES ('embeddings', 'supervised-DT', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.5e0, 0.5041348855881171e0, 0.4935828938280237e0, 0.5016677860572761e0, 0.5146933819064967e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    "q44_cotrain_featsplit" ->
+      "SELECT * FROM (VALUES ('embeddings', 'CTFS-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(372 AS BIGINT), CAST(0 AS BIGINT), 1.0e0, 0.5625e0, 0.5743821874235381e0, 0.5686314113982176e0, 0.5555555555555556e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    "q84_experiment_grid" ->
+      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q01_scan_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
     "q02_filter_sentinel" ->

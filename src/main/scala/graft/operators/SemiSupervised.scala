@@ -177,6 +177,26 @@ object SemiSupervised {
     Evaluation.resultsDF(spark, rows)
   }
 
+  /** The experiment GRID end-to-end (ref M7+M9+M11 composed — the flow
+    * whose product is the reference's AllResults.csv): a multi-cell grid
+    * (ST and supervised × DT and NB) through [[Experiments.runGrid]], each
+    * cell k-fold cross-validated, emitting one 15-column result row per
+    * cell in grid order. Cells run as bounded concurrent job streams;
+    * every value is seeded, so the frame is pinned exactly by the oracle.
+    * Features are abs(embedding), the roster's shared non-negative
+    * representation (multinomial NaiveBayes rejects negative inputs). */
+  def qExperimentGrid(spark: SparkSession, dir: String): DataFrame = {
+    val data = Tables.load(spark, dir, "embeddings")
+      .select(
+        array_to_vector(transform(col("embedding"), x => abs(x))).as("features"),
+        (col("label") % 2).cast("double").as("label"))
+    val cells = Experiments.grid("embeddings",
+      classifiers = Seq("DT", "NB"), algos = Seq("ST", "supervised"),
+      pcts = Seq(0.3), criterionValues = Map("threshold" -> Seq(0.8)),
+      maxIter = 2)
+    Experiments.runGrid(data, cells, k = 2, seed = 8L)
+  }
+
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
   def qSupervisedCv(spark: SparkSession, dir: String): DataFrame = {
     val df = new UnlabeledTransformer()

@@ -27,6 +27,17 @@ object Similarity {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fixed-point (2⁻²⁰) squared-L2 between two double-array columns: per
+    * element trunc((x−y)²·2²⁰) summed as integers. (x−y) and its square are
+    * single correctly-rounded IEEE ops, the ·2²⁰ only shifts the exponent,
+    * and integer summation is order-independent — so the distance is
+    * bit-identical in any engine regardless of summation order (same trick
+    * as the q71 centroids; see that scaladoc). */
+  def l2Fixed(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => ((x - y) * (x - y) * lit(1048576d)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
   /** Brute-force cosine top-k against the vector with id `queryId`.
@@ -161,6 +172,36 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/centroids")
   }
 
+  /** [[ivfBuildIndex]] with a DETERMINISTIC coarse quantizer instead of
+    * KMeans: the centroids are the corpus vectors with `vec_id < nCells`
+    * and assignment is fixed-point squared-L2 argmin (ties → lowest cell).
+    * Same index layout and probe path as the KMeans build — partitioned
+    * vectors + tiny centroids table — but every step is exactly
+    * reproducible by the DuckDB oracle (q83), so the gate hash-checks the
+    * whole probe pipeline: assignment, cell choice, pruned scan, scoring.
+    * The assignment plan is the 100 TB shape: nCells centroid rows are
+    * broadcast, the corpus is scanned once with a bounded nCells-way
+    * fan-out collapsed by one partial-aggregating groupBy. */
+  def ivfBuildIndexSeeded(spark: SparkSession, dir: String, indexRoot: String,
+      nCells: Int = 16): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("e").as("c"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"),
+        struct(l2Fixed(col("e"), col("c")).as("d2"), col("cell")).as("dc"))
+      .groupBy(col("vec_id"))
+      // min(struct) = argmin by (d2, cell); all e values in a group are the
+      // same row's vector, so first() is deterministic here
+      .agg(min(col("dc")).as("best"), first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), norm2(col("e")).as("nrm"),
+        col("best.cell").as("cell"))
+    graft.plans.Bucketing.writePartitioned(assigned, s"$indexRoot/vectors", "cell")
+    cents.select(col("cell"), col("c").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/centroids")
+  }
+
   /** Build-once cache: the index for (dir, nCells) lives under the JVM temp
     * dir and is reused across calls and JVMs. Publication is ATOMIC: the
     * index is built into a staging dir and `renameTo`'d into place, so a
@@ -170,13 +211,15 @@ object Similarity {
     * half-valid root. Repeated q35 invocations — and every query in a
     * workload — pay only the probe. */
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
-  def ivfIndexFor(spark: SparkSession, dir: String, nCells: Int = 16): String = {
+  def ivfIndexFor(spark: SparkSession, dir: String, nCells: Int = 16,
+      flavor: String = "kmeans"): String = {
     // the slug carries a fingerprint of the source file (size + mtime) so a
     // regenerated corpus at the same path gets a fresh index, not a stale
     // cache hit from a previous run's publish
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_") +
-      s"_${src.length()}_${src.lastModified()}"
+      s"_${src.length()}_${src.lastModified()}" +
+      (if (flavor == "kmeans") "" else s"_$flavor")
     val root = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_ivf/${slug}_c$nCells")
     builtIndexes.getOrElseUpdate(root.getPath, {
@@ -186,7 +229,8 @@ object Similarity {
         graft.util.Fs.deleteRecursively(root)
         val staging = new java.io.File(root.getParentFile,
           s".${root.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
-        ivfBuildIndex(spark, dir, staging.getPath, nCells)
+        if (flavor == "seeded") ivfBuildIndexSeeded(spark, dir, staging.getPath, nCells)
+        else ivfBuildIndex(spark, dir, staging.getPath, nCells)
         new java.io.File(staging, "_BUILT").createNewFile()
         if (!staging.renameTo(root)) {
           // lost the publish race to a concurrent builder — use theirs
@@ -211,15 +255,57 @@ object Similarity {
         while (j < query.length) { val t = c(j) - query(j); d += t * t; j += 1 }
         (r.getInt(r.fieldIndex("cell")), d)
       }
-      .sortBy(_._2).take(nProbe).map(_._1)
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    scoreProbedCells(spark, indexRoot, probes, query, k, excludeId)
+  }
+
+  /** The probe's scan+score stage, shared by the KMeans and seeded index
+    * flavors: read ONLY the probed cell partitions (partition-pruned),
+    * exact cosine against the broadcast query literal, top-k. */
+  private def scoreProbedCells(spark: SparkSession, indexRoot: String,
+      probes: Seq[Int], query: Array[Double], k: Int, excludeId: Long)
+      : DataFrame = {
     val qnorm = math.sqrt(query.map(x => x * x).sum)
     val qlit = array(query.map(lit): _*)
     spark.read.parquet(s"$indexRoot/vectors")
-      .filter(col("cell").isin(probes.toSeq: _*) && col("vec_id") =!= excludeId)
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         round(dot(col("e"), qlit) / (col("nrm") * lit(qnorm)), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Probe-cell choice for the SEEDED index: the same fixed-point
+    * squared-L2 as the assignment ([[l2Fixed]]'s driver-side twin —
+    * trunc((x−y)²·2²⁰) summed as longs), ties → lowest cell, so the probed
+    * cell set is bit-identical to the oracle's. O(nCells·dim), driver-local. */
+  private def seededProbes(spark: SparkSession, indexRoot: String,
+      query: Array[Double], nProbe: Int): Seq[Int] =
+    spark.read.parquet(s"$indexRoot/centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](r.fieldIndex("centroid"))
+        var s = 0L; var j = 0
+        while (j < query.length) {
+          val t = query(j) - c(j); s += (t * t * 1048576d).toLong; j += 1
+        }
+        (r.getInt(r.fieldIndex("cell")), s)
+      }
+      .sortBy(t => (t._2, t._1)).take(nProbe).map(_._1).toSeq
+
+  /** q83: the IVF probe pipeline with the seeded deterministic quantizer —
+    * every stage (assignment, probe choice, pruned scan, scoring) has an
+    * exact DuckDB twin, so the driver gate hash-checks the inverted-file
+    * path end to end (the KMeans flavor q35 stays rows-only: its quantizer
+    * has no SQL twin). */
+  def q83AnnIvfSeeded(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val root = ivfIndexFor(spark, dir, nCells, flavor = "seeded")
+    val q = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    scoreProbedCells(spark, root, seededProbes(spark, root, q, nProbe),
+      q, k, excludeId = queryId)
   }
 
   /** IVF top-k for one query id: reuse (or lazily build) the corpus index,

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+/** Regenerates the constant "golden-value" oracles for the model-fit
+  * queries (q39-q44, q84): runs each at sf0.01 and prints a DuckDB
+  * `SELECT * FROM (VALUES ...)` pinning the observed rows. Every value is
+  * seeded and bit-deterministic (verified identical across JVMs and
+  * local[4] vs local[32] — the pre-fit randomness runs on the
+  * single-partition sf0.01 reads, and fits are seeded), so pinning exact
+  * doubles is as safe as pinning the integer counters. Re-run and paste
+  * into SparkEntry.oracleSql if the driver regenerates the testdata. */
+object MlOracleGen {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    for (q <- Seq("q39_supervised_roster", "q40_selftrain_threshold",
+        "q41_selftrain_kbest", "q42_cotrain", "q43_supervised_cv",
+        "q44_cotrain_featsplit", "q84_experiment_grid")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val schema = df.schema
+      val rows = df.collect()
+      val vals = rows.map { r =>
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          f.dataType match {
+            case StringType  => "'" + r.getString(i).replace("'", "''") + "'"
+            case DoubleType  => dlit(r.getDouble(i))
+            case LongType    => s"CAST(${r.getLong(i)} AS BIGINT)"
+            case IntegerType => s"CAST(${r.getInt(i)} AS INTEGER)"
+            case other => sys.error(s"unhandled type $other in $q")
+          }
+        }.mkString("(", ", ", ")")
+      }.mkString(", ")
+      val cols = schema.fields.map(f => "\"" + f.name + "\"").mkString(", ")
+      println(s"ORACLE $q SELECT * FROM (VALUES $vals) AS t($cols)")
+    }
+    spark.stop()
+  }
+}
