@@ -48,13 +48,20 @@ object Par {
     }
   }
 
-  /** Evaluate both thunks concurrently, return both results. */
+  /** Evaluate both thunks concurrently, return both results. Both futures
+    * are awaited before any failure is rethrown: if `a`'s fit fails while
+    * `b`'s is mid-flight, rethrowing immediately would leave `b` running
+    * detached on the shared pool — ownerless Spark jobs still consuming
+    * cluster resources after the caller has unwound. */
   def both[A, B](a: => A, b: => B): (A, B) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     val ec = ExecutionContext.fromExecutor(sharedPool)
     val fa = Future(a)(ec); val fb = Future(b)(ec)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    val ra = Try(Await.result(fa, Duration.Inf))
+    val rb = Try(Await.result(fb, Duration.Inf))
+    (ra.get, rb.get)
   }
 
   /** Concurrent map preserving order; one thread per element (callers pass

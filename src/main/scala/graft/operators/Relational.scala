@@ -369,14 +369,18 @@ object Relational {
     * training-data-freshness twin of product retention. Day arithmetic is
     * integer epoch-day division (no timezone/calendar library in the hot
     * path, engine-exact). The per-user first-seen frame is O(distinct
-    * users) — not safe to pin broadcast at scale — and it shares the
-    * user_id partitioning the distinct just produced, so the un-hinted
-    * join re-uses that exchange (AQE still broadcasts when the frame is
-    * genuinely small). */
+    * users) — not safe to pin broadcast at scale. The event log is
+    * repartitioned ONCE on user_id and that single exchange feeds all
+    * three user_id-clustered operators: the (user_id, day) distinct
+    * (hash-partitioning on a clustering-key subset satisfies the agg), the
+    * first-seen groupBy, and the act⋈first join — without it each would
+    * shuffle the act lineage separately. (AQE still broadcasts the
+    * first-seen side when it is genuinely small; the act side's single
+    * exchange stands either way.) */
   def q76CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
-    val act = ev.distinct()
+    val act = ev.repartition(col("user_id")).distinct()
     val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     act.join(first, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))

@@ -231,6 +231,8 @@ object Similarity {
           s".${root.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
         if (flavor == "seeded") ivfBuildIndexSeeded(spark, dir, staging.getPath, nCells)
         else ivfBuildIndex(spark, dir, staging.getPath, nCells)
+        // one-time build — report it like bucketed staging (see Bench)
+        graft.plans.Bucketing.stagedThisJvm.add(s"ivf:${root.getName}")
         new java.io.File(staging, "_BUILT").createNewFile()
         if (!staging.renameTo(root)) {
           // lost the publish race to a concurrent builder — use theirs

@@ -74,6 +74,16 @@ object Bucketing {
   private val stageLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** One-time on-disk state actually (re)built in this JVM — staged
+    * bucketed tables here, IVF index builds recorded by
+    * [[graft.operators.Similarity.ivfIndexFor]]. Bench reports this set as
+    * the `staged` JSON field so a rebuild landing inside a timed run is
+    * visible as one-time work, not mistaken for a query regression (the
+    * r7 fingerprint-format change cost a phantom 7× on q48 exactly this
+    * way). */
+  val stagedThisJvm: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Stage `df` as a bucketed table exactly once per input fingerprint —
     * across JVMs. Bucketing's whole premise is that the write-side shuffle
     * is paid once and amortized over every later co-located join; a fresh
@@ -82,15 +92,15 @@ object Bucketing {
     * entry is recreated (`CREATE TABLE ... CLUSTERED BY ... LOCATION` —
     * the files outlive the in-memory catalog); on a miss the table is
     * rebuilt and the marker written after the commit, so a crash mid-write
-    * re-stages. */
+    * re-stages. Returns true iff this call actually (re)built the table. */
   def stageBucketedOnce(df: DataFrame, table: String, key: String,
-      fingerprint: String, buckets: Int = 16): Unit =
+      fingerprint: String, buckets: Int = 16): Boolean =
     stageLocks.computeIfAbsent(table, _ => new Object).synchronized {
       stageBucketedOnceLocked(df, table, key, fingerprint, buckets)
     }
 
   private def stageBucketedOnceLocked(df: DataFrame, table: String, key: String,
-      fingerprint: String, buckets: Int): Unit = {
+      fingerprint: String, buckets: Int): Boolean = {
     val spark = df.sparkSession
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,10 +121,13 @@ object Bucketing {
              |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
              |LOCATION '${loc.toString}'""".stripMargin)
       }
+      false
     } else {
       writeBucketed(df, table, key, buckets)
       val out = fs.create(marker, true)
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+      stagedThisJvm.add(table)
+      true
     }
   }
 

@@ -149,11 +149,15 @@ object EventStreams {
   /** Driver query (q61): stream-static enrichment join — the standing-query
     * shape of a feature pipeline (events stream ⋈ slowly-changing profile
     * dim). The static side carries NO broadcast hint: the dim is O(distinct
-    * users), and pinning it broadcast would OOM the driver at 10⁹ users —
-    * Spark picks broadcast per micro-batch only when the dim's actual size
-    * is under the threshold. The dim is re-read per batch by contract
-    * (static-side updates between batches are visible), which at scale
-    * argues for a compact, file-backed dim. The
+    * users), and pinning it broadcast would OOM the driver at 10⁹ users.
+    * Join strategy is chosen by the BATCH planner per micro-batch from
+    * static size estimates — AQE does not replan micro-batch plans — and
+    * here it builds the broadcast from the MICRO-BATCH side (verified:
+    * BroadcastHashJoin BuildLeft in the executed micro-batch plan, asserted
+    * in StreamingMultimodalSpec), which maxFilesPerTrigger keeps bounded; a
+    * wide-estimate dim never gets pinned into executor memory. The dim is
+    * re-read per batch by contract (static-side updates between batches are
+    * visible), which at scale argues for a compact, file-backed dim. The
     * drained COMPLETE-mode aggregate equals the batch join+group — the SQL
     * oracle (cohort below ≡ user_id % 7 since the dim covers every user). */
   def qStreamEnriched(spark: SparkSession, dir: String): DataFrame = {

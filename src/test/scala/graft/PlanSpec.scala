@@ -149,6 +149,17 @@ class PlanSpec extends AnyFunSuite {
     assert(probe.count() === 10)
   }
 
+  test("seeded IVF probe (q83) is partition-pruned and reads only the index") {
+    val probe = graft.operators.Similarity.q83AnnIvfSeeded(spark, sf)
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: [cell") && p.contains(" IN ("),
+      s"seeded IVF probe not partition-pruned:\n$p")
+    // the returned probe plan touches the index only (the query-vector
+    // point read and the index build are eager, outside this plan)
+    assert(!p.contains("embeddings.parquet"), s"probe re-reads the corpus:\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct

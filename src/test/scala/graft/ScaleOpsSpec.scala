@@ -28,6 +28,54 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"q35 recall@k $recall")
   }
 
+  test("q83 seeded IVF equals a driver-side recompute (assignment, probes, top-k)") {
+    // independent in-JVM twin of the DuckDB oracle: fixed-point argmin
+    // assignment to the vec_id<16 centroids, 4 probed cells, exact 4dp
+    // cosine top-10 within them — must match the query bit for bit
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), _.cast("double")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += (t * t * 1048576d).toLong; j += 1 }
+      s
+    }
+    val cents = (0 until 16).map(c => c -> emb(c.toLong))
+    def cellOf(v: Array[Double]): Int =
+      cents.map { case (c, cv) => (d2(v, cv), c) }.min._2
+    val qv = emb(0L)
+    val probes = cents.map { case (c, cv) => (d2(qv, cv), c) }
+      .sorted.take(4).map(_._2).toSet
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val expected = emb.toSeq
+      .filter { case (id, v) => id != 0L && probes(cellOf(v)) }
+      .map { case (id, v) =>
+        val dot = v.indices.foldLeft(0.0)((acc, j) => acc + v(j) * qv(j))
+        val nrm = math.sqrt(v.indices.foldLeft(0.0)((acc, j) => acc + v(j) * v(j)))
+        val sim = BigDecimal(dot / (nrm * qn))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, sim)
+      }
+      .sortBy { case (id, sim) => (-sim, id) }.take(10)
+    val got = Similarity.q83AnnIvfSeeded(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("connectedComponentsStars fails loudly when stopped before convergence") {
+    import spark.implicits._
+    // mirrors the propagation impl's loud-fail test: a budget too small to
+    // reach the fixpoint must throw, never return plausible-looking labels
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponentsStars(chain, maxRounds = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("q31/q37 oracle decision boundaries keep a float-noise margin (flake guard)") {
     // Two cross-engine edges rounding can't fix: sign(proj) near 0 decides
     // bucket membership (DuckDB SUM order vs Spark fold order), and a raw

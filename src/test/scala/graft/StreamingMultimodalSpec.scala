@@ -42,6 +42,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "stream emitted a bucket the batch twin does not have")
   }
 
+  test("q61 stream-static micro-batch plan joins by broadcast, not sort-merge") {
+    // AQE does not replan micro-batch plans: strategy comes from the batch
+    // planner's static size estimates. Assert the executed micro-batch
+    // plan broadcasts (the bounded micro-batch side) — the failure mode
+    // this pins down is a silent per-batch sort-merge join that would
+    // re-shuffle the O(users) dim on every trigger.
+    val dim = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(7L)).cast("int"))
+    val joined = EventStreams.readEvents(spark, eventsDir)
+      .join(dim, Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("q61_plan_probe")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
+    spark.catalog.dropTempView("q61_plan_probe")
+    val plan = buf.toString("UTF-8")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stream-static join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stream-static join degraded to per-batch sort-merge:\n$plan")
+  }
+
   test("stateful user running counts cover every user exactly once per final state") {
     val events = EventStreams.readEvents(spark, eventsDir)
     val updates = EventStreams.userRunningCounts(spark, events.toDF)
