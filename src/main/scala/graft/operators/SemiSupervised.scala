@@ -194,7 +194,9 @@ object SemiSupervised {
       classifiers = Seq("DT", "NB"), algos = Seq("ST", "supervised"),
       pcts = Seq(0.3), criterionValues = Map("threshold" -> Seq(0.8)),
       maxIter = 2)
-    Experiments.runGrid(data, cells, k = 2, seed = 8L)
+    // all four cells in flight: they are independent seeded fits, so the
+    // result frame is identical at any parallelism — only wall time moves
+    Experiments.runGrid(data, cells, k = 2, seed = 8L, parallelism = 4)
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */

@@ -9,6 +9,19 @@ import graft.ml.Experiments
 class ExperimentsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("Par.both awaits the sibling before rethrowing a failure") {
+    // a failed fit must not leave its sibling running ownerless on the
+    // shared pool — both() only unwinds once both thunks have finished
+    val bDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[RuntimeException] {
+      graft.ml.Par.both(
+        { Thread.sleep(50); throw new RuntimeException("fit a failed") },
+        { Thread.sleep(400); bDone.set(true); 1 })
+    }
+    assert(e.getMessage === "fit a failed")
+    assert(bDone.get, "sibling thunk was abandoned mid-flight")
+  }
+
   private lazy val separable = {
     val rnd = new scala.util.Random(42)
     import spark.implicits._
