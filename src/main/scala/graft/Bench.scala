@@ -31,15 +31,20 @@ object Bench {
     // alphabetically-first ML query)
     spark.range(100).count()
     locally {
-      import org.apache.spark.ml.classification.{DecisionTreeClassifier, RandomForestClassifier}
+      import org.apache.spark.ml.classification._
       import org.apache.spark.ml.linalg.Vectors
       import spark.implicits._
       val tiny = (0 until 64).map(i =>
         (Vectors.dense(i.toDouble, (i % 2).toDouble), (i % 2).toDouble))
         .toDF("features", "label")
+      // the WHOLE roster, not just the tree family: NB/LR/LSVC otherwise
+      // JIT inside the first ML query's timing (q39 fits all five)
       new DecisionTreeClassifier().setSeed(8L).fit(tiny).transform(tiny).count()
       new RandomForestClassifier().setSeed(8L).setNumTrees(5).fit(tiny)
         .transform(tiny).count()
+      new NaiveBayes().fit(tiny).transform(tiny).count()
+      new LogisticRegression().setMaxIter(5).fit(tiny).transform(tiny).count()
+      new LinearSVC().setMaxIter(5).fit(tiny).transform(tiny).count()
     }
     graft.functions.VectorMax.register(spark)
     // Build one-time on-disk state OUTSIDE the timed loop: bucketed staging
