@@ -55,9 +55,13 @@ object Bench {
     // untimed once; the timed loop below then measures steady state. What
     // actually got (re)built is reported in the JSON `staged` field.
     for (q <- Seq("q35_ann_ivf", "q48_bucketed_join", "q83_ann_ivf_seeded")) {
-      // a prewarm failure is not silently fatal — the timed loop reports it
-      try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      // lookup OUTSIDE the try: a renamed key must fail loudly here, not
+      // silently turn the prewarm into a no-op and re-create the phantom
+      // regression it exists to prevent
+      val fn = SparkEntry.queries(q)
+      // a query failure is not silently fatal — the timed loop reports it
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // deterministic name-sorted execution (Map iteration order is
@@ -98,7 +102,7 @@ object Bench {
     // against earlier rounds accordingly
     val staged = {
       import scala.jdk.CollectionConverters._
-      graft.plans.Bucketing.stagedThisJvm.asScala.toSeq.sorted
+      graft.util.Staging.builtThisJvm.asScala.toSeq.sorted
         .map(s => "\"" + jsonEscape(s) + "\"").mkString("[", ",", "]")
     }
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errors,"staged":$staged,"sf":"$sfDir"}""")

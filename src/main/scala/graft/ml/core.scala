@@ -52,7 +52,11 @@ object Par {
     * are awaited before any failure is rethrown: if `a`'s fit fails while
     * `b`'s is mid-flight, rethrowing immediately would leave `b` running
     * detached on the shared pool — ownerless Spark jobs still consuming
-    * cluster resources after the caller has unwound. */
+    * cluster resources after the caller has unwound. (Deliberate
+    * trade-off: a sibling that HANGS now delays the first failure's
+    * propagation — acceptable because a wedged Spark job means the cluster
+    * is already sick, while a timeout here would kill legitimately long
+    * fits.) */
   def both[A, B](a: => A, b: => B): (A, B) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -71,16 +75,21 @@ object Par {
 
   /** Concurrent map preserving order with at most `threads` in flight —
     * for grids whose cells each launch their own Spark jobs, where
-    * unbounded fan-out would oversubscribe the scheduler. */
+    * unbounded fan-out would oversubscribe the scheduler. Like [[both]],
+    * EVERY task is awaited before the first failure rethrows (shutdown()
+    * does not cancel started tasks, so bailing early would leave sibling
+    * cells running ownerless). */
   def mapBounded[A, B](in: Seq[A], threads: Int)(f: A => B): Seq[B] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     require(threads > 0, "threads must be positive")
     val ec = ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(threads))
     try {
       val fs = in.map(x => Future(f(x))(ec))
-      fs.map(Await.result(_, Duration.Inf))
+      val rs = fs.map(fu => Try(Await.result(fu, Duration.Inf)))
+      rs.map(_.get)
     } finally ec.shutdown()
   }
 }

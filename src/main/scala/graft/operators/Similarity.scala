@@ -232,7 +232,7 @@ object Similarity {
         if (flavor == "seeded") ivfBuildIndexSeeded(spark, dir, staging.getPath, nCells)
         else ivfBuildIndex(spark, dir, staging.getPath, nCells)
         // one-time build — report it like bucketed staging (see Bench)
-        graft.plans.Bucketing.stagedThisJvm.add(s"ivf:${root.getName}")
+        graft.util.Staging.builtThisJvm.add(s"ivf:${root.getName}")
         new java.io.File(staging, "_BUILT").createNewFile()
         if (!staging.renameTo(root)) {
           // lost the publish race to a concurrent builder — use theirs

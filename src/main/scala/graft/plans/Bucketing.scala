@@ -74,16 +74,6 @@ object Bucketing {
   private val stageLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** One-time on-disk state actually (re)built in this JVM — staged
-    * bucketed tables here, IVF index builds recorded by
-    * [[graft.operators.Similarity.ivfIndexFor]]. Bench reports this set as
-    * the `staged` JSON field so a rebuild landing inside a timed run is
-    * visible as one-time work, not mistaken for a query regression (the
-    * r7 fingerprint-format change cost a phantom 7× on q48 exactly this
-    * way). */
-  val stagedThisJvm: java.util.Set[String] =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Stage `df` as a bucketed table exactly once per input fingerprint —
     * across JVMs. Bucketing's whole premise is that the write-side shuffle
     * is paid once and amortized over every later co-located join; a fresh
@@ -126,7 +116,7 @@ object Bucketing {
       writeBucketed(df, table, key, buckets)
       val out = fs.create(marker, true)
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
-      stagedThisJvm.add(table)
+      graft.util.Staging.builtThisJvm.add(table)
       true
     }
   }

@@ -22,6 +22,9 @@ object MlOracleGen {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     def dlit(d: Double): String = {
+      // a NaN/Infinity metric (e.g. a degenerate single-class fold) must
+      // fail HERE, not as a DuckDB syntax error after being pasted in
+      require(!d.isNaN && !d.isInfinite, s"non-finite metric $d — not pinnable")
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "e0"
     }

@@ -67,6 +67,11 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"stream-static join is not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"stream-static join degraded to per-batch sort-merge:\n$plan")
+    // the BUILD side must be the bounded micro-batch (left), never the
+    // O(users) dim — broadcasting the dim is the OOM-at-10⁹-users shape
+    // the scaladoc rules out
+    assert(plan.contains("BuildLeft"),
+      s"broadcast built from the dim side, not the bounded micro-batch:\n$plan")
   }
 
   test("stateful user running counts cover every user exactly once per final state") {
