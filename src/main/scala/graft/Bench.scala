@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Queries that build durable one-time state (bucketed tables, IVF
+    * indexes) — run untimed before the loop; keys verified against
+    * SparkEntry.queries in RelationalSpec. */
+  val statefulQueries: Seq[String] =
+    Seq("q35_ann_ivf", "q48_bucketed_join", "q83_ann_ivf_seeded")
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -54,7 +60,7 @@ object Bench {
     // (the r7 lesson: q48 showed 7× from exactly this). The queries run
     // untimed once; the timed loop below then measures steady state. What
     // actually got (re)built is reported in the JSON `staged` field.
-    for (q <- Seq("q35_ann_ivf", "q48_bucketed_join", "q83_ann_ivf_seeded")) {
+    for (q <- statefulQueries) {
       // lookup OUTSIDE the try: a renamed key must fail loudly here, not
       // silently turn the prewarm into a no-op and re-create the phantom
       // regression it exists to prevent

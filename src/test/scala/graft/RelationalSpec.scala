@@ -23,6 +23,19 @@ object TestSpark {
 class RelationalSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("gate wiring: every query has an oracle unless explicitly rows-only") {
+    // a typo'd oracleSql key would silently downgrade its query to the
+    // weaker rows-only check — the gate must degrade loudly, here
+    val rowsOnly = Set("q35_ann_ivf") // KMeans quantizer has no SQL twin
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries silently rows-only: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle entries naming no query: $orphaned")
+    assert(SparkEntry.oracleSql.values.forall(_.trim.nonEmpty), "empty oracle SQL")
+    val badPrewarm = Bench.statefulQueries.filterNot(SparkEntry.queries.contains)
+    assert(badPrewarm.isEmpty, s"Bench prewarm names unknown queries: $badPrewarm")
+  }
+
   test("every SparkEntry query runs and returns a readable schema on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
