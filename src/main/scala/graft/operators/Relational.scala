@@ -339,29 +339,38 @@ object Relational {
 
   /** Ordered conversion funnel (q75): users who viewed, then clicked AFTER
     * their first view, then purchased AFTER that first qualifying click.
-    * Each stage reduces events to a per-user minimum timestamp BEFORE the
-    * next join, so the joins carry one row per surviving user — the funnel
-    * narrows the data monotonically. The per-user frames are O(distinct
-    * users), NOT broadcast-sized at scale (10⁹ users is multi-GB), so the
-    * joins carry no hint: AQE picks broadcast when the stage output is
-    * actually small and a shuffled join when it isn't. Timestamps compare
-    * as integer microseconds (engine-exact). */
+    *
+    * ONE scan, ONE shuffle: the three stage timestamps are chained
+    * conditional window minima over the same user_id partitioning —
+    * tv = min(view times), tc = min(click times > tv), tp = min(purchase
+    * times > tc) — so Catalyst plans a single exchange feeding three
+    * Window nodes (no ORDER BY → whole-partition aggregate frames, one
+    * sort), then a per-user distinct (exchange-free: user_id partitioning
+    * satisfies the clustering) and a single 3-counter reduce. The previous
+    * join-ladder form read the event log FOUR times and planned 9
+    * exchanges; interleaved event types give parquet row-group stats no
+    * skipping power, so each of those scans was a full pass at 100 TB.
+    * NULL chaining gives the funnel predicate for free: a user with no
+    * view has tv = NULL, so `tu > tv` is NULL and tc stays NULL (count()
+    * skips NULLs). Timestamps compare as integer microseconds. */
   def q75Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
-      col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
-    val tv = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("tu")).as("tv"))
-    val tc = ev.filter(col("event_type") === "click")
-      .join(tv, Seq("user_id"))
-      .filter(col("tu") > col("tv"))
-      .groupBy(col("user_id")).agg(min(col("tu")).as("tc"))
-    val tp = ev.filter(col("event_type") === "purchase")
-      .join(tc, Seq("user_id"))
-      .filter(col("tu") > col("tc"))
-      .groupBy(col("user_id")).agg(min(col("tu")).as("tp"))
-    tv.agg(count(lit(1)).as("n_viewed"))
-      .crossJoin(tc.agg(count(lit(1)).as("n_clicked_after_view")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_purchased_after_click")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("tu"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("tu") > col("tv"),
+          col("tu"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("tu") > col("tc"),
+          col("tu"))).over(w))
+      .select(col("user_id"), col("tv"), col("tc"), col("tp")).distinct()
+      .agg(
+        count(col("tv")).as("n_viewed"),
+        count(col("tc")).as("n_clicked_after_view"),
+        count(col("tp")).as("n_purchased_after_click"))
   }
 
   /** Cohort retention matrix (q76): users bucketed by first-seen epoch day,

@@ -33,10 +33,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q11 fell back to sort-merge:\n$p")
   }
 
-  test("funnel/cohort per-user frames broadcast back onto the event log (q75, q76)") {
-    val p75 = formatted("q75_funnel")
-    assert(p75.contains("BroadcastHashJoin"), s"q75 per-user joins not broadcast:\n$p75")
-    assert(!p75.contains("SortMergeJoin"), s"q75 shuffles the event log per stage:\n$p75")
+  test("funnel is join-free: one event-log scan, one user_id exchange (q75)") {
+    // the funnel's three stage timestamps are chained window minima over
+    // one user_id partitioning — no join ladder, no repeated log scans
+    // SimpleMode: single executed-plan representation (formatted mode
+    // prints each node twice — tree + details; sparkPlan predates
+    // EnsureRequirements so it shows no exchanges at all)
+    val p75 = SparkEntry.queries("q75_funnel")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p75.contains("Join"), s"q75 grew a join back:\n$p75")
+    val scans = "FileScan".r.findAllIn(p75).size
+    assert(scans === 1, s"q75 scans the event log $scans times:\n$p75")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p75).size
+    assert(hashEx === 1, s"q75 shuffles $hashEx times (want 1):\n$p75")
+  }
+
+  test("cohort per-user frame broadcasts back onto the event log (q76)") {
     val p76 = formatted("q76_cohort_retention")
     assert(p76.contains("BroadcastHashJoin"), s"q76 first-seen join not broadcast:\n$p76")
     assert(!p76.contains("SortMergeJoin"), s"q76 fell back to sort-merge:\n$p76")
