@@ -425,6 +425,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("staged band table equals the inline docsWithDups band table (both families)") {
+    // stagedBandTable builds over plain `documents`, claiming duplicates
+    // collapse in the signature min-aggregate; this pins that claim against
+    // the inline computation over the duplicated corpus, per hash family
+    import graft.operators.Dedup
+    for (oracle <- Seq(false, true)) {
+      TextFunctions.withOracleMode(oracle) {
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+            r.getInt(r.fieldIndex("band")),
+            r.getLong(r.fieldIndex("bucket")))).toSet
+        val staged = rows(Dedup.stagedBandTable(spark, sf))
+        val inline = rows(Dedup.bandTable(
+          Dedup.minhashSignatures(Dedup.docsWithDups(spark, sf))))
+        assert(staged === inline, s"family oracle=$oracle")
+      }
+    }
+  }
+
   test("q67 cluster roster: clusters have >= 2 docs and cover exactly the paired docs") {
     val rows = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
     assert(rows.nonEmpty)
