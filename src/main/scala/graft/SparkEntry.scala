@@ -19,8 +19,9 @@ import graft.operators.{Dedup, Relational, SemiSupervised, Similarity, TextAnaly
   * production callers run the xxhash64 family — same plans, ~an order of
   * magnitude cheaper per hash. Model fits (q39-q44, q84) are pinned by
   * golden-value constant oracles (seeded + bit-deterministic, see
-  * [[graft.tools.MlOracleGen]]); only KMeans (q35) remains rows-only — its
-  * deterministic twin q83 hash-checks the IVF probe path itself.
+  * [[graft.tools.MlOracleGen]]), including q35's KMeans-IVF recall summary
+  * — its deterministic twin q83 hash-checks the IVF probe path itself, so
+  * every query in the map is oracle-checked.
   */
 object SparkEntry {
 
@@ -70,9 +71,9 @@ object SparkEntry {
     "q32_event_windows"     -> Relational.q32EventWindows _,
     "q33_json_extract"      -> Relational.q33JsonExtract _,
     "q34_stream_hourly"     -> graft.streaming.EventStreams.qStreamHourly _,
-    // in_exact flags make recall@k driver-visible in the dumped rows
+    // recall@10 vs exact brute force, pinned by a golden-value oracle
     "q35_ann_ivf"           -> ((s: SparkSession, d: String) =>
-      Similarity.ivfTopKWithRecall(s, d)),
+      Similarity.q35AnnIvfRecall(s, d)),
     "q36_fingerprint_rolling" -> TextAnalysis.qRollingFingerprint _,
     // ONE param set for both gates (bench times exactly what the oracle
     // checks): nBits=6 keeps the hyperplane CTE small, threshold=0.1 keeps
@@ -145,10 +146,9 @@ object SparkEntry {
     * [[graft.functions.TextFunctions.hex60]]), which DuckDB recomputes as
     * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`; q31's top-k ranks
     * on the 4dp-rounded sim with a vec_id tie-break so ranking is
-    * engine-deterministic. The model-fit queries (q39-q44, q84) are pinned
-    * by golden-value constant oracles (see the comment at their block).
-    * Omitted only where no SQL twin exists (q35 KMeans) → driver records
-    * the rows-only check. */
+    * engine-deterministic. The model-fit queries (q35, q39-q44, q84) are
+    * pinned by golden-value constant oracles (see the comment at their
+    * block) — nothing is rows-only. */
   def oracleSql: Map[String, String] = Map(
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
     "q24_dedup_minhash" ->
@@ -354,12 +354,24 @@ object SparkEntry {
        "FROM e JOIN q USING (j) JOIN asg ON asg.vec_id = e.vec_id " +
        "WHERE asg.cell IN (SELECT cell FROM pr) AND e.vec_id <> 0 GROUP BY e.vec_id) " +
        "SELECT vec_id, round(dot/(sqrt(n1)*sqrt(n2)), 4) AS sim FROM s ORDER BY sim DESC, vec_id LIMIT 10"),
-    // ---- model-fit queries (q39-q44, q84): every value is seeded and
-    // bit-deterministic (verified identical across JVMs and local[4] vs
-    // local[32]), so the oracle pins the OBSERVED sf0.01 result rows as
+    // ---- model-fit queries (q35, q39-q44, q84): every value is seeded
+    // and bit-deterministic (verified identical across JVMs and local[4]
+    // vs local[32]), so the oracle pins the OBSERVED sf0.01 result rows as
     // constants — a golden-value regression gate on the full 15-column
     // frame (counters AND metrics), replacing the old rows-only check.
-    // Regenerate with graft.tools.MlOracleGen if the testdata changes. ----
+    //
+    // PINNED ENVIRONMENT: exact IEEE doubles are only stable while the
+    // numeric environment is — these constants were generated under
+    // Spark 4.1.2 / Scala 2.13 / OpenJDK 17 with mllib's pure-JVM fallback
+    // BLAS (no native netlib in this container; a MKL/OpenBLAS-backed JVM
+    // may round LR/LSVC/NB intermediates differently). They are
+    // parallelism-invariant (regenerated identically under
+    // SPARK_GRAFT_CPUS=4 and =32) and layout-invariant only for the
+    // single-file sf0.01 parquet reads. If the gate host changes any of
+    // those — or the driver regenerates the testdata — re-run
+    // graft.tools.MlOracleGen ON THAT HOST and paste its output here; a
+    // mismatch is loud (hash_match=false on the ML block), never silent.
+    // ----
     "q39_supervised_roster" ->
       "SELECT * FROM (VALUES ('embeddings', 'supervised-DT', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.4609375e0, 0.45281862745098045e0, 0.42335325852837324e0, 0.4297520661157025e0), ('embeddings', 'supervised-RF', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.5078125e0, 0.48946078431372547e0, 0.455404383432448e0, 0.5190839694656488e0), ('embeddings', 'supervised-NB', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.515625e0, 0.582843137254902e0, 0.5208597192388195e0, 0.6172839506172839e0), ('embeddings', 'supervised-LR', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.5e0, 0.5289215686274511e0, 0.4779725027941519e0, 0.5076923076923077e0), ('embeddings', 'supervised-SVM', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(197 AS BIGINT), CAST(175 AS BIGINT), CAST(197 AS BIGINT), CAST(175 AS BIGINT), 0.5e0, 0.5546875e0, 0.5595588235294119e0, 0.5134255211590378e0, 0.5648854961832062e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q40_selftrain_threshold" ->
@@ -373,7 +385,12 @@ object SparkEntry {
     "q44_cotrain_featsplit" ->
       "SELECT * FROM (VALUES ('embeddings', 'CTFS-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(372 AS BIGINT), CAST(0 AS BIGINT), 1.0e0, 0.5625e0, 0.5743821874235381e0, 0.5686314113982176e0, 0.5555555555555556e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q84_experiment_grid" ->
-      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.48199740762669824e0, 0.4573199842436975e0, 0.4903260444900236e0, 0.49316768283342016e0), ('embeddings', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(167 AS BIGINT), CAST(83 AS BIGINT), 0.6653386454183267e0, 0.5117856971403882e0, 0.49132549894957983e0, 0.49482983861997e0, 0.5272030651340996e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    // q35: the KMeans-IVF recall summary (recall@10 vs exact brute force)
+    // — the quantizer fit has no SQL twin, so the gate pins the seeded,
+    // parallelism-invariant recall as a golden value (see MlOracleGen)
+    "q35_ann_ivf" ->
+      "SELECT * FROM (VALUES (CAST(10 AS BIGINT), CAST(4 AS BIGINT), 0.4e0)) AS t(\"n_results\", \"n_in_exact\", \"recall_at_k\")",
     "q01_scan_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
     "q02_filter_sentinel" ->

@@ -179,12 +179,14 @@ object SemiSupervised {
 
   /** The experiment GRID end-to-end (ref M7+M9+M11 composed — the flow
     * whose product is the reference's AllResults.csv): a multi-cell grid
-    * (ST and supervised × DT and NB) through [[Experiments.runGrid]], each
-    * cell k-fold cross-validated, emitting one 15-column result row per
-    * cell in grid order. Cells run as bounded concurrent job streams;
-    * every value is seeded, so the frame is pinned exactly by the oracle.
-    * Features are abs(embedding), the roster's shared non-negative
-    * representation (multinomial NaiveBayes rejects negative inputs). */
+    * through [[Experiments.runGrid]], each cell k-fold cross-validated,
+    * emitting one 15-column result row per cell in grid order. The six
+    * cells cover every runner branch: ST-threshold, ST-kBest,
+    * CT-threshold, and supervised, across DT and NB. Cells run as bounded
+    * concurrent job streams; every value is seeded, so the frame is
+    * pinned exactly by the oracle. Features are abs(embedding), the
+    * roster's shared non-negative representation (multinomial NaiveBayes
+    * rejects negative inputs). */
   def qExperimentGrid(spark: SparkSession, dir: String): DataFrame = {
     val data = Tables.load(spark, dir, "embeddings")
       .select(
@@ -193,9 +195,17 @@ object SemiSupervised {
     val cells = Experiments.grid("embeddings",
       classifiers = Seq("DT", "NB"), algos = Seq("ST", "supervised"),
       pcts = Seq(0.3), criterionValues = Map("threshold" -> Seq(0.8)),
-      maxIter = 2)
-    // all four cells in flight: they are independent seeded fits, so the
-    // result frame is identical at any parallelism — only wall time moves
+      maxIter = 2) ++ Seq(
+      // the two runner branches the cross-product above misses: the
+      // CoTraining grid path and the kBest criterion (r8 ran them only as
+      // single-cell queries q41/q42 — this puts them through runCell)
+      Experiments.Cell("embeddings", "DT", "CT", "threshold", 0.3, 0.8,
+        maxIter = 2),
+      Experiments.Cell("embeddings", "DT", "ST", "kBest", 0.3, 0.5,
+        maxIter = 2))
+    // all cells in flight (bounded): they are independent seeded fits, so
+    // the result frame is identical at any parallelism — only wall time
+    // moves
     Experiments.runGrid(data, cells, k = 2, seed = 8L, parallelism = 4)
   }
 

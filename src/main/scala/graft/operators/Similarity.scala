@@ -335,6 +335,23 @@ object Similarity {
         coalesce(col("in_exact"), lit(0L)).as("in_exact"))
   }
 
+  /** q35: the KMeans-IVF pipeline gated by its RECALL, not its rows — the
+    * quantizer fit has no SQL twin (q83's seeded flavor hash-checks the
+    * probe path itself), but seeded KMeans at fixed parallelism is
+    * bit-deterministic, so recall@k against the exact brute-force top-k is
+    * a pinnable constant. One summary row: result count, how many of the
+    * approximate hits appear in the exact top-k, and their ratio — pinned
+    * by a golden-value oracle (regenerate with
+    * [[graft.tools.MlOracleGen]]; determinism re-verified across cpu
+    * counts before pinning). */
+  def q35AnnIvfRecall(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWithRecall(spark, dir, queryId, k, nCells, nProbe)
+      .agg(count(lit(1)).as("n_results"),
+        sum(col("in_exact")).as("n_in_exact"))
+      .select(col("n_results"), col("n_in_exact"),
+        (col("n_in_exact").cast("double") / col("n_results")).as("recall_at_k"))
+
   /** Raw cosine for every co-bucketed pair (vec_a < vec_b) — the candidate
     * stage [[embeddingNearDupPairs]] filters; exposed separately so the
     * oracle-margin guard in ScaleOpsSpec can probe the unrounded sims. */

@@ -3,13 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 /** Regenerates the constant "golden-value" oracles for the model-fit
-  * queries (q39-q44, q84): runs each at sf0.01 and prints a DuckDB
-  * `SELECT * FROM (VALUES ...)` pinning the observed rows. Every value is
-  * seeded and bit-deterministic (verified identical across JVMs and
-  * local[4] vs local[32] — the pre-fit randomness runs on the
-  * single-partition sf0.01 reads, and fits are seeded), so pinning exact
-  * doubles is as safe as pinning the integer counters. Re-run and paste
-  * into SparkEntry.oracleSql if the driver regenerates the testdata. */
+  * queries (q35 recall summary, q39-q44, q84): runs each at sf0.01 and
+  * prints a DuckDB `SELECT * FROM (VALUES ...)` pinning the observed
+  * rows. Every value is seeded and bit-deterministic (verified identical
+  * across JVMs and local[4] vs local[32] — the pre-fit randomness runs on
+  * the single-partition sf0.01 reads, and fits are seeded), so pinning
+  * exact doubles is as safe as pinning the integer counters. Re-run and
+  * paste into SparkEntry.oracleSql if the driver regenerates the
+  * testdata. */
 object MlOracleGen {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,9 +29,10 @@ object MlOracleGen {
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "e0"
     }
-    for (q <- Seq("q39_supervised_roster", "q40_selftrain_threshold",
-        "q41_selftrain_kbest", "q42_cotrain", "q43_supervised_cv",
-        "q44_cotrain_featsplit", "q84_experiment_grid")) {
+    for (q <- Seq("q35_ann_ivf", "q39_supervised_roster",
+        "q40_selftrain_threshold", "q41_selftrain_kbest", "q42_cotrain",
+        "q43_supervised_cv", "q44_cotrain_featsplit",
+        "q84_experiment_grid")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val schema = df.schema
       val rows = df.collect()

@@ -26,7 +26,9 @@ class RelationalSpec extends AnyFunSuite {
   test("gate wiring: every query has an oracle unless explicitly rows-only") {
     // a typo'd oracleSql key would silently downgrade its query to the
     // weaker rows-only check — the gate must degrade loudly, here
-    val rowsOnly = Set("q35_ann_ivf") // KMeans quantizer has no SQL twin
+    // every query is oracle-checked since r9 (q35's KMeans quantizer has
+    // no SQL twin, but its recall@10 summary is pinned as a golden value)
+    val rowsOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries silently rows-only: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -21,10 +21,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall (ivf=$ivf brute=$brute)")
   }
 
-  test("q35 emits driver-visible recall flags (recall@10 ≥ 0.5 vs brute force)") {
+  test("q35 recall summary: one row, k results, recall@10 ≥ 0.5 vs brute force") {
     val rows = SparkEntry.queries("q35_ann_ivf")(spark, sf).collect()
-    assert(rows.nonEmpty)
-    val recall = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 10L, "n_results must be k")
+    val recall = r.getDouble(2)
+    assert(recall === r.getLong(1).toDouble / r.getLong(0))
     assert(recall >= 0.5, s"q35 recall@k $recall")
   }
 
