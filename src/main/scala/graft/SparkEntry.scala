@@ -137,6 +137,7 @@ object SparkEntry {
     "q83_ann_ivf_seeded"      -> ((s: SparkSession, d: String) =>
       Similarity.q83AnnIvfSeeded(s, d)),
     "q84_experiment_grid"     -> SemiSupervised.qExperimentGrid _,
+    "q85_bagdiff_remainder"   -> Relational.q85BagDiffRemainder _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -554,6 +555,13 @@ object SparkEntry {
     "q65_hash_sample" ->
       (s"SELECT event_type, count(*) AS n_sampled FROM events " +
        s"WHERE ${hex60Sql("CAST(event_id AS VARCHAR)")} % 10 = 0 GROUP BY event_type"),
+    // identity-based difference of a corpus and its selected subset ==
+    // the subset's complement (uid spaces shared by construction), so the
+    // oracle states the complement predicate directly
+    "q85_bagdiff_remainder" ->
+      ("SELECT l_returnflag, count(*) AS cnt, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+       "FROM lineitem WHERE NOT (l_quantity > 45.0) GROUP BY l_returnflag"),
     "q66_incremental_dedup" ->
       ("WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0), " +
        "inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1) " +

@@ -539,4 +539,45 @@ object Relational {
       .count()
       .select(col("hr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
   }
+
+  /** q85 — the reference's bag-difference remainder (O2/J1: a corpus minus
+    * a selected subset, `exceptAll` — ref SelfTraining.scala:130,159)
+    * run through the engine's extension-point fix: with both sides
+    * carrying the [[graft.plans.BagOps.UidCol]] row identity and
+    * `spark.graft.rewriteBagDifference=true`, the injected
+    * [[graft.plans.BagDifferenceToAntiJoin]] rule rewrites
+    * `Except(isAll=true)` into a LEFT ANTI join on the 8-byte uid —
+    * instead of Catalyst's RewriteExceptAll expansion, whose
+    * sum-of-multiplicities aggregate shuffles ENTIRE rows on all columns
+    * (the 100 TB cliff when rows carry feature vectors; SURVEY §7).
+    * PlanSpec asserts the physical plan is the anti join (and not the
+    * aggregate+generate expansion).
+    *
+    * The two sides are fresh plans over the same deterministic tagging —
+    * the shared-identity-space contract the rule requires (in production
+    * the uid is a column persisted with the corpus; here
+    * `monotonically_increasing_id` over the same single-file read is
+    * stable, so both reads tag identically). The conf flip is scoped to
+    * plan CONSTRUCTION and restored — analysis happens eagerly at
+    * `exceptAll`, so the returned frame keeps the rewritten plan. */
+  def q85BagDiffRemainder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{BagDifferenceToAntiJoin, BagOps}
+    def tagged(): DataFrame = BagOps.withUid(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag")))
+    val prev = spark.conf.getOption(BagDifferenceToAntiJoin.ConfKey)
+    spark.conf.set(BagDifferenceToAntiJoin.ConfKey, "true")
+    val remainder =
+      try tagged().exceptAll(tagged().filter(col("l_quantity") > 45.0))
+      finally prev match {
+        case Some(v) => spark.conf.set(BagDifferenceToAntiJoin.ConfKey, v)
+        case None => spark.conf.unset(BagDifferenceToAntiJoin.ConfKey)
+      }
+    remainder
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+  }
 }

@@ -33,6 +33,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q11 fell back to sort-merge:\n$p")
   }
 
+  test("bag-difference remainder plans as an anti join, not the exceptAll expansion (q85)") {
+    // the extension rule must rewrite Except(isAll=true) on the uid-tagged
+    // sides into a LEFT ANTI join on the 8-byte uid; Catalyst's own
+    // RewriteExceptAll would instead expand into a sum-of-multiplicities
+    // Aggregate + Generate(ReplicateRows) shuffling whole rows
+    val df = SparkEntry.queries("q85_bagdiff_remainder")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftAnti"), s"q85 rewrite did not fire:\n$opt")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("Generate"),
+      s"q85 fell back to the replicate-rows expansion:\n$p")
+    // and the conf flip is restored after plan construction
+    assert(spark.conf.getOption(
+      graft.plans.BagDifferenceToAntiJoin.ConfKey).isEmpty)
+  }
+
   test("funnel is join-free: one event-log scan, one user_id exchange (q75)") {
     // the funnel's three stage timestamps are chained window minima over
     // one user_id partitioning — no join ladder, no repeated log scans
