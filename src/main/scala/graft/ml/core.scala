@@ -60,12 +60,20 @@ object Par {
   def both[A, B](a: => A, b: => B): (A, B) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.util.Try
+    import scala.util.{Failure, Try}
     val ec = ExecutionContext.fromExecutor(sharedPool)
     val fa = Future(a)(ec); val fb = Future(b)(ec)
     val ra = Try(Await.result(fa, Duration.Inf))
     val rb = Try(Await.result(fb, Duration.Inf))
-    (ra.get, rb.get)
+    (ra, rb) match {
+      // both failed: the second failure must not be silently discarded —
+      // when e.g. both co-training view fits die for different reasons,
+      // the root cause may be in either stack
+      case (Failure(ea), Failure(eb)) =>
+        if (eb ne ea) ea.addSuppressed(eb)
+        throw ea
+      case _ => (ra.get, rb.get)
+    }
   }
 
   /** Concurrent map preserving order; one thread per element (callers pass
@@ -89,6 +97,14 @@ object Par {
     try {
       val fs = in.map(x => Future(f(x))(ec))
       val rs = fs.map(fu => Try(Await.result(fu, Duration.Inf)))
+      // rethrow the FIRST failure with every later sibling failure
+      // attached as suppressed — multiple failing grid cells otherwise
+      // lose all but one diagnosis
+      val failures = rs.collect { case scala.util.Failure(e) => e }
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(e => if (e ne first) first.addSuppressed(e))
+        throw first
+      }
       rs.map(_.get)
     } finally ec.shutdown()
   }

@@ -231,10 +231,15 @@ object Similarity {
           s".${root.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
         if (flavor == "seeded") ivfBuildIndexSeeded(spark, dir, staging.getPath, nCells)
         else ivfBuildIndex(spark, dir, staging.getPath, nCells)
-        // one-time build — report it like bucketed staging (see Bench)
-        graft.util.Staging.builtThisJvm.add(s"ivf:${root.getName}")
         new java.io.File(staging, "_BUILT").createNewFile()
-        if (!staging.renameTo(root)) {
+        if (staging.renameTo(root)) {
+          // one-time build PUBLISHED this JVM — report it like bucketed
+          // staging (see Bench). Recorded only on the rename win: `staged`
+          // means "this JVM's artifact is the live one", so a loser whose
+          // build was discarded must not claim it (its wasted build cost
+          // is real but its index is not in use).
+          graft.util.Staging.builtThisJvm.add(s"ivf:${root.getName}")
+        } else {
           // lost the publish race to a concurrent builder — use theirs
           graft.util.Fs.deleteRecursively(staging)
         }

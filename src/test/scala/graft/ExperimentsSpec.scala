@@ -22,6 +22,24 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(bDone.get, "sibling thunk was abandoned mid-flight")
   }
 
+  test("Par attaches sibling failures as suppressed instead of discarding them") {
+    val e = intercept[RuntimeException] {
+      graft.ml.Par.both[Int, Int](
+        { Thread.sleep(20); throw new RuntimeException("a failed") },
+        { Thread.sleep(20); throw new RuntimeException("b failed") })
+    }
+    assert(e.getMessage === "a failed")
+    assert(e.getSuppressed.map(_.getMessage).toSeq === Seq("b failed"))
+    val em = intercept[RuntimeException] {
+      graft.ml.Par.mapBounded(Seq(1, 2, 3), 3) { i =>
+        throw new RuntimeException(s"cell $i failed")
+      }
+    }
+    assert(em.getMessage === "cell 1 failed", "first failure in input order")
+    assert(em.getSuppressed.map(_.getMessage).toSet ===
+      Set("cell 2 failed", "cell 3 failed"))
+  }
+
   private lazy val separable = {
     val rnd = new scala.util.Random(42)
     import spark.implicits._
