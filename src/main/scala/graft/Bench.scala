@@ -93,9 +93,13 @@ object Bench {
     // with host load, not with any engine change under test.
     def calibSecs(): Double = {
       import org.apache.spark.sql.functions.sum
-      val t0 = System.nanoTime()
-      spark.range(100L << 20).agg(sum("id")).head
-      (System.nanoTime() - t0) / 1e9
+      // min of 3: a single run carries GC/scheduler noise; the MINIMUM is
+      // the contention floor, which is exactly the load signal wanted
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(100L << 20).agg(sum("id")).head
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     calibSecs() // untimed JIT warm so calibPre measures load, not compilation
     val calibPre = calibSecs()

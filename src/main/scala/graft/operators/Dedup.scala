@@ -334,9 +334,13 @@ object Dedup {
   def nearDupPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.8): DataFrame = {
     // One row per doc_id: duplicated ids would double-count intersections
-    // in the Jaccard join (and fan out the counts join).
+    // in the Jaccard join (and fan out the counts join). doc_id is the
+    // documents table's key, so the one-row-per-id corpus IS the base
+    // table — reading it directly replaces the previous
+    // docsWithDups.dropDuplicates, whose exchange carried full document
+    // bodies just to rediscover uniqueness.
     //
-    // Materialize the DOCS (post-dedup-shuffle): the corpus slice is the
+    // Materialize the DOCS: the corpus slice is the
     // smallest frame every stage provably needs. Full-corpus shingling then
     // happens exactly ONCE — inside the capBuckets materialization job that
     // computes signatures. Verification never touches the full shingle
@@ -345,7 +349,7 @@ object Dedup {
     // semi-join, and only the surviving docs are re-shingled. At 100 TB
     // that is the difference between shuffling the corpus-sized shingle
     // table into the Jaccard join and shuffling just the candidates.
-    val docs = docsWithDups(spark, dir).dropDuplicates("doc_id")
+    val docs = Tables.load(spark, dir, "documents")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates from the staged corpus band table (one signature scan per
     // corpus, shared with q24/q67/q73/q74 — see stagedBandTable)
@@ -359,7 +363,11 @@ object Dedup {
     // docs. (If candidates ever outgrew the driver, drop the hint and let
     // AQE plan the semi-join — the shape stays correct.)
     val docsCand = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    ngramJaccardFromShingles(shingleTable(docsCand), pairs)
+    // the candidate shingle table feeds THREE consumers (per-doc counts +
+    // both sides of the intersection join) — materialize it once, as
+    // ngramJaccardFromShingles' contract expects, instead of re-running
+    // the semi-join + shingle explode per consumer
+    ngramJaccardFromShingles(shingleTable(docsCand).localCheckpoint(), pairs)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -535,7 +543,10 @@ object Dedup {
     * rows whose node ≠ label; no second join against the corpus needed). */
   def q73DedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val labels = connectedComponentsStars(minhashCandidatePairs(spark, dir))
-    val total = docsWithDups(spark, dir).dropDuplicates("doc_id")
+    // distinct docs in = the base table's row count (doc_id is its key —
+    // the previous dropDuplicates shuffled document bodies to rediscover
+    // that)
+    val total = Tables.load(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     val cl = labels.agg(
       countDistinct(col("label")).as("n_clusters"),
