@@ -352,7 +352,19 @@ object Relational {
     * skipping power, so each of those scans was a full pass at 100 TB.
     * NULL chaining gives the funnel predicate for free: a user with no
     * view has tv = NULL, so `tu > tv` is NULL and tc stays NULL (count()
-    * skips NULLs). Timestamps compare as integer microseconds. */
+    * skips NULLs). Timestamps compare as integer microseconds.
+    *
+    * Skew exposure, MEASURED ([[graft.tools.SkewProbe]], 20M events,
+    * local[32]): a window partition cannot be salted or AQE-split, so one
+    * hot user's events serialize into one task — probe: 1.9 s with no hot
+    * key, 2.3 s with one user owning 30% of all events, 2.9 s at 60%.
+    * The tail grows sublinearly (the hot task is a single sequential scan
+    * of that user's rows — no sort: the frames are whole-partition
+    * aggregates), but at extreme scale a bot owning double-digit corpus
+    * percent serializes that percent onto one core; the mitigation is
+    * upstream (cap/partition pathological actors), not a different plan —
+    * every 2-pass partial-agg alternative re-reads the log and re-joins
+    * (the 9-exchange shape this replaced). */
   def q75Funnel(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
     Tables.events(spark, dir)
@@ -383,9 +395,18 @@ object Relational {
     * three user_id-clustered operators: the (user_id, day) distinct
     * (hash-partitioning on a clustering-key subset satisfies the agg), the
     * first-seen groupBy, and the act⋈first join — without it each would
-    * shuffle the act lineage separately. (AQE still broadcasts the
-    * first-seen side when it is genuinely small; the act side's single
-    * exchange stands either way.) */
+    * shuffle the act lineage separately.
+    *
+    * Join strategy vs user cardinality, MEASURED ([[graft.tools
+    * .SkewProbe]], 20M events, local[32]): at gate SF the static planner
+    * broadcasts the tiny first-seen frame (PlanSpec asserts
+    * BroadcastHashJoin); from 10k through 4M distinct users the join
+    * instead plans as an EXCHANGE-FREE sort-merge whose children both
+    * reuse the single pinned user_id exchange (hash-exchange count stays
+    * constant; no broadcast→SMJ cliff to cross because no extra shuffle
+    * exists on either path), and wall time moves only 2.4 s → 4.8 s over
+    * that 40× cardinality spread. The shape is therefore safe on either
+    * side of the broadcast threshold by construction, not by AQE rescue. */
   def q76CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
