@@ -138,6 +138,8 @@ object SparkEntry {
       Similarity.q83AnnIvfSeeded(s, d)),
     "q84_experiment_grid"     -> SemiSupervised.qExperimentGrid _,
     "q85_bagdiff_remainder"   -> Relational.q85BagDiffRemainder _,
+    "q86_boilerplate_scrub"   -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qBoilerplateScrub(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -562,6 +564,21 @@ object SparkEntry {
       ("SELECT l_returnflag, count(*) AS cnt, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
        "FROM lineitem WHERE NOT (l_quantity > 45.0) GROUP BY l_returnflag"),
+    // df counts and ratio are over exact md5 digests (family-independent);
+    // the ratio is one IEEE division of two exact integer sums
+    "q86_boilerplate_scrub" ->
+      ("WITH tk AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, source, md5(CASE WHEN len(t) < 3 THEN text " +
+       "ELSE array_to_string(t[u.i:u.i+2], ' ') END) AS h " +
+       "FROM tk, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(i)), " +
+       "dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h), " +
+       "pd AS (SELECT sh.doc_id, sh.source, count(*) AS n_sh, " +
+       "SUM(CASE WHEN dfreq.df >= 4 THEN 1 ELSE 0 END) AS n_boiler " +
+       "FROM sh JOIN dfreq USING (h) GROUP BY sh.doc_id, sh.source) " +
+       "SELECT source, count(*) AS n_docs, CAST(SUM(n_sh) AS BIGINT) AS n_shingles, " +
+       "CAST(SUM(n_boiler) AS BIGINT) AS n_boiler, " +
+       "CAST(SUM(n_boiler) AS DOUBLE) / SUM(n_sh) AS boiler_ratio " +
+       "FROM pd GROUP BY source"),
     "q66_incremental_dedup" ->
       ("WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0), " +
        "inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1) " +

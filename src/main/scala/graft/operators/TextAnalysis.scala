@@ -180,4 +180,48 @@ object TextAnalysis {
     * a fingerprint. */
   def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprintTable(Tables.load(spark, dir, "documents"))
+
+  /** q86: boilerplate n-gram scrub profile — the document-frequency rule
+    * behind C4's repeated-line removal and Gopher's repetition filters,
+    * expressed over word w-shingles (this corpus has no line structure):
+    * a shingle occurring in ≥ `minDf` documents is boilerplate, and the
+    * report gives per-source scrub pressure (how much of each feed a
+    * scrubbing pass would cut).
+    *
+    * Scale design: shingles are digested to 16-byte md5 keys BEFORE any
+    * shuffle (md5, not the sketch family — the df counts must not depend
+    * on the oracle/production hash switch, and content digests are md5's
+    * role here, [[graft.functions.TextFunctions.fpMd5]]). The corpus is
+    * scanned and shingled ONCE into a checkpointed digest table feeding
+    * both consumers; every exchange after that moves digests or
+    * doc-count-sized rollups, never text (PlanSpec pins the 3-exchange
+    * shape). Document frequency is a partial-aggregating groupBy — NOT a
+    * per-shingle window count, which would serialize each hot shingle
+    * into one task, and boilerplate shingles are hot BY DEFINITION
+    * (that is what the query finds); map-side partials collapse them.
+    * The df join broadcasts while dfreq is small and sort-merges on the
+    * digest key at corpus scale — both sides digest-sized either way. */
+  def qBoilerplateScrub(spark: SparkSession, dir: String, w: Int = 3,
+      minDf: Int = 4): DataFrame = {
+    // localCheckpoint: the digest table is the single materialization
+    // boundary both consumers (df aggregation + join probe) read — same
+    // boundary discipline as capBuckets
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(Dedup.shingles(col("text"), w))).as("s"))
+      .select(col("doc_id"), col("source"), md5(col("s")).as("h"))
+      .localCheckpoint()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_boiler")).as("n_boiler"),
+        // single IEEE division of two exact integer sums — oracle-exact
+        (sum(col("n_boiler")).cast("double") / sum(col("n_sh")))
+          .as("boiler_ratio"))
+  }
 }

@@ -50,6 +50,23 @@ class PlanSpec extends AnyFunSuite {
       graft.plans.BagDifferenceToAntiJoin.ConfKey).isEmpty)
   }
 
+  test("boilerplate scrub: one corpus materialization, digest-only shuffles (q86)") {
+    // the corpus is shingled once into the checkpoint boundary (no
+    // FileScan survives into the final plan — both consumers read the
+    // materialized digest RDD); after it exactly 3 hash exchanges remain:
+    // df agg on the digest, per-doc rollup, per-source rollup
+    val p = SparkEntry.queries("q86_boilerplate_scrub")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("FileScan"),
+      s"q86 re-scans the corpus outside the checkpoint boundary:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2,
+      s"q86 consumers do not both read the materialized digest table:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 3,
+      s"q86 shuffles $hashEx times (want 3: df agg + per-doc rollup + " +
+        s"per-source rollup):\n$p")
+  }
+
   test("funnel is join-free: one event-log scan, one user_id exchange (q75)") {
     // the funnel's three stage timestamps are chained window minima over
     // one user_id partitioning — no join ladder, no repeated log scans
