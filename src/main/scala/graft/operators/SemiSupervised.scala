@@ -203,10 +203,9 @@ object SemiSupervised {
         maxIter = 2),
       Experiments.Cell("embeddings", "DT", "ST", "kBest", 0.3, 0.5,
         maxIter = 2))
-    // all cells in flight (bounded): they are independent seeded fits, so
-    // the result frame is identical at any parallelism — only wall time
-    // moves
-    Experiments.runGrid(data, cells, k = 2, seed = 8L, parallelism = 4)
+    // all six cells in flight: they are independent seeded fits, so the
+    // result frame is identical at any parallelism — only wall time moves
+    Experiments.runGrid(data, cells, k = 2, seed = 8L, parallelism = 6)
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
