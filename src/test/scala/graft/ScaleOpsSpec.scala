@@ -447,6 +447,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stagedBandTable rebuilds on a changed corpus fingerprint, reuses on an unchanged one") {
+    import graft.operators.Dedup
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_fp").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "documents.parquet"))
+    def stagedEntries =
+      graft.util.Staging.builtThisJvm.asScala.count(_.startsWith("bands:" +
+        dir.getPath.replaceAll("[^A-Za-z0-9]+", "_")))
+    val n0 = stagedEntries
+    val c1 = Dedup.stagedBandTable(spark, dir.getPath).count()
+    assert(stagedEntries === n0 + 1, "first call must build and report it")
+    Dedup.stagedBandTable(spark, dir.getPath).count()
+    assert(stagedEntries === n0 + 1, "unchanged fingerprint must reuse")
+    // a regenerated corpus at the same path (new mtime) must NOT hit the
+    // stale table — silent reuse here would be wrong dedup with no error
+    val f = new java.io.File(dir, "documents.parquet")
+    assert(f.setLastModified(f.lastModified() + 60000))
+    val c2 = Dedup.stagedBandTable(spark, dir.getPath).count()
+    assert(stagedEntries === n0 + 2, "changed fingerprint must rebuild")
+    assert(c1 === c2, "same content must yield the same band table")
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("q67 cluster roster: clusters have >= 2 docs and cover exactly the paired docs") {
     val rows = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
     assert(rows.nonEmpty)
