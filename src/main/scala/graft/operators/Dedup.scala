@@ -174,17 +174,9 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
-  /** [[minhashCandidatePairs]] over a prebuilt (doc_id, sh) table. */
-  private[graft] def minhashCandidatePairsFromShingles(sh: DataFrame,
-      numHashes: Int = 32, bands: Int = 8,
-      bucketCap: Int = 10000): DataFrame =
-    candidatePairsFromBands(
-      bandTable(minhashSignaturesFromShingles(sh, numHashes), numHashes, bands),
-      bucketCap)
-
   /** Co-bucket candidate self-join over a (doc_id, band, bucket) table —
-    * the banding join stage shared by the inline and staged band-table
-    * paths. */
+    * the banding join stage over the staged band table (or any inline
+    * [[bandTable]] output). */
   private[graft] def candidatePairsFromBands(bandsDf: DataFrame,
       bucketCap: Int = 10000): DataFrame = {
     val banded = graft.plans.Skew.capBuckets(
@@ -237,25 +229,13 @@ object Dedup {
       s"_${src.length()}_${src.lastModified()}_${family}_h${numHashes}b${bands}w$w"
     val root = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_bands/$slug")
-    val path = builtBandTables.getOrElseUpdate(root.getPath, {
-      if (!new java.io.File(root, "_BUILT").exists()) {
-        // root without a marker = crashed pre-atomic build or junk
-        graft.util.Fs.deleteRecursively(root)
-        val staging = new java.io.File(root.getParentFile,
-          s".${root.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val path = builtBandTables.getOrElseUpdate(root.getPath,
+      graft.util.Staging.publishOnce(root, s"bands:${root.getName}") { staging =>
         bandTable(
           minhashSignatures(Tables.load(spark, dir, "documents"), numHashes, w),
           numHashes, bands)
           .write.mode("overwrite").parquet(staging.getPath)
-        new java.io.File(staging, "_BUILT").createNewFile()
-        if (staging.renameTo(root))
-          graft.util.Staging.builtThisJvm.add(s"bands:${root.getName}")
-        else
-          // lost the publish race to a concurrent builder — use theirs
-          graft.util.Fs.deleteRecursively(staging)
-      }
-      root.getPath
-    })
+      })
     spark.read.parquet(path)
   }
   private val builtBandTables =
@@ -336,23 +316,18 @@ object Dedup {
     // One row per doc_id: duplicated ids would double-count intersections
     // in the Jaccard join (and fan out the counts join). doc_id is the
     // documents table's key, so the one-row-per-id corpus IS the base
-    // table — reading it directly replaces the previous
-    // docsWithDups.dropDuplicates, whose exchange carried full document
-    // bodies just to rediscover uniqueness.
+    // table, read directly and consumed exactly once (by the candidate
+    // semi-join below) — no persist, no dedup exchange.
     //
-    // Materialize the DOCS: the corpus slice is the
-    // smallest frame every stage provably needs. Full-corpus shingling then
-    // happens exactly ONCE — inside the capBuckets materialization job that
-    // computes signatures. Verification never touches the full shingle
-    // table: the candidate ids (LSH output, orders of magnitude smaller
-    // than the corpus) are broadcast back onto the cached docs as a
-    // semi-join, and only the surviving docs are re-shingled. At 100 TB
-    // that is the difference between shuffling the corpus-sized shingle
-    // table into the Jaccard join and shuffling just the candidates.
+    // Candidates come from the staged corpus band table (one signature
+    // scan per corpus, shared with q24/q67/q73/q74 — see stagedBandTable).
+    // Verification never touches a full-corpus shingle table: the
+    // candidate ids (LSH output, orders of magnitude smaller than the
+    // corpus) are broadcast back onto the docs as a semi-join, and only
+    // the surviving docs are shingled. At 100 TB that is the difference
+    // between shuffling the corpus-sized shingle table into the Jaccard
+    // join and shuffling just the candidates.
     val docs = Tables.load(spark, dir, "documents")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidates from the staged corpus band table (one signature scan per
-    // corpus, shared with q24/q67/q73/q74 — see stagedBandTable)
     val pairs = candidatePairsFromBands(stagedBandTable(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = pairs.select(col("doc_a").as("doc_id"))

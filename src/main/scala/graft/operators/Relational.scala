@@ -404,9 +404,10 @@ object Relational {
     * instead plans as an EXCHANGE-FREE sort-merge whose children both
     * reuse the single pinned user_id exchange (hash-exchange count stays
     * constant; no broadcast→SMJ cliff to cross because no extra shuffle
-    * exists on either path), and wall time moves only 2.4 s → 4.8 s over
-    * that 40× cardinality spread. The shape is therefore safe on either
-    * side of the broadcast threshold by construction, not by AQE rescue. */
+    * exists on either path), and wall time moves only 2.35 s at 100k
+    * users → 4.80 s at 4M (a 40× spread; the 10k first probe row, 3.6 s,
+    * carries stage warm-up). The shape is therefore safe on either side
+    * of the broadcast threshold by construction, not by AQE rescue. */
   def q76CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))

@@ -203,12 +203,10 @@ object Similarity {
   }
 
   /** Build-once cache: the index for (dir, nCells) lives under the JVM temp
-    * dir and is reused across calls and JVMs. Publication is ATOMIC: the
-    * index is built into a staging dir and `renameTo`'d into place, so a
-    * concurrent builder in another JVM either wins the rename or discards
-    * its staging copy — no two processes ever write into the same live
-    * index, and a crashed build leaves only a staging dir, never a
-    * half-valid root. Repeated q35 invocations — and every query in a
+    * dir and is reused across calls and JVMs — crash-safe atomic
+    * publication and cross-process racing handled by
+    * [[graft.util.Staging.publishOnce]] (builds are reported in Bench's
+    * `staged` field). Repeated q35 invocations — and every query in a
     * workload — pay only the probe. */
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   def ivfIndexFor(spark: SparkSession, dir: String, nCells: Int = 16,
@@ -222,30 +220,11 @@ object Similarity {
       (if (flavor == "kmeans") "" else s"_$flavor")
     val root = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_ivf/${slug}_c$nCells")
-    builtIndexes.getOrElseUpdate(root.getPath, {
-      if (!new java.io.File(root, "_BUILT").exists()) {
-        // root without a marker = crashed pre-atomic build or unrelated
-        // junk; clear it so the rename below can land
-        graft.util.Fs.deleteRecursively(root)
-        val staging = new java.io.File(root.getParentFile,
-          s".${root.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    builtIndexes.getOrElseUpdate(root.getPath,
+      graft.util.Staging.publishOnce(root, s"ivf:${root.getName}") { staging =>
         if (flavor == "seeded") ivfBuildIndexSeeded(spark, dir, staging.getPath, nCells)
         else ivfBuildIndex(spark, dir, staging.getPath, nCells)
-        new java.io.File(staging, "_BUILT").createNewFile()
-        if (staging.renameTo(root)) {
-          // one-time build PUBLISHED this JVM — report it like bucketed
-          // staging (see Bench). Recorded only on the rename win: `staged`
-          // means "this JVM's artifact is the live one", so a loser whose
-          // build was discarded must not claim it (its wasted build cost
-          // is real but its index is not in use).
-          graft.util.Staging.builtThisJvm.add(s"ivf:${root.getName}")
-        } else {
-          // lost the publish race to a concurrent builder — use theirs
-          graft.util.Fs.deleteRecursively(staging)
-        }
-      }
-      root.getPath
-    })
+      })
   }
 
   /** Probe an IVF index: pick the `nProbe` nearest cells driver-side from

@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * }}}
   * Reading: there is no broadcast→SMJ CLIFF in q76's shape — both join
   * children reuse the one pinned user_id exchange, so the sort-merge is
-  * exchange-free at every cardinality and wall time moves only 2× over a
-  * 400× user spread (the first row includes stage warm-up). q75's
-  * single-task hot-user tail grows sublinearly with the hot share; see
-  * the q75 scaladoc for the operational stance.
+  * exchange-free at every cardinality and wall time moves only ~2×
+  * (2.35 s → 4.80 s) from 100k to 4M users, a 40× spread (the 10k first
+  * row, 3.61 s, carries stage warm-up and is not part of the trend).
+  * q75's single-task hot-user tail grows sublinearly with the hot share;
+  * see the q75 scaladoc for the operational stance.
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {

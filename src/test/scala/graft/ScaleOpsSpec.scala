@@ -470,6 +470,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(stagedEntries === n0 + 2, "changed fingerprint must rebuild")
     assert(c1 === c2, "same content must yield the same band table")
     graft.util.Fs.deleteRecursively(dir)
+    // remove the two published band tables (+ lock files): their slugs
+    // embed this run's unique temp path and can never be reused
+    val bandsRoot = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_bands")
+    val prefix = dir.getPath.replaceAll("[^A-Za-z0-9]+", "_")
+    Option(bandsRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.contains(prefix))
+      .foreach(graft.util.Fs.deleteRecursively)
   }
 
   test("q67 cluster roster: clusters have >= 2 docs and cover exactly the paired docs") {
