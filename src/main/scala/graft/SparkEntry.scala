@@ -140,6 +140,7 @@ object SparkEntry {
     "q85_bagdiff_remainder"   -> Relational.q85BagDiffRemainder _,
     "q86_boilerplate_scrub"   -> ((s: SparkSession, d: String) =>
       TextAnalysis.qBoilerplateScrub(s, d)),
+    "q87_repetition"          -> TextAnalysis.qRepetition _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -564,6 +565,17 @@ object SparkEntry {
       ("SELECT l_returnflag, count(*) AS cnt, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
        "FROM lineitem WHERE NOT (l_quantity > 45.0) GROUP BY l_returnflag"),
+    // per-doc repetition: the bigram list mirrors Dedup.shingles' w<2
+    // fallback (whole text as the single gram); ratios are one division +
+    // one subtraction of exact ints — identical IEEE results both engines
+    "q87_repetition" ->
+      ("WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents), " +
+       "g AS (SELECT doc_id, t, CASE WHEN len(t) < 2 THEN [text] " +
+       "ELSE [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)] END AS g2 FROM tk) " +
+       "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+       "1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS rep_unigram, " +
+       "1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS rep_bigram " +
+       "FROM g"),
     // df counts and ratio are over exact md5 digests (family-independent);
     // the ratio is one IEEE division of two exact integer sums
     "q86_boilerplate_scrub" ->

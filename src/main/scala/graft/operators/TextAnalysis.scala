@@ -181,6 +181,30 @@ object TextAnalysis {
   def qRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     rollingFingerprintTable(Tables.load(spark, dir, "documents"))
 
+  /** q87: intra-document repetition ratios — the Gopher-style quality
+    * rule (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+    * table A1 repetition filters): the fraction of duplicate unigrams and
+    * bigrams WITHIN each document, the signal that catches keyboard-mash,
+    * boilerplate padding, and decode-loop degeneration before training.
+    * rep_x = 1 − distinct(x)/count(x), 0 = no repetition.
+    *
+    * Entirely per-row array arithmetic — a single codegen'd projection
+    * over the scan, zero shuffle (the right cost for a per-document
+    * quality column at 100 TB: it rides the ingest scan for free). The
+    * two divisions and subtractions are single correctly-rounded IEEE
+    * ops, so the ratios hash-match the DuckDB oracle exactly. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val g2 = Dedup.shingles(col("text"), 2)
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      (lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+        .as("rep_unigram"),
+      (lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
+        .as("rep_bigram"))
+  }
+
   /** q86: boilerplate n-gram scrub profile — the document-frequency rule
     * behind C4's repeated-line removal and Gopher's repetition filters,
     * expressed over word w-shingles (this corpus has no line structure):
