@@ -127,8 +127,26 @@ object Experiments {
     * modest — each cell is itself a multi-job pipeline. */
   def runGrid(data: DataFrame, cells: Seq[Cell], k: Int = 4, seed: Long = 8L,
       parallelism: Int = 2): DataFrame =
-    Evaluation.resultsDF(data.sparkSession,
-      Par.mapBounded(cells, parallelism)(runCell(data, _, k, seed)))
+    runGrid(cells.map(_.dataName).distinct.map(_ -> data).toMap,
+      cells, k, seed, parallelism)
+
+  /** Multi-dataset grid: each cell's `dataName` selects its input frame —
+    * the reference grid's FIRST axis (its AllResults.csv spans 7 datasets;
+    * ref FunctionsSemiSupervised.scala:51-126 threads the dataset tuple
+    * through every cell). A cell naming an unknown dataset fails loudly
+    * here, before any fit runs. */
+  def runGrid(datasets: Map[String, DataFrame], cells: Seq[Cell], k: Int,
+      seed: Long, parallelism: Int): DataFrame = {
+    require(datasets.nonEmpty, "runGrid: no datasets")
+    cells.map(_.dataName).distinct.foreach { name =>
+      require(datasets.contains(name),
+        s"runGrid: cell references unknown dataset '$name' " +
+          s"(have ${datasets.keys.toSeq.sorted.mkString(", ")})")
+    }
+    Evaluation.resultsDF(datasets.head._2.sparkSession,
+      Par.mapBounded(cells, parallelism)(c =>
+        runCell(datasets(c.dataName), c, k, seed)))
+  }
 
   /** Cross-product grid builder (ref M7's nested tuples, flattened). */
   def grid(dataName: String, classifiers: Seq[String], algos: Seq[String],

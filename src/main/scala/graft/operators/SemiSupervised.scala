@@ -180,32 +180,49 @@ object SemiSupervised {
   /** The experiment GRID end-to-end (ref M7+M9+M11 composed — the flow
     * whose product is the reference's AllResults.csv): a multi-cell grid
     * through [[Experiments.runGrid]], each cell k-fold cross-validated,
-    * emitting one 15-column result row per cell in grid order. The six
-    * cells cover every runner branch: ST-threshold, ST-kBest,
-    * CT-threshold, and supervised, across DT and NB. Cells run as bounded
-    * concurrent job streams; every value is seeded, so the frame is
-    * pinned exactly by the oracle. Features are abs(embedding), the
-    * roster's shared non-negative representation (multinomial NaiveBayes
-    * rejects negative inputs). */
+    * emitting one 15-column result row per cell in grid order. The eight
+    * cells cover every runner branch (ST-threshold, ST-kBest,
+    * CT-threshold, supervised) across the full probabilistic roster
+    * (DT, NB, RF, LR) AND two datasets — the grid's first axis, like the
+    * reference's 7-dataset AllResults.csv: "embeddings" (full 64-dim
+    * abs(embedding)) and "embeddings_front" (the front 32-dim slice, a
+    * distinct derived frame). Cells run as bounded concurrent job
+    * streams; every value is seeded, so the frame is pinned exactly by
+    * the oracle. Features are abs(embedding), the roster's shared
+    * non-negative representation (multinomial NaiveBayes rejects
+    * negative inputs). */
   def qExperimentGrid(spark: SparkSession, dir: String): DataFrame = {
-    val data = Tables.load(spark, dir, "embeddings")
-      .select(
-        array_to_vector(transform(col("embedding"), x => abs(x))).as("features"),
-        (col("label") % 2).cast("double").as("label"))
+    def frame(dims: Option[Int]): DataFrame = {
+      val emb = dims.fold(col("embedding"))(n => slice(col("embedding"), 1, n))
+      Tables.load(spark, dir, "embeddings")
+        .select(
+          array_to_vector(transform(emb, x => abs(x))).as("features"),
+          (col("label") % 2).cast("double").as("label"))
+    }
+    val datasets = Map(
+      "embeddings" -> frame(None),
+      "embeddings_front" -> frame(Some(32)))
     val cells = Experiments.grid("embeddings",
       classifiers = Seq("DT", "NB"), algos = Seq("ST", "supervised"),
       pcts = Seq(0.3), criterionValues = Map("threshold" -> Seq(0.8)),
       maxIter = 2) ++ Seq(
-      // the two runner branches the cross-product above misses: the
+      // the runner branches the cross-product above misses: the
       // CoTraining grid path and the kBest criterion (r8 ran them only as
       // single-cell queries q41/q42 — this puts them through runCell)
       Experiments.Cell("embeddings", "DT", "CT", "threshold", 0.3, 0.8,
         maxIter = 2),
       Experiments.Cell("embeddings", "DT", "ST", "kBest", 0.3, 0.5,
+        maxIter = 2),
+      // RF and LR through the CV runner (r9 gate-checked them only as
+      // supervised roster fits in q39), on the second dataset so the
+      // grid's dataset axis is exercised end-to-end
+      Experiments.Cell("embeddings_front", "RF", "ST", "threshold", 0.3, 0.8,
+        maxIter = 2),
+      Experiments.Cell("embeddings_front", "LR", "CT", "threshold", 0.3, 0.8,
         maxIter = 2))
-    // all six cells in flight: they are independent seeded fits, so the
+    // all eight cells in flight: they are independent seeded fits, so the
     // result frame is identical at any parallelism — only wall time moves
-    Experiments.runGrid(data, cells, k = 2, seed = 8L, parallelism = 6)
+    Experiments.runGrid(datasets, cells, k = 2, seed = 8L, parallelism = 8)
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */

@@ -75,6 +75,28 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(st.getAs[Long]("LabeledFinal") >= st.getAs[Long]("LabeledInitial"))
   }
 
+  test("multi-dataset runGrid routes each cell by dataName, rejects unknown") {
+    val cells = Seq(
+      Experiments.Cell("sep", "DT", "supervised", "na", 0.5, 0.0),
+      Experiments.Cell("blobs", "NB", "supervised", "na", 0.5, 0.0))
+    val out = Experiments.runGrid(
+      Map("sep" -> separable, "blobs" -> positiveBlobs),
+      cells, k = 2, seed = 8L, parallelism = 2)
+    val rows = out.select("data", "classifier", "accuracy").collect()
+    // row order is grid order; each row was fit on ITS dataset — both
+    // fixtures are separable for their classifier, so both accuracies are
+    // high only if the routing matched (NB on `separable`'s
+    // equal-proportion blobs would be ~coin-flip)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("sep", "supervised-DT"), ("blobs", "supervised-NB")))
+    assert(rows.forall(_.getDouble(2) > 0.85))
+    val e = intercept[IllegalArgumentException] {
+      Experiments.runGrid(Map("sep" -> separable), cells,
+        k = 2, seed = 8L, parallelism = 1)
+    }
+    assert(e.getMessage.contains("unknown dataset 'blobs'"))
+  }
+
   test("unknown classifier or algo is rejected") {
     intercept[IllegalArgumentException] {
       Experiments.baseClassifier("SVM") // probabilistic roster excludes LSVC
