@@ -225,10 +225,13 @@ object Dedup {
     val family =
       if (graft.functions.TextFunctions.oracleMode) "hex60" else "xx64"
     val src = new java.io.File(s"$dir/documents.parquet")
+    // fingerprint = length + mtime + footer CRC (Staging.fileFingerprint):
+    // a regenerated corpus matching byte length within mtime granularity
+    // still misses the cache instead of silently reusing stale bands
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_") +
-      s"_${src.length()}_${src.lastModified()}_${family}_h${numHashes}b${bands}w$w"
+      s"_${graft.util.Staging.fileFingerprint(src)}_${family}_h${numHashes}b${bands}w$w"
     val root = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_bands/$slug")
+      s"${graft.util.Staging.stagingRoot}/graft_bands/$slug")
     val path = builtBandTables.getOrElseUpdate(root.getPath,
       graft.util.Staging.publishOnce(root, s"bands:${root.getName}") { staging =>
         bandTable(

@@ -211,15 +211,16 @@ object Similarity {
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   def ivfIndexFor(spark: SparkSession, dir: String, nCells: Int = 16,
       flavor: String = "kmeans"): String = {
-    // the slug carries a fingerprint of the source file (size + mtime) so a
+    // the slug carries a content fingerprint of the source file (size +
+    // mtime + footer CRC, [[graft.util.Staging.fileFingerprint]]) so a
     // regenerated corpus at the same path gets a fresh index, not a stale
     // cache hit from a previous run's publish
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_") +
-      s"_${src.length()}_${src.lastModified()}" +
+      s"_${graft.util.Staging.fileFingerprint(src)}" +
       (if (flavor == "kmeans") "" else s"_$flavor")
     val root = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_ivf/${slug}_c$nCells")
+      s"${graft.util.Staging.stagingRoot}/graft_ivf/${slug}_c$nCells")
     builtIndexes.getOrElseUpdate(root.getPath,
       graft.util.Staging.publishOnce(root, s"ivf:${root.getName}") { staging =>
         if (flavor == "seeded") ivfBuildIndexSeeded(spark, dir, staging.getPath, nCells)

@@ -21,6 +21,39 @@ object Staging {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Root directory for durable staged artifacts (the MinHash band table,
+    * IVF indexes): the `graft.staging.dir` system property, defaulting to
+    * the JVM temp dir. At cluster scale staged sketch state is persisted
+    * pipeline state and belongs under a real warehouse path — set the
+    * property; in the sandbox the default keeps artifacts under /tmp. */
+  def stagingRoot: String =
+    sys.props.get("graft.staging.dir").filter(_.nonEmpty)
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  /** Cache-key fingerprint of a single-file artifact source: length +
+    * mtime + CRC32 of the file's last 64 KiB — the parquet footer, where
+    * the schema and every row-group's metadata live, so a regenerated
+    * corpus that happens to match byte length within mtime granularity
+    * still changes the digest (stale-reuse would mean silently wrong
+    * results with no error). Asserts the single-file assumption loudly:
+    * for a directory-style parquet `File.length()` is meaningless and the
+    * caller's cache key would be garbage. */
+  def fileFingerprint(f: java.io.File): String = {
+    require(f.isFile, s"fileFingerprint: $f is not a regular file — " +
+      "directory-style sources are not supported by the staging cache key")
+    val len = f.length()
+    val crc = new java.util.zip.CRC32()
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val tail = math.min(len, 64L * 1024).toInt
+      raf.seek(len - tail)
+      val buf = new Array[Byte](tail)
+      raf.readFully(buf)
+      crc.update(buf)
+    } finally raf.close()
+    s"${len}_${f.lastModified()}_${java.lang.Long.toHexString(crc.getValue)}"
+  }
+
   /** Publish the artifact directory `root` exactly once — crash-safe and
     * race-free across processes on a local filesystem:
     *  - `build` writes into a fresh hidden staging dir; a crash mid-build

@@ -473,7 +473,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     // remove the two published band tables (+ lock files): their slugs
     // embed this run's unique temp path and can never be reused
     val bandsRoot = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_bands")
+      s"${graft.util.Staging.stagingRoot}/graft_bands")
     val prefix = dir.getPath.replaceAll("[^A-Za-z0-9]+", "_")
     Option(bandsRoot.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.contains(prefix))

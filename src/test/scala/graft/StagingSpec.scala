@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.{Fs, Staging}
+
+/** Unit tests for the build-once staging layer: the content fingerprint
+  * that keys staged artifacts (band tables, IVF indexes) and the
+  * crash-safe publishOnce protocol.
+  */
+class StagingSpec extends AnyFunSuite {
+
+  private def tmpDir(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(prefix).toFile
+
+  test("fileFingerprint distinguishes same-length same-mtime files by content") {
+    // the exact stale-reuse hazard: a regenerated corpus matching byte
+    // length and landing within mtime granularity must still change the key
+    val dir = tmpDir("graft_fp")
+    try {
+      val f = new java.io.File(dir, "a.bin")
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](1000)(1))
+      val mtime = 1700000000000L
+      assert(f.setLastModified(mtime))
+      val fp1 = Staging.fileFingerprint(f)
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](1000)(2))
+      assert(f.setLastModified(mtime))
+      val fp2 = Staging.fileFingerprint(f)
+      assert(f.length() === 1000L)
+      assert(fp1 !== fp2, "same length + mtime, different bytes must differ")
+      // and it is stable: same bytes, same metadata => same key
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](1000)(1))
+      assert(f.setLastModified(mtime))
+      assert(Staging.fileFingerprint(f) === fp1)
+    } finally Fs.deleteRecursively(dir)
+  }
+
+  test("fileFingerprint digests the tail (parquet footer) of large files") {
+    val dir = tmpDir("graft_fp_tail")
+    try {
+      val f = new java.io.File(dir, "big.bin")
+      val body = Array.fill[Byte](200 * 1024)(0)
+      java.nio.file.Files.write(f.toPath, body)
+      val mtime = 1700000000000L
+      assert(f.setLastModified(mtime))
+      val fp1 = Staging.fileFingerprint(f)
+      // flip one byte inside the last 64 KiB window
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try { raf.seek(f.length() - 100); raf.write(7) } finally raf.close()
+      assert(f.setLastModified(mtime))
+      assert(Staging.fileFingerprint(f) !== fp1,
+        "a footer byte change must change the fingerprint")
+    } finally Fs.deleteRecursively(dir)
+  }
+
+  test("fileFingerprint fails loudly on a directory-style source") {
+    val dir = tmpDir("graft_fp_dir")
+    try {
+      val e = intercept[IllegalArgumentException](Staging.fileFingerprint(dir))
+      assert(e.getMessage.contains("not a regular file"))
+    } finally Fs.deleteRecursively(dir)
+  }
+
+  test("stagingRoot honors graft.staging.dir and defaults to the temp dir") {
+    val prev = sys.props.get("graft.staging.dir")
+    try {
+      sys.props -= "graft.staging.dir"
+      assert(Staging.stagingRoot === sys.props("java.io.tmpdir"))
+      sys.props("graft.staging.dir") = "/some/warehouse/graft"
+      assert(Staging.stagingRoot === "/some/warehouse/graft")
+      sys.props("graft.staging.dir") = "" // empty means unset
+      assert(Staging.stagingRoot === sys.props("java.io.tmpdir"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.staging.dir") = v
+      case None    => sys.props -= "graft.staging.dir"
+    }
+  }
+
+  test("publishOnce builds once, reuses after, and recovers from a failed build") {
+    val parent = tmpDir("graft_pub")
+    try {
+      val root = new java.io.File(parent, "artifact")
+      var builds = 0
+      // a crashing build must leave no publishable root behind
+      intercept[RuntimeException] {
+        Staging.publishOnce(root, "spec:crash") { staging =>
+          staging.mkdirs()
+          new java.io.File(staging, "partial").createNewFile()
+          throw new RuntimeException("boom")
+        }
+      }
+      assert(!root.exists(), "crashed build must not publish")
+      val p1 = Staging.publishOnce(root, "spec:ok") { staging =>
+        builds += 1
+        staging.mkdirs()
+        new java.io.File(staging, "data").createNewFile()
+      }
+      val p2 = Staging.publishOnce(root, "spec:ok") { staging =>
+        builds += 1; staging.mkdirs()
+      }
+      assert(p1 === root.getPath && p2 === p1)
+      assert(builds === 1, "second call must reuse, not rebuild")
+      assert(new java.io.File(root, "_BUILT").exists())
+      assert(new java.io.File(root, "data").exists())
+      assert(Staging.builtThisJvm.contains("spec:ok"))
+      assert(!Staging.builtThisJvm.contains("spec:crash"),
+        "a failed build must not be recorded as built")
+    } finally Fs.deleteRecursively(parent)
+  }
+}
