@@ -356,8 +356,12 @@ object Relational {
     *
     * Skew exposure, MEASURED ([[graft.tools.SkewProbe]], 20M events,
     * local[32]): a window partition cannot be salted or AQE-split, so one
-    * hot user's events serialize into one task — probe: 1.9 s with no hot
-    * key, 2.3 s with one user owning 30% of all events, 2.9 s at 60%.
+    * hot user's events serialize into one task — probe: 1.88 s with no
+    * hot key, 1.06 s at 10%, 2.32 s with one user owning 30% of all
+    * events, 2.93 s at 60%. The 0% row runs first and carries the window
+    * shape's stage warm-up (same first-row effect as the q76 probe), which
+    * is why 10% reads BELOW it — the warm no-hot baseline is ~1.1 s and
+    * the hot-share trend upward from there is genuine.
     * The tail grows sublinearly (the hot task is a single sequential scan
     * of that user's rows — no sort: the frames are whole-partition
     * aggregates), but at extreme scale a bot owning double-digit corpus
@@ -398,16 +402,17 @@ object Relational {
     * shuffle the act lineage separately.
     *
     * Join strategy vs user cardinality, MEASURED ([[graft.tools
-    * .SkewProbe]], 20M events, local[32]): at gate SF the static planner
-    * broadcasts the tiny first-seen frame (PlanSpec asserts
-    * BroadcastHashJoin); from 10k through 4M distinct users the join
-    * instead plans as an EXCHANGE-FREE sort-merge whose children both
-    * reuse the single pinned user_id exchange (hash-exchange count stays
-    * constant; no broadcast→SMJ cliff to cross because no extra shuffle
-    * exists on either path), and wall time moves only 2.35 s at 100k
-    * users → 4.80 s at 4M (a 40× spread; the 10k first probe row, 3.6 s,
-    * carries stage warm-up). The shape is therefore safe on either side
-    * of the broadcast threshold by construction, not by AQE rescue. */
+    * .SkewProbe]], 20M events, local[32], 10 MB broadcast threshold): the
+    * probe observed SortMergeJoin at EVERY cardinality from 10k through
+    * 4M distinct users — no broadcast row was ever recorded — with the
+    * hash-exchange count constant at 3 (both join children reuse the
+    * single pinned user_id exchange, so the sort-merge adds no shuffle),
+    * and wall time moving only 2.35 s at 100k users → 4.80 s at 4M (a 40×
+    * spread; the 10k first probe row, 3.61 s, carries stage warm-up and
+    * is outside the trend). Broadcast of the first-seen frame is asserted
+    * only at gate SF by PlanSpec (BroadcastHashJoin), not observed in the
+    * probe; what the probe shows is that losing the broadcast costs no
+    * extra exchange at any probed cardinality. */
   def q76CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
@@ -575,23 +580,29 @@ object Relational {
     * PlanSpec asserts the physical plan is the anti join (and not the
     * aggregate+generate expansion).
     *
-    * The two sides are fresh plans over the same deterministic tagging —
-    * the shared-identity-space contract the rule requires (in production
-    * the uid is a column persisted with the corpus; here
-    * `monotonically_increasing_id` over the same single-file read is
-    * stable, so both reads tag identically). The conf flip is scoped to
+    * Both sides derive from ONE materialized tagging: the corpus is
+    * uid-tagged and `localCheckpoint`ed, and the subset is a filter over
+    * that checkpointed frame — uid alignment holds by construction (the
+    * nondeterministic id is evaluated exactly once), not by hoping the
+    * planner never pushes the filter below the tagging or re-plans the
+    * scan. This mirrors production, where the uid is a column persisted
+    * with the corpus, not re-derived per query. The conf flip is scoped to
     * plan CONSTRUCTION and restored — analysis happens eagerly at
-    * `exceptAll`, so the returned frame keeps the rewritten plan. */
+    * `exceptAll`, so the returned frame keeps the rewritten plan. NOTE:
+    * the flip writes session-wide conf; a concurrent `exceptAll` on the
+    * SAME session during this window would also see the rewrite enabled.
+    * The gate and Bench run queries sequentially; concurrent callers
+    * should set the conf once for the session instead of toggling. */
   def q85BagDiffRemainder(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.{BagDifferenceToAntiJoin, BagOps}
-    def tagged(): DataFrame = BagOps.withUid(
+    val corpus = BagOps.withUid(
       t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_returnflag")))
+          col("l_returnflag"))).localCheckpoint()
     val prev = spark.conf.getOption(BagDifferenceToAntiJoin.ConfKey)
     spark.conf.set(BagDifferenceToAntiJoin.ConfKey, "true")
     val remainder =
-      try tagged().exceptAll(tagged().filter(col("l_quantity") > 45.0))
+      try corpus.exceptAll(corpus.filter(col("l_quantity") > 45.0))
       finally prev match {
         case Some(v) => spark.conf.set(BagDifferenceToAntiJoin.ConfKey, v)
         case None => spark.conf.unset(BagDifferenceToAntiJoin.ConfKey)

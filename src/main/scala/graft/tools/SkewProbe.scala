@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   * exchange-free at every cardinality and wall time moves only ~2×
   * (2.35 s → 4.80 s) from 100k to 4M users, a 40× spread (the 10k first
   * row, 3.61 s, carries stage warm-up and is not part of the trend).
-  * q75's single-task hot-user tail grows sublinearly with the hot share;
-  * see the q75 scaladoc for the operational stance.
+  * q75's single-task hot-user tail grows sublinearly with the hot share
+  * (the 0% row runs first and carries the window shape's stage warm-up,
+  * which is why 10% reads below it); see the q75 scaladoc for the
+  * operational stance.
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
