@@ -141,6 +141,7 @@ object SparkEntry {
     "q86_boilerplate_scrub"   -> ((s: SparkSession, d: String) =>
       TextAnalysis.qBoilerplateScrub(s, d)),
     "q87_repetition"          -> TextAnalysis.qRepetition _,
+    "q88_curation_verdict"    -> graft.operators.Curation.qCurationVerdict _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -596,6 +597,38 @@ object SparkEntry {
        "inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1) " +
        "SELECT (SELECT count(*) FROM inc) AS n_incoming, " +
        "count(*) AS n_new FROM inc WHERE h NOT IN (SELECT h FROM seen)"),
+    // composite curation verdict: dup labels via the q73 recursive-reach
+    // components, boilerplate via the q86 per-doc df pipeline, per-row
+    // rules restated with the same integer cross-multiplications as the
+    // engine (no float division → no ulp edge can flip a verdict)
+    "q88_curation_verdict" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       "dropped AS (SELECT n AS doc_id FROM lab WHERE n <> root), " +
+       "tk2 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents), " +
+       "pr AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dis, " +
+       "len(list_filter(t, w -> w IN ('the','a','of','and','to'))) AS n_stop FROM tk2), " +
+       "bsh AS (SELECT DISTINCT doc_id, md5(CASE WHEN len(t) < 3 THEN text " +
+       "ELSE array_to_string(t[u.i:u.i+2], ' ') END) AS h " +
+       "FROM tk2, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(i)), " +
+       "dfq2 AS (SELECT h, count(*) AS df FROM bsh GROUP BY h), " +
+       "pd2 AS (SELECT bsh.doc_id, count(*) AS n_sh, " +
+       "SUM(CASE WHEN dfq2.df >= 4 THEN 1 ELSE 0 END) AS n_boiler " +
+       "FROM bsh JOIN dfq2 USING (h) GROUP BY bsh.doc_id), " +
+       "rz AS (SELECT pr.doc_id, list_filter([" +
+       "CASE WHEN pd2.n_boiler*10 >= pd2.n_sh*3 THEN 'boilerplate' END, " +
+       "CASE WHEN dropped.doc_id IS NOT NULL THEN 'duplicate' END, " +
+       "CASE WHEN pr.n_stop*100 <= pr.n_tok*5 THEN 'lang' END, " +
+       "CASE WHEN pr.n_dis*10 < pr.n_tok*3 THEN 'repetition' END, " +
+       "CASE WHEN pr.n_tok < 20 THEN 'short' END], x -> x IS NOT NULL) AS rf " +
+       "FROM pr LEFT JOIN pd2 ON pd2.doc_id = pr.doc_id " +
+       "LEFT JOIN dropped ON dropped.doc_id = pr.doc_id) " +
+       "SELECT doc_id, len(rf) = 0 AS keep, CAST(len(rf) AS BIGINT) AS n_reasons, " +
+       // DuckDB's array_to_string yields NULL on an empty list; the
+       // engine's concat_ws yields '' — coalesce to match
+       "coalesce(array_to_string(rf, ','), '') AS reasons FROM rz"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

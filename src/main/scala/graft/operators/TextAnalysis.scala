@@ -226,6 +226,22 @@ object TextAnalysis {
     * The df join broadcasts while dfreq is small and sort-merges on the
     * digest key at corpus scale — both sides digest-sized either way. */
   def qBoilerplateScrub(spark: SparkSession, dir: String, w: Int = 3,
+      minDf: Int = 4): DataFrame =
+    boilerplatePerDoc(spark, dir, w, minDf).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_boiler")).as("n_boiler"),
+        // single IEEE division of two exact integer sums — oracle-exact
+        (sum(col("n_boiler")).cast("double") / sum(col("n_sh")))
+          .as("boiler_ratio"))
+
+  /** The per-document half of [[qBoilerplateScrub]] — (doc_id, source,
+    * n_sh, n_boiler) — exposed separately so the curation verdict (q88)
+    * can threshold per-document boilerplate pressure without re-running
+    * the digest pipeline in a different shape. Same plan as always: one
+    * corpus shingling into the checkpoint boundary, digest-only shuffles
+    * after it. */
+  def boilerplatePerDoc(spark: SparkSession, dir: String, w: Int = 3,
       minDf: Int = 4): DataFrame = {
     // localCheckpoint: the digest table is the single materialization
     // boundary both consumers (df aggregation + join probe) read — same
@@ -236,16 +252,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), md5(col("s")).as("h"))
       .localCheckpoint()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val perDoc = sh.join(dfreq, Seq("h"))
+    sh.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
-    perDoc.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_sh")).as("n_shingles"),
-        sum(col("n_boiler")).as("n_boiler"),
-        // single IEEE division of two exact integer sums — oracle-exact
-        (sum(col("n_boiler")).cast("double") / sum(col("n_sh")))
-          .as("boiler_ratio"))
   }
 }

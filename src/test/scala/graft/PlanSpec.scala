@@ -67,6 +67,24 @@ class PlanSpec extends AnyFunSuite {
         s"per-source rollup):\n$p")
   }
 
+  test("curation verdict: one corpus scan per signal family, text never joins (q88)") {
+    // per-row family = the ONE FileScan; boilerplate + dedup families
+    // arrive as materialized RDDs (the q86 checkpoint boundary and the
+    // staged-band-table components) — the final plan must not re-scan the
+    // corpus for them, and the assembly joins carry doc_id + counters only
+    val p = SparkEntry.queries("q88_curation_verdict")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans === 1, s"q88 scans the corpus $scans times (want 1):\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"q88 must read the boilerplate and dedup families as RDDs:\n$p")
+    // text is read by the per-row scan but must die at the projection:
+    // no exchange may carry the text column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"q88 shuffles document text through the assembly:\n$p")
+  }
+
   test("funnel is join-free: one event-log scan, one user_id exchange (q75)") {
     // the funnel's three stage timestamps are chained window minima over
     // one user_id partitioning — no join ladder, no repeated log scans

@@ -480,6 +480,35 @@ class ScaleOpsSpec extends AnyFunSuite {
       .foreach(graft.util.Fs.deleteRecursively)
   }
 
+  test("q88 curation verdict: one row per doc, reasons consistent with the source signals") {
+    val rows = SparkEntry.queries("q88_curation_verdict")(spark, sf).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.length === nDocs, "one verdict per corpus document")
+    val codes = Set("boilerplate", "duplicate", "lang", "repetition", "short")
+    rows.foreach { r =>
+      val keep = r.getBoolean(r.fieldIndex("keep"))
+      val n = r.getLong(r.fieldIndex("n_reasons"))
+      val reasons = r.getString(r.fieldIndex("reasons"))
+      val parts = if (reasons.isEmpty) Seq.empty else reasons.split(",").toSeq
+      assert(keep === (n == 0L), s"keep must mean zero reasons: $r")
+      assert(parts.length.toLong === n, s"n_reasons must count the codes: $r")
+      assert(parts.forall(codes), s"unknown reason code in: $reasons")
+      assert(parts === parts.sorted, s"reasons must be alphabetical: $reasons")
+    }
+    // the duplicate reason must agree with q73's survivorship summary
+    val nDup = rows.count(_.getString(3).split(",").contains("duplicate"))
+    val q73 = SparkEntry.queries("q73_dedup_survivors")(spark, sf).head
+    assert(nDup.toLong === q73.getLong(q73.fieldIndex("n_dropped")),
+      "q88's duplicate drops must equal q73's n_dropped")
+    // a curation rule that never fires (or always fires) is miscalibrated
+    val kept = rows.count(_.getBoolean(1))
+    assert(kept > 0 && kept < nDocs, s"degenerate verdict: kept=$kept/$nDocs")
+    codes.foreach { c =>
+      assert(rows.exists(_.getString(3).split(",").contains(c)),
+        s"reason '$c' never fires at gate SF — threshold miscalibrated")
+    }
+  }
+
   test("q67 cluster roster: clusters have >= 2 docs and cover exactly the paired docs") {
     val rows = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
     assert(rows.nonEmpty)
