@@ -155,7 +155,13 @@ object EventStreams {
     * here it builds the broadcast from the MICRO-BATCH side (verified:
     * BroadcastHashJoin BuildLeft in the executed micro-batch plan, asserted
     * in StreamingMultimodalSpec), which maxFilesPerTrigger keeps bounded; a
-    * wide-estimate dim never gets pinned into executor memory. The dim is
+    * wide-estimate dim never gets pinned into executor memory. MEASURED
+    * across dim cardinality ([[graft.tools.SkewProbe]] section q61, 2M-event
+    * stream, 10k→4M-user parquet dims): below the broadcast threshold the
+    * planner broadcasts the (then-small) dim BuildRight; at 1M+ users it
+    * flips to BuildLeft from the bounded micro-batch side — never to a
+    * per-batch sort-merge — with flat drain time, so there is no
+    * cardinality at which the dim gets pinned OR the join degrades. The dim is
     * re-read per batch by contract (static-side updates between batches are
     * visible), which at scale argues for a compact, file-backed dim. The
     * drained COMPLETE-mode aggregate equals the batch join+group — the SQL

@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   * PROBE q75 hotPct=10%   1.06 s
   * PROBE q75 hotPct=30%   2.32 s
   * PROBE q75 hotPct=60%   2.93 s
+  * PROBE q61 users=   10000  join=BroadcastHashJoin  build=BuildRight(dim)     8.29 s
+  * PROBE q61 users=  100000  join=BroadcastHashJoin  build=BuildRight(dim)     7.82 s
+  * PROBE q61 users= 1000000  join=BroadcastHashJoin  build=BuildLeft(stream)   8.69 s
+  * PROBE q61 users= 4000000  join=BroadcastHashJoin  build=BuildLeft(stream)   8.78 s
   * }}}
   * Reading: there is no broadcast→SMJ CLIFF in q76's shape — both join
   * children reuse the one pinned user_id exchange, so the sort-merge is
@@ -38,6 +42,15 @@ import org.apache.spark.sql.functions._
   * (the 0% row runs first and carries the window shape's stage warm-up,
   * which is why 10% reads below it); see the q75 scaladoc for the
   * operational stance.
+  * q61 (2M-event stream, 4 micro-batches, parquet-backed dim): while the
+  * dim's size estimate fits the broadcast threshold the batch planner
+  * broadcasts the DIM (BuildRight — it is small, so that is fine); past
+  * the threshold (1M+ users) it flips to building from the BOUNDED
+  * micro-batch side (BuildLeft) — never to a per-batch sort-merge — and
+  * drain time stays flat (~8 s, stream machinery dominated). The
+  * scaladoc's wide-dim-never-pinned guarantee is the BuildLeft regime;
+  * the probe shows the flip happens exactly where it should and costs
+  * nothing.
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
@@ -51,6 +64,9 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).agg(sum("id")).head // warm
+    // run only the named sections (q76/q75/q61); no args = all
+    val sections = args.toSet
+    def enabled(s: String) = sections.isEmpty || sections.contains(s)
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -73,7 +89,8 @@ object SkewProbe {
     println("== q76 cohort shape: join strategy vs user cardinality ==")
     println("   (autoBroadcastJoinThreshold = " +
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold") + ")")
-    for (nUsers <- Seq(10000L, 100000L, 400000L, 1000000L, 4000000L)) {
+    for (nUsers <- Seq(10000L, 100000L, 400000L, 1000000L, 4000000L)
+        if enabled("q76")) {
       val ev = events(20000000L, nUsers, hotPct = 1)
       val act = ev.select(col("user_id"), col("day"))
         .repartition(col("user_id")).distinct()
@@ -95,7 +112,7 @@ object SkewProbe {
     // ---- 2. q75 funnel shape: hot-user window partition ----
     println("== q75 funnel shape: hot user share vs stage time ==")
     import org.apache.spark.sql.expressions.Window
-    for (hotPct <- Seq(0, 10, 30, 60)) {
+    for (hotPct <- Seq(0, 10, 30, 60) if enabled("q75")) {
       val ev = events(20000000L, 1000000L, hotPct)
       val w = Window.partitionBy(col("user_id"))
       // chained conditional minima via successive columns, q75's shape:
@@ -110,6 +127,59 @@ object SkewProbe {
       val secs = timed(q.count())
       println(f"PROBE q75 hotPct=$hotPct%2d%%  ${secs}%6.2f s")
     }
+
+    // ---- 3. q61 stream-static shape: dim cardinality vs join strategy ----
+    // the q61 scaladoc claims the micro-batch planner builds the broadcast
+    // from the BOUNDED micro-batch side (BuildLeft) so a wide dim is never
+    // pinned into memory. Measure: fixed 2M-event stream (4 files → 4
+    // micro-batches) joined against a parquet-backed dim at growing user
+    // cardinality — record join node, build side, drain time.
+    println("== q61 stream-static shape: join strategy vs dim cardinality ==")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_probe_q61")
+    val evDir = tmp.resolve("events").toString
+    if (enabled("q61"))
+      events(2000000L, 1000000L, hotPct = 1)
+        .select(col("tu").as("event_id"), (col("tu") * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"),
+          (col("tu") % 97).cast("double").as("value"),
+          lit("{}").as("props"))
+        .repartition(4).write.mode("overwrite").parquet(evDir)
+    for (nUsers <- Seq(10000L, 100000L, 1000000L, 4000000L)
+        if enabled("q61")) {
+      val dimPath = tmp.resolve(s"dim_$nUsers").toString
+      spark.range(nUsers).select(col("id").as("user_id"))
+        .write.mode("overwrite").parquet(dimPath)
+      // same derivation as q61: parquet-backed distinct users + cohort,
+      // so the batch planner sees file-size-based estimates, not range stats
+      val dim = spark.read.parquet(dimPath)
+        .select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(7L)).cast("int"))
+      val joined = graft.streaming.EventStreams.readEvents(spark, evDir)
+        .join(dim, Seq("user_id"))
+        .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      val name = s"q61_probe_$nUsers"
+      val t0 = System.nanoTime()
+      val q = joined.writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { q.explain() }
+      spark.catalog.dropTempView(name)
+      val plan = buf.toString("UTF-8")
+      val join =
+        if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+        else if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+        else "ShuffledHashJoin"
+      val build =
+        if (plan.contains("BuildLeft")) "BuildLeft(stream)"
+        else if (plan.contains("BuildRight")) "BuildRight(dim)"
+        else "-"
+      println(f"PROBE q61 users=$nUsers%8d  join=$join%-18s " +
+        f"build=$build%-17s ${secs}%6.2f s")
+    }
+    graft.util.Fs.deleteRecursively(tmp.toFile)
     spark.stop()
   }
 }
