@@ -2,14 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Queries that build durable one-time state (bucketed tables, IVF
-    * indexes, the shared MinHash band table) — run untimed before the
-    * loop; keys verified against SparkEntry.queries in RelationalSpec.
-    * q24 stages the corpus band table every dedup-family query
-    * (q24/q49/q67/q73/q74) then reads ([[graft.operators.Dedup
-    * .stagedBandTable]]). */
+    * indexes, the shared MinHash band table, the component-labels table) —
+    * run untimed before the loop; keys verified against SparkEntry.queries
+    * in RelationalSpec. q24 stages the corpus band table every
+    * dedup-family query (q24/q49/q67/q73/q74) then reads
+    * ([[graft.operators.Dedup.stagedBandTable]]); q67 stages the
+    * connected-component labels shared by q67/q73/q88
+    * ([[graft.operators.Dedup.stagedComponentLabels]]). */
   val statefulQueries: Seq[String] =
     Seq("q24_dedup_minhash", "q35_ann_ivf", "q48_bucketed_join",
-      "q83_ann_ivf_seeded")
+      "q67_dedup_clusters", "q83_ann_ivf_seeded")
 
   private def jsonEscape(s: String): String =
     s.flatMap {

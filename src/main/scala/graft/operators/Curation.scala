@@ -46,10 +46,11 @@ object Curation {
     *  - boilerplate family: q86's digest pipeline — one shingling into
     *    the checkpoint boundary, every exchange after it carries 16-byte
     *    digests or counter rollups;
-    *  - duplicate family: NO corpus scan at all — candidate pairs come
-    *    from the staged band table ([[Dedup.stagedBandTable]], persisted
-    *    sketch state) and collapse via O(log n) large-star/small-star;
-    *    the dropped-id set is doc_id+flag rows.
+    *  - duplicate family: NO corpus scan at all — the cluster labels are
+    *    read straight from [[Dedup.stagedComponentLabels]] (persisted
+    *    dedup state: staged band table → candidate pairs → one star
+    *    contraction, built once per corpus fingerprint and shared with
+    *    q67/q73); the dropped-id set is doc_id+flag rows.
     * The assembly joins are doc_id-keyed (8-byte key) over counter-width
     * rows — document text never shuffles. The dropped-id side is tiny
     * relative to the corpus (bounded by the near-dup rate), so Spark
@@ -67,10 +68,10 @@ object Curation {
     // boilerplate family: per-doc df pressure from the q86 pipeline
     val boiler = TextAnalysis.boilerplatePerDoc(spark, dir)
       .select(col("doc_id"), col("n_sh"), col("n_boiler"))
-    // duplicate family: non-canonical members of near-dup clusters,
-    // straight from the staged band table's candidate pairs
-    val dropped = Dedup
-      .connectedComponentsStars(Dedup.minhashCandidatePairs(spark, dir))
+    // duplicate family: non-canonical members of near-dup clusters, read
+    // from the staged component-labels table (persisted dedup state —
+    // zero corpus scans, shared with q67/q73)
+    val dropped = Dedup.stagedComponentLabels(spark, dir)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"), lit(true).as("is_dup"))
     val reasonArr = array_compact(array(

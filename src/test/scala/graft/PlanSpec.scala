@@ -68,16 +68,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("curation verdict: one corpus scan per signal family, text never joins (q88)") {
-    // per-row family = the ONE FileScan; boilerplate + dedup families
-    // arrive as materialized RDDs (the q86 checkpoint boundary and the
-    // staged-band-table components) — the final plan must not re-scan the
-    // corpus for them, and the assembly joins carry doc_id + counters only
+    // per-row family = the ONE corpus FileScan; the boilerplate family
+    // arrives as the q86 checkpoint RDD, the dedup family as a scan of
+    // the staged component-labels parquet — the final plan must not
+    // re-scan the corpus for either, and the assembly joins carry
+    // doc_id + counters only
     val p = SparkEntry.queries("q88_curation_verdict")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
-    val scans = "FileScan".r.findAllIn(p).size
-    assert(scans === 1, s"q88 scans the corpus $scans times (want 1):\n$p")
+    val corpusScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet")).size
+    assert(corpusScans === 1,
+      s"q88 scans the corpus $corpusScans times (want 1):\n$p")
+    val labelScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft_cc")).size
+    assert(labelScans === 1,
+      s"q88 must read the staged component labels (want 1 scan):\n$p")
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
-      s"q88 must read the boilerplate and dedup families as RDDs:\n$p")
+      s"q88 must read the boilerplate digest table as an RDD:\n$p")
     // text is read by the per-row scan but must die at the projection:
     // no exchange may carry the text column
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq

@@ -509,6 +509,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("staged component labels equal an inline star contraction") {
+    import graft.operators.Dedup
+    val staged = Dedup.stagedComponentLabels(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.connectedComponentsStars(
+      Dedup.minhashCandidatePairs(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged === inline,
+      "persisted labels must match a fresh contraction of the same pairs")
+  }
+
   test("q67 cluster roster: clusters have >= 2 docs and cover exactly the paired docs") {
     val rows = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
     assert(rows.nonEmpty)
