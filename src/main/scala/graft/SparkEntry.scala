@@ -142,6 +142,8 @@ object SparkEntry {
       TextAnalysis.qBoilerplateScrub(s, d)),
     "q87_repetition"          -> TextAnalysis.qRepetition _,
     "q88_curation_verdict"    -> graft.operators.Curation.qCurationVerdict _,
+    "q89_mix_rebalance"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q89MixRebalance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -629,6 +631,24 @@ object SparkEntry {
        // DuckDB's array_to_string yields NULL on an empty list; the
        // engine's concat_ws yields '' — coalesce to match
        "coalesce(array_to_string(rf, ','), '') AS reasons FROM rz"),
+    // sqrt-smoothed language rebalancing: √n is one correctly-rounded
+    // IEEE op floored to BIGINT; take/rate are integer multiply-divides;
+    // the sample predicate hashes through the portable hex60 family
+    "q89_mix_rebalance" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+       "w AS (SELECT lang, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt FROM c), " +
+       "tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_wt FROM w), " +
+       "r AS (SELECT lang, n_docs, wt, " +
+       "least(n_docs, CAST(200 * wt // total_wt AS BIGINT)) AS take_target FROM w, tw), " +
+       "r2 AS (SELECT lang, n_docs, wt, take_target, " +
+       "CAST(take_target * 1000000 // n_docs AS BIGINT) AS rate_ppm FROM r), " +
+       "s AS (SELECT d.lang, count(*) AS n_sampled FROM documents d " +
+       "JOIN r2 ON r2.lang = d.lang " +
+       s"WHERE ${hex60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r2.rate_ppm " +
+       "GROUP BY d.lang) " +
+       "SELECT r2.lang, r2.n_docs, r2.wt, r2.take_target, r2.rate_ppm, " +
+       "CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled " +
+       "FROM r2 LEFT JOIN s ON s.lang = r2.lang"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

@@ -61,6 +61,50 @@ object Sketches {
       .agg(count(lit(1)).as("n_sampled"))
   }
 
+  /** q89: sqrt-smoothed corpus rebalancing — the domain/language mixing
+    * step of a training-data pipeline (cf. the multilingual-corpus
+    * temperature-sampling rule of Conneau & Lample's XLM and the domain
+    * reweighting DoReMi tunes): per-language weights ∝ √n flatten the
+    * head (en holds 44% of this corpus but only ~30% of the mix) without
+    * starving the tail, then each language is sampled AT its computed
+    * rate with the same deterministic content-hash contract as q65/q70 —
+    * the realized sample is a pure function of the data, reproducible
+    * across runs, engines, and repartitioning.
+    *
+    * Every derived quantity is integer-exact cross-engine: √n is one
+    * correctly-rounded IEEE op floored to BIGINT, the take and the ppm
+    * rate are integer multiply-divides, and the sample predicate compares
+    * the 60-bit content hash mod 10⁶ against the ppm rate — no float
+    * accumulates across rows anywhere, so the oracle hash-matches.
+    *
+    * Scale shape: counts are ONE partial-agg groupBy; the per-language
+    * rate table is O(languages) rows and broadcasts back onto the corpus
+    * scan (tiny dim by construction); the sample pass is a codegen'd
+    * filter + partial-agg count. Two corpus passes total (count + sample
+    * — irreducible: rates depend on global counts), zero wide shuffles. */
+  def q89MixRebalance(spark: SparkSession, dir: String,
+      budget: Long = 200L): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val weighted = counts
+      .withColumn("wt", floor(sqrt(col("n_docs"))).cast("long"))
+    val totals = weighted.agg(sum(col("wt")).as("total_wt"))
+    val rates = weighted.crossJoin(broadcast(totals))
+      .withColumn("take_target",
+        least(col("n_docs"), expr(s"$budget * wt DIV total_wt")))
+      .withColumn("rate_ppm", expr("take_target * 1000000 DIV n_docs"))
+      .select(col("lang"), col("n_docs"), col("wt"),
+        col("take_target"), col("rate_ppm"))
+    val sampled = docs
+      .join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+      .filter(pmod(graft.functions.TextFunctions.sketch60(
+        col("doc_id").cast("string")), lit(1000000L)) < col("rate_ppm"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("wt"), col("take_target"),
+        col("rate_ppm"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
   def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(

@@ -509,6 +509,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q89 mix rebalance: sqrt smoothing flattens the head, budget and rates bounded") {
+    val rows = SparkEntry.queries("q89_mix_rebalance")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length === 5, "one row per language")
+    val totalDocs = rows.map(_._2).sum
+    val totalTake = rows.map(_._4).sum
+    assert(totalTake <= 200L, s"mix exceeds the budget: $totalTake")
+    rows.foreach { case (lang, n, wt, take, ppm, sampled) =>
+      assert(take <= n, s"$lang: take $take exceeds available $n")
+      assert(ppm >= 0 && ppm <= 1000000L, s"$lang: rate $ppm out of range")
+      assert(wt === math.sqrt(n.toDouble).floor.toLong, s"$lang: wrong weight")
+      assert(sampled <= n, s"$lang: sampled $sampled exceeds available $n")
+    }
+    // the point of sqrt smoothing: the head language's share of the mix is
+    // strictly below its share of the corpus, the tail's strictly above
+    val (_, nEn, _, takeEn, _, _) = rows.find(_._1 == "en").get
+    assert(takeEn.toDouble / totalTake < nEn.toDouble / totalDocs,
+      "head language must be downweighted in the mix")
+    rows.filter(_._1 != "en").foreach { case (lang, n, _, take, _, _) =>
+      assert(take.toDouble / totalTake > n.toDouble / totalDocs,
+        s"tail language $lang must be upweighted in the mix")
+    }
+  }
+
   test("staged component labels equal an inline star contraction") {
     import graft.operators.Dedup
     val staged = Dedup.stagedComponentLabels(spark, sf)
