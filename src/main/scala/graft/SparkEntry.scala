@@ -144,6 +144,7 @@ object SparkEntry {
     "q88_curation_verdict"    -> graft.operators.Curation.qCurationVerdict _,
     "q89_mix_rebalance"       -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q89MixRebalance(s, d)),
+    "q90_stream_neardup"      -> graft.streaming.EventStreams.qStreamNearDup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -249,14 +250,10 @@ object SparkEntry {
     // per-doc signatures are independent of the corpus/batch split, so the
     // oracle reuses the full bd band table and applies the parity split in
     // the probe join itself
-    "q74_incremental_minhash" ->
-      (minhashCtes + ", " +
-       "cand AS (SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc " +
-       "FROM bd b JOIN bd c ON b.band = c.band AND b.bucket = c.bucket " +
-       "AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0) " +
-       "SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_batch, " +
-       "(SELECT count(DISTINCT batch_doc) FROM cand) AS n_flagged, " +
-       "(SELECT count(*) FROM cand) AS n_pairs"),
+    "q74_incremental_minhash" -> incrementalMinhashSql,
+    // the STREAMING incremental near-dup must land on exactly the batch
+    // answer — one oracle pins both paths
+    "q90_stream_neardup" -> incrementalMinhashSql,
     // log-free tf·(N/df) weight: only correctly-rounded IEEE ops, so the
     // rank key is bit-identical across engines (see TextAnalysis scaladoc)
     "q68_tfidf_terms" ->
@@ -654,6 +651,18 @@ object SparkEntry {
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */
   private def hex60Sql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr),1,15)) AS BIGINT)"
+
+  /** Shared oracle for q74 (batch incremental minhash probe) and q90 (its
+    * streaming twin): batch = odd doc_ids banded fresh, corpus = even
+    * doc_ids from the persisted band table, candidates = co-bucket pairs. */
+  private def incrementalMinhashSql: String =
+    minhashCtes + ", " +
+    "cand AS (SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc " +
+    "FROM bd b JOIN bd c ON b.band = c.band AND b.bucket = c.bucket " +
+    "AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0) " +
+    "SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_batch, " +
+    "(SELECT count(DISTINCT batch_doc) FROM cand) AS n_flagged, " +
+    "(SELECT count(*) FROM cand) AS n_pairs"
 
   /** Shared CTE chain for the MinHash oracles (q24 candidates, q49 full
     * pipeline): duplicated corpus → distinct 3-word shingles → 30-bit

@@ -100,17 +100,34 @@ object Dedup {
   private def affineHash(base: Column, i: Int): Column =
     (base * lit(2L * i + 1) + lit(7919L * i + 1)) % MinHashP
 
-  /** MinHash signature as a single per-row expression. Composable, but the
-    * shingle subtree is re-expanded under every hash seed (Catalyst
-    * collapses the projection back in), so for corpus-scale signature
-    * computation use [[minhashSignatures]] instead. */
-  def minhashSignature(text: Column, numHashes: Int = 32, w: Int = 3): Column = {
-    val bases = transform(array_distinct(shingles(text, w)),
-      s => sketch60(s) % (1L << 30))
+  /** Per-shingle 30-bit base hashes as a per-row array expression — the
+    * expensive half of per-row MinHash (string shingling + hashing),
+    * computed ONCE; all seed variants derive from it with integer
+    * arithmetic ([[minhashSignatureFromBases]]). Materialize this column
+    * behind a barrier (repartition / shuffle) before fanning out the
+    * seeds, or Catalyst's projection collapse re-expands the hashing
+    * under every consumer. */
+  def shingleBases(text: Column, w: Int = 3): Column =
+    transform(array_distinct(shingles(text, w)), s => sketch60(s) % (1L << 30))
+
+  /** `numHashes` affine-variant mins from a MATERIALIZED bases column —
+    * pure integer arithmetic over an attribute, cheap even where codegen
+    * falls back to interpreted evaluation (the 32-seed expression tree is
+    * large), and safe to re-expand under consumers because it recomputes
+    * no hashing. */
+  def minhashSignatureFromBases(bases: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(bases, b => affineHash(b, seed)))
     }: _*)
-  }
+
+  /** MinHash signature as a single per-row expression. Composable, but the
+    * shingle subtree is re-expanded under every hash seed (Catalyst
+    * collapses the projection back in), so for corpus-scale signature
+    * computation use [[minhashSignatures]] instead — or split
+    * [[shingleBases]] from [[minhashSignatureFromBases]] across a
+    * barrier (the q90 streaming path). */
+  def minhashSignature(text: Column, numHashes: Int = 32, w: Int = 3): Column =
+    minhashSignatureFromBases(shingleBases(text, w), numHashes)
 
   /** Distinct (doc_id, shingle) table — the shared upstream of signature
     * computation and Jaccard verification. */

@@ -187,6 +187,73 @@ object EventStreams {
     out
   }
 
+  /** documents schema as produced by the testdata (for streaming reads). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Driver query (q90): STREAMING incremental near-dup — the online-ingest
+    * twin of q74. An incoming document stream (odd doc_ids) is MinHash-
+    * banded per micro-batch with the per-row signature expression
+    * ([[graft.operators.Dedup.minhashSignature]] — zero aggregation, so
+    * banding needs no streaming state at all) and stream-static joined
+    * against the PERSISTED corpus band table
+    * ([[graft.operators.Dedup.stagedBandTable]], even doc_ids) — sketch
+    * state on disk probed by every arriving batch, which is exactly how a
+    * 100 TB ingest pipeline flags near-dups before a document ever lands
+    * in the corpus. The only stateful operator is the complete-mode
+    * (batch_doc, corpus_doc) pair aggregation (state = O(flagged pairs),
+    * bounded by the near-dup rate); the drained pair set is summarized
+    * batch-side into q74's exact (n_batch, n_flagged, n_pairs) shape —
+    * the oracle IS q74's oracle, so stream and batch paths are pinned to
+    * the same answer. */
+  def qStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_nd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      tmp.resolve("documents.parquet"))
+    val batch = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .filter(col("doc_id") % 2 === 1)
+    // split the EXPENSIVE half (shingling + hashing, computed once per
+    // row) from the seed fan-out across a repartition barrier: without
+    // the barrier CollapseProject folds everything into the 8-band
+    // explode and the 32-seed tree re-expands the string hashing per
+    // consumer while its size knocks the stage out of codegen (measured
+    // 25 s at sf0.1; with the split, ~2 s). Behind the exchange the
+    // seed mins and band buckets are integer arithmetic over the
+    // materialized bases array — safe to re-expand, no hashing inside.
+    val bases = batch
+      .select(col("doc_id"), Dedup.shingleBases(col("text")).as("bases"))
+      .repartition(col("doc_id"))
+    val batchBands = Dedup.bandTable(bases.select(col("doc_id"),
+        Dedup.minhashSignatureFromBases(col("bases")).as("sig")))
+      .withColumnRenamed("doc_id", "batch_doc")
+    val corpusBands = Dedup.stagedBandTable(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .withColumnRenamed("doc_id", "corpus_doc")
+    val pairs = batchBands
+      .join(corpusBands, Seq("band", "bucket"))
+      .groupBy(col("batch_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("band_hits"))
+    val drained = runToMemory(spark, pairs,
+      s"q90_stream_${System.nanoTime()}", OutputMode.Complete())
+    java.nio.file.Files.deleteIfExists(tmp.resolve("documents.parquet"))
+    java.nio.file.Files.deleteIfExists(tmp)
+    graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .agg(count(lit(1)).as("n_batch"))
+      .crossJoin(drained.agg(
+        countDistinct(col("batch_doc")).as("n_flagged"),
+        count(lit(1)).as("n_pairs")))
+  }
+
   /** Driver query (q64): stream-STREAM join — click→purchase attribution
     * (purchases joined to a prior click by the same user within 10 minutes).
     * Both sides are independent file streams with watermarks, and the join

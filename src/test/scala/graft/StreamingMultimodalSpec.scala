@@ -74,6 +74,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"broadcast built from the dim side, not the bounded micro-batch:\n$plan")
   }
 
+  test("q90 streaming incremental near-dup equals the batch q74 probe") {
+    // the stream bands each micro-batch with the per-row signature
+    // expression and probes the persisted corpus band table; its drained
+    // summary must land on exactly the batch path's answer
+    val stream = SparkEntry.queries("q90_stream_neardup")(spark, sf).head
+    val batch = SparkEntry.queries("q74_incremental_minhash")(spark, sf).head
+    assert(stream === batch,
+      s"stream $stream diverges from batch $batch")
+  }
+
   test("stateful user running counts cover every user exactly once per final state") {
     val events = EventStreams.readEvents(spark, eventsDir)
     val updates = EventStreams.userRunningCounts(spark, events.toDF)
