@@ -145,6 +145,10 @@ object SparkEntry {
     "q89_mix_rebalance"       -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q89MixRebalance(s, d)),
     "q90_stream_neardup"      -> graft.streaming.EventStreams.qStreamNearDup _,
+    "q91_split_assign"        -> graft.operators.Sketches.q91SplitAssign _,
+    "q92_corpus_merge"        -> Relational.q92CorpusMerge _,
+    "q93_curriculum_phases"   -> TextAnalysis.qCurriculumPhases _,
+    "q94_canonical_pick"      -> Dedup.q94CanonicalPick _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -646,6 +650,49 @@ object SparkEntry {
        "SELECT r2.lang, r2.n_docs, r2.wt, r2.take_target, r2.rate_ppm, " +
        "CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled " +
        "FROM r2 LEFT JOIN s ON s.lang = r2.lang"),
+    // the split is a pure function of the key through the portable hex60
+    // family, so both engines compute identical assignments
+    "q91_split_assign" ->
+      (s"WITH a AS (SELECT lang, n_chars, CASE WHEN ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train' " +
+       s"WHEN ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents) " +
+       "SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total " +
+       "FROM a GROUP BY lang, split"),
+    // latest version wins per key; tombstones filter AFTER resolution
+    "q92_corpus_merge" ->
+      ("WITH lg AS (" +
+       "SELECT doc_id, CAST(1 AS BIGINT) AS version, text, false AS deleted FROM documents " +
+       "UNION ALL SELECT doc_id, 2, upper(text), false FROM documents WHERE doc_id % 5 = 0 " +
+       "UNION ALL SELECT doc_id + 1000000, 2, text, false FROM documents WHERE doc_id % 97 = 0 " +
+       "UNION ALL SELECT doc_id, 3, text, true FROM documents WHERE doc_id % 101 = 0), " +
+       "m AS (SELECT doc_id, version, text, deleted FROM lg " +
+       "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1) " +
+       "SELECT doc_id, version, md5(text) AS h FROM m WHERE NOT deleted"),
+    // exact-histogram curriculum: integer phase arithmetic over the
+    // quality-value histogram — no per-row rank anywhere
+    "q93_curriculum_phases" ->
+      ("WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop FROM documents), " +
+       "r AS (SELECT n_tok, n_stop, CAST(n_stop AS DOUBLE) / n_tok AS ratio FROM t), " +
+       "h AS (SELECT ratio, count(*) AS c, sum(n_tok) AS st, sum(n_stop) AS ss FROM r GROUP BY ratio), " +
+       "p AS (SELECT *, coalesce(sum(c) OVER (ORDER BY ratio DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum, " +
+       "sum(c) OVER () AS n FROM h) " +
+       "SELECT CAST(least((4 * cum) // n, 3) AS BIGINT) AS phase, " +
+       "CAST(sum(c) AS BIGINT) AS n_docs, CAST(sum(st) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(ss) AS BIGINT) AS n_stop FROM p GROUP BY 1"),
+    // same component labels as q67/q73/q88 (recursive reachability CTE);
+    // keeper = max tokens, ties to the smaller doc_id
+    "q94_canonical_pick" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       "dd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+       "sel AS (SELECT lab.root AS cluster_id, dd.doc_id, dd.n_tok, " +
+       "count(*) OVER (PARTITION BY lab.root) AS n_docs, " +
+       "row_number() OVER (PARTITION BY lab.root ORDER BY dd.n_tok DESC, dd.doc_id ASC) AS rn " +
+       "FROM lab JOIN dd ON dd.doc_id = lab.n) " +
+       "SELECT cluster_id, doc_id AS keeper, n_tok AS keeper_tokens, " +
+       "CAST(n_docs AS BIGINT) AS n_docs FROM sel WHERE rn = 1"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

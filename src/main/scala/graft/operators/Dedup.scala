@@ -589,6 +589,35 @@ object Dedup {
         (col("n_docs") - col("n_dropped")).as("n_surviving"))
   }
 
+  /** q94: QUALITY-canonical selection per near-dup cluster — instead of
+    * q73's arbitrary "minimum doc_id survives", keep each cluster's most
+    * content-rich member (max token count, ties to the smaller id): the
+    * refinement real curation runs apply, because near-dup clusters mix
+    * full documents with their truncated/boilerplate-padded variants and
+    * the survivor choice decides which text the model trains on.
+    *
+    * Scale shape: cluster labels come from the persisted dedup state
+    * ([[stagedComponentLabels]] — no corpus re-sketch), so the only
+    * corpus touch is one codegen'd token-count projection; the join keys
+    * member ids (8 bytes) against it, and the argmax is a row_number
+    * window partitioned BY CLUSTER — state per task bounded by cluster
+    * size, never a global sort. The labels side is bounded by the
+    * near-dup rate, orders of magnitude under corpus size. */
+  def q94CanonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val members = stagedComponentLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("cluster_id"))
+    members.join(toks, Seq("doc_id"))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_tok").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"),
+        col("n_tok").as("keeper_tokens"), col("n_docs"))
+  }
+
   /** q74: incremental (cross-batch) near-dup detection — an incoming batch
     * (odd doc_ids) LSH-banded and equi-joined against the CORPUS's band
     * table (even doc_ids), the daily-ingest shape where the historical

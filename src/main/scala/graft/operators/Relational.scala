@@ -447,6 +447,45 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** CDC latest-wins corpus merge (q92) — the upsert/delete compaction an
+    * incremental corpus refresh runs instead of a full rewrite (the
+    * merge-on-read shape of the lakehouse table formats): a versioned
+    * change log (updates at v2, new inserts at v2, tombstones at v3) is
+    * unioned with the base corpus and resolved per key to the
+    * highest-version row, with surviving tombstones dropping the key.
+    * The change slices here are deterministic doc_id selections with
+    * deterministic mutations (same device as q82) so the oracle can
+    * restate them; output carries (key, version, digest) — never bodies.
+    *
+    * Scale shape: resolution is ONE row_number window over the 8-byte
+    * key — a single exchange of the base∪log union. The log is normally
+    * ≪ the base, so the exchange is dominated by the base's one pass;
+    * with the corpus bucketed on doc_id ([[graft.plans.Bucketing]]) the
+    * exchange disappears entirely and the merge is a per-bucket local
+    * sort — the compaction plan every table format converges on.
+    * Tombstones filter AFTER resolution (a deleted key must win first,
+    * or a stale base row resurrects it). */
+  def q92CorpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def slice(pred: Column, version: Long, text: Column, deleted: Boolean,
+        key: Column = col("doc_id")) =
+      docs.filter(pred).select(key.as("doc_id"),
+        lit(version).as("version"), text.as("text"),
+        lit(deleted).as("deleted"))
+    val base = slice(lit(true), 1L, col("text"), deleted = false)
+    val upd = slice(col("doc_id") % 5 === 0, 2L, upper(col("text")),
+      deleted = false)
+    val ins = slice(col("doc_id") % 97 === 0, 2L, col("text"),
+      deleted = false, key = col("doc_id") + 1000000L)
+    val del = slice(col("doc_id") % 101 === 0, 3L, col("text"),
+      deleted = true)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+    base.union(upd).union(ins).union(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .select(col("doc_id"), col("version"), md5(col("text")).as("h"))
+  }
+
   /** JSON field extraction from the events.props payload column — the
     * schema-on-read idiom a training-data pipeline needs for raw metadata. */
   def q33JsonExtract(spark: SparkSession, dir: String): DataFrame =

@@ -105,6 +105,31 @@ object Sketches {
         col("rate_ppm"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
   }
 
+  /** q91: deterministic stratified train/val/test split — the holdout
+    * assignment step every training run starts from. A document's split is
+    * a pure function of its key (content hash mod 100 → 80/10/10), which
+    * gives the three guarantees an RNG split cannot without carefully
+    * pinned seeds AND partitioning: reproducible across runs/engines/
+    * executor retries, stable under repartitioning, and consistent across
+    * every table keyed by doc_id (a doc's features, embeddings, and
+    * labels all land in the same split — no eval leakage into training).
+    * The per-(lang, split) roster makes stratification auditable: each
+    * language splits ~80/10/10 independently because the hash is
+    * independent of lang.
+    *
+    * Scale shape: the split column is one codegen'd projection on the
+    * scan; the audit roster is a single partial-agg groupBy over
+    * (language × 3) groups. No shuffle carries text. */
+  def q91SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(graft.functions.TextFunctions.sketch60(
+      col("doc_id").cast("string")), lit(100L))
+    Tables.load(spark, dir, "documents")
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+  }
+
   def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(

@@ -257,4 +257,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
   }
+
+  /** q93: quality-ordered curriculum phases WITHOUT a global sort — the
+    * data-ordering step of curriculum training (feed the cleanest quarter
+    * first), sized by exact global quantile position.
+    *
+    * The naive plan — `ntile(4) over (order by quality)` — collapses the
+    * corpus into ONE task (a global window has a single partition): the
+    * canonical 100 TB scale-killer. Instead the phase boundary is derived
+    * from an exact equi-width HISTOGRAM of the quality key, the same
+    * refinement trick as [[graft.plans.Selection]]'s top-k cutoff: the
+    * quality key (stopword ratio — one IEEE division, so its value set is
+    * identical cross-engine) has far fewer distinct values than the
+    * corpus has rows (bounded by the distinct (n_stop, n_tokens) pairs,
+    * ~O(maxTokens²) regardless of corpus size), so
+    *   1. ONE partial-aggregating groupBy rolls the corpus up to
+    *      (ratio, doc count, token sums) — the only full-size pass;
+    *   2. a running count over the TINY histogram (sorted quality-
+    *      descending; single-partition, but over hundreds of rows, not
+    *      the corpus) places each ratio's cumulative start;
+    *   3. phase = floor(4·cum/n) in pure integer arithmetic — every doc
+    *      with the same quality value lands in the same phase, phases
+    *      split the corpus into near-quarters by construction.
+    * The per-phase roster then sums the histogram's own partials — the
+    * corpus is never re-scanned, re-joined, or globally sorted. At 100 TB
+    * only step 1 touches data; steps 2-3 are driver-scale frames. */
+  def qCurriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(spark, dir, "documents")
+      .select(tokenCount(col("text")).cast("long").as("n_tok"),
+        stopwordCount(col("text")).cast("long").as("n_stop"))
+      .select(col("n_tok"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tok")).as("ratio"))
+      .groupBy(col("ratio"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tok")).as("st"),
+        sum(col("n_stop")).as("ss"))
+    // phase-0 = highest stopword density (the most natural-English text
+    // under the q27/q28 heuristic family) — quality-descending order
+    val wCum = Window.orderBy(col("ratio").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("ratio").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("phase", least(expr("(4 * cum) div n"), lit(3L)))
+      .groupBy(col("phase"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("st")).as("n_tokens"),
+        sum(col("ss")).as("n_stop"))
+  }
 }

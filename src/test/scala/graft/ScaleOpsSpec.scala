@@ -556,4 +556,94 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === pairDocs,
       "cluster membership must cover exactly the docs that appear in a pair")
   }
+
+  test("q91 split: partitions the corpus per language, shares near 80/10/10") {
+    val rows = SparkEntry.queries("q91_split_assign")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum === nDocs, "splits must partition the corpus")
+    assert(rows.map(_._2).toSet === Set("train", "val", "test"))
+    // hash assignment is independent of lang, so the GLOBAL shares
+    // concentrate near 80/10/10 (loose bounds — it's a hash, not a quota)
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val trainShare = bySplit("train").toDouble / nDocs
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share $trainShare")
+    assert(bySplit("val") > 0 && bySplit("test") > 0, "empty holdout split")
+    // the assignment contract: re-deriving a doc's split from its key
+    // alone reproduces the roster (pure function of the data)
+    val h = pmod(TextFunctions.sketch60(col("doc_id").cast("string")), lit(100L))
+    val redo = graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("split", when(h < 80, "train").when(h < 90, "val")
+        .otherwise("test"))
+      .groupBy(col("lang"), col("split")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    rows.foreach { case (lang, split, n) =>
+      assert(redo((lang, split)) === n, s"split not reproducible for $lang/$split")
+    }
+  }
+
+  test("q92 merge: latest version wins, tombstones drop keys, inserts appear") {
+    val rows = SparkEntry.queries("q92_corpus_merge")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId.size === rows.length, "one resolved row per key")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val deleted = docs.filter(_ % 101 == 0)
+    val inserted = docs.filter(_ % 97 == 0).map(_ + 1000000L)
+    assert(deleted.forall(d => !byId.contains(d)),
+      "a surviving tombstone must drop its key")
+    assert(inserted.forall(byId.contains), "v2 inserts must appear")
+    inserted.foreach(i => assert(byId(i)._2 === 2L))
+    // updated (and not deleted) keys resolve to v2; untouched keys to v1
+    docs.filterNot(deleted).foreach { d =>
+      assert(byId(d)._2 === (if (d % 5 == 0) 2L else 1L),
+        s"wrong winning version for key $d")
+    }
+    assert(rows.length === docs.size - deleted.size + inserted.size)
+  }
+
+  test("q93 curriculum: phases partition the corpus into ordered near-quarters") {
+    val rows = SparkEntry.queries("q93_curriculum_phases")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L), "exactly 4 phases")
+    assert(rows.map(_._2).sum === nDocs, "phases must partition the corpus")
+    // near-quarters: value ties can only GROW a phase past n/4 by the tie
+    // run straddling the boundary; at gate SF no ratio value is hot, so
+    // every phase lands within 2x of the ideal quarter
+    rows.foreach { case (p, c, _, _) =>
+      assert(c > nDocs / 8 && c < nDocs / 2, s"phase $p degenerate size $c")
+    }
+    // phase 0 is the highest-quality (stopword-densest) slice: mean
+    // stopword share must DECREASE monotonically across phases
+    val shares = rows.map(r => r._4.toDouble / r._3)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a > b },
+      s"phase quality must be monotone: ${shares.mkString(", ")}")
+  }
+
+  test("q94 canonical pick: keeper is the token-richest member of each cluster") {
+    import graft.operators.Dedup
+    val rows = SparkEntry.queries("q94_canonical_pick")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same clusters and sizes as q67's roster
+    val q67 = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._4)).toMap === q67,
+      "q94 must report exactly q67's clusters and sizes")
+    // keeper maximizes token count within its cluster (ties: smaller id)
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = Dedup.stagedComponentLabels(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    rows.foreach { case (cluster, keeper, kTok, _) =>
+      val best = members(cluster).map(d => (toks(d), -d)).max
+      assert((kTok, -keeper) === best,
+        s"cluster $cluster keeper $keeper is not the quality argmax")
+    }
+  }
 }
