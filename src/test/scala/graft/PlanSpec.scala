@@ -107,6 +107,69 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx === 1, s"q75 shuffles $hashEx times (want 1):\n$p75")
   }
 
+  test("split assignment is one scan, one partial-agg exchange, no text shuffle (q91)") {
+    val p = SparkEntry.queries("q91_split_assign")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("FileScan".r.findAllIn(p).size === 1, s"q91 re-scans the corpus:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"q91 shuffles $hashEx times (want 1: final agg):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"q91 aggregation lost its map-side partials:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"q91 shuffles document text:\n$p")
+  }
+
+  test("CDC merge resolves with one key exchange; output never shuffles bodies (q92)") {
+    val p = SparkEntry.queries("q92_corpus_merge")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the union's slices prune to (doc_id, text) scans; resolution is the
+    // single row_number window exchange on the key — no join anywhere
+    assert(!p.contains("Join"), s"q92 grew a join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"q92 shuffles $hashEx times (want 1: the window):\n$p")
+  }
+
+  test("curriculum phases never sort or window the corpus (q93)") {
+    val p = SparkEntry.queries("q93_curriculum_phases")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("FileScan".r.findAllIn(p).size === 1, s"q93 re-scans the corpus:\n$p")
+    // the single-partition exchange (the global-window scale-killer this
+    // query exists to avoid) may only appear DOWNSTREAM of the histogram
+    // aggregation: everything under the first hash exchange is the
+    // full-size corpus side, and it must contain no window, no sort, no
+    // SinglePartition exchange
+    val lines = p.linesIterator.toSeq
+    val firstHashEx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(firstHashEx >= 0, s"q93 lost its histogram aggregation exchange:\n$p")
+    val corpusSide = lines.drop(firstHashEx)
+    assert(!corpusSide.exists(_.contains("Window")),
+      s"q93 windows the corpus side:\n$p")
+    assert(!corpusSide.exists(_.contains("SinglePartition")),
+      s"q93 collapses the corpus to one partition:\n$p")
+    // text dies at the token-count projection — no exchange carries it
+    assert(!lines.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"q93 shuffles document text:\n$p")
+  }
+
+  test("canonical pick reads persisted labels, windows per cluster only (q94)") {
+    val p = SparkEntry.queries("q94_canonical_pick")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val labelScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft_cc")).size
+    assert(labelScans === 1,
+      s"q94 must read the staged component labels once:\n$p")
+    val corpusScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet")).size
+    assert(corpusScans === 1, s"q94 scans the corpus $corpusScans times:\n$p")
+    // the argmax window partitions by cluster_id — a global (empty
+    // partition-by) window would serialize the corpus into one task
+    assert(!p.contains("SinglePartition"),
+      s"q94 collapsed to a single partition:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"q94 shuffles document text:\n$p")
+  }
+
   test("cohort per-user frame broadcasts back onto the event log (q76)") {
     val p76 = formatted("q76_cohort_retention")
     assert(p76.contains("BroadcastHashJoin"), s"q76 first-seen join not broadcast:\n$p76")
