@@ -180,10 +180,11 @@ object SemiSupervised {
   /** The experiment GRID end-to-end (ref M7+M9+M11 composed — the flow
     * whose product is the reference's AllResults.csv): a multi-cell grid
     * through [[Experiments.runGrid]], each cell k-fold cross-validated,
-    * emitting one 15-column result row per cell in grid order. The eight
+    * emitting one 15-column result row per cell in grid order. The nine
     * cells cover every runner branch (ST-threshold, ST-kBest,
-    * CT-threshold, supervised) across the full probabilistic roster
-    * (DT, NB, RF, LR) AND two datasets — the grid's first axis, like the
+    * CT-threshold, supervised) across the FULL roster — the
+    * probabilistic four (DT, NB, RF, LR) plus supervised-only LSVC —
+    * AND two datasets — the grid's first axis, like the
     * reference's 7-dataset AllResults.csv: "embeddings" (full 64-dim
     * abs(embedding)) and "embeddings_front" (the front 32-dim slice, a
     * distinct derived frame). Cells run as bounded concurrent job
@@ -219,10 +220,15 @@ object SemiSupervised {
       Experiments.Cell("embeddings_front", "RF", "ST", "threshold", 0.3, 0.8,
         maxIter = 2),
       Experiments.Cell("embeddings_front", "LR", "CT", "threshold", 0.3, 0.8,
-        maxIter = 2))
-    // all eight cells in flight: they are independent seeded fits, so the
+        maxIter = 2),
+      // LSVC is supervised-only by the same type bound as the reference
+      // (no probability column → cannot drive self-labeling); this cell
+      // puts the roster's fifth member through the CV runner too
+      Experiments.Cell("embeddings_front", "LSVC", "supervised", "na", 0.3,
+        0.0, maxIter = 2))
+    // all nine cells in flight: they are independent seeded fits, so the
     // result frame is identical at any parallelism — only wall time moves
-    Experiments.runGrid(datasets, cells, k = 2, seed = 8L, parallelism = 8)
+    Experiments.runGrid(datasets, cells, k = 2, seed = 8L, parallelism = 9)
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
