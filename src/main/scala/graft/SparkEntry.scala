@@ -149,6 +149,7 @@ object SparkEntry {
     "q92_corpus_merge"        -> Relational.q92CorpusMerge _,
     "q93_curriculum_phases"   -> TextAnalysis.qCurriculumPhases _,
     "q94_canonical_pick"      -> Dedup.q94CanonicalPick _,
+    "q95_runtime_filter"      -> Relational.q95RuntimeFilter _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -693,6 +694,13 @@ object SparkEntry {
        "FROM lab JOIN dd ON dd.doc_id = lab.n) " +
        "SELECT cluster_id, doc_id AS keeper, n_tok AS keeper_tokens, " +
        "CAST(n_docs AS BIGINT) AS n_docs FROM sel WHERE rn = 1"),
+    // the bloom filter only PRUNES the probe side — results equal the
+    // plain join
+    "q95_runtime_filter" ->
+      ("SELECT l_returnflag, count(*) AS n_items, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_totalprice > 400000.0 GROUP BY l_returnflag"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

@@ -447,6 +447,62 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The plan half of q95, built by the caller inside
+    * [[withRuntimeFilterConf]] — exposed unmaterialized so PlanSpec can
+    * assert the injected bloom filter on the probe side. */
+  private[graft] def runtimeFilteredJoin(spark: SparkSession,
+      dir: String): DataFrame = {
+    val hot = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .join(hot, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+  }
+
+  /** Session-scoped runtime-filter settings, restored after `body`: bloom
+    * injection on (the application-side size floor dropped so the gate's
+    * MB-scale fact table qualifies — at 100 TB the default 10 GB floor is
+    * already met) and auto-broadcast off, because `InjectRuntimeFilter`
+    * targets shuffle joins — under a broadcast the probe-side filter
+    * would be redundant with the build-side HashedRelation. Same
+    * single-session caveat as q85's conf flip. */
+  private[graft] def withRuntimeFilterConf[T](spark: SparkSession)
+      (body: => T): T = {
+    val flips = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = flips.map { case (k, _) => k -> spark.conf.getOption(k) }
+    flips.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Runtime bloom-filter pruned fact join (q95): revenue of line items
+    * belonging to high-value orders, with Spark's `InjectRuntimeFilter`
+    * building a bloom filter from the SELECTIVE dimension side and
+    * applying `might_contain` on the fact side BEFORE its shuffle — at
+    * 100 TB this is the difference between shuffling every fact row and
+    * shuffling only the ~20% that can possibly join (and with a
+    * sorted/clustered fact layout the same predicate prunes row groups at
+    * the scan). The rewrite fires at optimization time, so the
+    * materialization runs INSIDE the conf window (the summary frame that
+    * escapes is checkpointed, counters only); PlanSpec asserts
+    * `bloom_filter_might_contain` lands on the probe side. */
+  def q95RuntimeFilter(spark: SparkSession, dir: String): DataFrame =
+    withRuntimeFilterConf(spark) {
+      runtimeFilteredJoin(spark, dir).localCheckpoint()
+    }
+
   /** CDC latest-wins corpus merge (q92) — the upsert/delete compaction an
     * incremental corpus refresh runs instead of a full rewrite (the
     * merge-on-read shape of the lakehouse table formats): a versioned

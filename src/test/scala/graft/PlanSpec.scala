@@ -170,6 +170,24 @@ class PlanSpec extends AnyFunSuite {
       s"q94 shuffles document text:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side before its shuffle (q95)") {
+    import graft.operators.Relational
+    Relational.withRuntimeFilterConf(spark) {
+      val qe = Relational.runtimeFilteredJoin(spark, sf).queryExecution
+      val opt = qe.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") && opt.contains("might_contain"),
+        s"InjectRuntimeFilter did not fire:\n$opt")
+      val p = qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+      // the might_contain predicate must sit on the PROBE (lineitem) side,
+      // i.e. in a Filter over the probe join key
+      assert(p.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_orderkey")),
+        s"bloom filter not applied to the fact side:\n$p")
+    }
+    // and the conf window restores session state
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0")
+  }
+
   test("cohort per-user frame broadcasts back onto the event log (q76)") {
     val p76 = formatted("q76_cohort_retention")
     assert(p76.contains("BroadcastHashJoin"), s"q76 first-seen join not broadcast:\n$p76")
