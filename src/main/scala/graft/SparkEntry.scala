@@ -150,6 +150,7 @@ object SparkEntry {
     "q93_curriculum_phases"   -> TextAnalysis.qCurriculumPhases _,
     "q94_canonical_pick"      -> Dedup.q94CanonicalPick _,
     "q95_runtime_filter"      -> Relational.q95RuntimeFilter _,
+    "q96_zorder_cells"        -> Relational.q96ZOrderCells _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -701,6 +702,21 @@ object SparkEntry {
        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "WHERE o_totalprice > 400000.0 GROUP BY l_returnflag"),
+    // pure integer bucketize + bit-interleave — identical arithmetic on
+    // both engines
+    "q96_zorder_cells" ->
+      ("WITH ev AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day FROM events), " +
+       "bo AS (SELECT min(user_id) AS u0, max(user_id) AS u1, min(day) AS d0, max(day) AS d1 FROM ev), " +
+       "b AS (SELECT ((user_id - u0) * 256) // (u1 - u0 + 1) AS ub, " +
+       "((day - d0) * 256) // (d1 - d0 + 1) AS db FROM ev, bo), " +
+       "zc AS (SELECT ub, db, " +
+       (0 until 8).map(i =>
+         s"((ub // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + ((db // ${1L << i}) % 2) * ${1L << (2 * i)}")
+         .mkString("(", " + ", ")") + " AS z FROM b) " +
+       "SELECT CAST(z // 4096 AS BIGINT) AS cell, count(*) AS n_events, " +
+       "CAST(min(ub) AS BIGINT) AS min_ub, CAST(max(ub) AS BIGINT) AS max_ub, " +
+       "CAST(min(db) AS BIGINT) AS min_db, CAST(max(db) AS BIGINT) AS max_db " +
+       "FROM zc GROUP BY 1"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional dev-loop filter: extra args are substrings; only queries
+    // whose name contains one are dumped (driver passes exactly 2 args)
+    val only = args.drop(2)
+    def selected(name: String) = only.isEmpty || only.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +27,7 @@ object Verify {
     // production/bench runs xxhash64. Scoped so the oracle family cannot
     // leak into plans built after the dump in the same JVM.
     graft.functions.TextFunctions.withOracleMode(on = true) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
@@ -46,7 +50,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -423,6 +423,46 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Z-order layout cells (q96): the multi-dimensional clustering key the
+    * lakehouse formats call Z-ORDER, computed as a pure Catalyst
+    * expression — bucketize each dimension to 8 bits against its global
+    * range, then bit-interleave the buckets so nearby (user, day) pairs
+    * get nearby keys. Writing the log `repartitionByRange(z)
+    * .sortWithinPartitions(z)` gives every file/row-group a bounding BOX
+    * in BOTH dimensions, so a predicate on EITHER user_id or day prunes
+    * row groups by min/max stats — the property a single-column sort only
+    * provides for its leading column. The report groups by the top
+    * 2+2-bit z prefix (a 4×4 grid) and emits each cell's per-dimension
+    * bucket bounds: the quadrant-locality the layout would give files.
+    *
+    * Everything is integer arithmetic (bucket = (v−min)·256 ÷ span via
+    * integer division; interleave = sums of bit shifts), so the oracle
+    * hash-matches exactly. Scale shape: one agg for the global bounds
+    * (broadcast back as a 1-row frame), one codegen'd projection for z,
+    * one partial-agg groupBy over ≤16 cells; the write-path
+    * repartitionByRange is the same range exchange any global sort pays —
+    * there is no cheaper way to get multi-dim locality. */
+  def q96ZOrderCells(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val bounds = ev.agg(
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+      min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val z = (0 until 8).map { i =>
+      (expr(s"(ub DIV ${1L << i}) % 2") * lit(1L << (2 * i + 1))) +
+        (expr(s"(db DIV ${1L << i}) % 2") * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("ub", expr("((user_id - u0) * 256) DIV (u1 - u0 + 1)"))
+      .withColumn("db", expr("((day - d0) * 256) DIV (d1 - d0 + 1)"))
+      .withColumn("z", z)
+      .withColumn("cell", expr("z DIV 4096"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"))
+  }
+
   /** Snapshot diff (q82): full-outer reconciliation of two corpus versions
     * on the document key, each row classified added / removed / changed /
     * unchanged by digest comparison — the bookkeeping op an incremental

@@ -623,6 +623,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"phase quality must be monotone: ${shares.mkString(", ")}")
   }
 
+  test("q96 z-order cells: every cell's bounds fit its quadrant in BOTH dims") {
+    val rows = SparkEntry.queries("q96_zorder_cells")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 < 16),
+      "cells are the 4-bit z prefix")
+    val nEv = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_._2).sum === nEv, "cells must partition the event log")
+    // z-prefix bit layout: cell bits [3,2,1,0] = [ub7, db7, ub6, db6] — so
+    // a cell constrains ub AND db each to one 64-wide bucket quadrant;
+    // this containment is exactly the per-file min/max pruning property a
+    // z-ordered layout gives both dimensions
+    rows.foreach { case (cell, _, minUb, maxUb, minDb, maxDb) =>
+      val ubTop = (((cell >> 3) & 1) << 1) | ((cell >> 1) & 1)
+      val dbTop = (((cell >> 2) & 1) << 1) | (cell & 1)
+      assert(minUb >= ubTop * 64 && maxUb < (ubTop + 1) * 64,
+        s"cell $cell ub bounds [$minUb,$maxUb] escape quadrant $ubTop")
+      assert(minDb >= dbTop * 64 && maxDb < (dbTop + 1) * 64,
+        s"cell $cell db bounds [$minDb,$maxDb] escape quadrant $dbTop")
+    }
+  }
+
   test("q94 canonical pick: keeper is the token-richest member of each cluster") {
     import graft.operators.Dedup
     val rows = SparkEntry.queries("q94_canonical_pick")(spark, sf).collect()
