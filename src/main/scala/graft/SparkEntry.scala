@@ -664,7 +664,7 @@ object SparkEntry {
       ("WITH lg AS (" +
        "SELECT doc_id, CAST(1 AS BIGINT) AS version, text, false AS deleted FROM documents " +
        "UNION ALL SELECT doc_id, 2, upper(text), false FROM documents WHERE doc_id % 5 = 0 " +
-       "UNION ALL SELECT doc_id + 1000000, 2, text, false FROM documents WHERE doc_id % 97 = 0 " +
+       "UNION ALL SELECT -(doc_id + 1), 2, text, false FROM documents WHERE doc_id % 97 = 0 " +
        "UNION ALL SELECT doc_id, 3, text, true FROM documents WHERE doc_id % 101 = 0), " +
        "m AS (SELECT doc_id, version, text, deleted FROM lg " +
        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1) " +

@@ -265,7 +265,7 @@ object Dedup {
     val family =
       if (graft.functions.TextFunctions.oracleMode) "hex60" else "xx64"
     val src = new java.io.File(s"$dir/documents.parquet")
-    dir.replaceAll("[^A-Za-z0-9]+", "_") +
+    graft.util.Staging.pathSlug(dir) +
       s"_${graft.util.Staging.fileFingerprint(src)}_${family}_h${numHashes}b${bands}w$w"
   }
 

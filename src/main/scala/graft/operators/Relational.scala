@@ -571,8 +571,12 @@ object Relational {
     val base = slice(lit(true), 1L, col("text"), deleted = false)
     val upd = slice(col("doc_id") % 5 === 0, 2L, upper(col("text")),
       deleted = false)
+    // inserts get NEGATIVE keys — provably disjoint from real doc_ids
+    // (always ≥ 0) at ANY corpus size; an additive offset would collide
+    // with a real key once the corpus outgrew it, and the resulting
+    // version-2 tie would resolve nondeterministically in both engines
     val ins = slice(col("doc_id") % 97 === 0, 2L, col("text"),
-      deleted = false, key = col("doc_id") + 1000000L)
+      deleted = false, key = -(col("doc_id") + 1L))
     val del = slice(col("doc_id") % 101 === 0, 3L, col("text"),
       deleted = true)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)

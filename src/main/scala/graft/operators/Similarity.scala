@@ -216,7 +216,7 @@ object Similarity {
     // regenerated corpus at the same path gets a fresh index, not a stale
     // cache hit from a previous run's publish
     val src = new java.io.File(s"$dir/embeddings.parquet")
-    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_") +
+    val slug = graft.util.Staging.pathSlug(dir) +
       s"_${graft.util.Staging.fileFingerprint(src)}" +
       (if (flavor == "kmeans") "" else s"_$flavor")
     val root = new java.io.File(

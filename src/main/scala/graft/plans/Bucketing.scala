@@ -45,27 +45,15 @@ object Bucketing {
     new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
   }
 
-  /** Fingerprint of a source parquet directory from file metadata
-    * (name + length + mtime): changes whenever the driver regenerates the
-    * testdata, free to compute (no data scan). */
-  def inputFingerprint(spark: SparkSession, paths: String*): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val parts = paths.map { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) s"$p:absent"
-      else fs.listStatus(path).sortBy(_.getPath.getName)
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .mkString(p + "|", ",", "")
-    }
-    // md5 of the listing string, not a 32-bit hash: a collision across
-    // testdata regenerations would silently reuse a STALE bucketed table
-    // with no error. The input is a few hundred bytes, so the wider digest
-    // is free.
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString(";").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  /** Fingerprint of a source parquet file/directory — delegates to the one
+    * shared staging key helper ([[graft.util.Staging.sourceFingerprint]]:
+    * per-file name + length + mtime + parquet-footer CRC), so the bucketed
+    * tables carry the same stale-reuse protection as the band/cc/IVF
+    * artifacts: a regenerated source matching byte length within mtime
+    * granularity still misses the cache. */
+  def inputFingerprint(spark: SparkSession, paths: String*): String =
+    graft.util.Staging.sourceFingerprint(
+      spark.sparkContext.hadoopConfiguration, paths: _*)
 
   // One lock per staged table: two driver threads racing stageBucketedOnce's
   // miss path would interleave DROP TABLE / location delete / write on the

@@ -75,6 +75,25 @@ object EventStreams {
       }
   }
 
+  /** Stage copies of `src` under a fresh temp directory (one copy per name
+    * in `names`), run `body` against the directory, and ALWAYS delete the
+    * staged copies — in a finally, because a drain that throws (including a
+    * Bench retime pass) must not leak a corpus-sized copy per call. Every
+    * `body` below fully drains its stream (runToMemory awaits termination
+    * and detaches the result via localCheckpoint), so the returned frame
+    * never re-reads the deleted staging dir. */
+  private def withStagedDir[A](src: java.nio.file.Path, names: String*)
+      (body: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    try {
+      names.foreach(n => java.nio.file.Files.copy(src, tmp.resolve(n)))
+      body(tmp.toString)
+    } finally {
+      names.foreach(n => java.nio.file.Files.deleteIfExists(tmp.resolve(n)))
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   /** Driver-contract query: stage the events table into a temp dir, run the
     * hourly-window stream to completion in COMPLETE mode, return every
     * window. Complete-mode emission over a drained static source equals the
@@ -82,18 +101,12 @@ object EventStreams {
     * oracle (same GROUP BY as q32 plus event_type) instead of the round-1
     * rows-only check, whose append-mode output depended on the final
     * watermark position. */
-  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events.parquet"))
-    val out = runToMemory(spark, hourlyWindows(readEvents(spark, tmp.toString)),
-      s"q34_stream_${System.nanoTime()}", OutputMode.Complete())
-    // memory sink holds the rows; the staged source dir is no longer needed
-    java.nio.file.Files.deleteIfExists(tmp.resolve("events.parquet"))
-    java.nio.file.Files.deleteIfExists(tmp)
-    out
-  }
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events.parquet") { tmp =>
+      runToMemory(spark, hourlyWindows(readEvents(spark, tmp)),
+        s"q34_stream_${System.nanoTime()}", OutputMode.Complete())
+    }
 
   /** Driver query (q53): drain the events stream through the
     * mapGroupsWithState per-user counter in UPDATE mode, then take each
@@ -101,21 +114,16 @@ object EventStreams {
     * emitted updates = final state regardless of batch count). The final
     * state of a drained stream equals the batch aggregation — the SQL
     * oracle — which is what makes the stateful surface oracle-checked. */
-  def qStreamUserState(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_u")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events.parquet"))
-    val updates = userRunningCounts(spark, readEvents(spark, tmp.toString))
-    val emitted = runToMemory(spark, updates.toDF(),
-      s"q53_stream_${System.nanoTime()}", OutputMode.Update())
-    val out = emitted.groupBy(col("user_id"))
-      .agg(max(col("count")).as("n_events"),
-        max(col("lastTsMicros")).as("last_ts_us"))
-    java.nio.file.Files.deleteIfExists(tmp.resolve("events.parquet"))
-    java.nio.file.Files.deleteIfExists(tmp)
-    out
-  }
+  def qStreamUserState(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events.parquet") { tmp =>
+      val updates = userRunningCounts(spark, readEvents(spark, tmp))
+      val emitted = runToMemory(spark, updates.toDF(),
+        s"q53_stream_${System.nanoTime()}", OutputMode.Update())
+      emitted.groupBy(col("user_id"))
+        .agg(max(col("count")).as("n_events"),
+          max(col("lastTsMicros")).as("last_ts_us"))
+    }
 
   /** Driver query (q55): cross-batch stateful streaming dedup. The staged
     * source directory holds the SAME events file twice; with
@@ -126,25 +134,16 @@ object EventStreams {
     * (one key per event_id, never expired); an unbounded production feed
     * would use dropDuplicatesWithinWatermark to expire state past the
     * late-data horizon at the cost of bounded-window semantics. */
-  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_d")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events_a.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events_b.parquet"))
-    val deduped = readEvents(spark, tmp.toString).dropDuplicates("event_id")
-    val emitted = runToMemory(spark, deduped,
-      s"q55_stream_${System.nanoTime()}")
-    val out = emitted.agg(
-      count(lit(1)).as("n"),
-      countDistinct(col("event_id")).as("n_ids"))
-    java.nio.file.Files.deleteIfExists(tmp.resolve("events_a.parquet"))
-    java.nio.file.Files.deleteIfExists(tmp.resolve("events_b.parquet"))
-    java.nio.file.Files.deleteIfExists(tmp)
-    out
-  }
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events_a.parquet", "events_b.parquet") { tmp =>
+      val deduped = readEvents(spark, tmp).dropDuplicates("event_id")
+      val emitted = runToMemory(spark, deduped,
+        s"q55_stream_${System.nanoTime()}")
+      emitted.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_ids"))
+    }
 
   /** Driver query (q61): stream-static enrichment join — the standing-query
     * shape of a feature pipeline (events stream ⋈ slowly-changing profile
@@ -166,26 +165,21 @@ object EventStreams {
     * visible), which at scale argues for a compact, file-backed dim. The
     * drained COMPLETE-mode aggregate equals the batch join+group — the SQL
     * oracle (cohort below ≡ user_id % 7 since the dim covers every user). */
-  def qStreamEnriched(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_e")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events.parquet"))
-    val dim = graft.sources.Tables.events(spark, dir)
-      .select(col("user_id")).distinct()
-      .withColumn("cohort", pmod(col("user_id"), lit(7L)).cast("int"))
-    val joined = readEvents(spark, tmp.toString)
-      .join(dim, Seq("user_id"))
-      .groupBy(col("cohort"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    val out = runToMemory(spark, joined,
-      s"q61_stream_${System.nanoTime()}", OutputMode.Complete())
-    java.nio.file.Files.deleteIfExists(tmp.resolve("events.parquet"))
-    java.nio.file.Files.deleteIfExists(tmp)
-    out
-  }
+  def qStreamEnriched(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events.parquet") { tmp =>
+      val dim = graft.sources.Tables.events(spark, dir)
+        .select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(7L)).cast("int"))
+      val joined = readEvents(spark, tmp)
+        .join(dim, Seq("user_id"))
+        .groupBy(col("cohort"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      runToMemory(spark, joined,
+        s"q61_stream_${System.nanoTime()}", OutputMode.Complete())
+    }
 
   /** documents schema as produced by the testdata (for streaming reads). */
   val documentSchema: StructType = StructType(Seq(
@@ -210,16 +204,14 @@ object EventStreams {
     * batch-side into q74's exact (n_batch, n_flagged, n_pairs) shape —
     * the oracle IS q74's oracle, so stream and batch paths are pinned to
     * the same answer. */
-  def qStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamNearDup(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        "documents.parquet") { tmp =>
     import graft.operators.Dedup
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_nd")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      tmp.resolve("documents.parquet"))
     val batch = spark.readStream
       .schema(documentSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(tmp.toString)
+      .parquet(tmp)
       .filter(col("doc_id") % 2 === 1)
     // split the EXPENSIVE half (shingling + hashing, computed once per
     // row) from the seed fan-out across a repartition barrier: without
@@ -244,8 +236,6 @@ object EventStreams {
       .agg(count(lit(1)).as("band_hits"))
     val drained = runToMemory(spark, pairs,
       s"q90_stream_${System.nanoTime()}", OutputMode.Complete())
-    java.nio.file.Files.deleteIfExists(tmp.resolve("documents.parquet"))
-    java.nio.file.Files.deleteIfExists(tmp)
     graft.sources.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 2 === 1)
       .agg(count(lit(1)).as("n_batch"))
@@ -264,35 +254,29 @@ object EventStreams {
     * symmetric-hash-join contract). The drained append-mode pair stream is
     * aggregated batch-side; equality with the batch join SQL is the oracle. */
   def qStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tmpC = java.nio.file.Files.createTempDirectory("graft_stream_jc")
-    val tmpP = java.nio.file.Files.createTempDirectory("graft_stream_jp")
-    for (t <- Seq(tmpC, tmpP))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        t.resolve("events.parquet"))
-    val clicks = readEvents(spark, tmpC.toString)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
-    val purchases = readEvents(spark, tmpP.toString)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "10 minutes")
-    val joined = purchases.join(clicks,
-      purchases("user_id") === clicks("user_id") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
-    val emitted = runToMemory(spark,
-      joined.select(col("p_id"), col("c_id")),
-      s"q64_stream_${System.nanoTime()}")
-    val out = emitted.agg(
-      count(lit(1)).as("n_pairs"),
-      countDistinct(col("p_id")).as("n_attributed"))
-    for (t <- Seq(tmpC, tmpP)) {
-      java.nio.file.Files.deleteIfExists(t.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(t)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    withStagedDir(src, "events.parquet") { tmpC =>
+      withStagedDir(src, "events.parquet") { tmpP =>
+        val clicks = readEvents(spark, tmpC)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = readEvents(spark, tmpP)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+        val emitted = runToMemory(spark,
+          joined.select(col("p_id"), col("c_id")),
+          s"q64_stream_${System.nanoTime()}")
+        emitted.agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_attributed"))
+      }
     }
-    out
   }
 
   /** Run a streaming frame to completion against a static directory via the

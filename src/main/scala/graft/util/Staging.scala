@@ -30,6 +30,18 @@ object Staging {
     sys.props.get("graft.staging.dir").filter(_.nonEmpty)
       .getOrElse(sys.props("java.io.tmpdir"))
 
+  /** Filesystem-safe slug of a source path for staged-artifact directory
+    * names, guaranteed to start with an alphanumeric. Spark's file listing
+    * treats `_`- and `.`-prefixed paths as metadata (`_SUCCESS`,
+    * `_metadata`, hidden files) and SKIPS them — a slug of
+    * `/root/testdata/sf0.1` must never surface as `_root_testdata_…` or a
+    * glob-style read of the staged table sits on undefined behavior (today
+    * a `All paths were ignored` WARN, tomorrow a silent empty read). */
+  def pathSlug(path: String): String = {
+    val s = path.replaceAll("[^A-Za-z0-9]+", "_")
+    if (s.nonEmpty && s.head.isLetterOrDigit) s else "t" + s
+  }
+
   /** Cache-key fingerprint of a single-file artifact source: length +
     * mtime + CRC32 of the file's last 64 KiB — the parquet footer, where
     * the schema and every row-group's metadata live, so a regenerated
@@ -52,6 +64,49 @@ object Staging {
       crc.update(buf)
     } finally raf.close()
     s"${len}_${f.lastModified()}_${java.lang.Long.toHexString(crc.getValue)}"
+  }
+
+  /** Fingerprint of one or more parquet sources (single files OR
+    * directory-style) via the Hadoop FS API: per contained file,
+    * name + length + mtime + CRC32 of the trailing 64 KiB (the parquet
+    * footer — schema and every row-group's metadata), md5-digested across
+    * the listing. The footer CRC closes the stale-reuse hole a
+    * metadata-only key leaves open: a regenerated source that matches byte
+    * length within mtime granularity still changes the digest, so a staged
+    * bucketed table can never be silently reused against new data. */
+  def sourceFingerprint(conf: org.apache.hadoop.conf.Configuration,
+      paths: String*): String = {
+    val parts = paths.map { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) s"$p:absent"
+      else {
+        val st = fs.getFileStatus(path)
+        val files =
+          (if (st.isDirectory) fs.listStatus(path).toSeq else Seq(st))
+            .filter(_.isFile).sortBy(_.getPath.getName)
+        files.map { s =>
+          val crc = new java.util.zip.CRC32()
+          val tail = math.min(s.getLen, 64L * 1024).toInt
+          val in = fs.open(s.getPath)
+          try {
+            in.seek(s.getLen - tail)
+            val buf = new Array[Byte](tail)
+            in.readFully(buf)
+            crc.update(buf)
+          } finally in.close()
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}:" +
+            java.lang.Long.toHexString(crc.getValue)
+        }.mkString(p + "|", ",", "")
+      }
+    }
+    // md5 of the listing string, not a 32-bit hash: a collision across
+    // testdata regenerations would silently reuse a STALE staged table
+    // with no error. The input is a few hundred bytes, so the wider
+    // digest is free.
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString(";").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Publish the artifact directory `root` exactly once — crash-safe and

@@ -456,7 +456,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir.getPath, "documents.parquet"))
     def stagedEntries =
       graft.util.Staging.builtThisJvm.asScala.count(_.startsWith("bands:" +
-        dir.getPath.replaceAll("[^A-Za-z0-9]+", "_")))
+        graft.util.Staging.pathSlug(dir.getPath)))
     val n0 = stagedEntries
     val c1 = Dedup.stagedBandTable(spark, dir.getPath).count()
     assert(stagedEntries === n0 + 1, "first call must build and report it")
@@ -590,7 +590,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val deleted = docs.filter(_ % 101 == 0)
-    val inserted = docs.filter(_ % 97 == 0).map(_ + 1000000L)
+    val inserted = docs.filter(_ % 97 == 0).map(d => -(d + 1L))
     assert(deleted.forall(d => !byId.contains(d)),
       "a surviving tombstone must drop its key")
     assert(inserted.forall(byId.contains), "v2 inserts must appear")

@@ -61,6 +61,46 @@ class StagingSpec extends AnyFunSuite {
     } finally Fs.deleteRecursively(dir)
   }
 
+  test("pathSlug never starts with an underscore or dot (Spark ignored-metadata class)") {
+    // Spark's file listing skips `_`- and `.`-prefixed paths as metadata
+    // (_SUCCESS, _metadata, hidden files); a staged-artifact directory named
+    // from an absolute path must never land in that class
+    val slug = Staging.pathSlug("/root/testdata/sf0.1")
+    assert(slug.head.isLetterOrDigit, s"slug '$slug' must start alphanumeric")
+    assert(slug === "t_root_testdata_sf0_1")
+    assert(Staging.pathSlug("relative/dir") === "relative_dir")
+    assert(Staging.pathSlug(".hidden/x").head.isLetterOrDigit)
+    // stability: the slug is a cache-key component, same input same output
+    assert(Staging.pathSlug("/root/testdata/sf0.1") === slug)
+  }
+
+  test("sourceFingerprint (bucketed-table key) changes on footer content change") {
+    // the same stale-reuse hazard as fileFingerprint, through the Hadoop FS
+    // path that stageBucketedOnce keys on: same length + mtime, different
+    // trailing bytes must change the digest — and directory sources work
+    val dir = tmpDir("graft_src_fp")
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val f = new java.io.File(dir, "part-0.parquet")
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](1000)(1))
+      val mtime = 1700000000000L
+      assert(f.setLastModified(mtime))
+      val viaFile = Staging.sourceFingerprint(conf, f.getPath)
+      val viaDir = Staging.sourceFingerprint(conf, dir.getPath)
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](1000)(2))
+      assert(f.setLastModified(mtime))
+      assert(f.length() === 1000L)
+      assert(Staging.sourceFingerprint(conf, f.getPath) !== viaFile,
+        "same length + mtime, different bytes must change the key")
+      assert(Staging.sourceFingerprint(conf, dir.getPath) !== viaDir,
+        "directory-style source must also see the content change")
+      // absent paths key distinctly rather than erroring
+      val absent = Staging.sourceFingerprint(conf, s"${dir.getPath}/nope")
+      assert(absent.nonEmpty)
+      assert(absent !== viaFile)
+    } finally Fs.deleteRecursively(dir)
+  }
+
   test("stagingRoot honors graft.staging.dir and defaults to the temp dir") {
     val prev = sys.props.get("graft.staging.dir")
     try {
