@@ -515,11 +515,31 @@ object SparkEntry {
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +
        "UNION ALL SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 AS start, value FROM events) t GROUP BY start"),
+    // the image/audio payloads are REAL PNG/WAV containers generated from
+    // deterministic fixtures (pure functions of doc_id) and decoded with
+    // the JDK codecs; because PNG is lossless and WAV is PCM, the oracle
+    // restates the DECODED dimensions, durations and checksums directly
+    // from the fixture formulas (video has no JDK codec: byte-length
+    // stand-in duration). All sums are exact integers.
     "q52_media_profile" ->
-      ("SELECT media_type, count(*) AS cnt, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
-       "round(SUM(CASE WHEN media_type = 'image' THEN 0.0 ELSE 1.0 + (octet_length(encode(text)) % 300)/10.0 END), 1) AS total_duration_s " +
-       "FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, text FROM documents) t " +
-       "GROUP BY media_type"),
+      ("WITH m AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, text FROM documents), " +
+       // per-image decoded-pixel checksum: sum of the fixture gray levels
+       "img AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 3) % 24 AS h FROM m WHERE media_type = 'image'), " +
+       "ix AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img), " +
+       "ipx AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM ix), " +
+       "ics AS (SELECT doc_id, max(w * h) AS px, sum((doc_id * 31 + x * 7 + y * 13) % 256) AS cs FROM ipx GROUP BY doc_id), " +
+       // per-audio decoded-sample checksum + exact µs duration (8 kHz PCM)
+       "aud AS (SELECT doc_id, 800 + (doc_id % 160) * 10 AS n FROM m WHERE media_type = 'audio'), " +
+       "ai AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM aud), " +
+       "acs AS (SELECT doc_id, max(n) * 125 AS dur_us, sum((doc_id * 17 + i * 11) % 256) AS cs FROM ai GROUP BY doc_id), " +
+       "per_doc AS (" +
+       "SELECT m.media_type, coalesce(ics.px, 0) AS px, " +
+       "CASE m.media_type WHEN 'audio' THEN acs.dur_us WHEN 'video' THEN 1000000 + (octet_length(encode(m.text)) % 300) * 100000 ELSE 0 END AS dur_us, " +
+       "coalesce(ics.cs, 0) + coalesce(acs.cs, 0) AS cs " +
+       "FROM m LEFT JOIN ics ON m.doc_id = ics.doc_id LEFT JOIN acs ON m.doc_id = acs.doc_id) " +
+       "SELECT media_type, count(*) AS cnt, CAST(sum(px) AS BIGINT) AS total_px, " +
+       "CAST(sum(dur_us) AS BIGINT) AS total_duration_us, CAST(sum(cs) AS BIGINT) AS checksum_total " +
+       "FROM per_doc GROUP BY media_type"),
     "q53_stream_user_state" ->
       "SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_ts_us FROM events GROUP BY user_id",
     "q54_salted_agg" ->

@@ -1,21 +1,25 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed per-partition in batches.
   *
-  * The actual media codecs are NOT in this environment, so the decode step
-  * is a clearly-marked deterministic stub ([[StubCodec]]); everything
-  * Spark-side — schema, partitioning, batch iteration shape, output
-  * contracts — is real and tested. At 100 TB the rules are:
+  * The image and audio codecs are REAL JDK-native decoders
+  * (`javax.imageio` for PNG, `javax.sound.sampled` for WAV — both ship in
+  * the JDK, no external dependency): payload bytes are decoded
+  * partition-locally and the emitted metadata (dimensions, duration,
+  * pixel/sample checksums) comes from the decoded content, not from the
+  * container. Only video remains a deterministic stand-in (the JDK has no
+  * video codec and the environment allows no media libraries). At 100 TB
+  * the rules are:
   *  - payload bytes are read ONCE per row inside a partition-local batch
   *    loop (`mapPartitions`), never shuffled unless the operator output
   *    needs them;
   *  - derived features/metadata travel as small typed columns, so
-  *    downstream joins/apqs shuffle kilobytes, not media;
+  *    downstream joins/aggs shuffle kilobytes, not media;
   *  - frame sampling explodes to (media_id, frame_no) keys only, decoding
   *    lazily downstream.
   */
@@ -28,9 +32,112 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = true),
     StructField("source", StringType, nullable = true)))
 
-  /** Build a media table from the documents table: payload = utf-8 bytes of
-    * the text (a stand-in blob with realistic size variance). */
-  def fromDocuments(spark: SparkSession, dir: String): DataFrame =
+  /** Real JDK-native media codecs over deterministic fixtures. The ENCODE
+    * side generates content as a pure function of the media id (so the
+    * DuckDB oracle can restate what decoding must recover); the DECODE side
+    * reads actual containers — a corrupted payload fails the decoder, not a
+    * hash check.
+    *  - PNG via `javax.imageio.ImageIO` (lossless: decoded pixels equal the
+    *    generated pattern exactly);
+    *  - WAV (8-bit unsigned PCM mono) via `javax.sound.sampled.AudioSystem`
+    *    (duration and samples come from the decoded stream's frame length
+    *    and rate, not from the byte count).
+    */
+  object JdkCodec {
+    /** Image fixture dims: 8..31 × 8..31, a pure function of the id. */
+    def imageDims(id: Long): (Int, Int) =
+      ((8 + id % 24).toInt, (8 + (id / 3) % 24).toInt)
+
+    /** Gray level of fixture pixel (x, y): pure function of (id, x, y). */
+    def gray(id: Long, x: Int, y: Int): Int =
+      ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+    /** Encode the id's fixture image as a real PNG. */
+    def encodePng(id: Long): Array[Byte] = {
+      val (w, h) = imageDims(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = gray(id, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode a PNG payload: (width, height, sum of blue-channel bytes).
+      * The checksum is over DECODED pixels — a payload that does not decode
+      * to the expected image produces a different sum. */
+    def decodePng(payload: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      (w, h, sum)
+    }
+
+    /** Audio fixture: 8 kHz mono 8-bit unsigned PCM. */
+    val AudioRate = 8000f
+    /** Sample count: 800..2390, a pure function of the id. */
+    def audioSamples(id: Long): Int = 800 + (id % 160).toInt * 10
+    /** Unsigned sample byte i: pure function of (id, i). */
+    def sampleByte(id: Long, i: Int): Int = ((id * 17 + i * 11) % 256).toInt
+
+    /** Encode the id's fixture signal as a real WAV container. */
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = audioSamples(id)
+      val data = Array.tabulate[Byte](n)(i => sampleByte(id, i).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        AudioRate, 8, 1, false, false) // 8-bit unsigned PCM, mono
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV payload: (duration_us, sum of unsigned sample bytes).
+      * Duration comes from the decoded stream's frame length and rate. */
+    def decodeWav(payload: Array[Byte]): (Long, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val frames = ais.getFrameLength
+        val us = Math.round(frames * 1e6 / ais.getFormat.getFrameRate)
+        val buf = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < buf.length) { sum += (buf(i) & 0xFF); i += 1 }
+        (us, sum)
+      } finally ais.close()
+    }
+  }
+
+  /** Build a media table from the documents table: image rows carry a REAL
+    * PNG, audio rows a REAL WAV (both generated partition-locally from the
+    * deterministic [[JdkCodec]] fixtures), video rows the utf-8 text bytes
+    * as an opaque blob (no JDK video codec exists). Encoding happens in one
+    * partition-local pass — at scale this is the ingest step that writes
+    * media blobs next to their metadata. */
+  def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
     graft.sources.Tables.load(spark, dir, "documents")
       .select(
         col("doc_id").as("media_id"),
@@ -38,66 +145,69 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         encode(col("text"), "UTF-8").as("payload"),
         col("source"))
-
-  /** =========== STUB: deterministic fake codec ===========
-    * Real implementation would call an image/audio library here (per-batch,
-    * partition-local). The stub derives pseudo metadata purely from payload
-    * bytes so tests are deterministic and engine plumbing is exercised
-    * end-to-end. */
-  object StubCodec {
-    def decodeMeta(payload: Array[Byte], mediaType: String): (Int, Int, Double) = {
-      // ??? <- real codec goes here; deterministic fake below
-      val n = if (payload == null) 0 else payload.length
-      val h = java.util.Arrays.hashCode(payload)
-      val width = 64 + math.abs(h % 1920)
-      val height = 64 + math.abs((h / 7) % 1080)
-      val durationS = if (mediaType == "image") 0.0 else 1.0 + (n % 300) / 10.0
-      (width, height, durationS)
-    }
-
-    /** Fake fixed-size feature vector from payload bytes (stands in for an
-      * embedding model / mel-spectrogram). */
-    def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-      // ??? <- real feature extractor goes here; deterministic fake below
-      val out = new Array[Float](dim)
-      if (payload != null && payload.length > 0) {
-        var i = 0
-        while (i < dim) {
-          out(i) = ((payload(i % payload.length) & 0xFF) - 128) / 128.0f
-          i += 1
+      .mapPartitions { rows =>
+        // positional access only: rows crossing fused mapPartitions stages
+        // are schemaless GenericRows (name lookup throws)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getString(1) match {
+            case "image" => JdkCodec.encodePng(id)
+            case "audio" => JdkCodec.encodeWav(id)
+            case _       => r.getAs[Array[Byte]](2)
+          }
+          Row(id, r.getString(1), payload, r.getString(3))
         }
-      }
-      out
-    }
+      }(enc)
   }
 
-  private val decodedSchema = StructType(mediaSchema.fields.filterNot(_.name == "payload") ++ Seq(
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("source", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("duration_s", DoubleType),
-    StructField("n_bytes", LongType)))
+    StructField("duration_us", LongType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType)))
 
   /** Decode metadata per partition in one pass (batch shape: iterator →
     * iterator, no driver collect, payload dropped from output so nothing
-    * heavy shuffles downstream). */
+    * heavy shuffles downstream). Image and audio payloads go through the
+    * real JDK decoders — width/height/duration/checksum describe DECODED
+    * content; video (no JDK codec) gets a deterministic duration derived
+    * from its byte length and a zero checksum. Duration is an exact µs
+    * integer so downstream sums need no float rounding. */
   def decodeMeta(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(decodedSchema)
     media.select("media_id", "media_type", "payload", "source")
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          val payload = r.getAs[Array[Byte]](2)
           val mt = r.getString(1)
-          val (w, h, d) = StubCodec.decodeMeta(payload, mt)
-          Row(r.getLong(0), mt, r.getString(3), w, h, d,
-            if (payload == null) 0L else payload.length.toLong)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          val (w, h, durUs, checksum) =
+            if (payload == null || payload.isEmpty) (0, 0, 0L, 0L)
+            else mt match {
+              case "image" =>
+                val (pw, ph, sum) = JdkCodec.decodePng(payload)
+                (pw, ph, 0L, sum)
+              case "audio" =>
+                val (us, sum) = JdkCodec.decodeWav(payload)
+                (0, 0, us, sum)
+              case _ =>
+                (0, 0, 1000000L + (nBytes % 300) * 100000L, 0L)
+            }
+          Row(r.getLong(0), mt, r.getString(3), w, h, durUs, nBytes, checksum)
         }
       }(enc)
   }
 
-  /** Fixed-dim feature extraction (stub embedding) — output is a compact
-    * float array column keyed by media_id. */
+  /** Fixed-dim feature extraction — output is a compact float array column
+    * keyed by media_id. The featurizer is a deterministic byte-level map
+    * (a real embedding model / mel-spectrogram is model weights, out of
+    * scope here); the Spark shape — partition-local batch loop, payload
+    * read once, small typed output — is the production contract. */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
@@ -107,16 +217,25 @@ object Multimodal {
     media.select("media_id", "payload")
       .mapPartitions { rows =>
         rows.map { r =>
-          Row(r.getLong(0),
-            StubCodec.extractFeatures(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+          val payload = r.getAs[Array[Byte]](1)
+          val out = new Array[Float](dim)
+          if (payload != null && payload.length > 0) {
+            var i = 0
+            while (i < dim) {
+              out(i) = ((payload(i % payload.length) & 0xFF) - 128) / 128.0f
+              i += 1
+            }
+          }
+          Row(r.getLong(0), out.toSeq)
         }
       }(enc)
   }
 
-  /** Resize plan: payload → resized payload + updated metadata, partition-
-    * local single pass. The transform itself is stubbed (deterministic
-    * byte-level downsample standing in for a pixel resampler); the contract
-    * — binary in/out, new dims columns, no shuffle — is the real part. */
+  /** Resize images: decode each PNG payload, resample to `width`×`height`
+    * with AWT bilinear interpolation, re-encode — a REAL pixel resampler,
+    * partition-local, one payload read per row. Non-image rows are not
+    * resizable and are excluded (resampling audio is a different operator;
+    * video has no JDK codec). */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
@@ -126,38 +245,45 @@ object Multimodal {
       StructField("height", IntegerType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
-    media.select("media_id", "media_type", "payload")
+    media.filter(col("media_type") === "image")
+      .select("media_id", "media_type", "payload")
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          // ??? <- real pixel resampler goes here; deterministic fake:
-          // sample every stride-th byte down to a target budget
-          val target = math.max(1, width * height / 256)
-          val out = if (payload == null || payload.isEmpty) Array.empty[Byte]
-            else {
-              val stride = math.max(1, payload.length / target)
-              payload.indices.by(stride).map(payload).toArray
-            }
-          Row(r.getLong(0), r.getString(1), out, width, height)
+          val payload = r.getAs[Array[Byte]](2)
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(src != null, "payload is not a decodable image")
+          val dst = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = dst.createGraphics()
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(src, 0, 0, width, height, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Row(r.getLong(0), r.getString(1), bos.toByteArray, width, height)
         }
       }(enc)
   }
 
   /** Driver query (q52): per-media-type corpus profile computed THROUGH the
-    * partition-local codec path ([[decodeMeta]] → mapPartitions batch loop),
-    * then aggregated to small typed columns. The stub codec's n_bytes /
-    * duration_s are pure arithmetic on payload length, so the DuckDB oracle
-    * recomputes them exactly (octet_length); width/height derive from a JVM
-    * hash and deliberately stay out of the oracle-facing projection. */
+    * partition-local codec path ([[decodeMeta]] → mapPartitions batch
+    * loop), then aggregated to small typed columns. Every aggregate is
+    * restatable by the DuckDB oracle because the fixtures are pure
+    * functions of doc_id: decoded pixel counts and checksums (PNG is
+    * lossless, so decode recovers the generated pattern exactly), decoded
+    * audio durations/sample sums, and the video stand-in duration. All
+    * sums are exact integers — no float rounding anywhere. */
   def qMediaProfile(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(fromDocuments(spark, dir))
       .groupBy(col("media_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("n_bytes")).as("total_bytes"),
-        // sums of 0.1-grained durations are decimal-multiples of 0.1; 1dp
-        // round absorbs partial-agg ordering ulps on both engines
-        round(sum(col("duration_s")), 1).as("total_duration_s"))
+        sum(col("width").cast("long") * col("height")).as("total_px"),
+        sum(col("duration_us")).as("total_duration_us"),
+        sum(col("checksum")).as("checksum_total"))
 
   /** Frame sampling plan for videos: one row per sampled frame index —
     * payload NOT duplicated per frame (keys only; decode happens lazily in
@@ -165,7 +291,8 @@ object Multimodal {
   def sampleFrames(media: DataFrame, fps: Double = 1.0): DataFrame = {
     val withDur = decodeMeta(media).filter(col("media_type") === "video")
     withDur
-      .withColumn("n_frames", floor(col("duration_s") * fps).cast("int"))
+      .withColumn("n_frames",
+        floor(col("duration_us") / lit(1000000.0) * fps).cast("int"))
       // zero sampled frames ⇒ zero rows (clamping to sequence(0,0) would
       // fabricate a frame 0 that doesn't exist)
       .filter(col("n_frames") >= 1)

@@ -150,31 +150,65 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(row.getLong(0) === row.getLong(1), "an event_id was emitted twice")
   }
 
-  test("q52 media profile flows through the codec path and sums exactly") {
+  test("JdkCodec: PNG and WAV encode→decode roundtrips recover the fixtures exactly") {
+    import graft.multimodal.Multimodal.JdkCodec
+    for (id <- Seq(0L, 3L, 7L, 123L, 4998L)) {
+      val (w, h) = JdkCodec.imageDims(id)
+      val (dw, dh, cs) = JdkCodec.decodePng(JdkCodec.encodePng(id))
+      assert((dw, dh) === (w, h), s"decoded dims for id=$id")
+      val expectedCs = (for (y <- 0 until h; x <- 0 until w)
+        yield JdkCodec.gray(id, x, y).toLong).sum
+      assert(cs === expectedCs, s"decoded pixel checksum for id=$id")
+      val n = JdkCodec.audioSamples(id)
+      val (us, acs) = JdkCodec.decodeWav(JdkCodec.encodeWav(id))
+      assert(us === n.toLong * 125, s"decoded duration for id=$id")
+      assert(acs === (0 until n).map(i => JdkCodec.sampleByte(id, i).toLong).sum,
+        s"decoded sample checksum for id=$id")
+    }
+  }
+
+  test("q52 media profile flows through the real codec path and sums exactly") {
     val prof = Multimodal.qMediaProfile(spark, sf).collect()
     assert(prof.length === 3)
     val byType = prof.map(r => r.getString(0) ->
-      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(byType.keySet === Set("image", "audio", "video"))
-    // images have zero duration by stub contract; av types positive
-    assert(byType("image")._3 === 0.0)
-    assert(byType("audio")._3 > 0.0 && byType("video")._3 > 0.0)
-    // byte totals equal the raw text byte lengths (codec reads payload once)
-    val totalBytes = graft.sources.Tables.load(spark, sf, "documents")
-      .agg(sum(length(col("text")))).head.getLong(0)
-    assert(byType.values.map(_._2).sum === totalBytes)
+    // (cnt, total_px, total_duration_us, checksum_total)
+    assert(byType("image")._3 === 0L, "images have no duration")
+    assert(byType("audio")._3 > 0L && byType("video")._3 > 0L)
+    assert(byType("image")._2 > 0L && byType("image")._4 > 0L,
+      "decoded images contribute pixels and a pixel checksum")
+    assert(byType("audio")._2 === 0L && byType("audio")._4 > 0L)
+    assert(byType("video")._2 === 0L && byType("video")._4 === 0L)
+    // independently restate the decoded totals from the fixtures
+    import graft.multimodal.Multimodal.JdkCodec
+    val ids = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expPx = ids.filter(_ % 3 == 0)
+      .map { id => val (w, h) = JdkCodec.imageDims(id); w.toLong * h }.sum
+    assert(byType("image")._2 === expPx, "decoded pixel total")
+    val expAudioUs = ids.filter(_ % 3 == 1)
+      .map(id => JdkCodec.audioSamples(id).toLong * 125).sum
+    assert(byType("audio")._3 === expAudioUs, "decoded audio duration total")
   }
 
-  test("multimodal decode keeps every row, drops payload, emits typed metadata") {
+  test("multimodal decode keeps every row, drops payload, emits decoded metadata") {
     val media = Multimodal.fromDocuments(spark, sf)
     val decoded = Multimodal.decodeMeta(media)
     assert(decoded.count() === media.count())
     assert(!decoded.columns.contains("payload"))
-    assert(decoded.filter(col("width") < 64 || col("height") < 64).count() === 0)
     assert(decoded.filter(col("n_bytes") <= 0).count() === 0)
+    // decoded image dims land in the fixture range; non-images carry none
+    assert(decoded.filter(col("media_type") === "image" &&
+      (col("width") < 8 || col("width") > 31 ||
+        col("height") < 8 || col("height") > 31)).count() === 0)
+    assert(decoded.filter(col("media_type") =!= "image" &&
+      (col("width") =!= 0 || col("height") =!= 0)).count() === 0)
     // images have no duration; audio/video do
     assert(decoded.filter(col("media_type") === "image" &&
-      col("duration_s") =!= 0.0).count() === 0)
+      col("duration_us") =!= 0L).count() === 0)
+    assert(decoded.filter(col("media_type") =!= "image" &&
+      col("duration_us") <= 0L).count() === 0)
   }
 
   test("multimodal feature extraction is deterministic and fixed-dim") {
@@ -187,11 +221,17 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
-  test("resize keeps every row, rewrites payload deterministically, sets dims") {
+  test("resize really resamples: every output payload decodes to the target dims") {
     val media = Multimodal.fromDocuments(spark, sf)
     val resized = Multimodal.resize(media, 64, 64)
-    assert(resized.count() === media.count())
+    assert(resized.count() ===
+      media.filter(col("media_type") === "image").count(),
+      "resize covers exactly the image rows")
     assert(resized.filter(col("width") =!= 64 || col("height") =!= 64).count() === 0)
+    // the payload is a REAL re-encoded PNG at the target size
+    val sample = resized.select(col("payload")).head.getAs[Array[Byte]](0)
+    val (w, h, _) = graft.multimodal.Multimodal.JdkCodec.decodePng(sample)
+    assert((w, h) === (64, 64), "re-encoded payload must decode to target dims")
     val twice = Multimodal.resize(media, 64, 64)
     val diff = resized.as("a").join(twice.as("b"), Seq("media_id"))
       .filter(col("a.payload") =!= col("b.payload"))
