@@ -51,7 +51,23 @@ object Evaluation {
     val folded = data.withColumn("__fold", (rand(seed) * k).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     folded.count()
+    try crossValidateSlices((0 until k).map { i =>
+      (folded.filter(col("__fold") =!= i).drop("__fold"),
+        folded.filter(col("__fold") === i).drop("__fold"))
+    }, fitFn)
+    finally folded.unpersist()
+  }
 
+  /** k-fold CV over PRECOMPUTED (train, test) fold slices — the shared-grid
+    * path ([[Experiments.runGridShared]]) hoists the fold split and the
+    * per-(fold, pct) masked frame out of the per-cell loop and feeds the
+    * slices here. This IS [[crossValidate]]'s evaluation body (that method
+    * delegates), so the two paths cannot drift; equivalence is also pinned
+    * by ExperimentsSpec and the q84 golden oracle. */
+  def crossValidateSlices(
+      slices: Seq[(DataFrame, DataFrame)],
+      fitFn: DataFrame => (Transformer, Option[SemiSupervisedSummary]))
+      : CvMetrics = {
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy")
     val f1 = new MulticlassClassificationEvaluator()
@@ -61,9 +77,7 @@ object Evaluation {
     val pr = new BinaryClassificationEvaluator()
       .setMetricName("areaUnderPR")
 
-    val per = (0 until k).map { i =>
-      val train = folded.filter(col("__fold") =!= i).drop("__fold")
-      val test = folded.filter(col("__fold") === i).drop("__fold")
+    val per = slices.map { case (train, test) =>
       val (model, summary) = fitFn(train)
       val predictions = model.transform(test)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -72,7 +86,6 @@ object Evaluation {
       predictions.unpersist()
       (m, summary.getOrElse(SemiSupervisedSummary(0, 0, 0, 0, 0)))
     }
-    folded.unpersist()
 
     val n = per.size.toDouble
     // counters are rounded means (integer division would truncate toward

@@ -60,16 +60,13 @@ object Experiments {
     case c: LinearSVC => new SupervisedOnLabeled(c).fit(data)
   }
 
-  /** Build the per-fold fit function for a cell (mask → estimator →
-    * model+summary). Concrete type parameters are pinned per classifier
-    * branch so the generic bounds hold. */
+  /** Build the per-fold fit function for a cell over an ALREADY-masked
+    * frame (labelSelection present). Concrete type parameters are pinned
+    * per classifier branch so the generic bounds hold. */
   private def fitFor[E <: ProbabilisticClassifier[Vector, E, M],
       M <: ProbabilisticClassificationModel[Vector, M]](
       base: ProbabilisticClassifier[Vector, E, M], cell: Cell)
-      : DataFrame => (Transformer, Option[SemiSupervisedSummary]) = { train =>
-    val masked = new UnlabeledTransformer()
-      .setPercentageLabeled(cell.percentageLabeled).setSeed(11L)
-      .transform(train)
+      : DataFrame => (Transformer, Option[SemiSupervisedSummary]) = { masked =>
     cell.algo match {
       case "ST" =>
         val st = new SelfTrainingClassifier(base)
@@ -90,25 +87,31 @@ object Experiments {
     }
   }
 
-  /** Run one cell through k-fold CV → one result row. The supervised algo
-    * routes through [[supervisedClassifier]] (roster includes SVM); ST/CT
-    * require the probabilistic roster. */
-  def runCell(data: DataFrame, cell: Cell, k: Int = 4, seed: Long = 8L)
-      : ExperimentResult = {
-    val m: CvMetrics =
-      if (cell.algo == "supervised")
-        crossValidate(data, k, seed, train => {
-          val masked = new UnlabeledTransformer()
-            .setPercentageLabeled(cell.percentageLabeled).setSeed(11L)
-            .transform(train)
-          (fitSupervised(cell.classifierName, masked), None)
-        })
-      else baseClassifier(cell.classifierName) match {
-      case c: DecisionTreeClassifier => crossValidate(data, k, seed, fitFor(c, cell))
-      case c: RandomForestClassifier => crossValidate(data, k, seed, fitFor(c, cell))
-      case c: NaiveBayes => crossValidate(data, k, seed, fitFor(c, cell))
-      case c: LogisticRegression => crossValidate(data, k, seed, fitFor(c, cell))
+  /** Fit function for a cell over an ALREADY-masked training frame — the
+    * unit [[runGridShared]] reuses across cells that share a mask, and
+    * [[runCell]] composes with the per-cell mask. One estimator instance
+    * is captured and reused across folds (estimators are immutable during
+    * fit). */
+  def fitOnMasked(cell: Cell)
+      : DataFrame => (Transformer, Option[SemiSupervisedSummary]) =
+    if (cell.algo == "supervised")
+      masked => (fitSupervised(cell.classifierName, masked), None)
+    else baseClassifier(cell.classifierName) match {
+      case c: DecisionTreeClassifier => fitFor(c, cell)
+      case c: RandomForestClassifier => fitFor(c, cell)
+      case c: NaiveBayes => fitFor(c, cell)
+      case c: LogisticRegression => fitFor(c, cell)
     }
+
+  /** The mask a cell applies to each training fold: seeded randomSplit,
+    * pure function of (frame, pct) — which is exactly what lets
+    * [[runGridShared]] compute it once per (dataset, fold, pct). */
+  private def mask(cell: Cell, train: DataFrame): DataFrame =
+    new UnlabeledTransformer()
+      .setPercentageLabeled(cell.percentageLabeled).setSeed(11L)
+      .transform(train)
+
+  private def toResult(cell: Cell, m: CvMetrics): ExperimentResult = {
     val total = m.labeledInitial + m.unlabeledInitial
     ExperimentResult(
       cell.dataName, s"${cell.algo}-${cell.classifierName}", cell.criterion,
@@ -116,6 +119,16 @@ object Experiments {
       m.labeledInitial, m.unlabeledInitial, m.labeledFinal, m.unlabeledFinal,
       if (total == 0) 0.0 else m.labeledFinal.toDouble / total,
       m.accuracy, m.auc, m.pr, m.f1)
+  }
+
+  /** Run one cell through k-fold CV → one result row. The supervised algo
+    * routes through [[supervisedClassifier]] (roster includes SVM); ST/CT
+    * require the probabilistic roster. */
+  def runCell(data: DataFrame, cell: Cell, k: Int = 4, seed: Long = 8L)
+      : ExperimentResult = {
+    val fit = fitOnMasked(cell)
+    toResult(cell,
+      crossValidate(data, k, seed, train => fit(mask(cell, train))))
   }
 
   /** Run a whole grid → results DataFrame in the reference's 15-column
@@ -134,18 +147,78 @@ object Experiments {
     * the reference grid's FIRST axis (its AllResults.csv spans 7 datasets;
     * ref FunctionsSemiSupervised.scala:51-126 threads the dataset tuple
     * through every cell). A cell naming an unknown dataset fails loudly
-    * here, before any fit runs. */
+    * here, before any fit runs.
+    *
+    * Delegates to [[runGridShared]]: beyond deduplicating the fold/mask
+    * work, materializing that state BEFORE the concurrent fits is what
+    * makes concurrent cells deterministic at all. The former per-cell path
+    * (each cell persisting its own fold/mask plans) was racy under
+    * `parallelism > 1` with same-dataset cells: canonically-equal persisted
+    * plans dedupe into ONE CacheManager entry with no refcount, so the
+    * first cell to finish unpersisted it mid-flight for the rest, and the
+    * re-evaluated randomSplit lineage could flip mask membership
+    * run-to-run (observed: same grid, two results). With the seeded
+    * rand/sample lineage sealed behind an eager persist+count, nothing
+    * nondeterministic remains above the fits. */
   def runGrid(datasets: Map[String, DataFrame], cells: Seq[Cell], k: Int,
-      seed: Long, parallelism: Int): DataFrame = {
-    require(datasets.nonEmpty, "runGrid: no datasets")
+      seed: Long, parallelism: Int): DataFrame =
+    runGridShared(datasets, cells, k, seed, parallelism)
+
+  /** Multi-dataset grid with SHARED per-(dataset, fold, pct) state: the
+    * seeded fold split and the seeded label mask are pure functions of
+    * (frame, seed) and (frame, pct, seed), so cells differing only in
+    * algo/classifier/criterion fit over IDENTICAL masked frames — this
+    * path materializes each one once (persist + count) instead of
+    * recomputing it per cell per fold. Cell results are bit-identical to a
+    * sequential per-cell [[runCell]] sweep (same expressions, same
+    * evaluation body — [[Evaluation.crossValidateSlices]] IS
+    * crossValidate's body; equivalence pinned by ExperimentsSpec and the
+    * q84 golden oracle); only the redundant recompute disappears. Row
+    * order stays grid order.
+    * Datasets process sequentially; a dataset's cells run as bounded
+    * concurrent job streams over its shared cached slices. */
+  def runGridShared(datasets: Map[String, DataFrame], cells: Seq[Cell],
+      k: Int, seed: Long, parallelism: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, rand}
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 2, s"k-fold needs k>=2, got $k")
+    require(datasets.nonEmpty, "runGridShared: no datasets")
     cells.map(_.dataName).distinct.foreach { name =>
       require(datasets.contains(name),
-        s"runGrid: cell references unknown dataset '$name' " +
+        s"runGridShared: cell references unknown dataset '$name' " +
           s"(have ${datasets.keys.toSeq.sorted.mkString(", ")})")
     }
-    Evaluation.resultsDF(datasets.head._2.sparkSession,
-      Par.mapBounded(cells, parallelism)(c =>
-        runCell(datasets(c.dataName), c, k, seed)))
+    val results = new Array[ExperimentResult](cells.size)
+    for ((dataName, cellsIdx) <- cells.zipWithIndex.groupBy(_._1.dataName)
+        .toSeq.sortBy(_._1)) {
+      val folded = datasets(dataName)
+        .withColumn("__fold", (rand(seed) * k).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      folded.count()
+      val folds = (0 until k).map { i =>
+        (folded.filter(col("__fold") =!= i).drop("__fold"),
+          folded.filter(col("__fold") === i).drop("__fold"))
+      }
+      val maskedByPct = cellsIdx.map(_._1.percentageLabeled).distinct.map { pct =>
+        pct -> folds.map { case (train, test) =>
+          val masked = mask(cellsIdx.find(
+            _._1.percentageLabeled == pct).get._1, train)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          masked.count()
+          (masked, test)
+        }
+      }.toMap
+      try {
+        for ((idx, r) <- Par.mapBounded(cellsIdx, parallelism) { case (cell, idx) =>
+          idx -> toResult(cell, Evaluation.crossValidateSlices(
+            maskedByPct(cell.percentageLabeled), fitOnMasked(cell)))
+        }) results(idx) = r
+      } finally {
+        maskedByPct.values.flatten.foreach(_._1.unpersist())
+        folded.unpersist()
+      }
+    }
+    Evaluation.resultsDF(datasets.head._2.sparkSession, results.toSeq)
   }
 
   /** Cross-product grid builder (ref M7's nested tuples, flattened). */

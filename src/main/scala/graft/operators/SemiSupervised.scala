@@ -226,9 +226,13 @@ object SemiSupervised {
       // puts the roster's fifth member through the CV runner too
       Experiments.Cell("embeddings_front", "LSVC", "supervised", "na", 0.3,
         0.0, maxIter = 2))
-    // all nine cells in flight: they are independent seeded fits, so the
-    // result frame is identical at any parallelism — only wall time moves
-    Experiments.runGrid(datasets, cells, k = 2, seed = 8L, parallelism = 9)
+    // the shared-grid path: all cells use pct=0.3, so each (dataset, fold)
+    // pair's featurized+masked frame is materialized ONCE and every cell
+    // fits over it (bit-identical results to the per-cell path — the mask
+    // is a pure function of (frame, pct, seed); pinned by the golden
+    // oracle). A dataset's cells run as concurrent job streams.
+    Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
+      parallelism = 6)
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */

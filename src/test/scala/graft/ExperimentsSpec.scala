@@ -97,6 +97,40 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown dataset 'blobs'"))
   }
 
+  test("runGridShared equals a sequential per-cell sweep, deterministically") {
+    // the q84 fast path: cells sharing (dataset, pct) fit over ONE
+    // materialized masked frame per fold. Ground truth is the SEQUENTIAL
+    // per-cell sweep (runCell one at a time — no concurrency, so no cache
+    // interference is possible); the shared path must reproduce it exactly
+    // even with cells in flight concurrently. NOTE the former per-cell
+    // concurrent path could NOT pass this test: same-dataset cells'
+    // canonically-equal fold/mask persists collided in the CacheManager
+    // and the first finisher's unpersist flipped mask membership
+    // run-to-run — materializing shared state up front is the fix, not
+    // just the speedup.
+    val cells = Seq(
+      Experiments.Cell("sep", "DT", "ST", "threshold", 0.3, 0.6, maxIter = 2),
+      Experiments.Cell("sep", "DT", "supervised", "na", 0.3, 0.0),
+      Experiments.Cell("sep", "LR", "ST", "kBest", 0.5, 0.5, maxIter = 2),
+      Experiments.Cell("blobs", "NB", "ST", "kBest", 0.3, 0.5, maxIter = 2),
+      Experiments.Cell("blobs", "NB", "supervised", "na", 0.3, 0.0))
+    val datasets = Map("sep" -> separable, "blobs" -> positiveBlobs)
+    val sequential = cells.map(c =>
+      Experiments.runCell(datasets(c.dataName), c, k = 2, seed = 8L))
+    val a = graft.ml.Evaluation.resultsDF(spark, sequential).collect().toSeq
+    val b = Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
+      parallelism = 2).collect().toSeq
+    assert(a === b, "shared-mask grid diverged from the sequential sweep")
+    val c2 = Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
+      parallelism = 3).collect().toSeq
+    assert(b === c2, "shared-mask grid is not deterministic across runs")
+    val e = intercept[IllegalArgumentException] {
+      Experiments.runGridShared(Map("sep" -> separable), cells,
+        k = 2, seed = 8L, parallelism = 1)
+    }
+    assert(e.getMessage.contains("unknown dataset 'blobs'"))
+  }
+
   test("unknown classifier or algo is rejected") {
     intercept[IllegalArgumentException] {
       Experiments.baseClassifier("SVM") // probabilistic roster excludes LSVC
