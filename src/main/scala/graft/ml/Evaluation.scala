@@ -77,7 +77,11 @@ object Evaluation {
     val pr = new BinaryClassificationEvaluator()
       .setMetricName("areaUnderPR")
 
-    val per = slices.map { case (train, test) =>
+    // folds are independent seeded fits over disjoint pre-built slices, so
+    // they run concurrently (same shape as Spark's own CrossValidator with
+    // parallelism = k: shared evaluator instances, one model per future);
+    // `per` keeps slice order, so the fold-mean summation order is fixed
+    val per = Par.mapAll(slices) { case (train, test) =>
       val (model, summary) = fitFn(train)
       val predictions = model.transform(test)
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -175,8 +175,14 @@ object Experiments {
     * crossValidate's body; equivalence pinned by ExperimentsSpec and the
     * q84 golden oracle); only the redundant recompute disappears. Row
     * order stays grid order.
-    * Datasets process sequentially; a dataset's cells run as bounded
-    * concurrent job streams over its shared cached slices. */
+    * ALL shared state (every dataset's fold split and masked frames)
+    * materializes up front, sequentially — the materialization is a few
+    * cheap scans and doing it before any fit is what seals the seeded
+    * rand/sample lineage against concurrent cache interference. Then the
+    * WHOLE grid runs as one bounded concurrent sweep, so cells from
+    * different datasets overlap (a per-dataset barrier would serialize
+    * the tail of one dataset's slowest fit against the next dataset's
+    * start). */
   def runGridShared(datasets: Map[String, DataFrame], cells: Seq[Cell],
       k: Int, seed: Long, parallelism: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, rand}
@@ -188,37 +194,40 @@ object Experiments {
         s"runGridShared: cell references unknown dataset '$name' " +
           s"(have ${datasets.keys.toSeq.sorted.mkString(", ")})")
     }
-    val results = new Array[ExperimentResult](cells.size)
-    for ((dataName, cellsIdx) <- cells.zipWithIndex.groupBy(_._1.dataName)
-        .toSeq.sortBy(_._1)) {
-      val folded = datasets(dataName)
-        .withColumn("__fold", (rand(seed) * k).cast("int"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      folded.count()
-      val folds = (0 until k).map { i =>
-        (folded.filter(col("__fold") =!= i).drop("__fold"),
-          folded.filter(col("__fold") === i).drop("__fold"))
-      }
-      val maskedByPct = cellsIdx.map(_._1.percentageLabeled).distinct.map { pct =>
-        pct -> folds.map { case (train, test) =>
-          val masked = mask(cellsIdx.find(
-            _._1.percentageLabeled == pct).get._1, train)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          masked.count()
-          (masked, test)
-        }
-      }.toMap
-      try {
-        for ((idx, r) <- Par.mapBounded(cellsIdx, parallelism) { case (cell, idx) =>
-          idx -> toResult(cell, Evaluation.crossValidateSlices(
-            maskedByPct(cell.percentageLabeled), fitOnMasked(cell)))
-        }) results(idx) = r
-      } finally {
-        maskedByPct.values.flatten.foreach(_._1.unpersist())
-        folded.unpersist()
-      }
-    }
-    Evaluation.resultsDF(datasets.head._2.sparkSession, results.toSeq)
+    val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      // phase 1: materialize every (dataset, fold, pct) masked slice once
+      val slicesByKey: Map[(String, Double), Seq[(DataFrame, DataFrame)]] =
+        cells.map(c => (c.dataName, c.percentageLabeled)).distinct
+          .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (dataName, keys) =>
+            val folded = datasets(dataName)
+              .withColumn("__fold", (rand(seed) * k).cast("int"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            handles += folded
+            folded.count()
+            val folds = (0 until k).map { i =>
+              (folded.filter(col("__fold") =!= i).drop("__fold"),
+                folded.filter(col("__fold") === i).drop("__fold"))
+            }
+            keys.map { case key @ (_, pct) =>
+              key -> folds.map { case (train, test) =>
+                val masked = mask(cells.find(c =>
+                  (c.dataName, c.percentageLabeled) == key).get, train)
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                handles += masked
+                masked.count()
+                (masked, test)
+              }
+            }
+          }.toMap
+      // phase 2: one concurrent sweep over the whole grid
+      Evaluation.resultsDF(datasets.head._2.sparkSession,
+        Par.mapBounded(cells, parallelism) { cell =>
+          toResult(cell, Evaluation.crossValidateSlices(
+            slicesByKey((cell.dataName, cell.percentageLabeled)),
+            fitOnMasked(cell)))
+        })
+    } finally handles.foreach(_.unpersist())
   }
 
   /** Cross-product grid builder (ref M7's nested tuples, flattened). */

@@ -228,11 +228,12 @@ object SemiSupervised {
         0.0, maxIter = 2))
     // the shared-grid path: all cells use pct=0.3, so each (dataset, fold)
     // pair's featurized+masked frame is materialized ONCE and every cell
-    // fits over it (bit-identical results to the per-cell path — the mask
-    // is a pure function of (frame, pct, seed); pinned by the golden
-    // oracle). A dataset's cells run as concurrent job streams.
+    // fits over it (bit-identical results to a sequential per-cell sweep —
+    // the mask is a pure function of (frame, pct, seed); pinned by the
+    // golden oracle). All nine cells run as concurrent job streams over
+    // the pre-materialized slices.
     Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
-      parallelism = 6)
+      parallelism = 9)
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
