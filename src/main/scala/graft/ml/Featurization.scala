@@ -40,10 +40,16 @@ object Featurization {
     stages += new VectorAssembler()
       .setInputCols((numericCols ++ categoricalCols.map(_ + NumSuffix)).toArray)
       .setOutputCol(featuresCol)
+    // "skip" for the LABEL indexer, matching the reference's class indexer
+    // (ref SemiSupervisedAndBaseClassifiers.scala:65: handleInvalid="skip";
+    // "keep" is only for the FEATURE indexers). "keep" here would add an
+    // unseen-label bucket to the class attribute — numClasses+1 — making
+    // every downstream binary fit produce length-3 probability vectors
+    // that the binary evaluators reject.
     stages += new StringIndexer()
       .setInputCol(labelInputCol)
       .setOutputCol(labelCol)
-      .setHandleInvalid("keep")
+      .setHandleInvalid("skip")
     new Pipeline().setStages(stages.result().toArray)
   }
 }

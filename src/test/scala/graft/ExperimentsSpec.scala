@@ -4,7 +4,7 @@ import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ml.Experiments
+import graft.ml.{Experiments, Featurization}
 
 class ExperimentsSpec extends AnyFunSuite {
   import TestSpark._
@@ -129,6 +129,48 @@ class ExperimentsSpec extends AnyFunSuite {
         k = 2, seed = 8L, parallelism = 1)
     }
     assert(e.getMessage.contains("unknown dataset 'blobs'"))
+  }
+
+  test("CSV-ingested Keel-shaped dataset flows through the grid end-to-end") {
+    // the reference's grid axis IS CSV-loaded Keel datasets (its
+    // AllResults.csv spans 7 of them; ref
+    // SemiSupervisedAndBaseClassifiers.scala:46-70 reads each with
+    // header+inferSchema, na.drop, assembles all-but-last as features and
+    // StringIndexes the last column as the label). This drives that exact
+    // flow: fixture CSV → loadKeelCsv → Featurization.pipeline → grid.
+    val rnd = new scala.util.Random(13)
+    val header = (1 to 4).map(i => s"a$i").mkString(",") + ",clazz"
+    val rows = (0 until 240).map { i =>
+      val cls = i % 2 // two separable gaussian blobs, string class labels
+      (1 to 4).map(_ => f"${cls * 6 + rnd.nextGaussian()}%.4f")
+        .mkString(",") + (if (cls == 0) ",neg" else ",pos")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_keel_grid")
+    val f = dir.resolve("toyKeel.csv")
+    java.nio.file.Files.write(f,
+      String.join("\n", (header +: rows): _*).getBytes)
+
+    val (raw, featureCols, labelIn) =
+      graft.sources.Ingestion.loadKeelCsv(spark, f.toString)
+    val featurized = Featurization
+      .pipeline(featureCols.toSeq, Nil, labelIn).fit(raw).transform(raw)
+      .select("features", "label")
+    val cells = Seq(
+      Experiments.Cell("toyKeel", "DT", "ST", "threshold", 0.3, 0.6,
+        maxIter = 2),
+      Experiments.Cell("toyKeel", "DT", "supervised", "na", 0.3, 0.0))
+    val out = Experiments.runGrid(Map("toyKeel" -> featurized), cells,
+      k = 2, seed = 8L, parallelism = 2)
+    val rowsOut = out.collect()
+    assert(rowsOut.map(_.getString(1)).toSeq ===
+      Seq("ST-DT", "supervised-DT"))
+    assert(out.columns.length === 15)
+    // blobs are cleanly separable → both cells should classify well, which
+    // only happens if the CSV→featurize→mask→fit chain is actually wired
+    assert(rowsOut.forall(_.getAs[Double]("accuracy") > 0.9))
+    val st = rowsOut.head
+    assert(st.getAs[Long]("LabeledInitial") > 0)
+    assert(st.getAs[Long]("LabeledFinal") >= st.getAs[Long]("LabeledInitial"))
   }
 
   test("unknown classifier or algo is rejected") {
