@@ -441,7 +441,15 @@ object Relational {
     * (broadcast back as a 1-row frame), one codegen'd projection for z,
     * one partial-agg groupBy over ≤16 cells; the write-path
     * repartitionByRange is the same range exchange any global sort pays —
-    * there is no cheaper way to get multi-dim locality. */
+    * there is no cheaper way to get multi-dim locality.
+    *
+    * Measured, not narrated ([[graft.tools.SkewProbe]] q96 section: the
+    * same 20M-row table written unsorted / user_id-sorted / z-ordered
+    * with 1 MB row groups, one 2-D box ≈1/64 per dimension): row-group
+    * min/max pruning emits 20M rows from the unsorted layout, 339.6k
+    * from the 1-D sort (prunes user_id only, reads every day), 80–120k
+    * from the z-order — ~200× less than unsorted, ~3–4× less than the
+    * 1-D sort, because only z-cells overlapping BOTH ranges survive. */
   def q96ZOrderCells(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("user_id"),
       expr("unix_micros(ts) DIV 86400000000").as("day"))
@@ -537,7 +545,16 @@ object Relational {
     * the scan). The rewrite fires at optimization time, so the
     * materialization runs INSIDE the conf window (the summary frame that
     * escapes is checkpointed, counters only); PlanSpec asserts
-    * `bloom_filter_might_contain` lands on the probe side. */
+    * `bloom_filter_might_contain` lands on the probe side.
+    *
+    * Measured, not narrated ([[graft.tools.SkewProbe]] q95 section, 20M-row
+    * parquet fact, selectivity sweep): the injected filter cuts fact-side
+    * shuffle records to within bloom-FPR of the true join fraction —
+    * 20M → 19.8k at 1/1000 selectivity, 20M → 200k at 1/100, and at 1/2
+    * it passes 99.8% (pure overhead — why the rule gates on a selective
+    * creation side). On local[32] with an in-page-cache fact the bloom
+    * BUILD outweighs the avoided local shuffle, so the win is in shuffled
+    * records (= network+disk at cluster scale), not local seconds. */
   def q95RuntimeFilter(spark: SparkSession, dir: String): DataFrame =
     withRuntimeFilterConf(spark) {
       runtimeFilteredJoin(spark, dir).localCheckpoint()

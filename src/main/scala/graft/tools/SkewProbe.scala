@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   * PROBE q61 users=  100000  join=BroadcastHashJoin  build=BuildRight(dim)     7.82 s
   * PROBE q61 users= 1000000  join=BroadcastHashJoin  build=BuildLeft(stream)   8.69 s
   * PROBE q61 users= 4000000  join=BroadcastHashJoin  build=BuildLeft(stream)   8.78 s
+  * PROBE q95 dim=1/1000  bloom=true  injected=true  factShuffledRows=    19773   3.86 s
+  * PROBE q95 dim=1/1000  bloom=false injected=false factShuffledRows= 20000000   1.85 s
+  * PROBE q95 dim=1/100   bloom=true  injected=true  factShuffledRows=   200443   2.23 s
+  * PROBE q95 dim=1/100   bloom=false injected=false factShuffledRows= 20000000   1.56 s
+  * PROBE q95 dim=1/10    bloom=true  injected=true  factShuffledRows=  5492412   1.92 s
+  * PROBE q95 dim=1/10    bloom=false injected=false factShuffledRows= 20000000   1.55 s
+  * PROBE q95 dim=1/2     bloom=true  injected=true  factShuffledRows= 19953381   3.36 s
+  * PROBE q95 dim=1/2     bloom=false injected=false factShuffledRows= 20000000   1.64 s
+  * PROBE q96 layout=unsorted     scanEmittedRows= 20000000 of 20000000    0.96 s
+  * PROBE q96 layout=user-sorted  scanEmittedRows=   339586 of 20000000    0.12 s
+  * PROBE q96 layout=z-ordered    scanEmittedRows=    80000 of 20000000    0.13 s
   * }}}
   * Reading: there is no broadcast→SMJ CLIFF in q76's shape — both join
   * children reuse the one pinned user_id exchange, so the sort-merge is
@@ -51,6 +62,25 @@ import org.apache.spark.sql.functions._
   * scaladoc's wide-dim-never-pinned guarantee is the BuildLeft regime;
   * the probe shows the flip happens exactly where it should and costs
   * nothing.
+  * q95 (20M-row parquet fact ⋈ selective parquet dim, broadcasts off,
+  * AQE off): the injected bloom cuts the FACT-SIDE SHUFFLE to within a
+  * false-positive hair of the true join fraction — 20M → 19.8k records
+  * at 1/1000 selectivity, 20M → 200k at 1/100 — which is the metric
+  * that matters at cluster scale, where the shuffle is network+disk. At
+  * 1/2 the filter passes 99.8% of rows: pure overhead, exactly why
+  * Spark gates the rule on a selective creation side. local[32]
+  * wall-clock is the honest caveat: with a 160 MB in-page-cache fact,
+  * the dim scan that builds the bloom costs more than the avoided
+  * shuffle, so the time column FAVORS bloom=false here — the records
+  * column, not the seconds column, is the 100 TB story.
+  * q96 (same 20M-row table written unsorted / user_id-sorted /
+  * z-ordered, 1 MB row groups, one 2-D box predicate ≈1/64 per dim):
+  * row-group min/max pruning emits ALL 20M rows from the unsorted
+  * layout, 339.6k from the 1-D sort (prunes on user_id, reads every
+  * day), and 80–120k across runs from the z-order (repartitionByRange
+  * samples, so file boundaries wobble) — ~200× less than unsorted and
+  * ~3–4× less than the 1-D sort, because only z-cells overlapping BOTH ranges
+  * survive. That is the multi-dim pruning claim, measured.
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
@@ -64,7 +94,7 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).agg(sum("id")).head // warm
-    // run only the named sections (q76/q75/q61); no args = all
+    // run only the named sections (q76/q75/q61/q95/q96); no args = all
     val sections = args.toSet
     def enabled(s: String) = sections.isEmpty || sections.contains(s)
 
@@ -179,6 +209,128 @@ object SkewProbe {
       println(f"PROBE q61 users=$nUsers%8d  join=$join%-18s " +
         f"build=$build%-17s ${secs}%6.2f s")
     }
+    // ---- 4. q95 runtime-filter shape: bloom benefit vs dim selectivity ----
+    // the q95 scaladoc claims the injected probe-side bloom filter is "the
+    // difference between shuffling every fact row and shuffling only the
+    // rows that can possibly join". Measure exactly that: a 20M-row
+    // parquet fact joined (shuffle join, broadcasts off) against a dim
+    // keeping a controlled fraction of keys — record the fact-side
+    // SHUFFLED ROW COUNT and wall time with the filter on vs off. AQE off
+    // for this section so Exchange metrics are directly collectible.
+    if (enabled("q95")) {
+      println("== q95 runtime-filter shape: bloom benefit vs selectivity ==")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val factPath = tmp.resolve("fact95").toString
+      spark.range(20000000L).select(col("id").as("key"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("payload"))
+        .write.mode("overwrite").parquet(factPath)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val dimPath = tmp.resolve("dim95").toString
+      spark.range(20000000L)
+        .select(col("id").as("key"),
+          pmod(xxhash64(col("id") + 3), lit(1000000L)).as("price"))
+        .write.mode("overwrite").parquet(dimPath)
+      for (oneIn <- Seq(1000L, 100L, 10L, 2L); bloom <- Seq(true, false)) {
+        val fact = spark.read.parquet(factPath)
+        // q95's exact creation-side shape: a selective predicate on a
+        // NON-key column over a parquet scan (price > X, like orders'
+        // o_totalprice) — InjectRuntimeFilter wants a selective filter,
+        // and a predicate on the join key itself does not qualify;
+        // threshold raised above the 1/2 dim's size so the SWEEP
+        // measures benefit vs selectivity, not the rule's own size gate
+        val dim = spark.read.parquet(dimPath)
+          .filter(col("price") < lit(1000000L / oneIn))
+          .select(col("key"))
+        val flips = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> bloom.toString,
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = flips.map { case (k, _) => k -> spark.conf.getOption(k) }
+        flips.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val q = fact.join(dim, Seq("key"))
+            .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+          // collect(), not head(): head wraps a NEW limited
+          // QueryExecution, leaving THIS plan un-executed and its
+          // metrics zeroed
+          val secs = timed(q.collect())
+          val plan = q.queryExecution.executedPlan
+          val hasBloom = plan.toString.contains("might_contain")
+          // the fact-side exchange: the LEAF-MOST exchange (no exchange
+          // below it) whose subtree scans the fact parquet — the agg
+          // exchange above the join also "contains" the fact scan
+          val factShuffled = plan.collect {
+            case e: ShuffleExchangeExec
+                if e.child.collect { case x: ShuffleExchangeExec => x }
+                  .isEmpty && e.child.toString.contains("fact95") =>
+              e.metrics("shuffleRecordsWritten").value
+          }.headOption.getOrElse(-1L)
+          println(f"PROBE q95 dim=1/$oneIn%-5d bloom=$bloom%-5s " +
+            f"injected=$hasBloom%-5s factShuffledRows=$factShuffled%9d " +
+            f"${secs}%6.2f s")
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    // ---- 5. q96 z-order shape: row-group pruning vs physical layout ----
+    // the q96 scaladoc claims the z-cell layout is "the multi-dim
+    // row-group-pruning story for the lakehouse write path". Measure the
+    // story itself: write the SAME 20M-row (user_id, day, payload) table
+    // three ways — unsorted, linearly sorted on user_id, z-ordered on
+    // (user_id, day) with q96's exact bit-interleave — with small row
+    // groups, then run one 2-D box query (≈1/64 of each dimension) on each
+    // layout and record the rows the scan actually emitted (= rows in row
+    // groups whose min/max stats overlap the box; pushed filters prune the
+    // rest unread) plus wall time. AQE off so FileSourceScan metrics are
+    // directly collectible.
+    if (enabled("q96")) {
+      println("== q96 z-order shape: row-group pruning vs layout ==")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val n = 20000000L
+      val base = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(65536L)).as("user_id"),
+        pmod(xxhash64(col("id") + 11), lit(256L)).as("day"),
+        (col("id") % 1000).as("payload"))
+      // q96's exact z-derivation: 8-bit bucketized dims, bit-interleaved
+      val zed = base
+        .withColumn("ub", expr("(user_id * 256) DIV 65536"))
+        .withColumn("db", col("day"))
+        .withColumn("z", (0 until 8).map { i =>
+          (expr(s"(ub DIV ${1L << i}) % 2") * lit(1L << (2 * i + 1))) +
+            (expr(s"(db DIV ${1L << i}) % 2") * lit(1L << (2 * i)))
+        }.reduce(_ + _))
+      val layouts = Seq(
+        "unsorted" -> base,
+        "user-sorted" -> base.repartitionByRange(32, col("user_id"))
+          .sortWithinPartitions(col("user_id")),
+        "z-ordered" -> zed.repartitionByRange(32, col("z"))
+          .sortWithinPartitions(col("z"))
+          .select(col("user_id"), col("day"), col("payload")))
+      for ((name, df) <- layouts) {
+        val path = tmp.resolve(s"layout_$name").toString
+        df.write.mode("overwrite")
+          .option("parquet.block.size", (1L << 20).toString)
+          .parquet(path)
+        val q = spark.read.parquet(path)
+          .filter(col("user_id").between(30000, 31023) &&
+            col("day").between(100, 103))
+          .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+        val secs = timed(q.collect())
+        val scanned = q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.headOption.getOrElse(-1L)
+        println(f"PROBE q96 layout=$name%-12s scanEmittedRows=$scanned%9d " +
+          f"of $n%d  ${secs}%6.2f s")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
     graft.util.Fs.deleteRecursively(tmp.toFile)
     spark.stop()
   }
