@@ -151,6 +151,11 @@ object SparkEntry {
     "q94_canonical_pick"      -> Dedup.q94CanonicalPick _,
     "q95_runtime_filter"      -> Relational.q95RuntimeFilter _,
     "q96_zorder_cells"        -> Relational.q96ZOrderCells _,
+    "q97_group_topk"          -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qGroupTopK(s, d)),
+    "q98_soft_neardup"        -> Dedup.q98SoftNearDedup _,
+    "q99_bigram_pmi"          -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qBigramPmi(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -737,6 +742,44 @@ object SparkEntry {
        "CAST(min(ub) AS BIGINT) AS min_ub, CAST(max(ub) AS BIGINT) AS max_ub, " +
        "CAST(min(db) AS BIGINT) AS min_db, CAST(max(db) AS BIGINT) AS max_db " +
        "FROM zc GROUP BY 1"),
+    // the engine side refines the rank cutoff from a histogram instead of
+    // sorting per group; results equal the plain per-group row_number
+    "q97_group_topk" ->
+      ("SELECT lang, CAST(rn AS BIGINT) AS pick_rank, doc_id, n_tokens FROM " +
+       "(SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+       "row_number() OVER (PARTITION BY lang " +
+       "ORDER BY len(string_split(text, ' ')) DESC, doc_id ASC) AS rn " +
+       "FROM documents) t WHERE rn <= 3"),
+    // same component labels as q67/q94 (recursive reachability CTE);
+    // keep rank ≤ ⌈√n⌉ per cluster via the integer predicate (rn−1)² < n
+    "q98_soft_neardup" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       "dd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+       "sel AS (SELECT lab.root AS cluster_id, dd.doc_id, dd.n_tok, " +
+       "count(*) OVER (PARTITION BY lab.root) AS n_docs, " +
+       "row_number() OVER (PARTITION BY lab.root ORDER BY dd.n_tok DESC, dd.doc_id ASC) AS rn " +
+       "FROM lab JOIN dd ON dd.doc_id = lab.n) " +
+       "SELECT cluster_id, doc_id AS keeper, n_tok AS keeper_tokens, " +
+       "CAST(rn AS BIGINT) AS pick_rank, CAST(n_docs AS BIGINT) AS n_docs " +
+       "FROM sel WHERE (rn - 1) * (rn - 1) < n_docs"),
+    // pair margin = exact unigram counts (the null-successor rows complete
+    // it); lift in pure integer arithmetic, rank ties broken by the words
+    "q99_bigram_pmi" ->
+      ("WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+       "pr AS (SELECT t[u.i] AS w1, CASE WHEN u.i < len(t) THEN t[u.i + 1] END AS w2 " +
+       "FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)), " +
+       "bc AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2), " +
+       "uc AS (SELECT w1 AS w, sum(c) AS cu FROM bc GROUP BY 1), " +
+       "n AS (SELECT sum(cu) AS n FROM uc) " +
+       "SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS c12, " +
+       "CAST(u1.cu AS BIGINT) AS c1, CAST(u2.cu AS BIGINT) AS c2, " +
+       "CAST((b.c * n.n * 1000000) // (u1.cu * u2.cu) AS BIGINT) AS lift_ppm " +
+       "FROM bc b JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2, n " +
+       "WHERE b.w2 IS NOT NULL " +
+       "ORDER BY lift_ppm DESC, b.w1 ASC, b.w2 ASC LIMIT 20"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

@@ -618,6 +618,38 @@ object Dedup {
         col("n_tok").as("keeper_tokens"), col("n_docs"))
   }
 
+  /** q98: SOFT near-dedup — keep ⌈√n⌉ members per near-dup cluster instead
+    * of q94's single canonical (rank by token count desc, ties to the
+    * smaller id). Hard dedup (keep-one) measurably hurts training when a
+    * cluster's members are legitimate variants rather than noise; the
+    * square-root retention curve keeps a little within-cluster diversity
+    * while still collapsing large clusters ~n→√n — the same temperature
+    * family as q89's corpus-mix smoothing. The retention test is the pure
+    * integer predicate (rank−1)² < n (⇔ rank ≤ ⌈√n⌉), so no float sqrt can
+    * flip a boundary row between engines.
+    *
+    * Scale shape: identical to [[q94CanonicalPick]] — labels come from the
+    * persisted dedup state (no corpus re-sketch), the only corpus touch is
+    * one codegen'd token-count projection, and the rank window partitions
+    * BY CLUSTER (task state bounded by cluster size, never a global
+    * sort). Unclustered documents survive by construction (they are not in
+    * the labels frame), so the output lists only the clustered picks. */
+  def q98SoftNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val members = stagedComponentLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("cluster_id"))
+    members.join(toks, Seq("doc_id"))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_tok").desc, col("doc_id").asc)).cast("long"))
+      .filter((col("rn") - 1) * (col("rn") - 1) < col("n_docs"))
+      .select(col("cluster_id"), col("doc_id").as("keeper"),
+        col("n_tok").as("keeper_tokens"), col("rn").as("pick_rank"),
+        col("n_docs"))
+  }
+
   /** q74: incremental (cross-batch) near-dup detection — an incoming batch
     * (odd doc_ids) LSH-banded and equi-joined against the CORPUS's band
     * table (even doc_ids), the daily-ingest shape where the historical

@@ -305,4 +305,89 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_docs"), sum(col("st")).as("n_tokens"),
         sum(col("ss")).as("n_stop"))
   }
+
+  /** q97: per-language top-k documents by token count WITHOUT a per-group
+    * corpus sort — the group-wise top-k (vs q15's global top-k) every
+    * curation dashboard needs.
+    *
+    * The naive plan — `row_number() over (partition by lang order by
+    * n_tokens desc)` straight over the corpus — sorts each language's
+    * entire slice inside one task: with 5 languages over 100 TB that is
+    * five ~20 TB sorts for a k=3 answer. Instead the cutoff is refined
+    * from a histogram, the same trick as q93/[[graft.plans.Selection]]:
+    *   1. ONE partial-aggregating groupBy rolls the corpus up to
+    *      (lang, n_tokens, count) — bounded by langs × distinct lengths,
+    *      independent of corpus size;
+    *   2. a running count over the TINY per-lang histogram finds each
+    *      language's rank-k length cutoff;
+    *   3. the corpus is re-scanned FILTERED by the broadcast cutoffs
+    *      (survivors ≈ k + boundary ties per language), and the exact
+    *      rank window runs over that bounded survivor set only.
+    * Two projected corpus scans replace the per-group sort; every window
+    * in the plan partitions by lang over frames of histogram/survivor
+    * size. */
+  def qGroupTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    def base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val hist = base.groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    // rows whose starting rank (cum − c) is still under k contain ranks
+    // 1..k; the smallest such length is the rank-k cutoff for the lang
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoffs = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .filter(col("cum") - col("c") < k)
+      .groupBy(col("lang")).agg(min(col("n_tokens")).as("cutoff"))
+    val survivors = base.join(broadcast(cutoffs), Seq("lang"))
+      .filter(col("n_tokens") >= col("cutoff"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    survivors
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= k)
+      .select(col("lang"), col("pick_rank"), col("doc_id"), col("n_tokens"))
+  }
+
+  /** q99: top-k collocations (adjacent word pairs) by integer-exact PMI
+    * lift — the phrase-mining signal a tokenizer-vocabulary or n-gram
+    * quality pass runs over a corpus.
+    *
+    * Scale shape: ONE corpus scan. Each document's token array is zipped
+    * with its own tail (`zip_with` pads the shorter side with null, so
+    * the final token pairs with null), exploded, and rolled up by ONE
+    * partial-aggregating groupBy on (w1, w2) — the only full-size
+    * exchange, carrying two tokens per row, never text. Everything
+    * downstream is vocab²-bounded: exact unigram counts fall out of the
+    * pair frame itself (sum over the successor axis — the null rows make
+    * the margin exact, so no second corpus pass), join back as two
+    * broadcasts, and the ranked top-k is a TakeOrderedAndProject over the
+    * tiny pair frame. The score is the log-free lift c12·N/(c1·c2) scaled
+    * to ppm in pure BIGINT arithmetic (log PMI is rank-monotone with it;
+    * libm log's 1-ulp wobble could flip a cross-engine rank, integer
+    * division cannot — same reasoning as q68's tf·(N/df)). */
+  def qBigramPmi(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val pairs = Tables.load(spark, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(zip_with(col("t"), slice(col("t"), 2, size(col("t"))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = pairs.groupBy(col("w1").as("w")).agg(sum(col("c")).as("cu"))
+    val n = uni.agg(sum(col("cu")).as("n"))
+    val ranked = pairs.filter(col("w2").isNotNull)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c").as("c12"), col("c1"),
+        col("c2"),
+        expr("(c * n * 1000000) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    ranked
+  }
 }

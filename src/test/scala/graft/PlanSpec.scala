@@ -332,6 +332,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("group top-k refines a histogram cutoff, never sorts the corpus per group (q97)") {
+    val p = SparkEntry.queries("q97_group_topk")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the refinement signature: the naive per-group window plan has no join
+    // at all — the cutoff frame must broadcast back onto the corpus, and
+    // the histogram rollup must keep its map-side partials
+    assert(p.contains("BroadcastHashJoin"), s"q97 cutoffs not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q97 cutoff join fell to sort-merge:\n$p")
+    assert(p.contains("partial_count"), s"q97 histogram lost its partials:\n$p")
+    assert(!p.contains("SinglePartition"), s"q97 collapsed to one partition:\n$p")
+    // the final rank window's exchange carries survivors only — the filter
+    // against the broadcast cutoff must sit BELOW it, and no exchange may
+    // carry document text
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"q97 shuffles document text:\n$p")
+  }
+
+  test("soft near-dedup reads persisted labels, windows per cluster only (q98)") {
+    val p = SparkEntry.queries("q98_soft_neardup")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val labelScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft_cc")).size
+    assert(labelScans === 1,
+      s"q98 must read the staged component labels once:\n$p")
+    val corpusScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents.parquet")).size
+    assert(corpusScans === 1, s"q98 scans the corpus $corpusScans times:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q98 collapsed to a single partition:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"q98 shuffles document text:\n$p")
+  }
+
+  test("bigram PMI: one full-size exchange, vocab-side broadcasts, top-k plan (q99)") {
+    val p = SparkEntry.queries("q99_bigram_pmi")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the unigram margins must join back as broadcasts (vocab-bounded) and
+    // the ranked head must plan as TakeOrderedAndProject, not a global sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"q99 unigram margins not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q99 lost its top-k plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q99 fell back to sort-merge:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"q99 shuffles document text:\n$p")
+  }
+
   test("scan-side queries stay inside whole-stage codegen (q20 haversine)") {
     val p = formatted("q20_haversine")
     // FormattedMode marks codegen'd operators with "[codegen id : N]"

@@ -668,4 +668,78 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"cluster $cluster keeper $keeper is not the quality argmax")
     }
   }
+
+  test("q98 soft near-dedup keeps exactly ⌈√n⌉ best-ranked members per cluster") {
+    import graft.operators.Dedup
+    val rows = SparkEntry.queries("q98_soft_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per-cluster retention count is ⌈√n⌉ with n = the q67 cluster size
+    val q67 = SparkEntry.queries("q67_dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kept = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(kept.keySet === q67.keySet, "q98 must cover exactly q67's clusters")
+    kept.foreach { case (cluster, k) =>
+      val n = q67(cluster)
+      assert(k === math.ceil(math.sqrt(n.toDouble)).toLong,
+        s"cluster $cluster (n=$n) kept $k members")
+    }
+    // the picks are the rank prefix of the quality ordering, and every
+    // cluster's rank-1 pick is q94's canonical keeper
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = Dedup.stagedComponentLabels(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    rows.groupBy(_._1).foreach { case (cluster, picks) =>
+      val expected = members(cluster)
+        .sortBy(d => (-toks(d), d)).take(picks.length)
+      assert(picks.sortBy(_._4).map(_._2).toSeq === expected.toSeq,
+        s"cluster $cluster picks are not the quality-rank prefix")
+    }
+    val q94 = SparkEntry.queries("q94_canonical_pick")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.filter(_._4 == 1L).foreach { case (cluster, keeper, _, _, _) =>
+      assert(q94(cluster) === keeper,
+        s"cluster $cluster rank-1 pick disagrees with q94's canonical keeper")
+    }
+  }
+
+  test("q97 group top-k equals the naive per-group window rank") {
+    val got = SparkEntry.queries("q97_group_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force on the driver from the raw table
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(3).zipWithIndex.map {
+        case ((id, _, n), i) => (lang, (i + 1).toLong, id, n)
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("q99 bigram PMI equals a driver-side recompute (counts, margins, integer lift)") {
+    val got = SparkEntry.queries("q99_bigram_pmi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for (t <- texts) {
+      val w = t.split(" ", -1)
+      w.foreach(x => uni(x) += 1)
+      w.sliding(2).filter(_.length == 2).foreach(p => bi((p(0), p(1))) += 1)
+    }
+    val n = uni.values.sum
+    val expected = bi.toSeq.map { case ((w1, w2), c12) =>
+      val (c1, c2) = (uni(w1), uni(w2))
+      (w1, w2, c12, c1, c2, c12 * n * 1000000L / (c1 * c2))
+    }.sortBy(r => (-r._6, r._1, r._2)).take(20)
+    assert(got.toSeq === expected)
+  }
 }
