@@ -340,7 +340,12 @@ object TextAnalysis {
       .withColumn("cum", sum(col("c")).over(wCum))
       .filter(col("cum") - col("c") < k)
       .groupBy(col("lang")).agg(min(col("n_tokens")).as("cutoff"))
-    val survivors = base.join(broadcast(cutoffs), Seq("lang"))
+    // null-safe join key: a NULL lang is a real group to the window below
+    // (and to the oracle's PARTITION BY), so the cutoff join must not drop it
+    val survivors = base
+      .join(broadcast(cutoffs.withColumnRenamed("lang", "cutoff_lang")),
+        col("lang") <=> col("cutoff_lang"))
+      .drop("cutoff_lang")
       .filter(col("n_tokens") >= col("cutoff"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n_tokens").desc, col("doc_id").asc)
@@ -370,7 +375,7 @@ object TextAnalysis {
   def qBigramPmi(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val pairs = Tables.load(spark, dir, "documents")
       .select(split(col("text"), " ").as("t"))
-      .select(explode(zip_with(col("t"), slice(col("t"), 2, size(col("t"))),
+      .select(explode(zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
@@ -385,7 +390,11 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c").as("c12"), col("c1"),
         col("c2"),
-        expr("(c * n * 1000000) div (c1 * c2)").as("lift_ppm"))
+        // numerator in decimal(38,0): c·N·1e6 overflows BIGINT near
+        // N ≈ 9e12 tokens (trivially reached at 100 TB) and the DuckDB
+        // oracle widens sum() to int128 — match its arithmetic exactly
+        expr("(cast(c as decimal(38,0)) * n * 1000000) div " +
+          "(cast(c1 as decimal(38,0)) * c2)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
       .limit(k)
     ranked

@@ -714,7 +714,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val expected = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
       rows.sortBy(r => (-r._3, r._1)).take(3).zipWithIndex.map {
         case ((id, _, n), i) => (lang, (i + 1).toLong, id, n)
       }
