@@ -390,11 +390,26 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c").as("c12"), col("c1"),
         col("c2"),
-        // numerator in decimal(38,0): c·N·1e6 overflows BIGINT near
-        // N ≈ 9e12 tokens (trivially reached at 100 TB) and the DuckDB
-        // oracle widens sum() to int128 — match its arithmetic exactly
-        expr("(cast(c as decimal(38,0)) * n * 1000000) div " +
-          "(cast(c1 as decimal(38,0)) * c2)").as("lift_ppm"))
+        // Exact integer floor-division in DECIMAL end to end. `div`
+        // (IntegralDivide) always returns BIGINT even over decimal
+        // operands, so the QUOTIENT c·N·1e6/(c1·c2) — not just the
+        // numerator — must stay decimal: hapax-hapax pairs (c=c1=c2=1)
+        // have lift N·1e6, past BIGINT at N > 9.2e12 tokens (reached at
+        // 100 TB), and Spark 4's ANSI default turns that into a query-time
+        // ArithmeticException. (numer − numer % denom) / denom is an exact
+        // integer, so the scale-6 decimal division introduces no rounding
+        // (a bare floor(numer/denom) could round x.9999996 up across the
+        // floor boundary). The DuckDB oracle's int128 `//` floor-division
+        // is matched digit for digit up to 10^32; the final BIGINT cast is
+        // the declared column type (the oracle's, too) — it can only
+        // overflow when the true lift itself exceeds int64, i.e. hapax
+        // pairs at N > 9.2e12 tokens, where a deployment would declare the
+        // column DECIMAL(38,0) instead.
+        expr("cast(((cast(c as decimal(38,0)) * n * 1000000)" +
+          "  - (cast(c as decimal(38,0)) * n * 1000000)" +
+          "    % (cast(c1 as decimal(38,0)) * c2))" +
+          " / (cast(c1 as decimal(38,0)) * c2) as bigint)"
+          ).as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
       .limit(k)
     ranked

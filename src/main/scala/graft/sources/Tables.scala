@@ -18,21 +18,31 @@ object Tables {
 
   /** events table with `ts` normalized to TimestampType.
     *
-    * The testdata stores ts as parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set by our
-    * session builders) — that yields a LongType of nanos, converted here to
-    * a microsecond timestamp with exact integer division (`DIV`, no double
-    * round-trip: ns epochs exceed 2^53 and would lose precision as doubles).
+    * The driver's datagen has shipped two physical encodings of `ts` so far,
+    * normalized here at the single choke point every event query reads through:
+    *  - parquet TIMESTAMP(NANOS): Spark 4 only reads it via
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by our session
+    *    builders) — a LongType of nanos, converted with exact integer
+    *    division (`DIV`, no double round-trip: ns epochs exceed 2^53 and
+    *    would lose precision as doubles);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ. Cast to TIMESTAMP — under the UTC session timezone
+    *    our builders pin, the cast reinterprets the wall-clock micros 1:1,
+    *    which is exactly how the DuckDB oracle reads the same file (naive).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "events")
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
 
   /** CSV reader matching the reference's option surface
     * (ref: SemiSupervisedAndBaseClassifiers.scala:53-57 — sep/inferSchema/header).

@@ -17,23 +17,24 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as produced by the testdata (ts arrives as LongType nanos
-    * under nanosAsLong and is converted exactly like the batch path). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** File-source stream over a directory of events parquet.
+    *
+    * The stream schema is inferred from the directory's parquet footers (one
+    * driver-side footer read — the file source requires an explicit schema)
+    * rather than hardcoded: the driver's datagen has shipped `ts` as both
+    * TIMESTAMP(NANOS) (→ LongType under nanosAsLong) and TIMESTAMP(MICROS,
+    * NTZ) (→ TimestampNTZType), and a hardcoded LongType schema silently
+    * misreads the micros encoding (values 1000× off after the nanos
+    * conversion). [[graft.sources.Tables.normalizeEventTs]] is the single
+    * shared normalization for both batch and streaming paths. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
+  }
 
   /** Tumbling 1-hour windowed aggregation with a 10-minute watermark —
     * the streaming twin of the batch q32. */
