@@ -180,14 +180,16 @@ object SemiSupervised {
   /** The experiment GRID end-to-end (ref M7+M9+M11 composed — the flow
     * whose product is the reference's AllResults.csv): a multi-cell grid
     * through [[Experiments.runGrid]], each cell k-fold cross-validated,
-    * emitting one 15-column result row per cell in grid order. The nine
+    * emitting one 15-column result row per cell in grid order. The eleven
     * cells cover every runner branch (ST-threshold, ST-kBest,
     * CT-threshold, supervised) across the FULL roster — the
     * probabilistic four (DT, NB, RF, LR) plus supervised-only LSVC —
-    * AND two datasets — the grid's first axis, like the
+    * AND three datasets — the grid's first axis, like the
     * reference's 7-dataset AllResults.csv: "embeddings" (full 64-dim
-    * abs(embedding)) and "embeddings_front" (the front 32-dim slice, a
-    * distinct derived frame). Cells run as bounded concurrent job
+    * abs(embedding)), "embeddings_front" (the front 32-dim slice, a
+    * distinct derived frame), and "keel_csv" (a CSV-INGESTED Keel-style
+    * dataset through loadKeelCsv + the featurization pipeline — the
+    * reference's actual dataset format). Cells run as bounded concurrent job
     * streams; every value is seeded, so the frame is pinned exactly by
     * the oracle. Features are abs(embedding), the roster's shared
     * non-negative representation (multinomial NaiveBayes rejects
@@ -200,9 +202,39 @@ object SemiSupervised {
           array_to_vector(transform(emb, x => abs(x))).as("features"),
           (col("label") % 2).cast("double").as("label"))
     }
+    // third dataset-axis value: a CSV-INGESTED Keel-style frame, through
+    // the real reader + featurization pipeline — the reference's grid is
+    // CSV-dataset-driven (each AllResults.csv dataset is read
+    // header+inferSchema, all-but-last assembled, last column
+    // label-indexed; ref SemiSupervisedAndBaseClassifiers.scala:46-70), so
+    // the gate exercises that whole chain, not just parquet frames. The
+    // fixture is derived deterministically from the embeddings table
+    // (every 5th vector, 6 abs dims, string class labels), written as ONE
+    // sorted CSV file so the seeded fold/mask lineage downstream is
+    // layout-invariant, then ingested via loadKeelCsv + the pipeline
+    // exactly like a user's Keel dataset. runGridShared materializes all
+    // fits into local rows, so the temp CSV is deletable on return.
+    def keelCsvFrame(tmp: java.nio.file.Path): DataFrame = {
+      val csvDir = tmp.resolve("keel").toString
+      Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 0)
+        .orderBy(col("vec_id"))
+        .select((1 to 6).map(i =>
+          abs(element_at(col("embedding"), i)).cast("double").as(s"a$i")) :+
+          concat(lit("c"), (col("label") % 2).cast("int")).as("clazz"): _*)
+        .coalesce(1)
+        .write.option("header", "true").mode("overwrite").csv(csvDir)
+      val (raw, featureCols, labelIn) =
+        graft.sources.Ingestion.loadKeelCsv(spark, csvDir)
+      graft.ml.Featurization.pipeline(featureCols.toSeq, Nil, labelIn)
+        .fit(raw).transform(raw).select(col("features"), col("label"))
+    }
+    val keelTmp = java.nio.file.Files.createTempDirectory("graft_keel_q84")
+    try {
     val datasets = Map(
       "embeddings" -> frame(None),
-      "embeddings_front" -> frame(Some(32)))
+      "embeddings_front" -> frame(Some(32)),
+      "keel_csv" -> keelCsvFrame(keelTmp))
     val cells = Experiments.grid("embeddings",
       classifiers = Seq("DT", "NB"), algos = Seq("ST", "supervised"),
       pcts = Seq(0.3), criterionValues = Map("threshold" -> Seq(0.8)),
@@ -225,15 +257,31 @@ object SemiSupervised {
       // (no probability column → cannot drive self-labeling); this cell
       // puts the roster's fifth member through the CV runner too
       Experiments.Cell("embeddings_front", "LSVC", "supervised", "na", 0.3,
-        0.0, maxIter = 2))
+        0.0, maxIter = 2),
+      // the CSV-ingested dataset through a self-labeling AND a supervised
+      // cell — same pct as the rest so its masked slices join the shared
+      // phase-1 materialization
+      Experiments.Cell("keel_csv", "DT", "ST", "threshold", 0.3, 0.8,
+        maxIter = 2),
+      Experiments.Cell("keel_csv", "DT", "supervised", "na", 0.3, 0.0,
+        maxIter = 2))
     // the shared-grid path: all cells use pct=0.3, so each (dataset, fold)
     // pair's featurized+masked frame is materialized ONCE and every cell
     // fits over it (bit-identical results to a sequential per-cell sweep —
     // the mask is a pure function of (frame, pct, seed); pinned by the
-    // golden oracle). All nine cells run as concurrent job streams over
+    // golden oracle). All eleven cells run as concurrent job streams over
     // the pre-materialized slices.
     Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
-      parallelism = 9)
+      parallelism = 11)
+    } finally {
+      // best-effort sweep of the staged CSV (results are already local rows)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(keelTmp)
+    }
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
