@@ -158,6 +158,73 @@ object Staging {
           } finally lock.release()
         } finally ch.close()
       }
+      // LRU touch: reuse (and fresh publication) bumps the marker's mtime,
+      // which is what [[gc]] reads as last-use — without this, a hot
+      // artifact rebuilt once and probed daily would look idle and get
+      // swept at max-age.
+      val marker = new java.io.File(root, "_BUILT")
+      if (marker.exists()) marker.setLastModified(System.currentTimeMillis())
       root.getPath
+    }
+
+  /** Sweep staged artifact roots so a long-lived host's staging dir cannot
+    * grow unbounded: content-fingerprinted band/cc/IVF/bucketed roots
+    * accumulate one directory per distinct source fingerprint, and nothing
+    * else ever deletes a superseded one (a regenerated corpus changes the
+    * fingerprint, orphaning the old root forever).
+    *
+    * Policy: per family directory (`<stagingRoot>/graft_*`), evict roots
+    * idle past `maxAgeMillis` (last-use = `_BUILT` mtime, bumped on every
+    * [[publishOnce]] reuse) AND the oldest roots beyond `maxPerFamily`.
+    * Eviction takes the same per-root cross-process lock as publication,
+    * so a sweep can never tear down a root mid-publish; a root without a
+    * `_BUILT` marker older than max-age is crash litter and is swept too.
+    * Concurrent READERS of an evicted root are the caller's contract —
+    * sweep from a maintenance window, or keep maxAge ≫ any query runtime
+    * (the default, 7 days, is 5 orders of magnitude above one).
+    * Returns the evicted root paths. */
+  def gc(maxAgeMillis: Long = 7L * 24 * 3600 * 1000,
+      maxPerFamily: Int = 64,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val families = Option(new java.io.File(stagingRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+    def lastUse(d: java.io.File): Long = {
+      val m = new java.io.File(d, "_BUILT")
+      if (m.exists()) m.lastModified() else d.lastModified()
+    }
+    families.sortBy(_.getName).toSeq.flatMap { fam =>
+      val roots = Option(fam.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && !d.getName.startsWith("."))
+        .sortBy(lastUse)
+      val expired = roots.filter(d => now - lastUse(d) > maxAgeMillis)
+      val overflow = roots.dropRight(maxPerFamily)
+      (expired ++ overflow).distinct.sortBy(_.getPath)
+        .flatMap(evictUnderLock)
+    }
+  }
+
+  /** Delete one staged root under its publication lock (see [[gc]]). The
+    * lock FILE itself is never deleted — unlinking a lock file races a
+    * concurrent open (the opener would lock a dead inode while a third
+    * process creates a fresh file), and the litter is one empty file per
+    * root name. */
+  private def evictUnderLock(root: java.io.File): Option[String] =
+    jvmLocks.computeIfAbsent(root.getPath, _ => new Object).synchronized {
+      val lockPath = new java.io.File(
+        root.getParentFile, s".${root.getName}.lock").toPath
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (root.exists()) {
+            Fs.deleteRecursively(root)
+            Some(root.getPath)
+          } else None
+        } finally lock.release()
+      } finally ch.close()
     }
 }

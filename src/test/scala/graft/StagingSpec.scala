@@ -147,4 +147,65 @@ class StagingSpec extends AnyFunSuite {
         "a failed build must not be recorded as built")
     } finally Fs.deleteRecursively(parent)
   }
+
+  test("gc evicts idle and overflow staged roots, keeps fresh ones (VERDICT r11 task 7)") {
+    val prev = sys.props.get("graft.staging.dir")
+    val stagingDir = tmpDir("graft_gc")
+    try {
+      sys.props("graft.staging.dir") = stagingDir.getPath
+      val fam = new java.io.File(stagingDir, "graft_bands")
+      val now = 1700000000000L
+      val day = 24L * 3600 * 1000
+      def mkRoot(name: String, age: Long, marker: Boolean = true) = {
+        val r = new java.io.File(fam, name)
+        r.mkdirs()
+        new java.io.File(r, "part-0.parquet").createNewFile()
+        if (marker) {
+          val m = new java.io.File(r, "_BUILT")
+          m.createNewFile()
+          assert(m.setLastModified(now - age))
+        }
+        assert(r.setLastModified(now - age))
+        r
+      }
+      val fresh   = mkRoot("fp_fresh", 1 * day)
+      val idle    = mkRoot("fp_idle", 30 * day)
+      val litter  = mkRoot("fp_crash_litter", 30 * day, marker = false)
+      // non-graft siblings are out of scope and must never be touched
+      val foreign = new java.io.File(stagingDir, "user_data")
+      foreign.mkdirs()
+
+      val evicted = Staging.gc(maxAgeMillis = 7 * day, maxPerFamily = 64,
+        now = now)
+      assert(evicted.toSet === Set(idle.getPath, litter.getPath))
+      assert(fresh.exists(), "a fresh root must survive max-age gc")
+      assert(!idle.exists() && !litter.exists())
+      assert(foreign.exists(), "gc must only sweep graft_* families")
+
+      // overflow: cap 2 keeps the 2 most recently used of 4
+      val a = mkRoot("fp_a", 4 * day)
+      val b = mkRoot("fp_b", 3 * day)
+      val c = mkRoot("fp_c", 2 * day)
+      val evicted2 = Staging.gc(maxAgeMillis = 365 * day, maxPerFamily = 2,
+        now = now)
+      assert(evicted2.toSet === Set(a.getPath, b.getPath))
+      assert(fresh.exists() && c.exists())
+
+      // publishOnce REUSE bumps last-use, so a hot artifact never expires:
+      // age `fresh` to the brink, reuse it, then gc at a now past its old age
+      assert(new java.io.File(fresh, "_BUILT").setLastModified(now - 6 * day))
+      Staging.publishOnce(fresh, "spec:gc-touch") { _ => fail("must reuse") }
+      assert(new java.io.File(fresh, "_BUILT").lastModified() > now - day,
+        "reuse must bump the last-use marker")
+      assert(Staging.gc(maxAgeMillis = 7 * day, maxPerFamily = 64,
+        now = now).isEmpty)
+      assert(fresh.exists())
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.staging.dir") = v
+        case None    => sys.props -= "graft.staging.dir"
+      }
+      Fs.deleteRecursively(stagingDir)
+    }
+  }
 }
