@@ -182,13 +182,12 @@ object EventStreams {
         s"q61_stream_${System.nanoTime()}", OutputMode.Complete())
     }
 
-  /** documents schema as produced by the testdata (for streaming reads). */
-  val documentSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
+  /** documents stream schema, inferred from the staged directory's parquet
+    * footers like [[readEvents]] — a hardcoded schema breaks (or silently
+    * misreads) when the driver's datagen changes a physical type, which is
+    * exactly what happened to the events `ts` column. */
+  private def inferredSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
 
   /** Driver query (q90): STREAMING incremental near-dup — the online-ingest
     * twin of q74. An incoming document stream (odd doc_ids) is MinHash-
@@ -210,7 +209,7 @@ object EventStreams {
         "documents.parquet") { tmp =>
     import graft.operators.Dedup
     val batch = spark.readStream
-      .schema(documentSchema)
+      .schema(inferredSchema(spark, tmp))
       .option("maxFilesPerTrigger", "1")
       .parquet(tmp)
       .filter(col("doc_id") % 2 === 1)

@@ -20,6 +20,45 @@ class IngestionSpec extends AnyFunSuite {
     f.toString
   }
 
+  test("normalizeEventTs handles every ts encoding the datagen has shipped") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // micros since epoch for 2024-01-02T03:04:05.000006 UTC
+    val micros = 1704164645000006L
+
+    // encoding 1: TIMESTAMP(NANOS) read under nanosAsLong → LongType nanos
+    val asNanos = Seq((1L, micros * 1000)).toDF("event_id", "ts")
+    val n = graft.sources.Tables.normalizeEventTs(asNanos)
+    assert(n.schema("ts").dataType === TimestampType)
+    assert(n.select(expr("unix_micros(ts)")).head.getLong(0) === micros)
+
+    // encoding 2: TIMESTAMP(MICROS, NTZ) → TimestampNTZType; the UTC
+    // session cast must preserve the wall-clock micros exactly (this is
+    // 1:1 with DuckDB's naive read of the same parquet)
+    val asNtz = Seq((1L, micros)).toDF("event_id", "us")
+      .select(col("event_id"),
+        expr("convert_timezone('UTC', timestamp_micros(us))").cast(TimestampNTZType).as("ts"))
+    assert(asNtz.schema("ts").dataType === TimestampNTZType)
+    val z = graft.sources.Tables.normalizeEventTs(asNtz)
+    assert(z.schema("ts").dataType === TimestampType)
+    assert(z.select(expr("unix_micros(ts)")).head.getLong(0) === micros)
+
+    // already-normalized frames pass through untouched
+    val already = n
+    assert(graft.sources.Tables.normalizeEventTs(already) eq already)
+
+    // and the REAL testdata round-trips: whatever encoding the driver
+    // generated, the normalized scan must yield non-null in-range events
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType === TimestampType)
+    val r = ev.agg(min(expr("year(ts)")), max(expr("year(ts)")),
+      sum(when(col("ts").isNull, 1L).otherwise(0L))).head
+    assert(r.getLong(2) === 0L, "normalization must not null any ts")
+    assert(r.getInt(0) >= 1970 && r.getInt(1) <= 2100,
+      s"implausible event-time range ${r.getInt(0)}..${r.getInt(1)} — " +
+        "a mis-scaled (ns-vs-us) conversion lands decades away")
+  }
+
   test("Keel CSV: header+inferSchema+na.drop, last column is the label") {
     val rnd = new scala.util.Random(7)
     val header = (1 to 5).map(i => s"f$i").mkString(",") + ",diagnosis"
