@@ -64,6 +64,12 @@ object Bench {
       new LinearSVC().setMaxIter(5).fit(tiny).transform(tiny).count()
     }
     graft.functions.VectorMax.register(spark)
+    // maintenance sweep of the staged-artifact cache (default policy:
+    // 7-day idle, 64 roots/family) BEFORE the prewarm that re-stages
+    // anything current — so the sweep runs in every gate round, and a
+    // long-lived host never accumulates orphaned fingerprints. Count only
+    // in the JSON: the one-line artifact is size-bounded.
+    val gcSwept = graft.util.Staging.gc().size
     val prewarmErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Build one-time on-disk state OUTSIDE the timed loop: bucketed staging
     // tables (q48) and IVF indexes (q35/q83) amortize across runs by
@@ -233,7 +239,7 @@ object Bench {
       s""""${shortKey(k)}":${sec(second)}""" }.mkString("{", ",", "}")
     val prewarmErrs = prewarmErrors.toSeq.sorted
       .map(s => "\"" + jsonEscape(s) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errors,"staged":$staged,"prewarmErrors":$prewarmErrs,"calib":$calib,"calibMl":$calibMl,"retimed":$retimedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errors,"staged":$staged,"gcSwept":$gcSwept,"prewarmErrors":$prewarmErrs,"calib":$calib,"calibMl":$calibMl,"retimed":$retimedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

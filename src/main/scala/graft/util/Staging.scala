@@ -194,9 +194,18 @@ object Staging {
       if (m.exists()) m.lastModified() else d.lastModified()
     }
     families.sortBy(_.getName).toSeq.flatMap { fam =>
+      // Only roots bearing publishOnce PROTOCOL EVIDENCE are in scope: a
+      // `_BUILT` marker (published) or a `.<name>.lock` sibling (the lock
+      // is created before any build, so crash litter qualifies). A bare
+      // `graft_*`-prefixed directory is NOT enough — stream staging dirs,
+      // checkpoint dirs, and Verify dumps share the prefix under /tmp,
+      // and the first sweep of this code evicted 35 subdirectories of a
+      // live Verify dump via the per-family cap before this guard existed.
       val roots = Option(fam.listFiles())
         .getOrElse(Array.empty[java.io.File])
-        .filter(d => d.isDirectory && !d.getName.startsWith("."))
+        .filter(d => d.isDirectory && !d.getName.startsWith(".") &&
+          (new java.io.File(d, "_BUILT").exists() ||
+            new java.io.File(fam, s".${d.getName}.lock").exists()))
         .sortBy(lastUse)
       val expired = roots.filter(d => now - lastUse(d) > maxAgeMillis)
       val overflow = roots.dropRight(maxPerFamily)

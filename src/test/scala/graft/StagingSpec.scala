@@ -160,6 +160,9 @@ class StagingSpec extends AnyFunSuite {
         val r = new java.io.File(fam, name)
         r.mkdirs()
         new java.io.File(r, "part-0.parquet").createNewFile()
+        // publishOnce always creates the lock sibling before building —
+        // protocol evidence gc requires before it will touch a root
+        new java.io.File(fam, s".$name.lock").createNewFile()
         if (marker) {
           val m = new java.io.File(r, "_BUILT")
           m.createNewFile()
@@ -174,6 +177,14 @@ class StagingSpec extends AnyFunSuite {
       // non-graft siblings are out of scope and must never be touched
       val foreign = new java.io.File(stagingDir, "user_data")
       foreign.mkdirs()
+      // a graft_-prefixed NON-staging dir (stream staging, ckpt dirs,
+      // Verify dumps share the prefix): subdirs carry no lock/_BUILT, so
+      // gc must never touch them, however old or numerous
+      val shared = new java.io.File(stagingDir, "graft_verify_like")
+      val sharedSubs = (0 until 80).map { i =>
+        val d = new java.io.File(shared, s"q$i"); d.mkdirs()
+        assert(d.setLastModified(now - 40 * day)); d
+      }
 
       val evicted = Staging.gc(maxAgeMillis = 7 * day, maxPerFamily = 64,
         now = now)
@@ -181,6 +192,8 @@ class StagingSpec extends AnyFunSuite {
       assert(fresh.exists(), "a fresh root must survive max-age gc")
       assert(!idle.exists() && !litter.exists())
       assert(foreign.exists(), "gc must only sweep graft_* families")
+      assert(sharedSubs.forall(_.exists()),
+        "gc must never touch roots without publishOnce protocol evidence")
 
       // overflow: cap 2 keeps the 2 most recently used of 4
       val a = mkRoot("fp_a", 4 * day)
