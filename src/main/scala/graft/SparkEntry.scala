@@ -156,6 +156,8 @@ object SparkEntry {
     "q98_soft_neardup"        -> Dedup.q98SoftNearDedup _,
     "q99_bigram_pmi"          -> ((s: SparkSession, d: String) =>
       TextAnalysis.qBigramPmi(s, d)),
+    "q100_pii_scrub"          -> TextAnalysis.qPiiScrub _,
+    "q101_unigram_logprob"    -> TextAnalysis.qUnigramLogprob _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -780,6 +782,37 @@ object SparkEntry {
        "FROM bc b JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2, n " +
        "WHERE b.w2 IS NOT NULL " +
        "ORDER BY lift_ppm DESC, b.w1 ASC, b.w2 ASC LIMIT 20"),
+    // q100: identical deterministic PII augmentation, then the same
+    // 3-pattern replace chain (RE2 'g' ≡ Java replaceAll for these
+    // portable patterns); md5 of scrubbed text + per-kind counts
+    "q100_pii_scrub" ->
+      ("WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+       "'@example.com' || ' from 10.0.' || (doc_id % 256) || '.' || " +
+       "(doc_id % 100) || ' call +1-555-' || " +
+       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents) " +
+       "SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace(t, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), " +
+       "'[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?', '<IP>', 'g'), " +
+       "'\\+[0-9][0-9-]{7,}', '<PHONE>', 'g')) AS h, " +
+       "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_email, " +
+       "CAST(len(regexp_extract_all(t, '[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?')) AS BIGINT) AS n_ip, " +
+       "CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), " +
+       "'[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?', '<IP>', 'g'), " +
+       "'\\+[0-9][0-9-]{7,}')) AS BIGINT) AS n_phone " +
+       "FROM aug"),
+    // q101: unigram NLL per token, ln() rounded to 4 dp on both sides
+    // (the q20 libm precedent)
+    "q101_unigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+       "FROM documents), " +
+       "dt AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> '' " +
+       "GROUP BY 1, 2), " +
+       "m AS (SELECT w, sum(tf) AS c FROM dt GROUP BY 1), " +
+       "n AS (SELECT sum(c) AS n FROM m) " +
+       "SELECT d.doc_id, CAST(sum(d.tf) AS BIGINT) AS n_tokens, " +
+       "round(-sum(d.tf * ln(CAST(m.c AS DOUBLE) / n.n)) / sum(d.tf), 4) AS nll " +
+       "FROM dt d JOIN m USING (w), n GROUP BY d.doc_id"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

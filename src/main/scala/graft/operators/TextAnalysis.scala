@@ -414,4 +414,95 @@ object TextAnalysis {
       .limit(k)
     ranked
   }
+
+  /** q100: PII scrubbing — the redaction pass every training-data pipeline
+    * runs before text ever reaches a tokenizer (emails, IPv4s, phone-ish
+    * number runs → typed placeholder tokens).
+    *
+    * Pure per-row `regexp_replace`/`regexp_count` chains: embarrassingly
+    * parallel, no shuffle, stays inside whole-stage codegen (Java regex is
+    * compiled once per task by the codegen'd RegExpReplace). Patterns use
+    * only the portable class syntax ([0-9], explicit alternation — no \\d,
+    * no lookaround) so the DuckDB RE2 oracle computes the identical
+    * replacement; both engines are leftmost-first with greedy quantifiers
+    * over these anchorless patterns. The synthetic corpus carries no PII,
+    * so the gate query first augments each doc with deterministic
+    * doc_id-derived PII (same expression in the oracle) — the scrub is
+    * verified against text that actually contains what it scrubs, per-doc
+    * md5 of the scrubbed text plus per-kind counts. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Re = "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
+  val PhoneRe = "\\+[0-9][0-9-]{7,}"
+
+  /** Scrub the three PII kinds from `text` (email → `<EMAIL>`, IPv4 →
+    * `<IP>`, phone runs → `<PHONE>`), in that order — IPs are gone before
+    * the number-run pattern could chew on them. */
+  def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" from 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
+        lit(" call +1-555-"), format_string("%04d", col("doc_id") % 10000)
+      ).as("t"))
+    aug.select(
+      col("doc_id"),
+      md5(scrubPii(col("t"))).as("h"),
+      regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      // phones counted AFTER email+ip scrub, as the replace chain sees it
+      regexp_count(
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        lit(PhoneRe)).cast("long").as("n_phone"))
+  }
+
+  /** q101: unigram log-probability scoring — the cheap perplexity proxy
+    * (CCNet-style) that ranks documents by how "ordinary" their token
+    * distribution is; filtering tails of this score is a standard
+    * pre-training quality gate.
+    *
+    * Scale shape (the whole point vs a naive per-token join):
+    *   1. per-doc term counts first: groupBy(doc_id, w) — one shuffle of
+    *      the token stream, output bounded by distinct terms per doc;
+    *   2. corpus unigram model: groupBy(w) over THOSE counts (partial
+    *      aggregation upstream), output vocab-bounded; N via a 1-row
+    *      cross-join broadcast;
+    *   3. score join on w joins the two REDUCED frames — the raw token
+    *      stream is never joined or shuffled twice;
+    *   4. per-doc weighted average of ln(c/N), negated, rounded to 4 dp in
+    *      BOTH engines (the q20 precedent: libm's 1-ulp wobble must not
+    *      flip a cross-engine hash).
+    * The vocabulary is never collected or broadcast — at 100 TB the model
+    * frame is itself huge, and step 3's shuffle join on `w` handles that;
+    * hot terms (stopwords) are the classic skew key, which AQE's skew-join
+    * splitting absorbs. */
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docTerms = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      // persisted for the same reason as q68's tf: the model branch and
+      // the scoring join both consume it, and without the persist each
+      // consumer re-explodes the corpus (4 Generates in the plan vs 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = docTerms.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val n = model.agg(sum(col("c")).as("n"))
+    docTerms
+      .join(model, Seq("w"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf") * log(col("c").cast("double") / col("n"))) /
+          sum(col("tf")), 4).as("nll"))
+  }
 }

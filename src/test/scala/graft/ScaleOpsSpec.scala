@@ -742,4 +742,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     }.sortBy(r => (-r._6, r._1, r._2)).take(20)
     assert(got.toSeq === expected)
   }
+
+  test("q100 PII scrub replaces every planted kind and is a shuffle-free scan") {
+    import graft.operators.TextAnalysis
+    // behavior on a hand-built row: all three kinds replaced, text around
+    // them untouched
+    import spark.implicits._
+    val scrubbed = Seq(
+      "mail a.b+c@ex-1.org then 192.168.0.1 and +1-555-123-4567 end")
+      .toDF("t").select(TextAnalysis.scrubPii(col("t"))).head.getString(0)
+    assert(scrubbed === "mail <EMAIL> then <IP> and <PHONE> end")
+    // the gate query: every doc carries exactly one planted instance of
+    // each kind (the synthetic corpus itself contains none)
+    val rows = SparkEntry.queries("q100_pii_scrub")(spark, sf)
+    assert(rows.collect().forall(r =>
+      r.getLong(2) === 1L && r.getLong(3) === 1L && r.getLong(4) === 1L))
+    // plan shape: per-row regex work only — no Exchange anywhere
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q100 must not shuffle:\n$plan")
+  }
+
+  test("q101 unigram NLL: one token-stream shuffle, reduced-frame join, " +
+      "driver recompute matches") {
+    val q = SparkEntry.queries("q101_unigram_logprob")(spark, sf)
+    val got = q.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver twin: corpus unigram model, per-doc mean -ln p(w), 4 dp
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(_._2.split(" ").filter(_.nonEmpty).foreach(w => uni(w) += 1))
+    val n = uni.values.sum.toDouble
+    docs.foreach { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val nll = -ws.map(w => math.log(uni(w) / n)).sum / ws.length
+      val (gn, gs) = got(id)
+      assert(gn === ws.length.toLong)
+      assert(math.abs(gs - nll) < 5e-4, s"doc $id nll $gs vs $nll")
+    }
+    // scale shape: the exploded token stream rolls up into the persisted
+    // (doc_id, w, tf) frame, and BOTH consumers (model branch and scoring
+    // join) read that cache — the corpus is exploded and shuffled once,
+    // however many scans print its lineage. The InMemoryTableScan on both
+    // sides is the witness that the explode computes once.
+    val plan = q.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"both consumers must read the persisted token rollup:\n$plan")
+  }
 }
