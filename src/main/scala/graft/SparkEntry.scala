@@ -158,6 +158,8 @@ object SparkEntry {
       TextAnalysis.qBigramPmi(s, d)),
     "q100_pii_scrub"          -> TextAnalysis.qPiiScrub _,
     "q101_unigram_logprob"    -> TextAnalysis.qUnigramLogprob _,
+    "q102_stratified_k"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q102StratifiedK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -813,6 +815,15 @@ object SparkEntry {
        "SELECT d.doc_id, CAST(sum(d.tf) AS BIGINT) AS n_tokens, " +
        "round(-sum(d.tf * ln(CAST(m.c AS DOUBLE) / n.n)) / sum(d.tf), 4) AS nll " +
        "FROM dt d JOIN m USING (w), n GROUP BY d.doc_id"),
+    // q102: the oracle ranks the whole stratum (DuckDB's problem size is
+    // sf0.01); the engine's histogram-cutoff refinement must agree exactly
+    "q102_stratified_k" ->
+      (s"WITH b AS (SELECT lang, doc_id, " +
+       s"${hex60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents), " +
+       "r AS (SELECT lang, doc_id, h, row_number() OVER " +
+       "(PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rnk FROM b) " +
+       "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, h FROM r " +
+       "WHERE rnk <= 5"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -128,6 +129,56 @@ object Sketches {
         when(h < 80, "train").when(h < 90, "val").otherwise("test"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+  }
+
+  /** q102: EXACT fixed-k-per-stratum sample — "give me exactly k docs per
+    * language, deterministically" (eval-set construction, per-class probe
+    * sets), the fixed-COUNT complement of q70's fixed-RATE strata. The
+    * sample is the k smallest content-hash keys per stratum, so it
+    * inherits the q65/q91 contract: a pure function of the data,
+    * reproducible across runs/engines/partitioning, no seed plumbing.
+    *
+    * Scale shape — the naive `row_number() OVER (PARTITION BY lang ORDER
+    * BY h)` sorts each stratum's entire corpus slice in one task; instead
+    * the q97 histogram-cutoff refinement, adapted to a near-unique key by
+    * BUCKETING the 60-bit hash into its top-16-bit prefix:
+    *   1. one partial-agg groupBy rolls the corpus to (lang, bucket,
+    *      count) — ≤ langs × 65536 rows regardless of corpus size;
+    *   2. a running count over that tiny histogram finds each stratum's
+    *      rank-k bucket cutoff;
+    *   3. the corpus re-scans filtered by the broadcast cutoffs
+    *      (survivors ≈ k + one bucket's tail per stratum) and the exact
+    *      rank window runs over the survivor set only.
+    * No shuffle carries text; every window frame is histogram- or
+    * survivor-sized. */
+  def q102StratifiedK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    def base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.sketch60(
+          col("doc_id").cast("string")).as("h"))
+    // 60-bit non-negative hash → 16-bit bucket prefix
+    val bucketed = base.withColumn("hb", expr("h DIV 17592186044416"))
+    val hist = bucketed.groupBy(col("lang"), col("hb"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("hb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // buckets whose starting rank (cum − c) is below k hold ranks 1..k;
+    // the LARGEST such bucket bounds the survivor set from above
+    val cutoffs = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .filter(col("cum") - col("c") < k)
+      .groupBy(col("lang")).agg(max(col("hb")).as("hb_cut"))
+    val survivors = bucketed
+      .join(broadcast(cutoffs.withColumnRenamed("lang", "cutoff_lang")),
+        col("lang") <=> col("cutoff_lang"))
+      .drop("cutoff_lang")
+      .filter(col("hb") <= col("hb_cut"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    survivors
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("h"))
   }
 
   def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =

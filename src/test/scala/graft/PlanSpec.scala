@@ -349,6 +349,36 @@ class PlanSpec extends AnyFunSuite {
       s"q97 shuffles document text:\n$p")
   }
 
+  test("stratified fixed-k sample refines a bucket cutoff, never sorts a stratum (q102)") {
+    val q = SparkEntry.queries("q102_stratified_k")(spark, sf)
+    val p = q.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // same refinement signature as q97: cutoffs broadcast back onto the
+    // corpus, histogram keeps map-side partials, nothing collapses to one
+    // partition, and no exchange carries document text
+    assert(p.contains("BroadcastHashJoin"), s"q102 cutoffs not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q102 cutoff join fell to sort-merge:\n$p")
+    assert(p.contains("partial_count"), s"q102 histogram lost its partials:\n$p")
+    assert(!p.contains("SinglePartition"), s"q102 collapsed to one partition:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"q102 shuffles document text:\n$p")
+    // exactness vs the naive full-stratum rank (the oracle's plan)
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    import org.apache.spark.sql.functions.{col => c}
+    val naive = graft.sources.Tables.load(spark, sf, "documents")
+      .select(c("doc_id"), c("lang"),
+        graft.functions.TextFunctions.sketch60(
+          c("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap {
+        case (lang: String, rows: Array[(Long, String, Long)]) =>
+          rows.sortBy(r => (r._3, r._1)).take(5).zipWithIndex.map {
+            case ((id, _, h), i) => (lang, (i + 1).toLong, id, h)
+          }
+      }.toSet
+    assert(got === naive)
+  }
+
   test("soft near-dedup reads persisted labels, windows per cluster only (q98)") {
     val p = SparkEntry.queries("q98_soft_neardup")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
