@@ -160,6 +160,7 @@ object SparkEntry {
     "q101_unigram_logprob"    -> TextAnalysis.qUnigramLogprob _,
     "q102_stratified_k"       -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q102StratifiedK(s, d)),
+    "q103_jsonl_ingest"       -> Relational.q103JsonlIngest _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -824,6 +825,23 @@ object SparkEntry {
        "(PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rnk FROM b) " +
        "SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, h FROM r " +
        "WHERE rnk <= 5"),
+    // q103: identical jsonl rendering (escape-free synthetic text), then
+    // DuckDB's json functions behind a json_valid guard ≡ Spark's
+    // PERMISSIVE from_json null-struct semantics
+    "q103_jsonl_ingest" ->
+      ("WITH raw AS (SELECT CASE WHEN doc_id = 0 THEN '{\"id\":0,\"lang\":' " +
+       "ELSE '{\"id\":' || doc_id || ',\"lang\":\"' || lang || " +
+       "'\",\"text\":\"' || text || '\"}' END AS line FROM documents), " +
+       "p AS (SELECT CASE WHEN json_valid(line) THEN " +
+       "json_extract_string(line, '$.lang') END AS lang, " +
+       "CASE WHEN json_valid(line) THEN " +
+       "CAST(json_extract(line, '$.id') AS BIGINT) END AS id, " +
+       "CASE WHEN json_valid(line) THEN " +
+       "json_extract_string(line, '$.text') END AS t FROM raw) " +
+       "SELECT coalesce(lang, '_malformed') AS lang, count(*) AS n, " +
+       "coalesce(sum(id), 0) AS sum_id, " +
+       "CAST(coalesce(sum(length(t)), 0) AS BIGINT) AS sum_chars " +
+       "FROM p GROUP BY 1"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

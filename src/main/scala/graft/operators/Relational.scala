@@ -611,6 +611,34 @@ object Relational {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** q103: JSONL corpus ingestion through [[graft.sources.Ingestion
+    * .parseJsonl]] — full-document schema-on-read (vs q33's single-field
+    * extract), with malformed-line accounting. The corpus has no jsonl
+    * twin on disk, so the query renders each document as a jsonl line
+    * with plain concatenation (the synthetic text is escape-free; the
+    * oracle renders the identical bytes), planting one deterministically
+    * truncated line — the parse must reject exactly that line into the
+    * `_malformed` bucket and land every other field loss-lessly, proven
+    * by per-language row/id/char totals over the PARSED columns. */
+  def q103JsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "documents")
+      .select(
+        when(col("doc_id") === 0, lit("{\"id\":0,\"lang\":"))
+          .otherwise(concat(
+            lit("{\"id\":"), col("doc_id"),
+            lit(",\"lang\":\""), col("lang"),
+            lit("\",\"text\":\""), col("text"), lit("\"}")))
+          .as("line"))
+    graft.sources.Ingestion
+      .parseJsonl(raw, "line", "id BIGINT, lang STRING, text STRING")
+      .groupBy(coalesce(col("parsed.lang"), lit("_malformed")).as("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("parsed.id")), lit(0L)).as("sum_id"),
+        coalesce(sum(length(col("parsed.text"))), lit(0L))
+          .cast("long").as("sum_chars"))
+  }
+
   /** Per-user session windows (10-minute gap): Spark's session_window
     * merges events whose gap to the previous event is < the timeout; the
     * oracle reproduces that with a lag/cumulative-sum session id. Session

@@ -28,6 +28,20 @@ object Ingestion {
     (df, df.columns.dropRight(1), labelCol)
   }
 
+  /** JSONL corpus ingestion (schema-on-read over raw lines): parse a line
+    * column with `from_json` against an explicit DDL schema — the 100 TB
+    * path for the jsonl interchange format every public corpus ships in
+    * (the reference's text-ingestion idiom, §2.1 S2/S5, lifted to JSON).
+    * Malformed lines parse to a NULL struct (PERMISSIVE semantics) in the
+    * `parsed` column, so callers count or divert them instead of killing
+    * the job — at corpus scale a reject-rate signal, not an exception.
+    * Pure Catalyst (`JsonToStructs` is codegen-adjacent and
+    * partition-local): no shuffle, pushdown-friendly surviving columns. */
+  def parseJsonl(lines: DataFrame, lineCol: String, ddl: String): DataFrame =
+    lines.withColumn("parsed",
+      from_json(col(lineCol), StructType.fromDDL(ddl),
+        Map.empty[String, String]))
+
   /** ADULT-style text ingestion (ref:
     * SemiSupervisedAndBaseClassifiers.scala:276-324): drop empty lines and
     * lines containing the "?" missing-value sentinel, split on commas into

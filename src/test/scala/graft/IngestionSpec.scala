@@ -59,6 +59,33 @@ class IngestionSpec extends AnyFunSuite {
         "a mis-scaled (ns-vs-us) conversion lands decades away")
   }
 
+  test("parseJsonl: schema-on-read fields land typed, malformed lines null out") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"id":7,"lang":"en","text":"a b"}""",
+      """{"id":8,"lang":"de"}""",          // missing field → null field, row kept
+      """{"id":9,"lang":""",               // truncated → NULL struct
+      """not json at all""").toDF("line")
+    val p = Ingestion.parseJsonl(lines, "line", "id BIGINT, lang STRING, text STRING")
+    val rows = p.select(col("parsed.id"), col("parsed.lang"), col("parsed.text"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+    assert(rows(0) === ((Some(7L), Some("en"), Some("a b"))))
+    assert(rows(1) === ((Some(8L), Some("de"), None)),
+      "a missing field must not reject the row")
+    assert(rows(2)._1.isEmpty && rows(3)._1.isEmpty,
+      "malformed lines must parse to a NULL struct, not throw")
+    // q103: the planted truncated line is the ONLY malformed one, and the
+    // parsed totals account for every other document exactly
+    val out = SparkEntry.queries("q103_jsonl_ingest")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("_malformed") === ((1L, 0L)))
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") =!= 0)
+      .groupBy(col("lang")).agg(count(lit(1)), sum(col("doc_id"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (lang, expect) => assert(out(lang) === expect) }
+  }
+
   test("Keel CSV: header+inferSchema+na.drop, last column is the label") {
     val rnd = new scala.util.Random(7)
     val header = (1 to 5).map(i => s"f$i").mkString(",") + ",diagnosis"
