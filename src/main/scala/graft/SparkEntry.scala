@@ -405,7 +405,7 @@ object SparkEntry {
     "q44_cotrain_featsplit" ->
       "SELECT * FROM (VALUES ('embeddings', 'CTFS-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(372 AS BIGINT), CAST(0 AS BIGINT), 1.0e0, 0.5625e0, 0.5743821874235381e0, 0.5686314113982176e0, 0.5555555555555556e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q84_experiment_grid" ->
-      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.48199740762669824e0, 0.4573199842436975e0, 0.4903260444900236e0, 0.49316768283342016e0), ('embeddings', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(167 AS BIGINT), CAST(83 AS BIGINT), 0.6653386454183267e0, 0.5117856971403882e0, 0.49132549894957983e0, 0.49482983861997e0, 0.5272030651340996e0), ('embeddings_front', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(86 AS BIGINT), CAST(164 AS BIGINT), 0.3426294820717131e0, 0.5218111408042758e0, 0.5139788602941178e0, 0.5130815654618402e0, 0.4793843707405725e0), ('embeddings_front', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(249 AS BIGINT), CAST(1 AS BIGINT), 0.9920318725099602e0, 0.480021123041718e0, 0.4731037289915965e0, 0.49078230374854637e0, 0.46304347826086956e0), ('embeddings_front', 'supervised-LSVC', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4941431566145525e0, 0.4898019957983193e0, 0.5002299987333919e0, 0.46799677690582964e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(50 AS BIGINT), CAST(0 AS BIGINT), 0.9803921568627451e0, 0.5391676866585067e0, 0.5166269841269842e0, 0.5039863716215565e0, 0.37153846153846154e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.48199740762669824e0, 0.4573199842436975e0, 0.4903260444900236e0, 0.49316768283342016e0), ('embeddings', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(167 AS BIGINT), CAST(83 AS BIGINT), 0.6653386454183267e0, 0.5117856971403882e0, 0.49132549894957983e0, 0.49482983861997e0, 0.5272030651340995e0), ('embeddings_front', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(86 AS BIGINT), CAST(164 AS BIGINT), 0.3426294820717131e0, 0.5218111408042758e0, 0.5139788602941178e0, 0.5130815654618402e0, 0.4793843707405725e0), ('embeddings_front', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(249 AS BIGINT), CAST(1 AS BIGINT), 0.9920318725099602e0, 0.480021123041718e0, 0.4731037289915965e0, 0.49078230374854637e0, 0.46304347826086956e0), ('embeddings_front', 'supervised-LSVC', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4941431566145525e0, 0.4898019957983193e0, 0.5002299987333919e0, 0.46799677690582964e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(50 AS BIGINT), CAST(0 AS BIGINT), 0.9803921568627451e0, 0.5391676866585067e0, 0.5166269841269842e0, 0.5039863716215565e0, 0.37153846153846154e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     // q35: the KMeans-IVF recall summary (recall@10 vs exact brute force)
     // — the quantizer fit has no SQL twin, so the gate pins the seeded,
     // parallelism-invariant recall as a golden value (see MlOracleGen)

@@ -27,51 +27,12 @@ object SemiSupervised {
 
   private def base() = new DecisionTreeClassifier().setSeed(8L)
 
-  /** Score `test` once and compute the four metrics in TWO jobs, not four:
-    * accuracy + F1(label 1) come from ONE confusion-matrix aggregation (a
-    * ≤|classes|²-row collect — MulticlassClassificationEvaluator would run
-    * a full pass per metric), and ROC/PR AUC share ONE
-    * BinaryClassificationMetrics whose internal cumulative counts are
-    * persisted, so the score sort runs once (each
-    * BinaryClassificationEvaluator.evaluate re-sorts from scratch).
-    * numBins=1000 matches the evaluator default, so all four values are
-    * identical to the evaluator outputs (parity-tested in MlSpec). AUC/PR
-    * are rawPrediction-based so non-probabilistic models (LinearSVC)
-    * evaluate too. Returns (accuracy, auc, pr, f1). */
+  /** Fused 2-job metric computation — see [[graft.ml.Evaluation
+    * .evaluate4]] (moved there so the CV harness shares it; this forwarder
+    * keeps the operator-side call sites and specs stable). */
   private[graft] def evaluate4(model: org.apache.spark.ml.Transformer,
-      test: DataFrame): (Double, Double, Double, Double) = {
-    val predictions = model.transform(test)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cm = predictions.groupBy(col("prediction"), col("label"))
-      .agg(count(lit(1)).as("n")).collect()
-    val n = cm.map(_.getLong(2)).sum.toDouble
-    // loud beats NaN: correct/0 would flow a silent NaN into the result row
-    require(n > 0, "evaluate4: empty test frame (no rows to score)")
-    val correct = cm.filter(r => r.getDouble(0) == r.getDouble(1))
-      .map(_.getLong(2)).sum.toDouble
-    val tp = cm.filter(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
-      .map(_.getLong(2)).sum
-    val fp = cm.filter(r => r.getDouble(0) == 1.0 && r.getDouble(1) != 1.0)
-      .map(_.getLong(2)).sum
-    val fn = cm.filter(r => r.getDouble(0) != 1.0 && r.getDouble(1) == 1.0)
-      .map(_.getLong(2)).sum
-    val acc = correct / n
-    val f1 =
-      if (2 * tp + fp + fn == 0) 0.0
-      else 2.0 * tp / (2.0 * tp + fp + fn)
-    val scoreAndLabels = predictions
-      .select(col("rawPrediction"), col("label")).rdd
-      .map { r =>
-        (r.getAs[org.apache.spark.ml.linalg.Vector](0)(1), r.getDouble(1))
-      }
-    val metrics = new org.apache.spark.mllib.evaluation
-      .BinaryClassificationMetrics(scoreAndLabels, 1000)
-    val auc = metrics.areaUnderROC()
-    val pr = metrics.areaUnderPR()
-    metrics.unpersist()
-    predictions.unpersist(blocking = false)
-    (acc, auc, pr, f1)
-  }
+      test: DataFrame): (Double, Double, Double, Double) =
+    Evaluation.evaluate4(model, test)
 
   private def evalRow(spark: SparkSession, algo: String, criterion: String,
       pct: Double, thr: Double, model: org.apache.spark.ml.Transformer,
