@@ -722,6 +722,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q97 cutoff keeps ties flowing into the rank window (>k docs share rank-k count)") {
+    // VERDICT r11 task 5: when more than k documents share the rank-k
+    // token count in one language, the histogram cutoff (>= cutoff) must
+    // admit EVERY tied document into the survivor set and let the exact
+    // rank window break ties by doc_id — dropping ties at the cutoff
+    // boundary would silently pick an engine-dependent subset
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = (
+      // lang "tt": five docs ALL with 7 tokens — every one ties at rank k=3
+      (1L to 5L).map(i => (i, words(7), "tt")) ++
+      // lang "uu": distinct counts 9,8,7,6 — cutoff at 7, no ties
+      Seq((10L, words(9), "uu"), (11L, words(8), "uu"),
+        (12L, words(7), "uu"), (13L, words(6), "uu"))
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q97_ties")
+    try {
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.TextAnalysis.qGroupTopK(spark, dir.toString, k = 3)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expected = Set(
+        // ties broken by doc_id asc — 1,2,3 of the five tied docs
+        ("tt", 1L, 1L, 7L), ("tt", 2L, 2L, 7L), ("tt", 3L, 3L, 7L),
+        ("uu", 1L, 10L, 9L), ("uu", 2L, 11L, 8L), ("uu", 3L, 12L, 7L))
+      assert(got === expected)
+    } finally {
+      graft.util.Fs.deleteRecursively(dir.toFile)
+    }
+  }
+
   test("q99 bigram PMI equals a driver-side recompute (counts, margins, integer lift)") {
     val got = SparkEntry.queries("q99_bigram_pmi")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
