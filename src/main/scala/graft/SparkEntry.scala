@@ -161,6 +161,8 @@ object SparkEntry {
     "q102_stratified_k"       -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q102StratifiedK(s, d)),
     "q103_jsonl_ingest"       -> Relational.q103JsonlIngest _,
+    "q104_column_profile"     -> graft.operators.Curation.q104ColumnProfile _,
+    "q105_fk_audit"           -> graft.operators.Curation.q105FkAudit _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -842,6 +844,39 @@ object SparkEntry {
        "coalesce(sum(id), 0) AS sum_id, " +
        "CAST(coalesce(sum(length(t)), 0) AS BIGINT) AS sum_chars " +
        "FROM p GROUP BY 1"),
+    // q104: numeric ranges as DOUBLE, date range as integer-exact epoch
+    // days — uniform string rendering would hang on format trivia
+    "q104_column_profile" ->
+      ("WITH a AS (SELECT count(*) AS n, " +
+       "sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_q, " +
+       "count(DISTINCT l_quantity) AS nd_q, " +
+       "CAST(min(l_quantity) AS DOUBLE) AS min_q, " +
+       "CAST(max(l_quantity) AS DOUBLE) AS max_q, " +
+       "sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn_rf, " +
+       "count(DISTINCT l_returnflag) AS nd_rf, " +
+       "sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn_sd, " +
+       "count(DISTINCT l_shipdate) AS nd_sd, " +
+       "CAST(datediff('day', DATE '1970-01-01', CAST(min(l_shipdate) AS DATE)) AS DOUBLE) AS min_sd, " +
+       "CAST(datediff('day', DATE '1970-01-01', CAST(max(l_shipdate) AS DATE)) AS DOUBLE) AS max_sd " +
+       "FROM lineitem) " +
+       "SELECT 'l_quantity' AS \"column\", CAST(n AS BIGINT) AS n, " +
+       "CAST(nn_q AS BIGINT) AS n_null, CAST(nd_q AS BIGINT) AS n_distinct, " +
+       "min_q AS min_v, max_q AS max_v FROM a " +
+       "UNION ALL SELECT 'l_returnflag', n, CAST(nn_rf AS BIGINT), " +
+       "CAST(nd_rf AS BIGINT), NULL, NULL FROM a " +
+       "UNION ALL SELECT 'l_shipdate', n, CAST(nn_sd AS BIGINT), " +
+       "CAST(nd_sd AS BIGINT), min_sd, max_sd FROM a"),
+    // q105: the audit runs against a deterministically damaged dimension
+    // (parents with key % 97 = 0 deleted), mirroring the Spark fixture
+    "q105_fk_audit" ->
+      ("SELECT 'lineitem.l_orderkey->orders' AS fk, " +
+       "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
+       "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey " +
+       "AND o.o_orderkey % 97 <> 0)) AS n_orphans " +
+       "UNION ALL SELECT 'orders.o_custkey->customer', " +
+       "(SELECT count(*) FROM orders o WHERE NOT EXISTS " +
+       "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey " +
+       "AND c.c_custkey % 97 <> 0))"),
   )
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */

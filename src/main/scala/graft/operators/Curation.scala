@@ -90,4 +90,70 @@ object Curation {
         size(col("ra")).cast("long").as("n_reasons"),
         concat_ws(",", col("ra")).as("reasons"))
   }
+
+  /** q104: column profiling (ANALYZE-style data-quality pass) — per-column
+    * row/null/distinct counts plus a numeric range, the validation summary
+    * a pipeline records before a table is allowed into training.
+    *
+    * ONE scan computes every metric: the multi-distinct aggregate plans as
+    * a single pass (Catalyst's Expand rewrite — each row fans out once per
+    * distinct-column, partial-aggregated map-side), then `stack` pivots the
+    * single metrics row into one row per column. No per-column re-scans:
+    * profiling 100 columns of a 100 TB table costs one read either way.
+    * Ranges are emitted as DOUBLE (exact for these columns; the date range
+    * as integer-exact epoch days) — a uniform string rendering would hang
+    * the gate on cross-engine format trivia. */
+  def q104ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn_q"),
+        countDistinct(col("l_quantity")).as("nd_q"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn_sd"),
+        countDistinct(col("l_shipdate")).as("nd_sd"),
+        datediff(min(col("l_shipdate")), lit("1970-01-01"))
+          .cast("double").as("min_sd"),
+        datediff(max(col("l_shipdate")), lit("1970-01-01"))
+          .cast("double").as("max_sd"))
+      .select(expr(
+        "stack(3, " +
+          "'l_quantity',   n, nn_q,  nd_q,  min_q,  max_q, " +
+          "'l_returnflag', n, nn_rf, nd_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+          "'l_shipdate',   n, nn_sd, nd_sd, min_sd, max_sd) " +
+          "AS (column, n, n_null, n_distinct, min_v, max_v)"))
+
+  /** q105: referential-integrity audit — orphaned-foreign-key counts, the
+    * join-safety gate a pipeline runs before enrichment joins (an orphan
+    * fact row silently vanishes from every inner join downstream). The
+    * synthetic corpus is referentially perfect, so the audit runs against
+    * a deterministically damaged dimension (parents with key % 97 = 0
+    * treated as deleted — the deleted-parent drill every audit needs to
+    * alarm on, same fixture idiom as q100's planted PII).
+    *
+    * Shape at scale: each check is ONE left-anti join on the key — the
+    * fact side shuffles once on its FK, the dim ships key columns only;
+    * counts partial-aggregate map-side. No driver-side key sets. */
+  def q105FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val customers = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"))
+    val liOrphans = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("lineitem.l_orderkey->orders").as("fk"), col("n_orphans"))
+    val ordOrphans = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"))
+      .join(customers, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit("orders.o_custkey->customer").as("fk"), col("n_orphans"))
+    liOrphans.unionAll(ordOrphans)
+  }
 }

@@ -379,6 +379,27 @@ class PlanSpec extends AnyFunSuite {
     assert(got === naive)
   }
 
+  test("column profile runs in one table scan; FK audit anti-joins and alarms (q104/q105)") {
+    val prof = SparkEntry.queries("q104_column_profile")(spark, sf)
+    val pp = prof.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the multi-distinct aggregate must plan as ONE scan (Expand rewrite),
+    // not one scan per profiled column
+    val scans = pp.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem.parquet"))
+    assert(scans === 1, s"q104 scans lineitem $scans times:\n$pp")
+    assert(pp.contains("Expand"), s"q104 lost the multi-distinct single-pass plan:\n$pp")
+    assert(prof.count() === 3)
+
+    val audit = SparkEntry.queries("q105_fk_audit")(spark, sf)
+    val ap = audit.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(ap.contains("LeftAnti"), s"q105 must plan anti-joins:\n$ap")
+    // the damaged dimension MUST produce orphans — a zero row would mean
+    // the audit is vacuous and would pass against any join logic
+    val rows = audit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size === 2)
+    assert(rows.values.forall(_ > 0L), s"q105 audit found no orphans: $rows")
+  }
+
   test("soft near-dedup reads persisted labels, windows per cluster only (q98)") {
     val p = SparkEntry.queries("q98_soft_neardup")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
