@@ -70,6 +70,13 @@ object Bench {
     // long-lived host never accumulates orphaned fingerprints. Count only
     // in the JSON: the one-line artifact is size-bounded.
     val gcSwept = graft.util.Staging.gc().size
+    // q84's staged Keel CSV is durable one-time state like the band/IVF
+    // tables, but prewarming it through the whole grid query would run 22
+    // untimed model fits for a ~0.3 s CSV write — stage just the fixture
+    // here instead (recorded in `staged` via publishOnce like the rest)
+    try graft.operators.SemiSupervised.stageKeelCsv(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] keel CSV stage failed: ${e.getMessage}") }
     val prewarmErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Build one-time on-disk state OUTSIDE the timed loop: bucketed staging
     // tables (q48) and IVF indexes (q35/q83) amortize across runs by

@@ -155,6 +155,30 @@ object SemiSupervised {
     * the oracle. Features are abs(embedding), the roster's shared
     * non-negative representation (multinomial NaiveBayes rejects
     * negative inputs). */
+  /** Stage the deterministic Keel-style CSV fixture once per embeddings
+    * fingerprint (crash-safe publishOnce; swept by Staging.gc like every
+    * staged artifact); returns the staged directory. Bench prewarms this
+    * directly — staging it through the whole grid query would run 22
+    * untimed fits for a ~0.3 s CSV write. */
+  def stageKeelCsv(spark: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val slug = graft.util.Staging.pathSlug(dir) + "_" +
+      graft.util.Staging.fileFingerprint(src)
+    val root = new java.io.File(
+      s"${graft.util.Staging.stagingRoot}/graft_keel/$slug")
+    graft.util.Staging.publishOnce(root, s"keel:${root.getName}") { staging =>
+      Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 0)
+        .orderBy(col("vec_id"))
+        .select((1 to 6).map(i =>
+          abs(element_at(col("embedding"), i)).cast("double").as(s"a$i")) :+
+          concat(lit("c"), (col("label") % 2).cast("int")).as("clazz"): _*)
+        .coalesce(1)
+        .write.option("header", "true").mode("overwrite")
+        .csv(staging.getPath)
+    }
+  }
+
   def qExperimentGrid(spark: SparkSession, dir: String): DataFrame = {
     def frame(dims: Option[Int]): DataFrame = {
       val emb = dims.fold(col("embedding"))(n => slice(col("embedding"), 1, n))
@@ -178,27 +202,10 @@ object SemiSupervised {
     // not ingestion, to the timed path; the ingestion chain itself
     // (CSV read → featurization fits) stays inside the query.
     def keelCsvFrame(): DataFrame = {
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val slug = graft.util.Staging.pathSlug(dir) + "_" +
-        graft.util.Staging.fileFingerprint(src)
-      val root = new java.io.File(
-        s"${graft.util.Staging.stagingRoot}/graft_keel/$slug")
-      val path = graft.util.Staging.publishOnce(root,
-          s"keel:${root.getName}") { staging =>
-        Tables.load(spark, dir, "embeddings")
-          .filter(col("vec_id") % 5 === 0)
-          .orderBy(col("vec_id"))
-          .select((1 to 6).map(i =>
-            abs(element_at(col("embedding"), i)).cast("double").as(s"a$i")) :+
-            concat(lit("c"), (col("label") % 2).cast("int")).as("clazz"): _*)
-          .coalesce(1)
-          .write.option("header", "true").mode("overwrite")
-          .csv(staging.getPath)
-      }
       // glob: the staged dir also holds the _BUILT marker and _SUCCESS,
       // which a bare directory read would list as (empty) csv inputs
-      val (raw, featureCols, labelIn) =
-        graft.sources.Ingestion.loadKeelCsv(spark, s"$path/*.csv")
+      val (raw, featureCols, labelIn) = graft.sources.Ingestion
+        .loadKeelCsv(spark, s"${stageKeelCsv(spark, dir)}/*.csv")
       graft.ml.Featurization.pipeline(featureCols.toSeq, Nil, labelIn)
         .fit(raw).transform(raw).select(col("features"), col("label"))
     }

@@ -452,12 +452,17 @@ object TextAnalysis {
         lit(" from 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100,
         lit(" call +1-555-"), format_string("%04d", col("doc_id") % 10000)
       ).as("t"))
+    // each kind is counted on the text AS THE REPLACE CHAIN SEES IT —
+    // emails on raw text, IPs after the email pass, phones after both —
+    // so the counts are exactly what scrubPii replaced (an IP-shaped
+    // email local part like '1.2.3.4@x.com' is consumed by the email
+    // pass and must NOT also report an IP replacement)
     aug.select(
       col("doc_id"),
       md5(scrubPii(col("t"))).as("h"),
       regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
-      regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ip"),
-      // phones counted AFTER email+ip scrub, as the replace chain sees it
+      regexp_count(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+        lit(Ipv4Re)).cast("long").as("n_ip"),
       regexp_count(
         regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"),

@@ -36,6 +36,15 @@ object Tables {
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // loud precondition: the NTZ→LTZ cast reinterprets wall-clock
+        // micros in the SESSION timezone; anything but UTC silently
+        // shifts every event time by the zone offset (watermarks, session
+        // windows, and oracle comparisons all wrong with no error)
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventTs: TIMESTAMP_NTZ events require a UTC session " +
+            s"(spark.sql.session.timeZone=$tz) — the cast is 1:1 with the " +
+            "DuckDB oracle's naive read only under UTC")
         df.withColumn("ts",
           df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df

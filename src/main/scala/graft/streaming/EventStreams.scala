@@ -28,7 +28,19 @@ object EventStreams {
     * conversion). [[graft.sources.Tables.normalizeEventTs]] is the single
     * shared normalization for both batch and streaming paths. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(dir).schema
+    // CONTRACT: the directory must hold at least one parquet file at
+    // stream-definition time — the schema comes from its footers (a
+    // hardcoded schema silently misreads when the datagen changes
+    // encodings, which is worse than this loud requirement). A deployment
+    // whose directory starts empty seeds it with one schema-bearing file.
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"readEvents: cannot infer the stream schema from '$dir' — the " +
+            "directory must contain at least one parquet file when the " +
+            "stream is defined (seed it with a schema-bearing file)", e)
+      }
     graft.sources.Tables.normalizeEventTs(
       spark.readStream
         .schema(fileSchema)

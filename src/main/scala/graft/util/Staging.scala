@@ -210,16 +210,27 @@ object Staging {
       val expired = roots.filter(d => now - lastUse(d) > maxAgeMillis)
       val overflow = roots.dropRight(maxPerFamily)
       (expired ++ overflow).distinct.sortBy(_.getPath)
-        .flatMap(evictUnderLock)
+        .flatMap(r => evictUnderLock(r, lastUse(r), lastUse))
     }
   }
 
   /** Delete one staged root under its publication lock (see [[gc]]). The
-    * lock FILE itself is never deleted — unlinking a lock file races a
-    * concurrent open (the opener would lock a dead inode while a third
-    * process creates a fresh file), and the litter is one empty file per
-    * root name. */
-  private def evictUnderLock(root: java.io.File): Option[String] =
+    * eviction decision is RE-VALIDATED under the lock, optimistically:
+    * the root is deleted only if its last-use stamp is UNCHANGED since
+    * the listing that selected it. Between the unlocked listing and lock
+    * acquisition another process may have rebuilt the root (publishOnce
+    * holds this same lock while publishing, then stamps a fresh `_BUILT`)
+    * or reused it (the reuse fast path bumps the `_BUILT` mtime) — either
+    * moves the stamp, and deleting anyway would tear down an artifact
+    * whose path a peer already returned to its caller. The unchanged-
+    * stamp check covers both eviction policies (idle age and overflow
+    * cap) with one rule: untouched since the decision ⇒ the decision
+    * stands. The lock FILE itself is never deleted — unlinking a lock
+    * file races a concurrent open (the opener would lock a dead inode
+    * while a third process creates a fresh file), and the litter is one
+    * empty file per root name. */
+  private def evictUnderLock(root: java.io.File, observedLastUse: Long,
+      lastUse: java.io.File => Long): Option[String] =
     jvmLocks.computeIfAbsent(root.getPath, _ => new Object).synchronized {
       val lockPath = new java.io.File(
         root.getParentFile, s".${root.getName}.lock").toPath
@@ -229,7 +240,7 @@ object Staging {
       try {
         val lock = ch.lock()
         try {
-          if (root.exists()) {
+          if (root.exists() && lastUse(root) == observedLastUse) {
             Fs.deleteRecursively(root)
             Some(root.getPath)
           } else None

@@ -783,6 +783,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       "mail a.b+c@ex-1.org then 192.168.0.1 and +1-555-123-4567 end")
       .toDF("t").select(TextAnalysis.scrubPii(col("t"))).head.getString(0)
     assert(scrubbed === "mail <EMAIL> then <IP> and <PHONE> end")
+    // overlap accounting: an IP-shaped email local part is consumed by the
+    // email pass — it must scrub to ONE <EMAIL> and count zero IPs
+    val overlap = Seq("from 1.2.3.4@ex.org sent").toDF("t")
+    assert(overlap.select(TextAnalysis.scrubPii(col("t"))).head.getString(0)
+      === "from <EMAIL> sent")
+    val nIp = overlap.select(
+      regexp_count(regexp_replace(col("t"), TextAnalysis.EmailRe, "<EMAIL>"),
+        lit(TextAnalysis.Ipv4Re))).head.getInt(0)
+    assert(nIp === 0, "IP consumed by the email pass must not be counted")
     // the gate query: every doc carries exactly one planted instance of
     // each kind (the synthetic corpus itself contains none)
     val rows = SparkEntry.queries("q100_pii_scrub")(spark, sf)
