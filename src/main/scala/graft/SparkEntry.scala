@@ -163,6 +163,7 @@ object SparkEntry {
     "q103_jsonl_ingest"       -> Relational.q103JsonlIngest _,
     "q104_column_profile"     -> graft.operators.Curation.q104ColumnProfile _,
     "q105_fk_audit"           -> graft.operators.Curation.q105FkAudit _,
+    "q106_stream_sessions"    -> graft.streaming.EventStreams.qStreamSessions _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -518,11 +519,11 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q48_bucketed_join" ->
       "SELECT o_orderstatus, count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus",
-    "q50_session_windows" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events), " +
-       "s AS (SELECT user_id, tu, CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 600000000 THEN 1 ELSE 0 END AS brk FROM e), " +
-       "g AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) " +
-       "SELECT user_id, min(tu) AS session_start, count(*) AS n FROM g GROUP BY user_id, sid"),
+    "q50_session_windows" -> sessionWindowSql,
+    // q106: the streaming twin drains to the SAME answer (complete-mode
+    // session aggregation over a static source ≡ the batch session
+    // reconstruction) — one oracle pins both paths, like q74≡q90
+    "q106_stream_sessions" -> sessionWindowSql,
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +
@@ -880,6 +881,15 @@ object SparkEntry {
        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey " +
        "AND c.c_custkey % 97 <> 0))"),
   )
+
+  /** Shared oracle for q50 (batch session windows) and q106 (its
+    * streaming complete-mode twin): lag/cumulative-sum session
+    * reconstruction, 10-minute gap, exact epoch-µs session identity. */
+  private def sessionWindowSql: String =
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events), " +
+    "s AS (SELECT user_id, tu, CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 600000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+    "g AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) " +
+    "SELECT user_id, min(tu) AS session_start, count(*) AS n FROM g GROUP BY user_id, sid"
 
   /** DuckDB twin of [[graft.functions.TextFunctions.hex60]]. */
   private def hex60Sql(expr: String): String =

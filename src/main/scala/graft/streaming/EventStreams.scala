@@ -121,6 +121,32 @@ object EventStreams {
         s"q34_stream_${System.nanoTime()}", OutputMode.Complete())
     }
 
+  /** Driver query (q106): STREAMING session windows — the stateful
+    * merging-session surface (q50's batch twin). Unlike tumbling/sliding
+    * windows, session state MERGES: a new event can bridge two open
+    * sessions into one, which exercises the session-window state store's
+    * merge path rather than simple key accumulation. Complete-mode
+    * emission over a drained static source equals the batch
+    * `session_window` aggregation — and therefore q50's lag/cumulative-sum
+    * SQL oracle — exactly (append mode would instead couple emission to
+    * the final watermark position: sessions ending within the last gap of
+    * stream time never close, an implementation-sensitive boundary no
+    * cross-engine oracle should stand on). A production unbounded feed
+    * uses append + watermark; the state-per-key is O(open sessions),
+    * bounded by the gap. */
+  def qStreamSessions(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events.parquet") { tmp =>
+      val sess = readEvents(spark, tmp)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          col("n"))
+      runToMemory(spark, sess,
+        s"q106_stream_${System.nanoTime()}", OutputMode.Complete())
+    }
+
   /** Driver query (q53): drain the events stream through the
     * mapGroupsWithState per-user counter in UPDATE mode, then take each
     * user's final state (counts and last-seen are monotone, so max over

@@ -132,6 +132,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"expected ${2 * perFile}, got $afterSecond (duplicate or lost batch)")
   }
 
+  test("q106 cross-batch session MERGE: a bridging event fuses two open sessions") {
+    // the session-window state store's distinguishing operation is the
+    // MERGE: an event arriving in a later micro-batch can bridge two
+    // previously-separate open sessions into one. A single-batch drain
+    // (the gate path) never exercises that — this stages two files so
+    // batch 1 opens sessions at t=0 and t=15min (gap 15 > 10) and batch 2
+    // delivers the t=7min bridge; the drained complete-mode result must
+    // be ONE merged session of 3 events
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_merge")
+    try {
+      def write(name: String, minutes: Seq[Int], mtime: Long): Unit = {
+        minutes.map(m => (1L, m * 60L * 1000000000L, 1L, "click", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+        // file source processes in (mtime, path) order — pin it
+        val f = new java.io.File(s"$dir/$name").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dir/$name.parquet"))
+        new java.io.File(s"$dir/$name.parquet").setLastModified(mtime)
+        graft.util.Fs.deleteRecursively(new java.io.File(s"$dir/$name"))
+      }
+      write("a", Seq(0, 15), 1000000L)
+      write("b", Seq(7), 2000000L)
+      val sess = EventStreams.readEvents(spark, dir.toString)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          col("n"))
+      val got = EventStreams.runToMemory(spark, sess,
+        s"sess_merge_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete()).collect()
+      assert(got.length === 1, s"expected one merged session, got ${got.toSeq}")
+      assert(got.head.getLong(0) === 1L)
+      assert(got.head.getLong(1) === 0L, "merged session starts at t=0")
+      assert(got.head.getLong(2) === 3L, "merged session holds all 3 events")
+    } finally graft.util.Fs.deleteRecursively(dir.toFile)
+  }
+
   test("q53 drained user state equals the batch per-user aggregation") {
     val got = EventStreams.qStreamUserState(spark, sf)
     val expected = graft.sources.Tables.events(spark, sf)
