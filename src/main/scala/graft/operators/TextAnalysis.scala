@@ -245,11 +245,19 @@ object TextAnalysis {
       minDf: Int = 4): DataFrame = {
     // localCheckpoint: the digest table is the single materialization
     // boundary both consumers (df aggregation + join probe) read — same
-    // boundary discipline as capBuckets
+    // boundary discipline as capBuckets. Digest identity through the
+    // sketch60 family (xxhash64 in production — ~5-10× cheaper per
+    // shingle than md5 AND an 8-byte key instead of a 32-char string in
+    // the checkpoint and both shuffles; hex60 under the oracle gate):
+    // only COUNTS leave this pipeline, so the hash is pure identity and
+    // 60 bits carries ~4e5 expected collisions at 1e12 distinct shingles
+    // — noise for a boilerplate ratio; swap to md5 where exactness of
+    // individual df values matters more than the 5-10× scan cost.
     val sh = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(array_distinct(Dedup.shingles(col("text"), w))).as("s"))
-      .select(col("doc_id"), col("source"), md5(col("s")).as("h"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.sketch60(col("s")).as("h"))
       .localCheckpoint()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("h"))
