@@ -164,6 +164,14 @@ object SparkEntry {
     "q104_column_profile"     -> graft.operators.Curation.q104ColumnProfile _,
     "q105_fk_audit"           -> graft.operators.Curation.q105FkAudit _,
     "q106_stream_sessions"    -> graft.streaming.EventStreams.qStreamSessions _,
+    "q107_fuzzy_join"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Linkage.q107FuzzyBlockedJoin(s, d)),
+    "q108_bpe_merges"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.q108BpeMerges(s, d)),
+    "q109_pq_codes"           -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.q109PqCodes(s, d)),
+    "q110_shard_manifest"     -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q110ShardManifest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -524,6 +532,53 @@ object SparkEntry {
     // session aggregation over a static source ≡ the batch session
     // reconstruction) — one oracle pins both paths, like q74≡q90
     "q106_stream_sessions" -> sessionWindowSql,
+    // q107: the oracle models the plain block join (capBuckets' __sub split
+    // is inactive below blockCap — same contract as q24/q37); levenshtein
+    // is the same DP edit distance in both engines
+    "q107_fuzzy_join" ->
+      ("WITH p AS (SELECT a.c_nationkey AS nation, a.c_custkey AS ka, " +
+       "b.c_custkey AS kb FROM customer a JOIN customer b " +
+       "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey " +
+       "WHERE levenshtein(a.c_name, b.c_name) <= 2) " +
+       "SELECT CAST(nation AS BIGINT) AS nation, count(*) AS n_pairs, " +
+       "CAST(min(ka*100000+kb) AS BIGINT) AS first_pair " +
+       "FROM p GROUP BY nation"),
+    // q108: pair counting over the distinct-word vocabulary; (cnt DESC,
+    // pair ASC) is a total order so the top-30 cut is engine-deterministic
+    "q108_bpe_merges" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w " +
+       "FROM documents), " +
+       "v AS (SELECT w, count(*) AS f FROM w WHERE length(w) >= 2 GROUP BY w), " +
+       "p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, f " +
+       "FROM v, unnest(range(1, length(w))) AS t(i)) " +
+       "SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p GROUP BY pair " +
+       "ORDER BY cnt DESC, pair ASC LIMIT 30"),
+    // q109: PQ assignment in fixed-point (·2^20 trunc) integer L2 — argmin
+    // with (distance, cell) tie-break is bit-identical in both engines;
+    // codebooks are the vec_id<16 seed vectors' subvectors (q83 contract)
+    "q109_pq_codes" ->
+      ("WITH e AS (SELECT vec_id, i - 1 AS j, CAST(x AS DOUBLE) AS x FROM " +
+       "(SELECT vec_id, unnest(embedding) AS x, " +
+       "generate_subscripts(embedding, 1) AS i FROM embeddings) u), " +
+       "cb AS (SELECT vec_id AS cell, j // 16 AS m, j, x AS cx FROM e " +
+       "WHERE vec_id < 16), " +
+       "d AS (SELECT e.vec_id, cb.m, cb.cell, " +
+       "SUM(CAST(trunc((e.x - cb.cx)*(e.x - cb.cx) * 1048576) AS BIGINT)) AS d2 " +
+       "FROM e JOIN cb USING (j) GROUP BY e.vec_id, cb.m, cb.cell), " +
+       "asg AS (SELECT vec_id, m, cell FROM (SELECT vec_id, m, cell, " +
+       "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn " +
+       "FROM d) t WHERE rn = 1) " +
+       "SELECT CAST(m AS BIGINT) AS m, cell AS code, count(*) AS n_vecs, " +
+       "CAST(SUM(vec_id) AS BIGINT) AS id_sum FROM asg GROUP BY m, cell"),
+    // q110: shard id + checksum through the portable hex60 family (Verify
+    // runs oracle mode); the checksum is an order-independent mod-2^30 sum
+    "q110_shard_manifest" ->
+      (s"WITH d AS (SELECT ${hex60Sql("CAST(doc_id AS VARCHAR)")} AS h, " +
+       "n_chars FROM documents) " +
+       "SELECT h % 64 AS shard, count(*) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+       "CAST(SUM(h % 1073741824) AS BIGINT) AS id_checksum " +
+       "FROM d GROUP BY shard"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -416,4 +416,53 @@ object Similarity {
       .filter(col("sim") > threshold)
       // filter on the raw value, emit 4dp (oracle parity for libm-heavy math)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+
+  /** Product-quantization encode (q109) — the IVF-PQ compression step an
+    * ANN system applies at corpus scale: each vector's `nSub` disjoint
+    * subvectors are independently assigned to the nearest entry of a
+    * per-subspace codebook, collapsing a 64-float vector to `nSub` small
+    * codes (here 4×4 bits — 64× compression; q77's scalar int8 is only 4×).
+    *
+    * Codebooks are the subvectors of the `nCells` seed vectors
+    * (vec_id < nCells) — the same deterministic seeded-quantizer contract
+    * as q83, and the same driver-side collect of a BOUNDED table (nCells
+    * rows; at 100 TB the codebook is still 16 rows — the corpus never
+    * reaches the driver). Assignment distance is the fixed-point ·2²⁰
+    * truncated squared-L2 of [[l2Fixed]]: integer sums are order-independent
+    * so argmin (ties → lowest cell) is bit-identical in any engine, which is
+    * what lets a PQ ASSIGNMENT be oracle-checked exactly.
+    *
+    * Plan shape is the one that survives 100 TB: encode is a SINGLE
+    * codegen'd projection per row (nSub·nCells zip_with folds over literal
+    * codebook arrays — no join, no shuffle, no explode of the corpus);
+    * `array_min` over (distance, cell) structs is the argmin with the tie
+    * break in the struct ordering. The only exchange is the final tiny
+    * (m, code) histogram — count + Σvec_id per cell, a membership checksum
+    * that pins the full assignment, not just its distribution. */
+  def q109PqCodes(spark: SparkSession, dir: String, nSub: Int = 4,
+      nCells: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val codebook = emb.filter(col("vec_id") < nCells).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val dim = codebook.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sub = dim / nSub
+    val codeCols = (0 until nSub).map { m =>
+      val cands = codebook.map { case (cell, v) =>
+        val centLit = array(v.slice(m * sub, (m + 1) * sub).map(lit(_)): _*)
+        struct(
+          l2Fixed(slice(col("e"), m * sub + 1, sub), centLit).as("d"),
+          lit(cell).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c").as(s"code$m")
+    }
+    emb.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until nSub).map(m => col(s"code$m")): _*))
+          .as(Seq("m", "code")))
+      .groupBy(col("m").cast("bigint").as("m"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+  }
 }

@@ -131,6 +131,31 @@ object Sketches {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
   }
 
+  /** q110: training-shard manifest — the dataloader-facing summary a shard
+    * writer emits next to the data: per shard, how many documents, how many
+    * characters, and an ORDER-INDEPENDENT membership checksum a consumer can
+    * recompute to verify it read exactly the intended rows. Shard identity
+    * is the same deterministic content-hash contract as q65/q91 (a pure
+    * function of doc_id via the sketch60 family — reshardable, reproducible,
+    * no seed state).
+    *
+    * The checksum is Σ(h(doc_id) mod 2³⁰) — commutative integer addition, so
+    * it needs no per-shard ordering and aggregates map-side; a
+    * collect_list/string_agg digest would haul every id through the shuffle
+    * in one list per shard and force a sort. mod 2³⁰ keeps the sum far from
+    * int64 overflow even at 2³³ docs per shard. One codegen'd projection +
+    * one tiny (nShards-row) partial-agg groupBy: nothing corpus-sized moves. */
+  def q110ShardManifest(spark: SparkSession, dir: String,
+      nShards: Int = 64): DataFrame = {
+    val h = graft.functions.TextFunctions.sketch60(col("doc_id").cast("string"))
+    Tables.load(spark, dir, "documents")
+      .select(pmod(h, lit(nShards.toLong)).as("shard"), col("n_chars"),
+        pmod(h, lit(1073741824L)).as("idh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("idh")).as("id_checksum"))
+  }
+
   /** q102: EXACT fixed-k-per-stratum sample — "give me exactly k docs per
     * language, deterministically" (eval-set construction, per-class probe
     * sets), the fixed-COUNT complement of q70's fixed-RATE strata. The

@@ -518,4 +518,29 @@ object TextAnalysis {
         round(-sum(col("tf") * log(col("c").cast("double") / col("n"))) /
           sum(col("tf")), 4).as("nll"))
   }
+
+  /** BPE merge-candidate counting (q108) — one step of byte-pair-encoding
+    * tokenizer training: count every adjacent character pair, weighted by
+    * corpus frequency, and rank the top merge candidates.
+    *
+    * The scale structure is the whole point: the corpus-sized work is ONE
+    * map-side-combining groupBy to the distinct-word vocabulary (the same
+    * dedup-before-expensive-work shape as q68's TF-IDF); the quadratic-ish
+    * pair explosion then runs over the VOCABULARY — bounded by distinct
+    * words, not corpus tokens, so 100 TB of text costs one word-count
+    * shuffle plus vocab·avgLen cheap rows. Real BPE trainers iterate this
+    * counting step after each merge; the per-iteration plan is this one. */
+  def q108BpeMerges(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    vocab
+      .select(col("f"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
 }

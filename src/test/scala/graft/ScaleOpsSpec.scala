@@ -830,4 +830,108 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
       s"both consumers must read the persisted token rollup:\n$plan")
   }
+
+  test("q107 fuzzy blocked join equals a driver-side brute force; equi-join, not cartesian") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = cust.groupBy(_._3).map { case (nation, rows) =>
+      val pairs = for {
+        (ka, na, _) <- rows; (kb, nb, _) <- rows
+        if ka < kb && lev(na, nb) <= 2
+      } yield ka * 100000 + kb
+      nation -> ((pairs.size.toLong, pairs.min))
+    }.filter(_._2._1 > 0)
+    val q = SparkEntry.queries("q107_fuzzy_join")(spark, sf)
+    val got = q.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q107 must block into an equi-join, not an all-pairs product:\n$plan")
+  }
+
+  test("q108 BPE merge counts equal a driver-side brute force (top-30 cut, tie order)") {
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val vocab = texts.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val counts = collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+    val got = SparkEntry.queries("q108_bpe_merges")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("q109 PQ histogram equals a driver-side fixed-point argmin; encode is shuffle-free") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), _.cast("double")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += (t * t * 1048576d).toLong; j += 1 }
+      s
+    }
+    val cb = emb.filter(_._1 < 16).sortBy(_._1)
+    val expected = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    emb.foreach { case (id, v) =>
+      (0 until 4).foreach { m =>
+        val sv = v.slice(m * 16, (m + 1) * 16)
+        val code = cb.map { case (cell, cv) =>
+          (d2(sv, cv.slice(m * 16, (m + 1) * 16)), cell) }.min._2
+        val k = (m.toLong, code)
+        val (n, s) = expected.getOrElse(k, (0L, 0L))
+        expected(k) = (n + 1, s + id)
+      }
+    }
+    val q = SparkEntry.queries("q109_pq_codes")(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected.toMap)
+    // encode must be a pure projection: the only exchange in the plan is
+    // the final tiny histogram aggregation (no join, no corpus explode
+    // ahead of it)
+    // AQE prints the tree twice (final + initial) — count the materialized
+    // shuffle stages, not Exchange text occurrences
+    val plan = q.queryExecution.executedPlan.toString
+    assert("ShuffleQueryStage".r.findAllIn(plan).length === 1,
+      s"q109 encode must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"q109 codebook must be literal, not joined:\n$plan")
+  }
+
+  test("q110 shard manifest: totals reconcile and the checksum matches an independent plan") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val chars = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    val m = SparkEntry.queries("q110_shard_manifest")(spark, sf).collect()
+    assert(m.map(_.getLong(1)).sum === n, "shard doc counts must cover the corpus")
+    assert(m.map(_.getLong(2)).sum === chars, "shard char totals must reconcile")
+    // independent checksum: per-doc hashes collected and summed on the
+    // driver (no groupBy path shared with the query)
+    val perDoc = docs.select(
+        pmod(TextFunctions.sketch60(col("doc_id").cast("string")),
+          lit(64L)).as("shard"),
+        pmod(TextFunctions.sketch60(col("doc_id").cast("string")),
+          lit(1073741824L)).as("idh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedSums = perDoc.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(_._2).sum }
+    assert(m.map(r => r.getLong(0) -> r.getLong(3)).toMap === expectedSums)
+  }
 }
