@@ -172,6 +172,8 @@ object SparkEntry {
       graft.operators.Similarity.q109PqCodes(s, d)),
     "q110_shard_manifest"     -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q110ShardManifest(s, d)),
+    "q111_source_overlap"     -> Dedup.q111SourceOverlap _,
+    "q112_pct_rank"           -> TextAnalysis.q112PctRank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -532,9 +534,10 @@ object SparkEntry {
     // session aggregation over a static source ≡ the batch session
     // reconstruction) — one oracle pins both paths, like q74≡q90
     "q106_stream_sessions" -> sessionWindowSql,
-    // q107: the oracle models the plain block join (capBuckets' __sub split
-    // is inactive below blockCap — same contract as q24/q37); levenshtein
-    // is the same DP edit distance in both engines
+    // q107: the oracle models the plain block join — the engine's salted
+    // triangle join covers the identical pair set exactly (each unordered
+    // pair meets in exactly one salt-group cell); levenshtein is the same
+    // DP edit distance in both engines
     "q107_fuzzy_join" ->
       ("WITH p AS (SELECT a.c_nationkey AS nation, a.c_custkey AS ka, " +
        "b.c_custkey AS kb FROM customer a JOIN customer b " +
@@ -579,6 +582,28 @@ object SparkEntry {
        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
        "CAST(SUM(h % 1073741824) AS BIGINT) AS id_checksum " +
        "FROM d GROUP BY shard"),
+    // q111: the shared minhash band CTE chain (q24's contract), then the
+    // doc->source map joined to both pair sides; least/greatest folds the
+    // matrix to unordered source pairs
+    "q111_source_overlap" ->
+      (minhashCtes + ", " +
+       "m AS (SELECT da.source AS sa, db.source AS sb FROM pairs p " +
+       "JOIN documents da ON da.doc_id = p.doc_a " +
+       "JOIN documents db ON db.doc_id = p.doc_b) " +
+       "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
+       "count(*) AS n_pairs FROM m GROUP BY 1, 2"),
+    // q112: percentile rank from the (lang, n_chars) value histogram —
+    // n_less/n is one exact-integer division, identical IEEE result
+    "q112_pct_rank" ->
+      ("WITH h AS (SELECT lang, n_chars, count(*) AS c FROM documents " +
+       "GROUP BY 1, 2), " +
+       "cum AS (SELECT lang, n_chars, " +
+       "SUM(c) OVER (PARTITION BY lang ORDER BY n_chars " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS n_less, " +
+       "SUM(c) OVER (PARTITION BY lang) AS n FROM h) " +
+       "SELECT d.doc_id, d.lang, d.n_chars, " +
+       "round(CAST(n_less AS DOUBLE) / n, 4) AS pct_rank " +
+       "FROM documents d JOIN cum USING (lang, n_chars)"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

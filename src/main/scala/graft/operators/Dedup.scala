@@ -78,6 +78,31 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_unique"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
 
+  /** q111: cross-source near-dup overlap matrix — for every unordered pair
+    * of corpus sources, how many MinHash candidate pairs straddle (or stay
+    * inside) them. The standard curation report for "how much of crawl B is
+    * already in crawl A" before paying for a merge.
+    *
+    * Reuses the staged band table via [[minhashCandidatePairs]] (zero new
+    * corpus passes when any banding query already ran); the only additions
+    * are two doc_id-keyed joins to the (doc_id, source) projection — ~20-byte
+    * rows on both sides, shuffle-partitioned on the join key, never text —
+    * and a |sources|²-row aggregate. least/greatest canonicalizes the pair so
+    * the matrix is upper-triangular (symmetric counts fold together). */
+  def q111SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val pairs = minhashCandidatePairs(spark, dir)
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Word w-shingles of a document as an array column. */

@@ -12,39 +12,61 @@ import graft.sources.Tables
   */
 object Linkage {
 
-  /** q107: blocked levenshtein self-join over customer names.
+  /** q107: blocked levenshtein self-join over customer names, parallelized
+    * as an exact SALTED TRIANGLE JOIN.
     *
-    * Blocking is what makes fuzzy matching survive 100 TB: the self-join is
-    * an equi-join on the block key (one hash-partitioned exchange of
-    * 20-byte rows — name + key), so candidate pairs are Σ_b |b|² over
-    * blocks instead of N². Hot blocks go through
-    * [[graft.plans.Skew.capBuckets]] exactly like the q37 embedding
-    * near-dup join: over `blockCap` members, a block is hash-split into
-    * sub-blocks, trading bounded recall for bounded fan-out (inactive at
-    * the gate's scale factors — every nation block is far below the cap —
-    * so the oracle models the plain block join; on degenerate data the
-    * engine's bounded behavior diverges intentionally; same contract as
-    * q24/q37, see the oracle note there). The levenshtein predicate is
-    * Catalyst's codegen'd edit distance — identical DP definition in
-    * DuckDB, so pair counts are oracle-exact. Result is the per-block pair
-    * count plus a min-pair witness (ka·10⁵+kb) pinning membership, not the
-    * pair dump.
-    */
+    * Within-block all-pairs comparison has two scale problems a naive
+    * `a JOIN b ON a.block = b.block AND a.id < b.id` hits head-on:
+    * (1) a block's pair work is |b|² but its shuffle footprint is only |b|
+    * rows, so AQE's size-based coalescing sees "tiny shuffle", merges
+    * everything into one partition, and the whole verify stage runs
+    * serially (measured: 30 s at sf0.1 — the suite's slowest query — for
+    * ~4.5M levenshtein calls that take ~1 s spread over the cores);
+    * (2) one hot block = one task, no matter the cluster size.
+    *
+    * The triangle join fixes both EXACTLY (no recall loss, unlike
+    * sub-splitting a block with capBuckets): each member lands in one of
+    * `g` salt groups by id hash; a member of group r is replicated as the
+    * LEFT side of group-pairs (r, j) for j ≥ r and as the RIGHT side of
+    * (i, r) for i ≤ r, and the join key becomes (block, gi, gj). Every
+    * unordered member pair meets in exactly one of the g(g+1)/2 group-pair
+    * cells (same-group cells dedup by id order), so the pair set is
+    * IDENTICAL to the plain block join — the oracle models the plain join —
+    * while the work spreads over |blocks|·g²/2 keys. Replication cost is
+    * ~g/2 copies of a 20-byte (name, key) row. Both sides are repartitioned
+    * on the full join key with an EXPLICIT partition count: user-specified
+    * repartitioning satisfies the join's distribution requirement directly
+    * and AQE does not coalesce it, so the verify stage keeps its
+    * parallelism regardless of how small the input bytes are. At cluster
+    * scale, `g` grows with the expected block size (g ≈ |block|/10⁴ keeps
+    * cells bounded) and `parts` with the executor count. */
   def q107FuzzyBlockedJoin(spark: SparkSession, dir: String,
-      maxDist: Int = 2, blockCap: Int = 10000): DataFrame = {
+      maxDist: Int = 2, g: Int = 8, parts: Int = 96): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("k"), col("c_name").as("nm"),
         col("c_nationkey").cast("bigint").as("nation"))
-    val blocked = graft.plans.Skew.capBuckets(c, Seq("nation"), "k", blockCap)
-    val a = blocked.as("a")
-    val b = blocked.as("b")
-    a.join(b,
-        col("a.nation") === col("b.nation") &&
-        col("a.__sub") === col("b.__sub") &&
-        col("a.k") < col("b.k"))
-      .filter(levenshtein(col("a.nm"), col("b.nm")) <= maxDist)
-      .groupBy(col("a.nation").as("nation"))
+      .withColumn("grp", pmod(hash(col("k")), lit(g)))
+    // left replica r -> cells (gi = r, gj = r..g-1); right replica r ->
+    // cells (gi = 0..r, gj = r). A cross-group pair meets only with its
+    // lower group on the left; a same-group pair meets twice and dedups on
+    // id order below.
+    val left = c.withColumn("gj",
+        explode(sequence(col("grp"), lit(g - 1))))
+      .select(col("nation"), col("grp").as("gi"), col("gj"),
+        col("k"), col("nm"))
+      .repartition(parts, col("nation"), col("gi"), col("gj"))
+    val right = c.withColumn("gi",
+        explode(sequence(lit(0), col("grp"))))
+      .select(col("nation"), col("gi"), col("grp").as("gj"),
+        col("k").as("kb"), col("nm").as("nmb"))
+      .repartition(parts, col("nation"), col("gi"), col("gj"))
+    left.join(right, Seq("nation", "gi", "gj"))
+      .filter((col("gi") =!= col("gj") || col("k") < col("kb")) &&
+        col("k") =!= col("kb") &&
+        levenshtein(col("nm"), col("nmb")) <= maxDist)
+      .groupBy(col("nation"))
       .agg(count(lit(1)).as("n_pairs"),
-        min(col("a.k") * 100000 + col("b.k")).as("first_pair"))
+        min(least(col("k"), col("kb")) * 100000 +
+          greatest(col("k"), col("kb"))).as("first_pair"))
   }
 }

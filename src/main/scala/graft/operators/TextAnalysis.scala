@@ -530,6 +530,36 @@ object TextAnalysis {
     * words, not corpus tokens, so 100 TB of text costs one word-count
     * shuffle plus vocab·avgLen cheap rows. Real BPE trainers iterate this
     * counting step after each merge; the per-iteration plan is this one. */
+  /** q112: per-language percentile rank of document length WITHOUT a global
+    * (or even per-group) sort of the corpus — the length-normalization
+    * feature a quality scorer wants per document.
+    *
+    * The naive plan (`percent_rank() OVER (PARTITION BY lang ORDER BY
+    * n_chars)`) sorts every language's whole corpus slice in one task. This
+    * plan never sorts the corpus: one map-side-combining groupBy collapses
+    * it to the (lang, n_chars) VALUE HISTOGRAM (bounded by the value domain,
+    * not the row count — the q93/q97 trick); the cumulative "how many
+    * strictly below" runs over that small histogram; the per-document rank
+    * is then a broadcast join back on (lang, n_chars). pct_rank =
+    * n_less/n_lang is one exact-integer division, correctly rounded
+    * identically in any IEEE engine. */
+  def q112PctRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val hist = d.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val cum = hist
+      .withColumn("n_less", sum(col("c")).over(wOrd) - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .select(col("lang"), col("n_chars"), col("n_less"), col("n"))
+    d.join(broadcast(cum), Seq("lang", "n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("n_less").cast("double") / col("n"), 4).as("pct_rank"))
+  }
+
   def q108BpeMerges(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     val vocab = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))

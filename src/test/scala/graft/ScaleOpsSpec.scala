@@ -915,6 +915,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"q109 codebook must be literal, not joined:\n$plan")
   }
 
+  test("q111 source overlap matrix folds the candidate pairs symmetrically and completely") {
+    val pairs = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = SparkEntry.queries("q111_source_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.values.sum === pairs.length.toLong,
+      "matrix must account for every candidate pair exactly once")
+    got.keys.foreach { case (a, b) =>
+      assert(a <= b, s"matrix must be upper-triangular, saw ($a, $b)")
+    }
+  }
+
+  test("q112 percentile rank equals the naive per-group window; corpus never sorts") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    val expected = docs.map { case (id, lang, n) =>
+      val g = byLang(lang)
+      val pr = g.count(_._3 < n).toDouble / g.length
+      id -> BigDecimal(pr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val q = SparkEntry.queries("q112_pct_rank")(spark, sf)
+    val got = q.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got === expected)
+    // the only sort in the plan must be the histogram window's — which
+    // sorts (lang, n_chars) rollup rows, behind a partial aggregate, never
+    // the document rows themselves
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"q112 histogram must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q112 rank join-back must broadcast the histogram:\n$plan")
+  }
+
   test("q110 shard manifest: totals reconcile and the checksum matches an independent plan") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val n = docs.count()
