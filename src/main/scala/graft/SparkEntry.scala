@@ -174,6 +174,10 @@ object SparkEntry {
       graft.operators.Sketches.q110ShardManifest(s, d)),
     "q111_source_overlap"     -> Dedup.q111SourceOverlap _,
     "q112_pct_rank"           -> TextAnalysis.q112PctRank _,
+    "q113_trimmed_mean"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q113TrimmedMean(s, d)),
+    "q114_stream_trending"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamTrending(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -604,6 +608,31 @@ object SparkEntry {
        "SELECT d.doc_id, d.lang, d.n_chars, " +
        "round(CAST(n_less AS DOUBLE) / n, 4) AS pct_rank " +
        "FROM documents d JOIN cum USING (lang, n_chars)"),
+    // q113: the oracle ranks each group both ways with the same
+    // (value, event_id) tie-break Selection's cutoff predicates use;
+    // sums cross engines in DECIMAL(18,2), the mean is one rounded division
+    "q113_trimmed_mean" ->
+      ("WITH r AS (SELECT event_type, event_id, value, " +
+       "row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY value DESC, event_id ASC) AS rd, " +
+       "row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY value ASC, event_id ASC) AS ra, " +
+       "count(*) OVER (PARTITION BY event_type) AS n FROM events) " +
+       "SELECT event_type, count(*) AS n_kept, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept, " +
+       "round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) " +
+       "AS trimmed_mean " +
+       "FROM r WHERE rd > n * 10 // 100 AND ra > n * 10 // 100 " +
+       "GROUP BY event_type"),
+    // q114: hourly counts (q34's window contract) ranked per window with a
+    // (n DESC, event_type ASC) total order, cut at k=3
+    "q114_stream_trending" ->
+      ("WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, " +
+       "event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "r AS (SELECT bucket, event_type, n, CAST(row_number() OVER " +
+       "(PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS BIGINT) AS rnk " +
+       "FROM c) " +
+       "SELECT bucket, event_type, n, rnk FROM r WHERE rnk <= 3"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -156,6 +156,55 @@ object Sketches {
         sum(col("idh")).as("id_checksum"))
   }
 
+  /** q113: per-group TRIMMED MEAN (drop the top and bottom `trimPct`% by
+    * value, average the rest) — the robust aggregate a metrics pipeline
+    * uses when a handful of pathological rows would otherwise own the
+    * mean.
+    *
+    * The naive plan ranks every group with `row_number() OVER (PARTITION BY
+    * grp ORDER BY value)` — a full sort of each group's corpus slice in one
+    * task. Instead the trim boundaries come from
+    * [[graft.plans.Selection.topKPredicate]]: the exact t-th order
+    * statistic by iterative histogram refinement (driver sees ≤8k-row
+    * histograms, rows never leave their executor), once per tail per group
+    * (the lower tail is the top-t of the NEGATED value), and the kept set
+    * becomes one codegen'd disjunction filtered in a single
+    * partition-parallel pass — no sort anywhere. Ties at a boundary follow
+    * Selection's (value, event_id) contract, which the oracle's
+    * row_number tie-break mirrors exactly.
+    *
+    * The per-group cutoff loop is the FEW-GROUPS regime (metrics
+    * dimensions, event types — G·rounds small aggregations); a
+    * many-groups trim wants the cutoff refinement carried per group key in
+    * one grouped histogram instead. Sums cross engines through
+    * DECIMAL(18,2) (the q51/q85 contract). */
+  def q113TrimmedMean(spark: SparkSession, dir: String,
+      trimPct: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("value"))
+      .withColumn("negv", -col("value"))
+      .persist()
+    val groups = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val keep = groups.map { g =>
+      val dfg = ev.filter(col("event_type") === g)
+      val n = dfg.count()
+      val t = n * trimPct / 100
+      val hiTail = graft.plans.Selection.topKPredicate(
+        dfg, "value", "event_id", t, n)
+      val loTail = graft.plans.Selection.topKPredicate(
+        dfg, "negv", "event_id", t, n)
+      col("event_type") === g && !hiTail && !loTail
+    }.reduce(_ || _)
+    ev.filter(keep)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_kept"))
+      .select(col("event_type"), col("n_kept"), col("sum_kept"),
+        round(col("sum_kept") / col("n_kept"), 4).as("trimmed_mean"))
+  }
+
   /** q102: EXACT fixed-k-per-stratum sample — "give me exactly k docs per
     * language, deterministically" (eval-set construction, per-class probe
     * sets), the fixed-COUNT complement of q70's fixed-RATE strata. The

@@ -121,6 +121,34 @@ object EventStreams {
         s"q34_stream_${System.nanoTime()}", OutputMode.Complete())
     }
 
+  /** Driver query (q114): streaming TRENDING top-k — the "what's hot right
+    * now" board every event pipeline ends up serving. The STREAMING side is
+    * the watermarked hourly (window × event_type) count — the same bounded
+    * state as q34; the per-window rank cut runs on the drained emission, a
+    * |windows|·|event types| frame, not the event stream (rank inside the
+    * streaming agg is unsupported and unnecessary: a production deployment
+    * ranks per emitted window in foreachBatch the same way). Complete-mode
+    * emission over a drained static source equals the batch aggregation,
+    * so the (n DESC, event_type ASC) row_number cut is oracle-exact — the
+    * tie-break makes the top-k a total order. */
+  def qStreamTrending(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events.parquet") { tmp =>
+      val counts = readEvents(spark, tmp)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("bucket"),
+          col("event_type"), col("n"))
+      val mat = runToMemory(spark, counts,
+        s"q114_stream_${System.nanoTime()}", OutputMode.Complete())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      mat.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= k)
+    }
+
   /** Driver query (q106): STREAMING session windows — the stateful
     * merging-session surface (q50's batch twin). Unlike tumbling/sliding
     * windows, session state MERGES: a new event can bridge two open

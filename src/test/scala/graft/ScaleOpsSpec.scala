@@ -958,6 +958,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"q112 rank join-back must broadcast the histogram:\n$plan")
   }
 
+  test("q113 trimmed mean equals the naive double-rank window; kept pass never sorts") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).map { case (g, rows) =>
+      val t = (rows.length * 10 / 100).toInt
+      val byDesc = rows.sortBy(r => (-r._3, r._2)).drop(t).toSet
+      val byAsc = rows.sortBy(r => (r._3, r._2)).drop(t).toSet
+      val kept = (byDesc & byAsc).toSeq
+      val sum = kept.map(r => BigDecimal(r._3).setScale(2)).sum
+      g -> ((kept.size.toLong, sum.toDouble))
+    }
+    val q = SparkEntry.queries("q113_trimmed_mean")(spark, sf)
+    val got = q.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+    // trim boundaries come from Selection's histogram refinement; the kept
+    // pass is filter + hash aggregate — no per-group sort in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q113 must not rank via window:\n$plan")
+    assert(!plan.contains("Sort"), s"q113 kept pass must not sort:\n$plan")
+  }
+
   test("q110 shard manifest: totals reconcile and the checksum matches an independent plan") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val n = docs.count()

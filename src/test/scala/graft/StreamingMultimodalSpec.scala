@@ -42,6 +42,27 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "stream emitted a bucket the batch twin does not have")
   }
 
+  test("q114 streaming trending top-k equals the batch rank over hourly counts") {
+    val got = SparkEntry.queries("q114_stream_trending")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // batch twin from the raw table: count per (hour, type), rank, cut at 3
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).toSeq.flatMap { case (b, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex.map {
+        case ((_, t, n), i) => (b, t, n, (i + 1).toLong)
+      }
+    }.toSet
+    assert(got.toSet === expected)
+    assert(got.length === expected.size)
+    got.groupBy(_._1).values.foreach(ws =>
+      assert(ws.map(_._4).sorted.toSeq === (1L to ws.length).toSeq,
+        "ranks within a window must be 1..k dense"))
+  }
+
   test("q61 stream-static micro-batch plan joins by broadcast, not sort-merge") {
     // AQE does not replan micro-batch plans: strategy comes from the batch
     // planner's static size estimates. Assert the executed micro-batch
