@@ -178,6 +178,8 @@ object SparkEntry {
       graft.operators.Sketches.q113TrimmedMean(s, d)),
     "q114_stream_trending"    -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamTrending(s, d)),
+    "q115_semantic_dedup"     -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.q115SemanticDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -633,6 +635,37 @@ object SparkEntry {
        "(PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS BIGINT) AS rnk " +
        "FROM c) " +
        "SELECT bucket, event_type, n, rnk FROM r WHERE rnk <= 3"),
+    // q115: q83's fixed-point assignment CTEs (full-vector distance), raw
+    // within-cell cosine > τ (margin-guarded, q37 contract), recursive-CTE
+    // components (q67 contract), min-id survivor verdict per vector
+    "q115_semantic_dedup" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, i - 1 AS j, CAST(x AS DOUBLE) AS x FROM " +
+       "(SELECT vec_id, unnest(embedding) AS x, " +
+       "generate_subscripts(embedding, 1) AS i FROM embeddings) u), " +
+       "c AS (SELECT vec_id AS cell, j, x AS cx FROM e WHERE vec_id < 16), " +
+       "d AS (SELECT e.vec_id, c.cell, " +
+       "SUM(CAST(trunc((e.x - c.cx)*(e.x - c.cx) * 1048576) AS BIGINT)) AS d2 " +
+       "FROM e JOIN c USING (j) GROUP BY e.vec_id, c.cell), " +
+       "asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn " +
+       "FROM d) t WHERE rn = 1), " +
+       "nr AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM e GROUP BY vec_id), " +
+       "pp AS (SELECT aa.vec_id AS doc_a, bb.vec_id AS doc_b, " +
+       "SUM(ea.x * eb.x) AS dot FROM asg aa " +
+       "JOIN asg bb ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id " +
+       "JOIN e ea ON ea.vec_id = aa.vec_id " +
+       "JOIN e eb ON eb.vec_id = bb.vec_id AND eb.j = ea.j GROUP BY 1, 2), " +
+       "pr AS (SELECT doc_a, doc_b FROM pp " +
+       "JOIN nr na ON na.vec_id = doc_a JOIN nr nb ON nb.vec_id = doc_b " +
+       "WHERE dot / (na.nrm * nb.nrm) > 0.40), " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pr " +
+       "UNION SELECT doc_b, doc_a FROM pr), " +
+       "reach(n, m) AS (SELECT a, a FROM edges " +
+       "UNION SELECT e2.b, r.m FROM reach r JOIN edges e2 ON e2.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n) " +
+       "SELECT a.vec_id, a.cell, CAST(CASE WHEN coalesce(l.root, a.vec_id) " +
+       "= a.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+       "FROM asg a LEFT JOIN lab l ON l.n = a.vec_id"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

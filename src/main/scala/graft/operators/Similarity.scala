@@ -417,6 +417,56 @@ object Similarity {
       // filter on the raw value, emit 4dp (oracle parity for libm-heavy math)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
 
+  /** q115: SEMANTIC dedup (SemDeDup-shaped) — embedding-space near-dup
+    * removal blocked by quantizer cell: assign every vector to its nearest
+    * seed centroid (q83's deterministic fixed-point argmin, computed as a
+    * single shuffle-free projection against the literal codebook like
+    * q109), compare cosines ONLY within a cell, connect the >τ graph, keep
+    * each component's min-id representative. This is the curation step
+    * that removes *meaning-level* duplicates MinHash can't see (retellings,
+    * translations, templated rewrites).
+    *
+    * Scale shape: candidate pairs are Σ_cell |cell|² — the quantizer is the
+    * blocking function, so cell granularity (nCells, or a second-level PQ
+    * code) bounds pair work exactly like LSH bands bound q37's; the
+    * component step reuses [[graft.operators.Dedup.connectedComponents]]
+    * (min-label propagation, shallow dense clusters). Output is the full
+    * per-vector verdict (cell, keep), so survivorship is checkable row by
+    * row. The τ filter compares raw IEEE cosines; gate data keeps every
+    * pair ≥1e-5 from τ (engine noise is ~1e-15 — margin guarded in
+    * ScaleOpsSpec, same contract as q37). */
+  def q115SemanticDedup(spark: SparkSession, dir: String, tau: Double = 0.40,
+      nCells: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val codebook = emb.filter(col("vec_id") < nCells).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cands = codebook.map { case (cell, v) =>
+      struct(l2Fixed(col("e"), array(v.map(lit(_)): _*)).as("d"),
+        lit(cell).as("c"))
+    }
+    val withCell = emb
+      .withColumn("cell", array_min(array(cands: _*)).getField("c"))
+      .withColumn("nrm", norm2(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withCell.as("a")
+    val b = withCell.as("b")
+    val pairs = a.join(b,
+        col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.e"), col("b.e")) /
+        (col("a.nrm") * col("b.nrm")) > tau)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "vec_id")
+    withCell.select(col("vec_id"), col("cell"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(coalesce(col("label"), col("vec_id")) === col("vec_id"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** Product-quantization encode (q109) — the IVF-PQ compression step an
     * ANN system applies at corpus scale: each vector's `nSub` disjoint
     * subvectors are independently assigned to the nearest entry of a

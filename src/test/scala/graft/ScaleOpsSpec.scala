@@ -981,6 +981,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Sort"), s"q113 kept pass must not sort:\n$plan")
   }
 
+  test("q115 semantic dedup equals a driver-side recompute; tau margin is guarded") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), _.cast("double")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0L; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += (t * t * 1048576d).toLong; j += 1 }
+      s
+    }
+    val cb = emb.filter(_._1 < 16).sortBy(_._1)
+    val cellOf = emb.map { case (id, v) =>
+      id -> cb.map { case (c, cv) => (d2(v, cv), c) }.min._2 }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { dt += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      dt / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = emb.groupBy(x => cellOf(x._1))
+    val tau = 0.40
+    var minMargin = Double.MaxValue
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    byCell.values.foreach { vs =>
+      for (i <- vs.indices; j <- (i + 1) until vs.length) {
+        val s = cos(vs(i)._2, vs(j)._2)
+        minMargin = math.min(minMargin, math.abs(s - tau))
+        if (s > tau) {
+          val (ra, rb) = (find(vs(i)._1), find(vs(j)._1))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+    }
+    assert(minMargin > 1e-6,
+      s"a within-cell cosine sits $minMargin from tau — oracle margin too thin")
+    val expected = emb.map { case (id, _) =>
+      id -> ((cellOf(id), if (find(id) == id) 1L else 0L)) }.toMap
+    val got = SparkEntry.queries("q115_semantic_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
   test("q110 shard manifest: totals reconcile and the checksum matches an independent plan") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val n = docs.count()
