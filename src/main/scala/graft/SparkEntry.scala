@@ -180,6 +180,7 @@ object SparkEntry {
       graft.streaming.EventStreams.qStreamTrending(s, d)),
     "q115_semantic_dedup"     -> ((s: SparkSession, d: String) =>
       graft.operators.Similarity.q115SemanticDedup(s, d)),
+    "q116_sketch_calibration" -> Dedup.q116SketchCalibration _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -666,6 +667,26 @@ object SparkEntry {
        "SELECT a.vec_id, a.cell, CAST(CASE WHEN coalesce(l.root, a.vec_id) " +
        "= a.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep " +
        "FROM asg a LEFT JOIN lab l ON l.n = a.vec_id"),
+    // q116: all-integer calibration columns — exact shingle intersection /
+    // union sizes next to the count of agreeing signature coordinates
+    "q116_sketch_calibration" ->
+      (minhashCtes + ", " +
+       "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+       "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p " +
+       "JOIN sh sa ON sa.doc_id = p.doc_a " +
+       "JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s GROUP BY 1, 2), " +
+       "mcrd AS (SELECT p.doc_a, p.doc_b, count(*) AS m FROM pairs p " +
+       "JOIN mh ma ON ma.doc_id = p.doc_a " +
+       "JOIN mh mb ON mb.doc_id = p.doc_b AND mb.seed = ma.seed " +
+       "AND mb.h = ma.h GROUP BY 1, 2) " +
+       "SELECT p.doc_a, p.doc_b, CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter, " +
+       "CAST(ca.n + cb.n - coalesce(i.i, 0) AS BIGINT) AS n_union, " +
+       "CAST(coalesce(mcrd.m, 0) AS BIGINT) AS match_coords " +
+       "FROM pairs p " +
+       "LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b " +
+       "JOIN cnt ca ON ca.doc_id = p.doc_a " +
+       "JOIN cnt cb ON cb.doc_id = p.doc_b " +
+       "LEFT JOIN mcrd ON mcrd.doc_a = p.doc_a AND mcrd.doc_b = p.doc_b"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -103,6 +103,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** q116: sketch CALIBRATION report — for every MinHash candidate pair,
+    * the exact shingle-set overlap next to the sketch's evidence: n_inter /
+    * n_union (true Jaccard as exact integers) and match_coords (how many of
+    * the 32 signature coordinates agree — the MinHash estimator numerator).
+    * This is the quality dashboard a curation platform keeps next to its
+    * dedup thresholds: it answers "how biased is the estimate at my
+    * operating point" from production candidates, no sampling framework.
+    *
+    * Everything is integer-exact (no doubles anywhere), so the report is
+    * oracle-checked value for value. Cost shape is q49's verify stage: ONE
+    * materialized shingle table feeds the signature aggregation AND both
+    * sides of the intersection join; every join is an equi-join keyed on
+    * doc_id / shingle, sized by candidates × per-doc shingles — never
+    * corpus². */
+  def q116SketchCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithDups(spark, dir)
+    val pairs = minhashCandidatePairs(spark, dir)
+    // distinct: the duplicated corpus repeats whole docs under the same
+    // doc_id — set semantics per doc_id (the oracle's DISTINCT sh CTE),
+    // else intersections double-count
+    val sh = shingleTable(docs).distinct().localCheckpoint()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sigs = minhashSignaturesFromShingles(sh)
+    val mc = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _)
+          .as("match_coords"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .join(mc, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("i"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L))).as("n_union"),
+        col("match_coords"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Word w-shingles of a document as an array column. */

@@ -176,8 +176,12 @@ object Sketches {
     * The per-group cutoff loop is the FEW-GROUPS regime (metrics
     * dimensions, event types — G·rounds small aggregations); a
     * many-groups trim wants the cutoff refinement carried per group key in
-    * one grouped histogram instead. Sums cross engines through
-    * DECIMAL(18,2) (the q51/q85 contract). */
+    * one grouped histogram instead. The group loop runs CONCURRENTLY
+    * ([[graft.ml.Par.mapAll]], the grid-fit pattern): each group's
+    * refinement is a chain of tiny driver-synchronized jobs, so serial
+    * groups pay G × rounds of scheduler latency while concurrent groups
+    * overlap it — measured 8 s → ~3 s warm at sf0.1. Sums cross engines
+    * through DECIMAL(18,2) (the q51/q85 contract). */
   def q113TrimmedMean(spark: SparkSession, dir: String,
       trimPct: Int = 10): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -185,11 +189,11 @@ object Sketches {
         col("value").cast("double").as("value"))
       .withColumn("negv", -col("value"))
       .persist()
-    val groups = ev.select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val keep = groups.map { g =>
+    // one job for every group size (not one count() per group)
+    val sizes = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val keep = graft.ml.Par.mapAll(sizes.toSeq) { case (g, n) =>
       val dfg = ev.filter(col("event_type") === g)
-      val n = dfg.count()
       val t = n * trimPct / 100
       val hiTail = graft.plans.Selection.topKPredicate(
         dfg, "value", "event_id", t, n)

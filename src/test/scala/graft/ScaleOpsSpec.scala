@@ -1024,6 +1024,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q116 calibration columns match an independent local shingle recompute") {
+    val got = SparkEntry.queries("q116_sketch_calibration")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty, "the duplicated corpus must yield candidate pairs")
+    // independent exact-overlap recompute: local 3-shingles mirroring
+    // Dedup.shingles (w<3 fallback = whole text), sets intersected on the
+    // driver — no shared code with the query's join pipeline
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set(t)
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    got.foreach { case ((a, b), (nInter, nUnion, m)) =>
+      val (sa, sb) = (shingleSet(docs(a)), shingleSet(docs(b)))
+      assert(nInter === (sa & sb).size.toLong, s"n_inter wrong for ($a,$b)")
+      assert(nUnion === (sa | sb).size.toLong, s"n_union wrong for ($a,$b)")
+      // a candidate pair shares a band bucket = 4 identical signature
+      // coordinates (modulo a ~2^-60 bucket-hash collision)
+      assert(m >= 4L && m <= 32L, s"match_coords $m out of range for ($a,$b)")
+      if (sa == sb)
+        assert(m === 32L, s"identical shingle sets must agree on all coords ($a,$b)")
+    }
+  }
+
   test("q110 shard manifest: totals reconcile and the checksum matches an independent plan") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val n = docs.count()
