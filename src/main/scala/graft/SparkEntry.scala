@@ -181,6 +181,8 @@ object SparkEntry {
     "q115_semantic_dedup"     -> ((s: SparkSession, d: String) =>
       graft.operators.Similarity.q115SemanticDedup(s, d)),
     "q116_sketch_calibration" -> Dedup.q116SketchCalibration _,
+    "q117_multiprobe_lsh"     -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.q117MultiProbeLsh(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -687,6 +689,30 @@ object SparkEntry {
        "JOIN cnt ca ON ca.doc_id = p.doc_a " +
        "JOIN cnt cb ON cb.doc_id = p.doc_b " +
        "LEFT JOIN mcrd ON mcrd.doc_a = p.doc_a AND mcrd.doc_b = p.doc_b"),
+    // q117: q31's hyperplane/bucket CTEs at 10 bits; Hamming<=1 probe set
+    // via xor in {0} ∪ powers of two; rank on 4dp sim + vec_id tie-break
+    "q117_multiprobe_lsh" ->
+      (s"WITH g AS (SELECT t.i, u.j, CASE WHEN ${hex60Sql("concat(t.i, ':', u.j)")} % 2 = 0 THEN 1.0 ELSE -1.0 END AS s " +
+       "FROM UNNEST(generate_series(0,9)) t(i), UNNEST(generate_series(0,63)) u(j)), " +
+       "e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i - 1 AS j FROM " +
+       "(SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1) AS i FROM embeddings) q), " +
+       "p AS (SELECT e.vec_id, g.i, SUM(e.x * g.s) AS proj FROM e " +
+       "JOIN g ON e.j = g.j GROUP BY e.vec_id, g.i), " +
+       "b AS (SELECT vec_id, SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket FROM p GROUP BY vec_id), " +
+       "n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM e GROUP BY vec_id), " +
+       "qb AS (SELECT bucket FROM b WHERE vec_id = 0), " +
+       "cand AS (SELECT b.vec_id, CASE WHEN b.bucket = qb.bucket THEN 0 ELSE 1 END AS ph " +
+       "FROM b, qb WHERE b.vec_id <> 0 AND xor(b.bucket, qb.bucket) IN " +
+       "(0,1,2,4,8,16,32,64,128,256,512)), " +
+       "d AS (SELECT c.vec_id, c.ph, SUM(ea.x * eb.x) AS dot FROM cand c " +
+       "JOIN e ea ON ea.vec_id = 0 JOIN e eb ON eb.vec_id = c.vec_id AND eb.j = ea.j " +
+       "GROUP BY 1, 2), " +
+       "sc AS (SELECT d.vec_id, round(d.dot/(nq.nrm*nb.nrm), 4) AS sim, " +
+       "CAST(d.ph AS BIGINT) AS probe_hamming FROM d " +
+       "JOIN n nq ON nq.vec_id = 0 JOIN n nb ON nb.vec_id = d.vec_id), " +
+       "rk AS (SELECT vec_id, sim, probe_hamming, row_number() OVER " +
+       "(ORDER BY sim DESC, vec_id) AS rn FROM sc) " +
+       "SELECT vec_id, sim, probe_hamming FROM rk WHERE rn <= 10"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

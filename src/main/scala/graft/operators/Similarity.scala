@@ -417,6 +417,46 @@ object Similarity {
       // filter on the raw value, emit 4dp (oracle parity for libm-heavy math)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
 
+  /** q117: MULTI-PROBE sign-LSH ANN — the recall lever between q31's
+    * single-bucket probe and brute force: probe the query's bucket PLUS its
+    * `nBits` Hamming-1 neighbors (each one sign-bit flip). A near neighbor
+    * that lands across one marginal hyperplane — the dominant LSH miss
+    * mode — is recovered for (nBits+1)× the candidate cost, with NO extra
+    * tables (multi-probe's whole point vs adding hash tables: same index,
+    * more probes).
+    *
+    * Scale shape: the probe set is nBits+1 literal ints, so candidate
+    * fetch is `bucket IN (...)` — pushed to the scan / partition-pruned on
+    * a bucket-partitioned index at corpus scale; exact scoring touches only
+    * probed candidates. The query's bucket comes from the SAME
+    * [[signLshBuckets]] frame the corpus uses (one pushed-down point read),
+    * so engine and oracle agree bit for bit; ranking is on the 4dp-rounded
+    * sim with vec_id tie-break (the q31 contract). `probe_hamming` (0 =
+    * home bucket, 1 = flipped) is emitted so recall attribution per probe
+    * ring is visible in the result. */
+  def q117MultiProbeLsh(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, nBits: Int = 10, dim: Int = 64): DataFrame = {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm2(col("e")))
+    val buckets = signLshBuckets(vecs, nBits, dim)
+    val qRow = vecs.join(buckets, Seq("vec_id"))
+      .filter(col("vec_id") === queryId)
+      .select(col("e"), col("nrm"), col("bucket")).head
+    val q = qRow.getSeq[Double](0).toArray
+    val qn = qRow.getDouble(1)
+    val qb = qRow.getInt(2)
+    val probes = qb +: (0 until nBits).map(i => qb ^ (1 << i))
+    val qLit = array(q.map(lit(_)): _*)
+    vecs.join(buckets, Seq("vec_id"))
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(dot(col("e"), qLit) / (col("nrm") * lit(qn)), 4).as("sim"),
+        when(col("bucket") === qb, 0L).otherwise(1L).as("probe_hamming"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** q115: SEMANTIC dedup (SemDeDup-shaped) — embedding-space near-dup
     * removal blocked by quantizer cell: assign every vector to its nearest
     * seed centroid (q83's deterministic fixed-point argmin, computed as a

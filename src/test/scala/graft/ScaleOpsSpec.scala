@@ -1053,6 +1053,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 multi-probe stays within Hamming<=1 and never loses recall vs single-probe") {
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), _.cast("double")).as("e"))
+    val buckets = Similarity.signLshBuckets(vecs, nBits = 10, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qb = buckets(0L)
+    val got = SparkEntry.queries("q117_multiprobe_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 10)
+    got.foreach { case (id, _, ph) =>
+      val hamming = java.lang.Integer.bitCount(buckets(id) ^ qb)
+      assert(hamming <= 1, s"vec $id at Hamming $hamming from the query bucket")
+      assert(ph === hamming.toLong, s"probe_hamming mislabeled for vec $id")
+    }
+    val brute = Similarity.bruteForceTopK(spark, sf, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val multi = got.map(_._1).toSet
+    val single = got.filter(_._3 == 0L).map(_._1).toSet
+    assert((brute & multi).size >= (brute & single).size,
+      "adding probe rings must not lose exact-top-k members")
+  }
+
   test("q110 shard manifest: totals reconcile and the checksum matches an independent plan") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val n = docs.count()
