@@ -183,6 +183,8 @@ object SparkEntry {
     "q116_sketch_calibration" -> Dedup.q116SketchCalibration _,
     "q117_multiprobe_lsh"     -> ((s: SparkSession, d: String) =>
       graft.operators.Similarity.q117MultiProbeLsh(s, d)),
+    "q118_cooccurrence_lift"  -> Relational.q118CooccurrenceLift _,
+    "q119_transition_matrix"  -> Relational.q119TransitionMatrix _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -713,6 +715,30 @@ object SparkEntry {
        "rk AS (SELECT vec_id, sim, probe_hamming, row_number() OVER " +
        "(ORDER BY sim DESC, vec_id) AS rn FROM sc) " +
        "SELECT vec_id, sim, probe_hamming FROM rk WHERE rn <= 10"),
+    // q118: distinct per-user baskets, unordered type pairs, q99's decimal
+    // floor-division lift in ppm
+    "q118_cooccurrence_lift" ->
+      ("WITH b AS (SELECT DISTINCT user_id, event_type FROM events), " +
+       "c AS (SELECT event_type, count(*) AS c1 FROM b GROUP BY 1), " +
+       "nn AS (SELECT count(DISTINCT user_id) AS n FROM events), " +
+       "p AS (SELECT a.event_type AS ta, x.event_type AS tb, count(*) AS cab " +
+       "FROM b a JOIN b x ON a.user_id = x.user_id " +
+       "AND a.event_type < x.event_type GROUP BY 1, 2) " +
+       "SELECT ta, tb, CAST(cab AS BIGINT) AS n_both, " +
+       "CAST((cab * nn.n * 1000000) // (ca.c1 * cb.c1) AS BIGINT) AS lift_ppm " +
+       "FROM p JOIN c ca ON ca.event_type = ta " +
+       "JOIN c cb ON cb.event_type = tb, nn"),
+    // q119: lead() over (user, ts, event_id) — a total order both engines
+    // share; ppm is BIGINT-exact (n*1e6 <= 1e12)
+    "q119_transition_matrix" ->
+      ("WITH s AS (SELECT user_id, event_type, lead(event_type) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
+       "t AS (SELECT event_type AS from_type, next_type AS to_type, " +
+       "count(*) AS n FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2), " +
+       "r AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY 1) " +
+       "SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n, " +
+       "CAST((t.n * 1000000) // r.row_n AS BIGINT) AS prob_ppm " +
+       "FROM t JOIN r ON r.from_type = t.from_type"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

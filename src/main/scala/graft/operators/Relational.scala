@@ -797,4 +797,73 @@ object Relational {
         sum(col("l_quantity").cast("decimal(18,2)"))
           .cast("double").as("sum_qty"))
   }
+
+  /** q118: per-user co-occurrence LIFT of event types — basket-style
+    * association mining ("users who view also purchase?"): for each
+    * unordered type pair, how many users did both, and the lift
+    * c_ab·N / (c_a·c_b) in ppm.
+    *
+    * The per-user self-join is bounded by each user's DISTINCT type set
+    * (≤ |type vocabulary| per user, typically a handful), so pair
+    * generation is linear in users — the equi-join key is user_id, never a
+    * cross product. Aggregates land on |types|² rows; the count tables
+    * broadcast back. Lift is the q99 decimal contract: the quotient stays
+    * DECIMAL end to end ((numer − numer % denom)/denom — `div` would force
+    * BIGINT and overflow at ~1e13 user-pairs), floor-exact against the
+    * oracle's int128 division. */
+  def q118CooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val b = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = b.agg(count_distinct(col("user_id")).as("n"))
+    val c = b.groupBy(col("event_type")).agg(count(lit(1)).as("c1"))
+    b.as("a").join(b.as("x"),
+        col("a.user_id") === col("x.user_id") &&
+        col("a.event_type") < col("x.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("x.event_type").as("tb"))
+      .agg(count(lit(1)).as("cab"))
+      .join(broadcast(c.select(col("event_type").as("ta"), col("c1").as("ca"))),
+        Seq("ta"))
+      .join(broadcast(c.select(col("event_type").as("tb"), col("c1").as("cb"))),
+        Seq("tb"))
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("cab").as("n_both"),
+        expr("cast(((cast(cab as decimal(38,0)) * n * 1000000)" +
+          "  - (cast(cab as decimal(38,0)) * n * 1000000)" +
+          "    % (cast(ca as decimal(38,0)) * cb))" +
+          " / (cast(ca as decimal(38,0)) * cb) as bigint)").as("lift_ppm"))
+  }
+
+  /** q119: event-type TRANSITION matrix — first-order Markov statistics of
+    * user behavior (the sequence-model feed every funnel/recommendation
+    * pipeline derives): for each (from, to) adjacent pair in a user's
+    * time-ordered stream, the count and the row-normalized transition
+    * probability in ppm.
+    *
+    * The only corpus-sized operation is one window `lead()` partitioned by
+    * user and ordered by (ts, event_id) — the (hash-partition by user, sort
+    * within partition) shape that scales with user cardinality; the ts tie
+    * breaks on event_id so successor identity is a total order the oracle
+    * reproduces. Transition counts are |types|² rows; the probability is an
+    * exact integer ppm through the q99 decimal floor-division contract
+    * (n·10⁶ would overflow BIGINT past ~9e12 transitions per row — real at
+    * corpus scale). */
+  def q119TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("cast(((cast(n as decimal(38,0)) * 1000000)" +
+          "  - (cast(n as decimal(38,0)) * 1000000) % row_n)" +
+          " / row_n as bigint)").as("prob_ppm"))
+  }
 }

@@ -1077,6 +1077,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       "adding probe rings must not lose exact-top-k members")
   }
 
+  test("q118/q119 equal driver-side brute forces (baskets, ordered transitions)") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // q118: distinct baskets, unordered pairs, integer-floor lift
+    val baskets = ev.map(e => (e._1, e._2)).distinct
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    val c1 = baskets.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val exp118 = baskets.groupBy(_._1).values.flatMap { ts =>
+      val types = ts.map(_._2).sorted
+      for (i <- types.indices; j <- (i + 1) until types.length)
+        yield (types(i), types(j))
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      val cab = xs.size.toLong
+      (a, b) -> ((cab, cab * nUsers * 1000000L / (c1(a) * c1(b))))
+    }
+    val got118 = SparkEntry.queries("q118_cooccurrence_lift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got118 === exp118)
+    // q119: per-user (ts, event_id)-ordered successors, row-normalized ppm
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val rowN = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val exp119 = trans.map { case ((f, t), n) =>
+      (f, t) -> ((n, n * 1000000L / rowN(f))) }
+    val got119 = SparkEntry.queries("q119_transition_matrix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got119 === exp119)
+  }
+
   test("q110 shard manifest: totals reconcile and the checksum matches an independent plan") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val n = docs.count()
