@@ -173,17 +173,20 @@ object Sketches {
     * Selection's (value, event_id) contract, which the oracle's
     * row_number tie-break mirrors exactly.
     *
-    * The per-group cutoff loop is the FEW-GROUPS regime (metrics
-    * dimensions, event types — G·rounds small aggregations); a
-    * many-groups trim wants the cutoff refinement carried per group key in
-    * one grouped histogram instead. The group loop runs CONCURRENTLY
-    * ([[graft.ml.Par.mapAll]], the grid-fit pattern): each group's
-    * refinement is a chain of tiny driver-synchronized jobs, so serial
-    * groups pay G × rounds of scheduler latency while concurrent groups
-    * overlap it — measured 8 s → ~3 s warm at sf0.1. Sums cross engines
-    * through DECIMAL(18,2) (the q51/q85 contract). */
+    * All groups refine TOGETHER through
+    * [[graft.plans.Selection.groupedKthLargestDouble]] /
+    * [[graft.plans.Selection.groupedKthSmallestLong]]: each round is ONE
+    * bounds-broadcast aggregation covering every unfinished group and both
+    * tails share the machinery, so total driver-synchronized jobs are
+    * O(rounds), independent of G — the many-groups regime (a per-group
+    * loop pays G × rounds of scheduler latency; measured 8 s → ~2 s warm
+    * at sf0.1 with G=5, and the job count would not move at G=5000). The
+    * kept pass is one broadcast join against the G-row cutoff table plus a
+    * codegen'd filter. Sums cross engines through DECIMAL(18,2) (the
+    * q51/q85 contract). */
   def q113TrimmedMean(spark: SparkSession, dir: String,
       trimPct: Int = 10): DataFrame = {
+    import graft.plans.Selection
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         col("value").cast("double").as("value"))
@@ -191,17 +194,34 @@ object Sketches {
       .persist()
     // one job for every group size (not one count() per group)
     val sizes = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val keep = graft.ml.Par.mapAll(sizes.toSeq) { case (g, n) =>
-      val dfg = ev.filter(col("event_type") === g)
-      val t = n * trimPct / 100
-      val hiTail = graft.plans.Selection.topKPredicate(
-        dfg, "value", "event_id", t, n)
-      val loTail = graft.plans.Selection.topKPredicate(
-        dfg, "negv", "event_id", t, n)
-      col("event_type") === g && !hiTail && !loTail
-    }.reduce(_ || _)
-    ev.filter(keep)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ts = sizes.map { case (g, n) => g -> n * trimPct / 100 }
+      .filter(_._2 > 0)
+    def tailCuts(valueCol: String): Map[String, (Double, Long)] = {
+      val cuts = Selection.groupedKthLargestDouble(ev, "event_type", valueCol, ts)
+      val mTargets = cuts.map { case (g, (_, nAbove)) => g -> (ts(g) - nAbove) }
+      import spark.implicits._
+      val cutDf = cuts.toSeq.map { case (g, (c, _)) => (g, c) }.toDF("__g", "__c")
+      val ties = ev.join(broadcast(cutDf),
+        col("event_type") === col("__g") && col(valueCol) === col("__c"))
+        .drop("__g", "__c") // the grouped refinement reuses these aliases
+      val idCuts = Selection.groupedKthSmallestLong(ties, "event_type",
+        "event_id", mTargets)
+      cuts.map { case (g, (c, _)) => g -> ((c, idCuts(g))) }
+    }
+    val hi = tailCuts("value")
+    val lo = tailCuts("negv")
+    import spark.implicits._
+    val cutoffs = ts.keys.toSeq.map { g =>
+      (g, hi(g)._1, hi(g)._2, lo(g)._1, lo(g)._2)
+    }.toDF("event_type", "hiC", "hiId", "loC", "loId")
+    val hiTail = col("value") > col("hiC") ||
+      (col("value") === col("hiC") && col("event_id") <= col("hiId"))
+    val loTail = col("negv") > col("loC") ||
+      (col("negv") === col("loC") && col("event_id") <= col("loId"))
+    ev.join(broadcast(cutoffs), Seq("event_type"), "left")
+      // groups below the trim threshold (t = 0) have no cutoff row: keep all
+      .filter(coalesce(!hiTail && !loTail, lit(true)))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_kept"))

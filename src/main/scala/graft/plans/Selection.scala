@@ -120,6 +120,173 @@ object Selection {
     lo
   }
 
+  /** GROUPED exact k-th largest: per-group order statistics for ALL groups
+    * in O(rounds) SHARED aggregations — the many-groups regime where one
+    * [[kthLargestDouble]] loop per group would pay G × rounds of scheduler
+    * latency (and G jobs per round). Each round broadcast-joins a tiny
+    * (group, lo, hi) bounds table, buckets every group's surviving interval
+    * in the same pass, and the driver walks each group's histogram
+    * independently; groups finish (interval collapses or a single-value
+    * bucket holds the k-th) at their own pace and drop out of later rounds.
+    * Driver sees ≤ G·B histogram rows per round (B shrinks as G grows).
+    *
+    * `targets` maps group → k (1-based, from the top). Returns group →
+    * (cutoff value c, count strictly above c) with [[kthLargestDouble]]'s
+    * exact contract per group. Groups absent from `targets` are ignored. */
+  def groupedKthLargestDouble(df: DataFrame, groupCol: String,
+      valueCol: String, targets: Map[String, Long]): Map[String, (Double, Long)] = {
+    require(targets.values.forall(_ > 0), "every k must be positive")
+    if (targets.isEmpty) return Map.empty
+    val spark = df.sparkSession
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val bPerGroup = math.max(64, B / targets.size)
+    val init = df.filter(g.isin(targets.keys.toSeq: _*))
+      .groupBy(g.as("__g"))
+      .agg(min(v).as("mn"), max(v).as("mx"), count(v).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    targets.foreach { case (grp, k) =>
+      val (lo, hi, n) = init.getOrElse(grp,
+        throw new IllegalArgumentException(s"group $grp has no rows"))
+      require(!lo.isNaN && !hi.isNaN, s"NaN values in $valueCol (group $grp)")
+      require(n >= k, s"k=$k exceeds group $grp row count $n")
+    }
+    var state = init.view.filterKeys(targets.contains).map { case (grp, (lo, hi, _)) =>
+      grp -> ((lo, hi, 0L)) // (lo, hi, nAbove)
+    }.toMap
+    val done = collection.mutable.Map.empty[String, (Double, Long)]
+    var rounds = 0
+    while (state.nonEmpty) {
+      rounds += 1
+      require(rounds <= 80, "groupedKthLargestDouble: refinement stalled")
+      // collapsed intervals resolve without another pass
+      val (collapsed, open) = state.partition { case (_, (lo, hi, _)) => lo >= hi }
+      collapsed.foreach { case (grp, (lo, _, nAbove)) => done(grp) = (lo, nAbove) }
+      state = open
+      if (state.nonEmpty) {
+        import spark.implicits._
+        val bounds = state.toSeq.map { case (grp, (lo, hi, _)) => (grp, lo, hi) }
+          .toDF("__g", "__lo", "__hi")
+        val w = col("__hi") - col("__lo")
+        // per-group bucket index; infinite-width intervals halve at the
+        // midpoint (kthLargestDouble's overflow guard, vectorized)
+        val bucket = when(!isnan(w) && w === Double.PositiveInfinity,
+            when(v < col("__lo") / 2 + col("__hi") / 2, lit(0)).otherwise(lit(1)))
+          .otherwise(least(lit(bPerGroup - 1), greatest(lit(0),
+            floor((v - col("__lo")) / w * bPerGroup).cast("int"))))
+        val hist = df.join(broadcast(bounds), g === col("__g"))
+          .filter(v >= col("__lo") && v <= col("__hi"))
+          .groupBy(col("__g"), bucket.as("b"))
+          .agg(count(lit(1)).as("cnt"), min(v).as("mn"), max(v).as("mx"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+          .groupBy(_._1)
+        state = state.flatMap { case (grp, (lo0, hi0, nAbove0)) =>
+          val buckets = hist.getOrElse(grp,
+            throw new IllegalStateException(s"histogram lost group $grp"))
+            .map { case (_, b, cnt, mn, mx) => (b, cnt, mn, mx) }
+            .sortBy(-_._1) // descending value ranges
+          var nAbove = nAbove0
+          var need = targets(grp) - nAbove0
+          var next: Option[(String, (Double, Double, Long))] = None
+          var descend = true
+          for ((_, cnt, mn, mx) <- buckets if descend) {
+            if (cnt < need) { nAbove += cnt; need -= cnt }
+            else if (mn == mx) { done(grp) = (mn, nAbove); descend = false }
+            else if (rounds >= 64 && mn == lo0 && mx == hi0) {
+              // adversarial density: the interval stopped shrinking —
+              // resolve this group by exact value histogram (the
+              // kthLargestDouble fallback, per group, rare path)
+              val values = df.filter(g === grp && v >= mn && v <= mx)
+                .groupBy(v.as("value")).agg(count(lit(1)).as("cnt"))
+                .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
+              var res: Option[(Double, Long)] = None
+              for ((value, cnt2) <- values if res.isEmpty) {
+                if (cnt2 >= need) res = Some((value, nAbove))
+                else { nAbove += cnt2; need -= cnt2 }
+              }
+              done(grp) = res.getOrElse(
+                throw new IllegalStateException(s"histogram exhausted in $grp"))
+              descend = false
+            }
+            else { next = Some(grp -> ((mn, mx, nAbove))); descend = false }
+          }
+          if (descend) throw new IllegalStateException(s"histogram lost rows in $grp")
+          next
+        }
+      }
+    }
+    done.toMap
+  }
+
+  /** Grouped twin of [[kthSmallestLong]]: per-group m-th smallest of a
+    * UNIQUE non-negative long column, all groups refined in shared rounds
+    * (same bounds-broadcast shape as [[groupedKthLargestDouble]]). Used for
+    * the tie-break id cutoffs of grouped top-k predicates. */
+  def groupedKthSmallestLong(df: DataFrame, groupCol: String, idCol: String,
+      targets: Map[String, Long]): Map[String, Long] = {
+    require(targets.values.forall(_ > 0), "every m must be positive")
+    if (targets.isEmpty) return Map.empty
+    val spark = df.sparkSession
+    val g = col(groupCol)
+    val v = col(idCol)
+    val init = df.filter(g.isin(targets.keys.toSeq: _*))
+      .groupBy(g.as("__g"))
+      .agg(min(v).as("mn"), max(v).as("mx"), count(v).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    targets.foreach { case (grp, m) =>
+      val n = init.getOrElse(grp,
+        throw new IllegalArgumentException(s"group $grp has no rows"))._3
+      require(n >= m, s"m=$m exceeds group $grp row count $n")
+    }
+    var state = init.view.filterKeys(targets.contains).map { case (grp, (lo, hi, _)) =>
+      grp -> ((lo, hi, targets(grp))) // (lo, hi, need)
+    }.toMap
+    val done = collection.mutable.Map.empty[String, Long]
+    var rounds = 0
+    while (state.nonEmpty) {
+      rounds += 1
+      require(rounds <= 10, "groupedKthSmallestLong: refinement stalled")
+      val (collapsed, open) = state.partition { case (_, (lo, hi, _)) => lo >= hi }
+      collapsed.foreach { case (grp, (lo, _, _)) => done(grp) = lo }
+      state = open
+      if (state.nonEmpty) {
+        import spark.implicits._
+        val withStep = state.toSeq.map { case (grp, (lo, hi, _)) =>
+          (grp, lo, hi, math.max((hi - lo) >>> 13, 1L))
+        }
+        val bounds = withStep.toDF("__g", "__lo", "__hi", "__step")
+        val hist = df.join(broadcast(bounds), g === col("__g"))
+          .filter(v >= col("__lo") && v <= col("__hi"))
+          .groupBy(col("__g"),
+            expr(s"(`$idCol` - __lo) DIV __step").as("b"))
+          .agg(count(lit(1)).as("cnt"), min(v).as("mn"), max(v).as("mx"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .groupBy(_._1)
+        state = state.flatMap { case (grp, (_, _, need0)) =>
+          val buckets = hist.getOrElse(grp,
+            throw new IllegalStateException(s"histogram lost group $grp"))
+            .map { case (_, b, cnt, mn, mx) => (b, cnt, mn, mx) }
+            .sortBy(_._1) // ascending id ranges
+          var need = need0
+          var next: Option[(String, (Long, Long, Long))] = None
+          var ascend = true
+          for ((_, cnt, mn, mx) <- buckets if ascend) {
+            if (cnt < need) need -= cnt
+            else if (mn == mx) { done(grp) = mn; ascend = false }
+            else { next = Some(grp -> ((mn, mx, need))); ascend = false }
+          }
+          if (ascend) throw new IllegalStateException(s"histogram lost rows in $grp")
+          next
+        }
+      }
+    }
+    done.toMap
+  }
+
   /** Predicate keeping EXACTLY min(k, n) rows of `df`, the top k by
     * (`valueCol` DESC, `idCol` ASC) — the filter-based replacement for
     * `orderBy(desc(valueCol), idCol).limit(k)`. `df` should be cached (the

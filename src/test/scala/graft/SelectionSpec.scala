@@ -103,4 +103,37 @@ class SelectionSpec extends AnyFunSuite {
     assert(df.filter(pred).count() === 500L)
     df.unpersist()
   }
+
+  test("grouped kth-largest matches the per-group single refinement (40 groups, mixed density)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // mixed regimes across groups: continuous, heavy ties, all-identical
+    val rows = (0 until 40).flatMap { gi =>
+      val g = f"g$gi%02d"
+      (0 until 200).map { i =>
+        val v = gi % 3 match {
+          case 0 => rnd.nextDouble() * 100
+          case 1 => (i % 5).toDouble
+          case 2 => 42.0
+        }
+        (g, gi * 1000L + i, v)
+      }
+    }
+    val df = rows.toDF("grp", "id", "v").repartition(8).cache()
+    df.count()
+    val targets = (0 until 40).map(gi => f"g$gi%02d" -> (gi % 7 + 1).toLong * 13).toMap
+    val grouped = Selection.groupedKthLargestDouble(df, "grp", "v", targets)
+    targets.foreach { case (g, k) =>
+      val single = Selection.kthLargestDouble(df.filter(col("grp") === g), "v", k)
+      assert(grouped(g) === single, s"group $g diverged: ${grouped(g)} vs $single")
+    }
+    // grouped id refinement parity on the same data
+    val idTargets = (0 until 40).map(gi => f"g$gi%02d" -> (gi % 11 + 1).toLong).toMap
+    val gIds = Selection.groupedKthSmallestLong(df, "grp", "id", idTargets)
+    idTargets.foreach { case (g, m) =>
+      val single = Selection.kthSmallestLong(df.filter(col("grp") === g), "id", m)
+      assert(gIds(g) === single, s"group $g id cutoff diverged")
+    }
+    df.unpersist()
+  }
 }
