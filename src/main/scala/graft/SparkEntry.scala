@@ -185,6 +185,9 @@ object SparkEntry {
       graft.operators.Similarity.q117MultiProbeLsh(s, d)),
     "q118_cooccurrence_lift"  -> Relational.q118CooccurrenceLift _,
     "q119_transition_matrix"  -> Relational.q119TransitionMatrix _,
+    "q120_roc_auc"            -> graft.operators.RankMetrics.q120RocAuc _,
+    "q121_prefix_jaccard"     -> ((s: SparkSession, d: String) =>
+      graft.operators.Linkage.q121PrefixJaccardJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -739,6 +742,36 @@ object SparkEntry {
        "SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n, " +
        "CAST((t.n * 1000000) // r.row_n AS BIGINT) AS prob_ppm " +
        "FROM t JOIN r ON r.from_type = t.from_type"),
+    // q120: the same Mann–Whitney rank identity over the binned-score
+    // histogram — 2·rank-sum stays integer, big products in DECIMAL/int128,
+    // one rounded double division per segment at the end
+    "q120_roc_auc" ->
+      ("WITH e AS (SELECT CAST(user_id % 4 AS INT) AS segment, " +
+       "CAST(round(value * 100) AS BIGINT) AS bin, " +
+       "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events), " +
+       "h AS (SELECT segment, bin, count(*) AS c, SUM(pos) AS cp FROM e GROUP BY 1, 2), " +
+       "r AS (SELECT segment, c, cp, COALESCE(SUM(c) OVER (PARTITION BY segment " +
+       "ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_less FROM h), " +
+       "a AS (SELECT segment, SUM(cp * (2 * n_less + c + 1)) AS r2, " +
+       "SUM(cp) AS p, SUM(c) AS n FROM r GROUP BY 1) " +
+       "SELECT segment, CAST(p AS BIGINT) AS p, CAST(n - p AS BIGINT) AS n_neg, " +
+       "round(CAST(r2 - p * (p + 1) AS DOUBLE) / CAST(p * (n - p) * 2 AS DOUBLE), 6) AS auc " +
+       "FROM a"),
+    // q121: the oracle generates candidates from ANY shared token (strictly
+    // more than the prefix filter admits — brute-force-correct), then
+    // applies the identical cross-multiplied integer τ-test; bit-exact
+    // because no doubles exist on either side
+    "q121_prefix_jaccard" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1), " +
+       "pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter " +
+       "FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+       "SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, " +
+       "CAST(sa.n + sb.n - inter AS BIGINT) AS uni, " +
+       "CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT) AS jacc_ppm " +
+       "FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+       "WHERE inter * 10 >= (sa.n + sb.n - inter) * 9"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

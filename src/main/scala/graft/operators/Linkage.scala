@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -68,5 +69,71 @@ object Linkage {
       .agg(count(lit(1)).as("n_pairs"),
         min(least(col("k"), col("kb")) * 100000 +
           greatest(col("k"), col("kb"))).as("first_pair"))
+  }
+
+  /** q121: EXACT Jaccard-threshold set-similarity self-join over document
+    * token sets via prefix filtering (the PPJoin family — Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Chaudhuri et al.,
+    * ICDE'06) — the exact counterpart to the MinHash/LSH near-dup family
+    * (q24/q37): LSH trades recall for speed, this trades nothing and still
+    * never goes all-pairs.
+    *
+    * The filter: order every token set by GLOBAL document frequency
+    * (rarest first, (df, token) total order so both occurrences of a token
+    * sort identically), and keep only each set's first
+    * |T| − ⌈τ·|T|⌉ + 1 tokens as its "prefix". Any pair with
+    * jacc = |∩|/|∪| ≥ τ has |∩| ≥ τ·|T| for BOTH sides, so skipping a
+    * full prefix would leave fewer than the required matches — two sets
+    * can only qualify if their prefixes share a token. At τ = 0.9 the
+    * prefix is ~10% of each set, and it is the set's RAREST tokens, so the
+    * candidate equi-join on (token) is small and skew-free by
+    * construction — frequent tokens never enter a prefix of a
+    * non-tiny set. ⌈τ|T|⌉ is computed in exact integer arithmetic
+    * ((9·|T|+9) div 10), never a double that could round across the
+    * boundary.
+    *
+    * Plan shape at 100 TB: one doc_id-shuffled window ranks each set
+    * (state O(set), not O(corpus)); the vocab-bounded df table broadcasts;
+    * candidates are an equi-join on prefix tokens; verification joins the
+    * CANDIDATE PAIRS back to the token table on (doc, token) — work
+    * O(candidates · set size), the exact-verify bound every set-similarity
+    * join pays. The τ-test is cross-multiplied integer arithmetic
+    * (10·|∩| ≥ 9·|∪|), jacc_ppm integer floor-division — no doubles
+    * anywhere, so the DuckDB oracle (which generates candidates from ANY
+    * shared token — brute-force-correct at sf scale) matches bit-exactly. */
+  def q121PrefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val ranked = tok.join(broadcast(df), Seq("tok"))
+      .withColumn("rn", row_number().over(
+        perDoc.orderBy(col("df").asc, col("tok").asc)))
+      .withColumn("sz", count(lit(1)).over(perDoc))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr("(sz * 9 + 9) DIV 10") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"), col("pa.tok") === col("pb.tok") &&
+        col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        expr("inter * 1000000 DIV uni").as("jacc_ppm"))
   }
 }

@@ -1131,4 +1131,58 @@ class ScaleOpsSpec extends AnyFunSuite {
       s -> rows.map(_._2).sum }
     assert(m.map(r => r.getLong(0) -> r.getLong(3)).toMap === expectedSums)
   }
+
+  test("q120 segment AUC equals a driver-side per-row average-rank computation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), col("event_type"))
+      .collect().map(r => (r.getLong(0) % 4, math.round(r.getDouble(1) * 100),
+        if (r.getString(2) == "purchase") 1 else 0))
+    val expected = ev.groupBy(_._1).map { case (seg, rows) =>
+      // naive per-row average ranks (the definition), not the histogram
+      // identity the query uses — an independent path to the same number
+      val sorted = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val avgRank = sorted.zipWithIndex.groupBy(_._1._1).map {
+        case (bin, grp) =>
+          bin -> grp.map(_._2 + 1).sum.toDouble / grp.size
+      }
+      val p = sorted.count(_._2 == 1).toLong
+      val n = sorted.size.toLong
+      val rPos = sorted.filter(_._2 == 1).map(r => avgRank(r._1)).sum
+      seg -> ((p, n - p, (rPos - p * (p + 1) / 2.0) / (p * (n - p))))
+    }
+    val got = SparkEntry.queries("q120_roc_auc")(spark, sf).collect()
+      .map(r => r.getInt(0).toLong ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (seg, (p, nn, auc)) =>
+      val (gp, gnn, gauc) = got(seg)
+      assert(gp === p && gnn === nn, s"segment $seg pos/neg counts")
+      assert(math.abs(gauc - auc) < 2e-6,
+        s"segment $seg AUC $gauc vs driver-side $auc")
+      assert(auc > 0.3 && auc < 0.7,
+        s"sanity: random-ish scores should give mid AUC, got $auc")
+    }
+  }
+
+  test("q121 prefix-filtered Jaccard join equals brute force; candidates never go all-pairs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    val expected = (for {
+      (a, ta) <- docs; (b, tb) <- docs
+      if a < b
+      inter = (ta & tb).size.toLong
+      uni = (ta | tb).size.toLong
+      if inter * 10 >= uni * 9
+    } yield (a, b) -> ((inter, uni, inter * 1000000L / uni))).toMap
+    val q = SparkEntry.queries("q121_prefix_jaccard")(spark, sf)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture must contain ≥1 near-dup pair")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q121 must generate candidates via the prefix equi-join:\n$plan")
+  }
 }
