@@ -188,6 +188,9 @@ object SparkEntry {
     "q120_roc_auc"            -> graft.operators.RankMetrics.q120RocAuc _,
     "q121_prefix_jaccard"     -> ((s: SparkSession, d: String) =>
       graft.operators.Linkage.q121PrefixJaccardJoin(s, d)),
+    "q122_tpch_q5"            -> Relational.q122TpchQ5 _,
+    "q123_search"             -> graft.operators.Search.q123ConjunctiveSearch _,
+    "q124_source_drift"       -> graft.operators.Curation.q124SourceDrift _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -772,6 +775,48 @@ object SparkEntry {
        "CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT) AS jacc_ppm " +
        "FROM pair JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
        "WHERE inter * 10 >= (sa.n + sb.n - inter) * 9"),
+    // q122: TPC-H Q5 verbatim relational semantics; revenue in exact
+    // DECIMAL end to end, one rounded double per nation at the end
+    "q122_tpch_q5" ->
+      ("SELECT n_name, round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) " +
+       "AS revenue " +
+       "FROM customer, orders, lineitem, supplier, nation, region " +
+       "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+       "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+       "AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' " +
+       "AND o_orderdate < DATE '1997-01-01' GROUP BY n_name"),
+    // q123: same deterministic stand-in query — top-3 df tokens on a
+    // (df DESC, tok ASC) total order — then AND-match + integer TF scores
+    "q123_search" ->
+      ("WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM " +
+       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u " +
+       "GROUP BY 1, 2), " +
+       "terms AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) d " +
+       "ORDER BY df DESC, tok ASC LIMIT 3), " +
+       "len AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents), " +
+       "h AS (SELECT doc_id, count(*) AS nt, SUM(tf) AS score FROM tf " +
+       "JOIN terms USING (tok) GROUP BY 1) " +
+       "SELECT h.doc_id, CAST(score AS BIGINT) AS score, " +
+       "CAST(score * 1000000 // n_toks AS BIGINT) AS score_ppm " +
+       "FROM h JOIN len USING (doc_id) WHERE nt = 3"),
+    // q124: identical integer TV identity — absent-token mass in closed
+    // form, hugeint sums, one floor division to ppm
+    "q124_source_drift" ->
+      ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2), " +
+       "g AS (SELECT tok, SUM(c) AS ct FROM c GROUP BY 1), " +
+       "ns AS (SELECT source, SUM(c) AS n_s FROM c GROUP BY 1), " +
+       "nt AS (SELECT SUM(c) AS n_t FROM c), " +
+       "per AS (SELECT c.source, " +
+       "SUM(ABS(c.c * (nt.n_t - ns.n_s) - (g.ct - c.c) * ns.n_s)) AS num_present, " +
+       "SUM(g.ct - c.c) AS r_sum, MIN(ns.n_s) AS n_s, MIN(nt.n_t - ns.n_s) AS n_r " +
+       "FROM c JOIN g USING (tok) JOIN ns ON ns.source = c.source, nt " +
+       "GROUP BY c.source) " +
+       "SELECT source, CAST(n_s AS BIGINT) AS n_tokens, " +
+       "CAST((num_present + n_s * (n_r - r_sum)) * 1000000 // (2 * n_s * n_r) AS BIGINT) " +
+       "AS tv_ppm FROM per"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

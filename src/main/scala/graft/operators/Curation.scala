@@ -156,4 +156,49 @@ object Curation {
       .select(lit("orders.o_custkey->customer").as("fk"), col("n_orphans"))
     liOrphans.unionAll(ordOrphans)
   }
+
+  /** q124: per-source token-distribution DRIFT — the exact total-variation
+    * (TV) distance between each source's unigram distribution and the rest
+    * of the corpus. The corpus-mix monitoring signal a training pipeline
+    * watches across ingest batches: a source whose TV jumps has changed
+    * register/topic/quality and needs re-weighting before it skews the mix
+    * (same family as q89's rebalance, but measuring the divergence instead
+    * of correcting it).
+    *
+    * TV = ½·Σ_tok |p_s(tok) − p_rest(tok)| computed EXACTLY in integers:
+    * over the common denominator N_s·N_rest each term is
+    * |c_s·N_rest − c_rest·N_s|, summed in DECIMAL(38,0) (c·N reaches 1e26
+    * at 100 TB). Tokens absent from the source contribute their whole rest
+    * mass — accounted in closed form as N_s·(N_rest − Σ_{tok∈s} c_rest) so
+    * the aggregation only ever touches (source, token) pairs that EXIST:
+    * the big shuffle is one map-side-combined count of the token stream;
+    * everything after is vocab-bounded (per-token totals joined back on
+    * token — both sides vocab-sized), and the per-source totals broadcast.
+    * One floor division to ppm at the end (q99's decimal-div contract). */
+  def q124SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = c.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val ns = c.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val nt = ns.agg(sum(col("n_s")).as("n_t"))
+    val per = c.join(g, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .groupBy(col("source"))
+      .agg(
+        sum(abs(col("c").cast("decimal(38,0)") * (col("n_t") - col("n_s"))
+          - (col("ct") - col("c")).cast("decimal(38,0)") * col("n_s")))
+          .as("num_present"),
+        sum(col("ct") - col("c")).cast("decimal(38,0)").as("r_sum"),
+        first(col("n_s")).as("n_s"),
+        first(col("n_t") - col("n_s")).as("n_r"))
+    per.select(
+      col("source"), col("n_s").as("n_tokens"),
+      expr("cast(((num_present + cast(n_s as decimal(38,0)) * (n_r - r_sum)) * 1000000" +
+        " - ((num_present + cast(n_s as decimal(38,0)) * (n_r - r_sum)) * 1000000)" +
+        " % (2 * cast(n_s as decimal(38,0)) * n_r))" +
+        " / (2 * cast(n_s as decimal(38,0)) * n_r) as bigint)").as("tv_ppm"))
+  }
 }

@@ -866,4 +866,49 @@ object Relational {
           "  - (cast(n as decimal(38,0)) * 1000000) % row_n)" +
           " / row_n as bigint)").as("prob_ppm"))
   }
+
+  /** q122: TPC-H Q5 — the canonical 6-table star join (region → nation →
+    * supplier/customer, orders date slice, lineitem facts), local-supplier
+    * revenue per nation. The headline multi-way-join shape every warehouse
+    * engine is judged on, declared fully relationally so Catalyst owns the
+    * join order.
+    *
+    * Scale shape: the date predicate reaches the orders SCAN (pushed to
+    * parquet, ~1/6 of orders survive); region+nation collapse to a
+    * broadcast before touching anything big; supplier joins WITHOUT a
+    * broadcast hint — at this sf the planner broadcasts it from size
+    * estimates, at 100 TB (1B suppliers) it flips to shuffle on its own,
+    * and pinning a hint would OOM exactly like q61's dim discussion. The
+    * two genuinely large joins (lineitem⋈orders on orderkey,
+    * ⋈customer on custkey) shuffle on their keys with AQE sizing the
+    * partitions. Revenue l_extendedprice·(1−l_discount) runs end-to-end in
+    * DECIMAL (exact, order-independent) and becomes a rounded double only
+    * in the final projection — the q08 contract. */
+  def q122TpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val nat = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Inverted-index retrieval — the corpus-search surface a curation
+  * pipeline uses to pull targeted slices ("every document mentioning
+  * these terms") out of a 100 TB corpus without scanning it.
+  *
+  * The index IS a bucketed table: postings (token, doc_id, tf) staged
+  * once via [[graft.plans.Bucketing.stageBucketedOnce]] with the token as
+  * the bucket key. A conjunctive query then becomes an `IN (terms)` filter
+  * on the bucket column, which Spark turns into BUCKET PRUNING at plan
+  * time — the scan opens only the buckets that can hold the query terms
+  * (`SelectedBucketsCount` in the scan node, asserted in ScaleOpsSpec),
+  * i.e. query cost scales with posting-list size, not corpus size. That is
+  * the moral equivalent of opening a posting list in a search engine,
+  * expressed in pure Spark table machinery.
+  */
+object Search {
+
+  /** q123: conjunctive (AND) keyword search over the staged postings
+    * index, TF-scored.
+    *
+    * The "user query" is a stand-in chosen deterministically — the top-3
+    * tokens by (document frequency DESC, token ASC) — so the gate can pin
+    * it; production queries arrive as literals and skip that step. The df
+    * ranking collects exactly 3 rows to the driver (the IVF-centroid
+    * precedent: bounded, driver-scale), because the pruning filter must be
+    * LITERAL for the planner to prune buckets at compile time.
+    *
+    * AND semantics: group the pruned postings by doc and keep docs whose
+    * matched-term count equals the query length. Score = Σtf over matched
+    * terms, plus a length-normalized integer score_ppm (Σtf·1e6 div |doc|)
+    * — all-integer, oracle-exact. */
+  def q123ConjunctiveSearch(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll(".*/", "").replace('.', '_')
+    val table = s"graft_postings_$suffix"
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    graft.plans.Bucketing.stageBucketedOnce(tf, table, "tok",
+      graft.plans.Bucketing.inputFingerprint(spark, s"$dir/documents.parquet"))
+    val terms = spark.table(table)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    // Spark's DisableUnnecessaryBucketedScan rule sees that the downstream
+    // aggregation keys on doc_id (not the bucket column) and silently
+    // un-buckets the scan — taking BUCKET PRUNING down with it, which is
+    // the entire point of the index. Pin the bucketed scan for the probe
+    // and materialize under the pinned conf (localCheckpoint is eager), so
+    // the returned frame is detached and the conf restore can't race a
+    // later lazy plan.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val postings = spark.table(table).filter(col("tok").isin(terms: _*))
+      val len = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      postings.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+        .filter(col("n_terms") === terms.size)
+        .join(len, Seq("doc_id"))
+        .select(col("doc_id"), col("score"),
+          expr("score * 1000000 DIV n_toks").as("score_ppm"))
+        .localCheckpoint()
+    } finally spark.conf.set(key, prev)
+  }
+}

@@ -312,6 +312,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("embeddings.parquet"), s"probe re-reads the corpus:\n$p")
   }
 
+  test("q122 TPC-H Q5: date slice pushed to the orders scan, dims broadcast, no cartesian") {
+    val p = formatted("q122_tpch_q5")
+    // the orders scan must carry the date band as a pushed filter — at
+    // 100 TB this is the difference between reading 1/6 of orders and all
+    val scan = p.linesIterator.filter(_.contains("o_orderdate")).mkString("\n")
+    assert(p.contains("PushedFilters") &&
+      (scan.contains("GreaterThanOrEqual(o_orderdate") ||
+        p.contains("GreaterThanOrEqual(o_orderdate")),
+      s"q122 lost the orders date pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q122 must broadcast the region/nation (and size-estimated supplier) dims:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q122 must stay equi-join end to end:\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct

@@ -1185,4 +1185,75 @@ class ScaleOpsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"q121 must generate candidates via the prefix equi-join:\n$plan")
   }
+
+  test("q123 search equals a driver-side brute force; the postings scan prunes buckets") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val tf = docs.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (t, d, g.length.toLong) } }
+    val dfRank = tf.groupBy(_._1).map { case (t, g) => (t, g.size) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val terms = dfRank.take(3).map(_._1).toSet
+    val expected = tf.filter(p => terms(p._1)).groupBy(_._2)
+      .filter(_._2.map(_._1).toSet.size == terms.size)
+      .map { case (d, ps) =>
+        val score = ps.map(_._3).sum
+        d -> ((score, score * 1000000L / docs.find(_._1 == d).get._2.size))
+      }
+    val q = SparkEntry.queries("q123_search")(spark, sf)
+    val got = q.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "the top-df conjunction must match ≥1 doc")
+    // the index promise: the pruned postings read opens ≤3 of 16 buckets.
+    // Assert on the FILTERED index scan itself (the df-ranking subquery in
+    // the gate query legitimately scans all buckets once to pick terms).
+    val termLits = got.keySet // force materialization before plan read
+    val sfx = sf.replaceAll(".*/", "").replace('.', '_')
+    val top3 = spark.table(s"graft_postings_$sfx")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "false")
+      spark.table(s"graft_postings_$sfx")
+        .filter(col("tok").isin(top3: _*))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, prev)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"postings scan must prune buckets:\n$plan")
+    assert(m.get.group(1).toInt <= 3,
+      s"≤3 query terms must select ≤3 buckets, got ${m.get.group(1)}")
+    assert(termLits.nonEmpty)
+  }
+
+  test("q124 source-drift TV equals a driver-side rational computation (incl. absent-token mass)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val counts = docs.flatMap { case (s, ts) => ts.map(t => (s, t)) }
+      .groupBy(identity).map { case ((s, t), g) => (s, t, g.size.toLong) }
+    val global = counts.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+    val nS = counts.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val nT = nS.values.sum
+    val expected = nS.map { case (src, ns) =>
+      val nr = nT - ns
+      // full vocab walk (the naive definition): includes tokens the source
+      // never saw — the closed-form term the query folds in
+      val cMap = counts.map { case (s, t, c) => (s, t) -> c }.toMap
+      val num = global.keysIterator.map { t =>
+        val cs = BigInt(cMap.getOrElse((src, t), 0L))
+        val cr = BigInt(global(t)) - cs
+        (cs * nr - cr * ns).abs
+      }.sum
+      src -> ((ns, (num * 1000000) / (2 * BigInt(ns) * BigInt(nr))))
+    }
+    val got = SparkEntry.queries("q124_source_drift")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), BigInt(r.getLong(2))))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._2 > 0), "sources should differ somewhat")
+  }
 }
