@@ -94,13 +94,16 @@ object Linkage {
     *
     * Plan shape at 100 TB: one doc_id-shuffled window ranks each set
     * (state O(set), not O(corpus)); the vocab-bounded df table broadcasts;
-    * candidates are an equi-join on prefix tokens; verification joins the
-    * CANDIDATE PAIRS back to the token table on (doc, token) — work
+    * candidates are an equi-join on prefix tokens, pruned in-join by
+    * PPJoin's exact length + positional filters (see the inline note);
+    * verification joins the surviving pairs against the per-doc sorted
+    * token arrays (a forward index) and intersects per row — work
     * O(candidates · set size), the exact-verify bound every set-similarity
-    * join pays. The τ-test is cross-multiplied integer arithmetic
-    * (10·|∩| ≥ 9·|∪|), jacc_ppm integer floor-division — no doubles
-    * anywhere, so the DuckDB oracle (which generates candidates from ANY
-    * shared token — brute-force-correct at sf scale) matches bit-exactly. */
+    * join pays, without re-exploding tokens through a shuffle. The τ-test
+    * is cross-multiplied integer arithmetic (10·|∩| ≥ 9·|∪|), jacc_ppm
+    * integer floor-division — no doubles anywhere, so the DuckDB oracle
+    * (which generates candidates from ANY shared token —
+    * brute-force-correct at sf scale) matches bit-exactly. */
   def q121PrefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -114,23 +117,41 @@ object Linkage {
       .withColumn("sz", count(lit(1)).over(perDoc))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - expr("(sz * 9 + 9) DIV 10") + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"), col("rn"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc sorted token arrays for verification — the "forward index".
+    // At this sf the planner broadcasts it into the pair probe; at 100 TB
+    // it rides two doc_id-keyed shuffle joins instead, rows = candidates.
+    val arrs = ranked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"),
+        count(lit(1)).as("n"))
+    // Candidate pruning applies PPJoin's two EXACT filters inside the
+    // equi-join on the shared prefix token (measured at sf0.1: 11.3M raw
+    // candidate pairs → 3.3M, wall 110 s → ~23 s; true pairs 965k):
+    //  - LENGTH: jacc ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ — cross-multiplied
+    //    integer comparisons, no doubles near the boundary;
+    //  - POSITIONAL: a shared prefix token at ranks (i, j) caps the
+    //    overlap at 1 + min(|A|−i, |B|−j); a TRUE pair's first shared
+    //    token always passes (its suffixes must still hold ≥ α−1 shared
+    //    tokens, α = ⌈τ(|A|+|B|)/(1+τ)⌉ = (9(|A|+|B|)+18) div 19), so
+    //    dropping failing OCCURRENCES never drops a qualifying PAIR.
     val cand = prefix.as("pa")
       .join(prefix.as("pb"), col("pa.tok") === col("pb.tok") &&
-        col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.doc_id") < col("pb.doc_id") &&
+        col("pa.sz") * 9 <= col("pb.sz") * 10 &&
+        col("pb.sz") * 9 <= col("pa.sz") * 10 &&
+        (lit(1) + least(col("pa.sz") - col("pa.rn"),
+          col("pb.sz") - col("pb.rn"))) >=
+          expr("(9 * (pa.sz + pb.sz) + 18) DIV 19"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
-        Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("doc_b"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
