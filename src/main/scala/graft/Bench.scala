@@ -11,7 +11,8 @@ object Bench {
     * ([[graft.operators.Dedup.stagedComponentLabels]]). */
   val statefulQueries: Seq[String] =
     Seq("q24_dedup_minhash", "q35_ann_ivf", "q48_bucketed_join",
-      "q67_dedup_clusters", "q83_ann_ivf_seeded", "q123_search")
+      "q67_dedup_clusters", "q83_ann_ivf_seeded", "q123_search",
+      "q125_phrase_search")
 
   private def jsonEscape(s: String): String =
     s.flatMap {

@@ -191,6 +191,8 @@ object SparkEntry {
     "q122_tpch_q5"            -> Relational.q122TpchQ5 _,
     "q123_search"             -> graft.operators.Search.q123ConjunctiveSearch _,
     "q124_source_drift"       -> graft.operators.Curation.q124SourceDrift _,
+    "q125_phrase_search"      -> graft.operators.Search.q125PhraseSearch _,
+    "q126_tpch_q18"           -> Relational.q126TpchQ18 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -817,6 +819,27 @@ object SparkEntry {
        "SELECT source, CAST(n_s AS BIGINT) AS n_tokens, " +
        "CAST((num_present + n_s * (n_r - r_sum)) * 1000000 // (2 * n_s * n_r) AS BIGINT) " +
        "AS tv_ppm FROM per"),
+    // q125: 1-based generate_subscripts positions; adjacency is
+    // offset-invariant vs Spark's 0-based posexplode. Top-bigram pick and
+    // phrase match restated from the same positions table
+    "q125_phrase_search" ->
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "p AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM s), " +
+       "b AS (SELECT a.tok AS w1, c.tok AS w2, count(*) AS n FROM p a " +
+       "JOIN p c ON a.doc_id = c.doc_id AND c.i = a.i + 1 GROUP BY 1, 2), " +
+       "ph AS (SELECT w1, w2 FROM b ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1) " +
+       "SELECT a.doc_id, count(*) AS n_occ FROM p a " +
+       "JOIN p c ON a.doc_id = c.doc_id AND c.i = a.i + 1, ph " +
+       "WHERE a.tok = ph.w1 AND c.tok = ph.w2 GROUP BY 1"),
+    // q126: TPC-H Q18 aggregate-then-join-back; DECIMAL quantity sums,
+    // date projected as a string so no timestamp encoding crosses engines
+    "q126_tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum " +
+       "FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200) " +
+       "SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, " +
+       "o_totalprice, CAST(qsum AS DOUBLE) AS sum_qty " +
+       "FROM big JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN customer ON c_custkey = o_custkey"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -911,4 +911,33 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
   }
+
+  /** q126: TPC-H Q18 (large-volume customers) — the aggregate-then-join-back
+    * shape: a HAVING subquery over the fact table materialized as an
+    * aggregate, then joined to its dimensions.
+    *
+    * Scale shape: the only full-fact work is ONE map-side-combined
+    * sum(l_quantity) shuffle keyed on l_orderkey; the >200 cut drops the
+    * aggregate to a sliver (~0.1% of orders), and AQE sees the tiny
+    * survivor side at runtime and broadcasts it into the orders and
+    * customer joins — the join-back costs survivor-sized, not fact-sized,
+    * work. Quantities sum in DECIMAL (order-independent, oracle-exact);
+    * o_orderdate is projected as a yyyy-MM-dd STRING so the cross-engine
+    * compare never depends on timestamp encodings. */
+  def q126TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qsum"))
+      .filter(col("qsum") > 200)
+    big
+      .join(t(spark, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"),
+        col("qsum").cast("double").as("sum_qty"))
+  }
 }

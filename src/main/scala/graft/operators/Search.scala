@@ -71,4 +71,54 @@ object Search {
         .localCheckpoint()
     } finally spark.conf.set(key, prev)
   }
+
+  /** q125: PHRASE search over a POSITIONAL postings index.
+    *
+    * The index extends q123's postings with token positions
+    * ((token, doc_id, pos), still bucketed by token), which is what turns
+    * an index from "which documents" into "where in the document" — the
+    * structure phrase queries, snippet extraction, and n-gram
+    * decontamination all stand on. A two-token phrase query reads exactly
+    * TWO bucket-pruned posting lists and joins them on
+    * (doc_id, pos_b = pos_a + 1) — query cost again scales with the
+    * posting lists, not the corpus.
+    *
+    * The stand-in phrase is the corpus's top bigram by (count DESC, w1,
+    * w2) — computed with q99's zip_with pairing (one pass, no self-join)
+    * and collected as 1 row; positional adjacency and zip_with produce the
+    * IDENTICAL pair set, so the DuckDB oracle can restate both halves from
+    * its 1-based generate_subscripts positions (adjacency is
+    * offset-invariant). Output: per-doc occurrence counts of the phrase. */
+  def q125PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll(".*/", "").replace('.', '_')
+    val table = s"graft_postings_pos_$suffix"
+    val docs = Tables.load(spark, dir, "documents")
+    val pos = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos").cast("bigint").as("pos"))
+    graft.plans.Bucketing.stageBucketedOnce(pos, table, "tok",
+      graft.plans.Bucketing.inputFingerprint(spark, s"$dir/documents.parquet"))
+    val top = docs.select(split(col("text"), " ").as("t"))
+      .select(explode(zip_with(col("t"),
+        slice(col("t"), lit(2), size(col("t"))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(1).collect().head
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val a = spark.table(table).filter(col("tok") === w1)
+        .select(col("doc_id"), col("pos"))
+      val b = spark.table(table).filter(col("tok") === w2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+        .localCheckpoint()
+    } finally spark.conf.set(key, prev)
+  }
 }

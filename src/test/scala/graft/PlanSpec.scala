@@ -327,6 +327,20 @@ class PlanSpec extends AnyFunSuite {
       s"q122 must stay equi-join end to end:\n$p")
   }
 
+  test("q126 TPC-H Q18: partial agg before the shuffle; AQE broadcasts the survivor side") {
+    val q = SparkEntry.queries("q126_tpch_q18")(spark, sf)
+    q.collect() // let AQE finalize the runtime plan
+    val p = q.queryExecution.executedPlan.toString
+    // the only fact-sized work is the map-side-combined quantity sum
+    assert(p.contains("partial_sum"),
+      s"q126 must partial-aggregate lineitem before its shuffle:\n$p")
+    // the >200 survivor aggregate is tiny at runtime — AQE must broadcast
+    // it into the join-back instead of shuffling orders/customer
+    assert(p.contains("BroadcastHashJoin"),
+      s"q126 join-back should run broadcast under AQE:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q126 must stay equi-join:\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct

@@ -1256,4 +1256,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got === expected)
     assert(expected.values.exists(_._2 > 0), "sources should differ somewhat")
   }
+
+  test("q125 phrase search equals a driver-side scan; both posting reads prune to 1 bucket") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val bigrams = docs.flatMap { case (_, ts) =>
+      ts.dropRight(1).zip(ts.drop(1)) }
+    val (w1, w2) = bigrams.groupBy(identity).map { case (p, g) => (p, g.size) }
+      .toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    val expected = docs.map { case (d, ts) =>
+      d -> ts.dropRight(1).zip(ts.drop(1)).count(_ == ((w1, w2))).toLong
+    }.filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("q125_phrase_search")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "top bigram must occur somewhere")
+    // each single-term posting read must open exactly 1 of 16 buckets
+    val sfx = sf.replaceAll(".*/", "").replace('.', '_')
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "false")
+      spark.table(s"graft_postings_pos_$sfx")
+        .filter(col("tok") === w1)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, prev)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt == 1,
+      s"a one-term posting read must open exactly 1 bucket:\n$plan")
+  }
 }
