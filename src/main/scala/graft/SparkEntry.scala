@@ -193,6 +193,8 @@ object SparkEntry {
     "q124_source_drift"       -> graft.operators.Curation.q124SourceDrift _,
     "q125_phrase_search"      -> graft.operators.Search.q125PhraseSearch _,
     "q126_tpch_q18"           -> Relational.q126TpchQ18 _,
+    "q127_systematic_sample"  -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q127SystematicSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -840,6 +842,17 @@ object SparkEntry {
        "o_totalprice, CAST(qsum AS DOUBLE) AS sum_qty " +
        "FROM big JOIN orders ON o_orderkey = l_orderkey " +
        "JOIN customer ON c_custkey = o_custkey"),
+    // q127: the oracle's single global window cumsum equals the query's
+    // two-level chunked scan; pick counts are the same integer point test
+    "q127_systematic_sample" ->
+      ("WITH d AS (SELECT doc_id, n_chars AS w FROM documents), " +
+       "c AS (SELECT doc_id, w, SUM(w) OVER (ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d), " +
+       "t AS (SELECT SUM(w) AS wt FROM d) " +
+       "SELECT doc_id, w, CAST(c_hi - c_lo AS BIGINT) AS n_picks FROM " +
+       "(SELECT doc_id, w, (24 * cum + wt - 1) // (2 * wt) AS c_hi, " +
+       "(24 * (cum - w) + wt - 1) // (2 * wt) AS c_lo FROM c, t) x " +
+       "WHERE c_hi - c_lo >= 1"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

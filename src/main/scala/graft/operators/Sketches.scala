@@ -279,6 +279,57 @@ object Sketches {
       .select(col("lang"), col("rnk"), col("doc_id"), col("h"))
   }
 
+  /** q127: exact SYSTEMATIC weighted sampling (size-proportional, without
+    * replacement) — the deterministic subsample a pipeline draws when it
+    * wants "10 documents, long ones proportionally more likely, same
+    * answer on every run and every engine". Classic PPS systematic
+    * sampling: lay every document's weight (n_chars) end to end on a
+    * line of total length W, drop k evenly spaced points (2j+1)·W/(2k),
+    * and take the document whose interval each point lands in. A doc of
+    * weight w is picked with probability k·w/W (multiply-picked if
+    * w > W/k), and Σ n_picks = k EXACTLY — asserted in the spec.
+    *
+    * The only non-trivial distributed piece is the exact GLOBAL prefix sum
+    * of weights in doc_id order, built as a TWO-LEVEL scan instead of a
+    * single-partition window over the corpus:
+    *  1. within-chunk running sums — window partitioned by
+    *     chunk = doc_id div 64, parallel in #chunks;
+    *  2. chunk totals (one row per chunk, corpus/64 rows) get their own
+    *     cumulative offsets in one bounded window and broadcast back.
+    * At 10^12 docs a 2^20 chunk width gives ~10^6 single-task rows at
+    * level 2 and ~10^6-row level-1 partitions — both fine; the 64 here
+    * just exercises many chunks at test scale. Every pick test is pure
+    * integer arithmetic: count(x) = ⌊(2kx + W − 1)/(2W)⌋ points fall
+    * strictly below x, n_picks = count(cum) − count(cum − w); products run
+    * in DECIMAL(38,0) (2k·W overflows BIGINT at ~1e15 chars × large k)
+    * and IntegralDivide returns BIGINT. */
+  def q127SystematicSample(spark: SparkSession, dir: String, k: Int = 12,
+      chunk: Long = 64L): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .withColumn("chunk", expr(s"doc_id DIV $chunk"))
+    val within = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = d.withColumn("local_cum", sum(col("w")).over(within))
+    val totals = d.groupBy(col("chunk")).agg(sum(col("w")).as("ct"))
+    val offW = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.withColumn("off",
+      coalesce(sum(col("ct")).over(offW), lit(0L)))
+    val wtot = totals.agg(sum(col("ct")).as("wt"))
+    local.join(broadcast(offsets.select(col("chunk"), col("off"))),
+        Seq("chunk"))
+      .withColumn("cum", col("local_cum") + col("off"))
+      .crossJoin(broadcast(wtot))
+      .withColumn("c_hi", expr(
+        s"greatest(0L, cast(2 * $k as decimal(38,0)) * cum + wt - 1) DIV (2 * wt)"))
+      .withColumn("c_lo", expr(
+        s"greatest(0L, cast(2 * $k as decimal(38,0)) * (cum - w) + wt - 1) DIV (2 * wt)"))
+      .withColumn("n_picks", col("c_hi") - col("c_lo"))
+      .filter(col("n_picks") >= 1)
+      .select(col("doc_id"), col("w"), col("n_picks"))
+  }
+
   def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(

@@ -1286,4 +1286,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(m.isDefined && m.get.group(1).toInt == 1,
       s"a one-term posting read must open exactly 1 bucket:\n$plan")
   }
+
+  test("q127 systematic sample: chunking-invariant, Σ picks = k, equals driver-side scan") {
+    import graft.operators.Sketches
+    def rows(chunk: Long) =
+      Sketches.q127SystematicSample(spark, sf, k = 12, chunk = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // the two-level scan is an implementation detail: any chunk width must
+    // produce the identical sample (sf0.001 has 50 docs → 7 chunks at 8)
+    val c8 = rows(8)
+    assert(c8 === rows(1000), "chunk width must not change the sample")
+    assert(c8.map(_._3).sum === 12L, "systematic sampling emits exactly k picks")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val wt = docs.map(_._2).sum
+    var cum = 0L
+    val expected = docs.flatMap { case (d, w) =>
+      val hi = (24L * (cum + w) + wt - 1) / (2 * wt)
+      val lo = (24L * cum + wt - 1) / (2 * wt)
+      cum += w
+      if (hi - lo >= 1) Some((d, w, hi - lo)) else None
+    }.toSeq
+    assert(c8 === expected)
+  }
 }
