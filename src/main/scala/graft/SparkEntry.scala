@@ -195,6 +195,8 @@ object SparkEntry {
     "q126_tpch_q18"           -> Relational.q126TpchQ18 _,
     "q127_systematic_sample"  -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q127SystematicSample(s, d)),
+    "q128_stream_file_sink"   -> graft.streaming.EventStreams.qStreamFileSink _,
+    "q129_grouped_mad"        -> graft.operators.Sketches.q129GroupedMad _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -853,6 +855,28 @@ object SparkEntry {
        "(SELECT doc_id, w, (24 * cum + wt - 1) // (2 * wt) AS c_hi, " +
        "(24 * (cum - w) + wt - 1) // (2 * wt) AS c_lo FROM c, t) x " +
        "WHERE c_hi - c_lo >= 1"),
+    // q128: the drained-twice file sink must equal the plain batch
+    // aggregation — a duplicated batch would double n against n_ids
+    "q128_stream_file_sink" ->
+      ("SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+       "FROM events WHERE event_type = 'purchase'"),
+    // q129: rank-(n div 2 + 1) order statistics restated with explicit
+    // row_number windows; median/MAD are data values / IEEE-exact devs
+    "q129_grouped_mad" ->
+      ("WITH e AS (SELECT event_type, event_id, value FROM events), " +
+       "n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1), " +
+       "r AS (SELECT e.*, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY value, event_id) AS rn FROM e), " +
+       "med AS (SELECT r.event_type, r.value AS median FROM r " +
+       "JOIN n USING (event_type) WHERE rn = n // 2 + 1), " +
+       "d AS (SELECT e.event_type, e.event_id, ABS(e.value - med.median) AS dev " +
+       "FROM e JOIN med USING (event_type)), " +
+       "r2 AS (SELECT d.*, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY dev, event_id) AS rn FROM d) " +
+       "SELECT n.event_type, CAST(n.n AS BIGINT) AS n, med.median, " +
+       "r2.dev AS mad FROM r2 JOIN n USING (event_type) " +
+       "JOIN med USING (event_type) WHERE rn = n // 2 + 1"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

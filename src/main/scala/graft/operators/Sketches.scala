@@ -330,6 +330,42 @@ object Sketches {
       .select(col("doc_id"), col("w"), col("n_picks"))
   }
 
+  /** q129: grouped MEDIAN + MAD (median absolute deviation) — the robust
+    * location/scale pair an outlier-resistant quality monitor runs per
+    * segment, where mean/stddev (q104) get dragged by heavy tails.
+    *
+    * Both statistics are ORDER STATISTICS, so both reuse the grouped
+    * selection engine ([[graft.plans.Selection.groupedKthLargestDouble]]):
+    * every histogram round is one bounds-broadcast aggregation shared by
+    * all groups — O(rounds) jobs at any group count, never a per-group
+    * corpus sort. Median is the rank-(n div 2 + 1) value (the upper median
+    * for even n — a DATA value, no interpolation, so it crosses engines
+    * bit-exactly); MAD re-runs the same selection over |x − median|,
+    * whose IEEE subtraction is deterministic on both engines. Two
+    * selection passes + one broadcast join; the corpus shuffles zero
+    * times. */
+  def q129GroupedMad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Selection
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("value"))
+      .persist()
+    val sizes = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rank n div 2 + 1 from the smallest = rank (n - n div 2) from the top
+    val ks = sizes.map { case (g, n) => g -> (n - n / 2) }
+    val med = Selection.groupedKthLargestDouble(ev, "event_type", "value", ks)
+      .map { case (g, (v, _)) => g -> v }
+    import spark.implicits._
+    val medDf = med.toSeq.toDF("event_type", "median")
+    val dev = ev.join(broadcast(medDf), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("median")))
+    val mad = Selection.groupedKthLargestDouble(dev, "event_type", "dev", ks)
+      .map { case (g, (v, _)) => g -> v }
+    sizes.toSeq.map { case (g, n) => (g, n, med(g), mad(g)) }
+      .toDF("event_type", "n", "median", "mad")
+  }
+
   def q60ApproxProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(

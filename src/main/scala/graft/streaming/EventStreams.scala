@@ -345,6 +345,54 @@ object EventStreams {
     }
   }
 
+  /** Driver query (q128): STREAMING FILE SINK + CHECKPOINT idempotence —
+    * the durable half of the streaming surface (every other stream query
+    * drains to the memory sink; production pipelines land parquet).
+    *
+    * The stream filters purchases into a parquet sink with a checkpoint,
+    * drained with AvailableNow — then drains a SECOND time against the
+    * same checkpoint. The file-source log in the checkpoint marks every
+    * input processed and the sink's `_spark_metadata` commit log records
+    * exactly the files batch 0 wrote, so the second drain commits NOTHING
+    * — the retry/restart contract that makes a streaming ingest
+    * exactly-once end to end. The read-back goes through the sink's
+    * metadata log (skipping any uncommitted stragglers), and the
+    * aggregate equaling the plain batch aggregation — the SQL oracle — is
+    * the proof: a duplicated batch would double n against n_ids.
+    * Scratch sink/checkpoint dirs are deleted in a finally (the
+    * withStagedDir contract); the result detaches via localCheckpoint
+    * first. */
+  def qStreamFileSink(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events.parquet") { tmp =>
+      val out = java.nio.file.Files.createTempDirectory("graft_sink")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      try {
+        def drain(): Unit = {
+          val q = readEvents(spark, tmp)
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("value"))
+            .writeStream.format("parquet")
+            .option("path", out.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()
+        drain() // restart against the same checkpoint: must commit nothing
+        spark.read.parquet(out.toString)
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
+          .localCheckpoint()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
+        org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      }
+    }
+
   /** Run a streaming frame to completion against a static directory via the
     * memory sink; returns the materialized result table. Local smoke path —
     * production would use a real sink + checkpointLocation.

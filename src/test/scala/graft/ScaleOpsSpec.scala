@@ -1311,4 +1311,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }.toSeq
     assert(c8 === expected)
   }
+
+  test("q129 grouped median/MAD equal a driver-side order-statistic scan") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = ev.groupBy(_._1).map { case (g, rows) =>
+      val vs = rows.map(_._2).sorted
+      val med = vs((vs.length / 2 + 1) - 1) // rank n/2+1, 1-based
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val mad = devs((vs.length / 2 + 1) - 1)
+      g -> ((vs.length.toLong, med, mad))
+    }
+    val got = SparkEntry.queries("q129_grouped_mad")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got === expected)
+    expected.foreach { case (g, (_, med, mad)) =>
+      assert(mad >= 0 && med > 0, s"sanity for $g") }
+  }
 }

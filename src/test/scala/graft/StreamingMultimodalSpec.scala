@@ -153,6 +153,19 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"expected ${2 * perFile}, got $afterSecond (duplicate or lost batch)")
   }
 
+  test("q128 double-drained file sink equals the batch aggregation (no duplicate commits)") {
+    val got = SparkEntry.queries("q128_stream_file_sink")(spark, sf).collect().head
+    val exp = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), countDistinct(col("event_id")),
+        sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .collect().head
+    assert(got.getLong(0) === exp.getLong(0), "row count (dup batch would double it)")
+    assert(got.getLong(1) === exp.getLong(1), "distinct ids")
+    assert(got.getLong(0) === got.getLong(1), "each purchase lands exactly once")
+    assert(got.getDouble(2) === exp.getDouble(2), "decimal-exact sum")
+  }
+
   test("q106 cross-batch session MERGE: a bridging event fuses two open sessions") {
     // the session-window state store's distinguishing operation is the
     // MERGE: an event arriving in a later micro-batch can bridge two
