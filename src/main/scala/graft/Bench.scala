@@ -64,6 +64,29 @@ object Bench {
       new LogisticRegression().setMaxIter(5).fit(tiny).transform(tiny).count()
       new LinearSVC().setMaxIter(5).fit(tiny).transform(tiny).count()
     }
+    // Sketch-family codegen warmup. The heavy dedup/sketch expressions
+    // (32-seed MinHash aggregate, simhash bit-vote, winnowed fingerprints)
+    // generate large whole-stage code whose Janino compile + JIT costs
+    // ~10-35 s ONCE per JVM. When the staging prewarm below actually
+    // (re)builds the band/IVF tables, that build absorbs the compile
+    // untimed — but on a fingerprint HIT nothing runs, and the cost lands
+    // on whichever family query the timed loop reaches first (measured:
+    // q116 40 s timed vs 3.4 s steady on a fully-staged host). Evaluating
+    // the same expressions on a 4-row frame pays the compile here instead,
+    // data-independent by construction.
+    locally {
+      import spark.implicits._
+      val tiny = Seq.tabulate(4)(i =>
+        (i.toLong, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+      import graft.operators.Dedup
+      Dedup.minhashSignaturesFromShingles(
+        Dedup.shingleTable(tiny).distinct()).count()
+      tiny.select(Dedup.minhashSignatureFromBases(
+        Dedup.shingleBases(org.apache.spark.sql.functions.col("text")))).count()
+      Dedup.simhashes(tiny).count()
+      tiny.select(graft.functions.TextFunctions.rollingFingerprints(
+        org.apache.spark.sql.functions.col("text"))).count()
+    }
     graft.functions.VectorMax.register(spark)
     // maintenance sweep of the staged-artifact cache (default policy:
     // 7-day idle, 64 roots/family) BEFORE the prewarm that re-stages
