@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   /** Queries that build durable one-time state (bucketed tables, IVF
     * indexes, the shared MinHash band table, the component-labels table) —
@@ -24,16 +23,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // engine extension point (BagDifferenceToAntiJoin), as in Verify
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    val spark = graft.util.DriverSession.build(cpus)
     // ERROR, not WARN: the driver keeps only the last ~2 KB of stdout, and
     // benign WARN lines (localCheckpoint lineage notes etc.) landing after
     // the result JSON would decapitate the one-line artifact the judge reads

@@ -122,7 +122,7 @@ object Linkage {
     // per-doc sorted token arrays for verification — the "forward index".
     // At this sf the planner broadcasts it into the pair probe; at 100 TB
     // it rides two doc_id-keyed shuffle joins instead, rows = candidates.
-    val arrs = ranked.groupBy(col("doc_id"))
+    val arrs = tok.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("toks"),
         count(lit(1)).as("n"))
     // Candidate pruning applies PPJoin's two EXACT filters inside the

@@ -62,13 +62,17 @@ object RankMetrics {
     val ranked = hist.withColumn("n_less",
       coalesce(sum(col("c")).over(below), lit(0L)))
     val agg = ranked.groupBy(col("segment")).agg(
-      sum((col("cp") * (col("n_less") * 2 + col("c") + 1))
-        .cast("decimal(38,0)")).as("r2"),
+      // cp is cast to DECIMAL(38,0) BEFORE the multiply: cp·(2·n_less+c+1)
+      // reaches ~2e25 at the design point (1e12 positives in a 1e13-row
+      // segment), far past BIGINT — a long multiply would overflow first
+      // and only then cast. (2·n_less + c + 1 itself stays ≤ ~2e13, safely
+      // long.)
+      sum(col("cp").cast("decimal(38,0)") *
+        (col("n_less") * 2 + col("c") + 1)).as("r2"),
       sum(col("cp")).as("p"),
       sum(col("c")).as("n"))
-    // products enter DECIMAL(38,0) BEFORE multiplying: p·(p+1) and
-    // 2·p·(n−p) overflow BIGINT at ~1e12 positives (q99's lift lesson —
-    // ANSI mode makes that a query-time exception, not a silent wrap)
+    // same rule for the final products: p·(p+1) and 2·p·(n−p) overflow
+    // BIGINT at ~1e12 positives (q99's lift lesson)
     val pd = col("p").cast("decimal(38,0)")
     val nd = (col("n") - col("p")).cast("decimal(38,0)")
     agg.select(

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-loop timing probe: run named gate queries N times against a chosen
   * sf dir and print per-run wall times. Narrower than [[graft.Bench]] (no
@@ -15,15 +14,7 @@ object TimeQueries {
     val runs = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    val spark = graft.util.DriverSession.build(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorMax.register(spark)
     for (q <- names; i <- 1 to runs) {
