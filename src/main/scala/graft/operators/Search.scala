@@ -18,6 +18,13 @@ import graft.sources.Tables
   * i.e. query cost scales with posting-list size, not corpus size. That is
   * the moral equivalent of opening a posting list in a search engine,
   * expressed in pure Spark table machinery.
+  *
+  * MEASURED at 20M postings / 100k-term vocab ([[graft.tools.SkewProbe]]
+  * section q123): the staged table's per-bucket sort additionally enables
+  * parquet page-index pruning — 20M → 137k rows decoded (145×) vs a flat
+  * postings file — and the pinned bucketed scan opens 3 of 16 bucket
+  * files for a 3-term query. The two effects stack; at cluster scale the
+  * unopened 13/16 of index I/O is the dominant saving.
   */
 object Search {
 

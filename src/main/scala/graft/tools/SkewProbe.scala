@@ -43,6 +43,9 @@ import org.apache.spark.sql.functions._
   * PROBE q96 layout=unsorted     scanEmittedRows= 20000000 of 20000000    0.96 s
   * PROBE q96 layout=user-sorted  scanEmittedRows=   339586 of 20000000    0.12 s
   * PROBE q96 layout=z-ordered    scanEmittedRows=    80000 of 20000000    0.13 s
+  * PROBE q123 layout=flat-parquet    selectedBuckets=-  scanEmittedRows=20000000   2.34 s /  0.64 s
+  * PROBE q123 layout=bucketed-auto   selectedBuckets=-  scanEmittedRows=  137496   0.45 s /  0.29 s
+  * PROBE q123 layout=bucketed-pinned selectedBuckets=3  scanEmittedRows=  137496   0.24 s /  0.27 s
   * }}}
   * Reading: there is no broadcast→SMJ CLIFF in q76's shape — both join
   * children reuse the one pinned user_id exchange, so the sort-merge is
@@ -81,6 +84,16 @@ import org.apache.spark.sql.functions._
   * samples, so file boundaries wobble) — ~200× less than unsorted and
   * ~3–4× less than the 1-D sort, because only z-cells overlapping BOTH ranges
   * survive. That is the multi-dim pruning claim, measured.
+  * q123 (20M-row postings, 100k-term vocab, 3-term conjunctive query,
+  * second number = warm rerun): the flat layout decodes ALL 20M rows (the
+  * In() filter runs above the scan — hash-distributed terms defeat
+  * row-group stats); the bucketed table's per-bucket SORT on tok gives
+  * parquet page-index pruning (20M → 137k rows decoded, 145×) even when
+  * the planner un-buckets the scan; pinning the bucketed scan
+  * additionally opens only 3 of 16 bucket files (SelectedBucketsCount) —
+  * invisible in local wall-clock behind the page cache, but at cluster
+  * scale that is 13/16 of the index I/O never issued. Both effects stack:
+  * the q123/q125 index promise is the bucket cut × the page cut.
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
@@ -328,6 +341,60 @@ object SkewProbe {
         println(f"PROBE q96 layout=$name%-12s scanEmittedRows=$scanned%9d " +
           f"of $n%d  ${secs}%6.2f s")
       }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    // ---- 6. q123/q125 inverted-index shape: bucket pruning vs full scan --
+    // 20M-row postings over a 100k-term vocab (each posting list ~200
+    // rows), staged three ways; the SAME 3-term conjunctive count runs
+    // against each. The pruning claim is the numFiles column: the bucketed
+    // probe opens ~3/16 of the index files at plan time. (Row-group
+    // min/max stats cannot help here — hash-distributed terms appear in
+    // every row group, which is exactly the regime real postings live in.)
+    if (enabled("q123")) {
+      println("== q123 postings shape: bucket pruning vs full scan ==")
+      // AQE off as in the q95/q96 sections: scan metrics are read off the
+      // executed plan directly, and AdaptiveSparkPlanExec hides its final
+      // children from collect()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val postings = spark.range(20000000L).select(
+        concat(lit("t"), pmod(xxhash64(col("id")), lit(100000L)))
+          .as("tok"),
+        pmod(xxhash64(col("id") + 7), lit(5000000L)).as("doc_id"),
+        (pmod(xxhash64(col("id") + 13), lit(9L)) + 1).as("tf"))
+      val flatPath = tmp.resolve("postings_flat").toString
+      postings.write.mode("overwrite").parquet(flatPath)
+      graft.plans.Bucketing.writeBucketed(postings, "graft_probe_postings",
+        "tok", buckets = 16)
+      val terms = Seq("t17", "t4242", "t99991")
+      def conj(df: DataFrame) = df.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"), sum(col("tf")).as("s"))
+        .filter(col("nt") === terms.size)
+        .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"))
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val variants = Seq(
+        ("flat-parquet   ", spark.read.parquet(flatPath), None),
+        ("bucketed-auto  ", spark.table("graft_probe_postings"), None),
+        ("bucketed-pinned", spark.table("graft_probe_postings"), Some("false")))
+      for ((name, df, pin) <- variants) {
+        val prev = spark.conf.get(key)
+        pin.foreach(v => spark.conf.set(key, v))
+        try {
+          val q = conj(df)
+          val secs = timed(q.collect())
+          val secs2 = timed(conj(df).collect())
+          val rows = q.queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.metrics("numOutputRows").value
+          }.headOption.getOrElse(-1L)
+          val buckets = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+            .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+            .map(_.group(1)).getOrElse("-")
+          println(f"PROBE q123 layout=$name selectedBuckets=$buckets%-2s " +
+            f"scanEmittedRows=$rows%8d ${secs}%6.2f s / ${secs2}%5.2f s")
+        } finally spark.conf.set(key, prev)
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_probe_postings")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
