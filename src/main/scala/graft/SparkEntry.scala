@@ -197,6 +197,9 @@ object SparkEntry {
       graft.operators.Sketches.q127SystematicSample(s, d)),
     "q128_stream_file_sink"   -> graft.streaming.EventStreams.qStreamFileSink _,
     "q129_grouped_mad"        -> graft.operators.Sketches.q129GroupedMad _,
+    "q130_embedding_outliers" -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.q130EmbeddingOutliers(s, d)),
+    "q131_calibration_bins"   -> graft.operators.RankMetrics.q131CalibrationBins _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -877,6 +880,32 @@ object SparkEntry {
        "SELECT n.event_type, CAST(n.n AS BIGINT) AS n, med.median, " +
        "r2.dev AS mad FROM r2 JOIN n USING (event_type) " +
        "JOIN med USING (event_type) WHERE rn = n // 2 + 1"),
+    // q130: q71's trunc-to-fp convention; rational centroid (csum, n),
+    // exact integer numerator ranking, ÷n² scale-back for BIGINT output
+    "q130_embedding_outliers" ->
+      ("WITH e AS (SELECT vec_id, label, i - 1 AS pos, " +
+       "CAST(trunc(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS fp FROM " +
+       "(SELECT vec_id, label, unnest(embedding) AS x, " +
+       "generate_subscripts(embedding, 1) AS i FROM embeddings) q), " +
+       "c AS (SELECT label, pos, SUM(fp) AS csum, count(*) AS n FROM e GROUP BY 1, 2), " +
+       "d AS (SELECT e.vec_id, e.label, " +
+       "SUM((e.fp * c.n - c.csum) * (e.fp * c.n - c.csum)) AS d2num, " +
+       "MIN(c.n) AS n FROM e JOIN c ON c.label = e.label AND c.pos = e.pos " +
+       "GROUP BY 1, 2), " +
+       "r AS (SELECT label, vec_id, d2num, n, row_number() OVER " +
+       "(PARTITION BY label ORDER BY d2num DESC, vec_id ASC) AS rnk FROM d) " +
+       "SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, " +
+       "CAST(d2num // (n * n) AS BIGINT) AS d2_scaled FROM r WHERE rnk <= 5"),
+    // q131: ten equal-width bins; floor() in IEEE double BEFORE the cast
+    // (Spark truncates double→int, DuckDB rounds), ppm floor-division
+    "q131_calibration_bins" ->
+      ("SELECT LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin, " +
+       "count(*) AS n, " +
+       "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+       "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 " +
+       "// count(*) AS BIGINT) AS pos_ppm, " +
+       "round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) " +
+       "AS mean_score FROM events GROUP BY 1"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -82,4 +82,29 @@ object RankMetrics {
           (pd * nd * 2).cast("double"),
         6).as("auc"))
   }
+
+  /** q131: CALIBRATION BINS (reliability table) — q120's companion: AUC
+    * measures ranking, this measures whether the score VALUES mean what
+    * they claim (a quality scorer that says "0.9" should be right ~90% of
+    * the time). Ten equal-width score bins; per bin, the observed
+    * positive rate in exact ppm (integer floor-division) plus the mean
+    * score in DECIMAL. One map-side-combined groupBy over the scored
+    * corpus — 10 output rows at any scale, nothing ranks anything.
+    *
+    * The bin index uses explicit floor() before the cast: Spark's
+    * double→int cast truncates while DuckDB's ROUNDS, so the floor must
+    * happen in IEEE double arithmetic (deterministic in both) with the
+    * cast applied to an already-integral value. */
+  def q131CalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      least(lit(9L), floor(col("value") / 50d).cast("long")).as("bin"),
+      col("value"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    ev.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("value").cast("decimal(18,2)")).as("vsum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 DIV n").as("pos_ppm"),
+        round(col("vsum").cast("double") / col("n"), 4).as("mean_score"))
+  }
 }

@@ -555,4 +555,50 @@ object Similarity {
       .groupBy(col("m").cast("bigint").as("m"), col("code"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
   }
+
+  /** q130: per-label embedding OUTLIERS — the top-k vectors farthest from
+    * their own label's centroid. The mislabeled-data / noisy-embedding
+    * audit a curation pipeline runs before training on labeled vectors:
+    * a point far from its class center is a labeling error candidate.
+    *
+    * All-integer fixed point (q71/q83's 2^20 convention) so ranking and
+    * output cross engines exactly:
+    *  - components enter as fp = trunc(x·2^20) longs;
+    *  - the label centroid is kept RATIONAL (csum, n) — never divided —
+    *    so the per-vector distance numerator Σ(fp·n − csum)² over a
+    *    common denominator n² is an exact integer; fp·n runs in
+    *    DECIMAL(38,0) (1e6 · 1e12-vector labels would overflow BIGINT —
+    *    the q120 lesson) and the squared sum stays ≤ ~1e32 « 1e38;
+    *  - vectors of the SAME label share the denominator, so ranking by
+    *    the numerator alone is exact; the output distance is scaled back
+    *    to fp² units (÷n², integer floor both engines) to fit BIGINT.
+    *
+    * Plan: one posexplode groupBy builds the (label, pos) centroid sums
+    * (64·|labels| rows, broadcast); one more rolls per-vector numerators;
+    * the top-k window partitions by label — state O(label slice), and at
+    * extreme per-label cardinality the q97 histogram-cutoff refinement
+    * applies verbatim to the numerator column. */
+  def q130EmbeddingOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        (col("x").cast("double") * lit(1048576d)).cast("long").as("fp"))
+    val cents = e.groupBy(col("label"), col("pos"))
+      .agg(sum(col("fp")).as("csum"), count(lit(1)).as("n"))
+    val d2 = e.join(broadcast(cents), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"), col("n"),
+        (col("fp").cast("decimal(38,0)") * col("n") - col("csum"))
+          .as("diff"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("diff") * col("diff")).as("d2num"),
+        first(col("n")).as("n"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2num").desc, col("vec_id").asc)
+    d2.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("rnk"), col("vec_id"),
+        expr("cast(d2num DIV (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("d2_scaled"))
+  }
 }

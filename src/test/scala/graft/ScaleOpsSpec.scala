@@ -1330,4 +1330,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     expected.foreach { case (g, (_, med, mad)) =>
       assert(mad >= 0 && med > 0, s"sanity for $g") }
   }
+
+  test("q130 embedding outliers equal a driver-side exact fixed-point recompute") {
+    val rows = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => (x.toDouble * 1048576d).toLong).toArray))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (label, vs) =>
+      val n = BigInt(vs.length)
+      val dims = vs.head._3.length
+      val csum = Array.tabulate(dims)(p => BigInt(vs.map(_._3(p)).sum))
+      val scored = vs.map { case (id, _, fp) =>
+        val d2 = (0 until dims).map(p =>
+          (BigInt(fp(p)) * n - csum(p)).pow(2)).sum
+        (id, d2)
+      }.sortBy { case (id, d2) => (-d2, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, d2), i) =>
+        (label, i + 1L, id) -> (d2 / (n * n)).toLong }
+    }
+    val got = SparkEntry.queries("q130_embedding_outliers")(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got === expected.toMap)
+    assert(got.nonEmpty)
+  }
+
+  test("q131 calibration bins: totals reconcile and ppm matches counts") {
+    val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(got.map(_.getLong(1)).sum === ev.count(), "bins cover every event")
+    assert(got.map(_.getLong(2)).sum ===
+      ev.filter(col("event_type") === "purchase").count(), "positives covered")
+    got.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1),
+        s"ppm mismatch in bin ${r.getLong(0)}")
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+    }
+  }
 }
