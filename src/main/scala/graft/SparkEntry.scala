@@ -200,6 +200,7 @@ object SparkEntry {
     "q130_embedding_outliers" -> ((s: SparkSession, d: String) =>
       graft.operators.Similarity.q130EmbeddingOutliers(s, d)),
     "q131_calibration_bins"   -> graft.operators.RankMetrics.q131CalibrationBins _,
+    "q132_cluster_label_vote" -> Dedup.q132ClusterLabelVote _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -302,6 +303,21 @@ object SparkEntry {
        "tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs) " +
        "SELECT tot.n_docs, ag.n_clusters, ag.n_dropped, " +
        "tot.n_docs - ag.n_dropped AS n_surviving FROM tot, ag"),
+    // q132: q73's recursive component labels + majority vote on the
+    // (count DESC, lang ASC) total order; trusted set = doc_id ≡ 0 mod 3
+    "q132_cluster_label_vote" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       "mem AS (SELECT d.doc_id, d.lang, l.root FROM documents d JOIN lab l ON l.n = d.doc_id), " +
+       "v AS (SELECT root, lang, count(*) AS c FROM mem WHERE doc_id % 3 = 0 GROUP BY 1, 2), " +
+       "t AS (SELECT root, lang AS prop_lang FROM (SELECT root, lang, " +
+       "row_number() OVER (PARTITION BY root ORDER BY c DESC, lang ASC) AS rn FROM v) z " +
+       "WHERE rn = 1) " +
+       "SELECT m.doc_id, m.lang AS orig_lang, t.prop_lang, " +
+       "m.lang <> t.prop_lang AS changed FROM mem m JOIN t ON t.root = m.root " +
+       "WHERE m.doc_id % 3 <> 0"),
     // per-doc signatures are independent of the corpus/batch split, so the
     // oracle reuses the full bd band table and applies the parity split in
     // the probe join itself

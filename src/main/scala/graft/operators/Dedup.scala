@@ -783,4 +783,39 @@ object Dedup {
         (col("inter").cast("double") /
           (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
   }
+
+  /** q132: LABEL PROPAGATION over near-dup clusters — the semi-supervised
+    * move (the engine's reference theme, ref SURVEY §3.1 self-labeling)
+    * applied to corpus metadata: documents whose doc_id ≡ 0 (mod 3) carry
+    * TRUSTED labels (`lang`); every other cluster member inherits the
+    * cluster's majority trusted label. The practical shape: sparse human /
+    * high-confidence annotations spread through near-duplicate structure,
+    * labeling the long tail for free.
+    *
+    * Plan: the persisted component-labels table ([[stagedComponentLabels]],
+    * shared with q67/q73/q88/q94) is read, not recomputed; votes collapse
+    * to ≤|langs| rows per cluster in one map-side-combined groupBy; the
+    * majority pick ranks those tiny per-cluster vote lists on the
+    * (count DESC, lang ASC) total order — window state O(langs), never
+    * O(members); the inherit join shuffles on the cluster root. Clusters
+    * with no trusted member propagate nothing (inner join) — identically
+    * in the oracle. */
+  def q132ClusterLabelVote(spark: SparkSession, dir: String): DataFrame = {
+    val labels = stagedComponentLabels(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val mem = docs.join(labels, col("doc_id") === col("node"))
+      .select(col("doc_id"), col("lang"), col("label").as("root"))
+    val votes = mem.filter(col("doc_id") % 3 === 0)
+      .groupBy(col("root"), col("lang")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("root"))
+      .orderBy(col("c").desc, col("lang").asc)
+    val top = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("root"), col("lang").as("prop_lang"))
+    mem.filter(col("doc_id") % 3 =!= 0)
+      .join(top, Seq("root"))
+      .select(col("doc_id"), col("lang").as("orig_lang"), col("prop_lang"),
+        (col("lang") =!= col("prop_lang")).as("changed"))
+  }
 }

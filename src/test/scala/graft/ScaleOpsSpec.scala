@@ -1355,6 +1355,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q132 cluster label vote equals a driver-side majority recompute") {
+    val labels = graft.operators.Dedup.stagedComponentLabels(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // node -> root
+    val langOf = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byRoot = labels.toSeq.groupBy(_._2)
+    val expected = byRoot.toSeq.flatMap { case (root, members) =>
+      val ids = members.map(_._1).filter(langOf.contains)
+      val trusted = ids.filter(_ % 3 == 0)
+      if (trusted.isEmpty) Nil
+      else {
+        val prop = trusted.groupBy(langOf).toSeq
+          .sortBy { case (l, g) => (-g.size, l) }.head._1
+        ids.filterNot(_ % 3 == 0).map(id =>
+          (id, langOf(id), prop, langOf(id) != prop))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q132_cluster_label_vote")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "some cluster must propagate a label")
+  }
+
   test("q131 calibration bins: totals reconcile and ppm matches counts") {
     val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
