@@ -201,6 +201,7 @@ object SparkEntry {
       graft.operators.Similarity.q130EmbeddingOutliers(s, d)),
     "q131_calibration_bins"   -> graft.operators.RankMetrics.q131CalibrationBins _,
     "q132_cluster_label_vote" -> Dedup.q132ClusterLabelVote _,
+    "q133_leakfree_split"     -> graft.operators.Sketches.q133LeakFreeSplit _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -318,6 +319,22 @@ object SparkEntry {
        "SELECT m.doc_id, m.lang AS orig_lang, t.prop_lang, " +
        "m.lang <> t.prop_lang AS changed FROM mem m JOIN t ON t.root = m.root " +
        "WHERE m.doc_id % 3 <> 0"),
+    // q133: same recursive labels; split hashes the GROUP key; the
+    // violation count is computed (provably 0 by construction)
+    "q133_leakfree_split" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       "mem AS (SELECT d.doc_id, COALESCE(l.root, d.doc_id) AS grp " +
+       "FROM documents d LEFT JOIN lab l ON l.n = d.doc_id), " +
+       s"a AS (SELECT doc_id, grp, CASE WHEN ${hex60Sql("CAST(grp AS VARCHAR)")} % 100 < 80 THEN 'train' " +
+       s"WHEN ${hex60Sql("CAST(grp AS VARCHAR)")} % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM mem), " +
+       "per AS (SELECT split, count(*) AS n_docs, CAST(count(DISTINCT grp) AS BIGINT) AS n_groups FROM a GROUP BY 1), " +
+       "v AS (SELECT count(*) AS n_split_violations FROM " +
+       "(SELECT grp FROM a GROUP BY grp HAVING count(DISTINCT split) > 1) x) " +
+       "SELECT per.split, per.n_docs, per.n_groups, " +
+       "CAST(v.n_split_violations AS BIGINT) AS n_split_violations FROM per, v"),
     // per-doc signatures are independent of the corpus/batch split, so the
     // oracle reuses the full bd band table and applies the parity split in
     // the probe join itself

@@ -131,6 +131,42 @@ object Sketches {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
   }
 
+  /** q133: LEAKAGE-FREE train/val/test split — q91's deterministic
+    * hash-split with one crucial change: the hash key is the near-dup
+    * CLUSTER (the persisted component root, the doc itself for
+    * singletons), so near-duplicates can never straddle a split boundary.
+    * Splitting by document hash (q91) leaks: a train document's
+    * near-duplicate lands in test and the eval measures memorization —
+    * the classic contamination bug in LLM data pipelines. The output
+    * carries `n_split_violations` (clusters spanning >1 split), which the
+    * construction forces to 0 — computed, not asserted, so the oracle
+    * proves the property rather than trusting it.
+    *
+    * Plan: one left join against the read-only component-labels table,
+    * the same pure-function sketch60 split as q91/q65 (reproducible, no
+    * seed state), two bounded aggregations. */
+  def q133LeakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.Dedup.stagedComponentLabels(spark, dir)
+    val keyed = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+    val h = pmod(graft.functions.TextFunctions.sketch60(
+      col("grp").cast("string")), lit(100L))
+    val assigned = keyed.withColumn("split",
+      when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .persist()
+    val per = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"))
+    val viol = assigned.groupBy(col("grp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_split_violations"))
+    per.crossJoin(broadcast(viol))
+  }
+
   /** q110: training-shard manifest — the dataloader-facing summary a shard
     * writer emits next to the data: per shard, how many documents, how many
     * characters, and an ORDER-INDEPENDENT membership checksum a consumer can

@@ -1380,6 +1380,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "some cluster must propagate a label")
   }
 
+  test("q133 leak-free split: totals reconcile, zero violations, doc-hash split WOULD leak") {
+    val rows = SparkEntry.queries("q133_leakfree_split")(spark, sf).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "splits cover the corpus")
+    assert(rows.forall(_.getLong(3) === 0L), "no cluster may span splits")
+    // the contrast that justifies the operator: hashing DOC ids (q91's
+    // split) DOES scatter at least one near-dup cluster across splits here
+    val labels = graft.operators.Dedup.stagedComponentLabels(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def docSplit(id: Long): Int =
+      (graft.functions.TextFunctions.hex60Local(id.toString) % 100).toInt
+    val leaky = labels.groupBy(_._2).exists { case (_, members) =>
+      members.map(m => docSplit(m._1) match {
+        case h if h < 80 => "train"; case h if h < 90 => "val"; case _ => "test"
+      }).distinct.size > 1
+    }
+    assert(leaky, "fixture should demonstrate doc-hash leakage " +
+      "(if this corpus stops leaking, the contrast claim needs new data)")
+  }
+
   test("q131 calibration bins: totals reconcile and ppm matches counts") {
     val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
