@@ -202,6 +202,7 @@ object SparkEntry {
     "q131_calibration_bins"   -> graft.operators.RankMetrics.q131CalibrationBins _,
     "q132_cluster_label_vote" -> Dedup.q132ClusterLabelVote _,
     "q133_leakfree_split"     -> graft.operators.Sketches.q133LeakFreeSplit _,
+    "q134_datasheet"          -> graft.operators.Curation.q134Datasheet _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -939,6 +940,24 @@ object SparkEntry {
        "// count(*) AS BIGINT) AS pos_ppm, " +
        "round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) " +
        "AS mean_score FROM events GROUP BY 1"),
+    // q134: three scalar aggregates cross-joined; dup rate in integer ppm,
+    // event span in whole days via integer microsecond division
+    "q134_datasheet" ->
+      ("WITH d AS (SELECT count(*) AS n_docs, " +
+       "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS n_chars, " +
+       "count(DISTINCT md5(text)) AS n_unique_texts, " +
+       "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+       "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents), " +
+       "ev AS (SELECT count(*) AS n_events, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+       "CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS BIGINT) " +
+       "AS span_days FROM events), " +
+       "em AS (SELECT count(*) AS n_vectors, " +
+       "CAST(count(DISTINCT label) AS BIGINT) AS n_labels FROM embeddings) " +
+       "SELECT d.*, ev.*, em.*, " +
+       "CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT) AS dup_ppm " +
+       "FROM d, ev, em"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -157,6 +157,37 @@ object Curation {
     liOrphans.unionAll(ordOrphans)
   }
 
+  /** q134: the corpus DATASHEET — the one-row cross-table summary a
+    * curation run publishes next to a release (datasheets-for-datasets:
+    * how big, how duplicated, how diverse, what time span, what labels).
+    * Composes the engine's per-table aggregates across all three domains
+    * in three independent single-scan aggregations (documents scan also
+    * folds token counting in — no second pass), cross-joined as 1-row
+    * frames. Exact-dup rate in integer ppm off the md5 content digest
+    * (q22's convention); the event span in whole days via integer
+    * microsecond division. Every figure is map-side-combinable: the
+    * datasheet of a 100 TB corpus is three scans and twelve numbers. */
+  def q134Datasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val ev = Tables.events(spark, dir).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      expr("(unix_micros(max(ts)) - unix_micros(min(ts))) DIV 86400000000")
+        .as("span_days"))
+    val em = Tables.load(spark, dir, "embeddings").agg(
+      count(lit(1)).as("n_vectors"),
+      countDistinct(col("label")).as("n_labels"))
+    d.crossJoin(ev).crossJoin(em)
+      .withColumn("dup_ppm",
+        expr("(n_docs - n_unique_texts) * 1000000 DIV n_docs"))
+  }
+
   /** q124: per-source token-distribution DRIFT — the exact total-variation
     * (TV) distance between each source's unigram distribution and the rest
     * of the corpus. The corpus-mix monitoring signal a training pipeline

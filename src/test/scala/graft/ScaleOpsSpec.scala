@@ -1400,6 +1400,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       "(if this corpus stops leaking, the contrast claim needs new data)")
   }
 
+  test("q134 datasheet figures reconcile with direct table counts") {
+    val r = SparkEntry.queries("q134_datasheet")(spark, sf).collect().head
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    assert(r.getLong(0) === docs.count(), "n_docs")
+    assert(r.getLong(3) <= r.getLong(0), "uniques cannot exceed docs")
+    assert(r.getLong(11) ===
+      (r.getLong(0) - r.getLong(3)) * 1000000L / r.getLong(0), "dup_ppm")
+    assert(r.getLong(6) === graft.sources.Tables.events(spark, sf).count(), "n_events")
+    assert(r.getLong(9) ===
+      graft.sources.Tables.load(spark, sf, "embeddings").count(), "n_vectors")
+    assert(r.getLong(8) >= 0, "span_days non-negative")
+  }
+
   test("q131 calibration bins: totals reconcile and ppm matches counts") {
     val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
