@@ -226,9 +226,7 @@ object SparkEntry {
     // propagation instead, see Dedup.connectedComponents)
     "q67_dedup_clusters" ->
       (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n) " +
+       ccCtes + " " +
        "SELECT root AS cluster_id, count(*) AS n_docs FROM lab GROUP BY root"),
     "q75_funnel" ->
       ("WITH ev AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tu FROM events), " +
@@ -297,9 +295,7 @@ object SparkEntry {
     // (kept = cluster minimum; dropped = every other member)
     "q73_dedup_survivors" ->
       (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       ccCtes + ", " +
        "ag AS (SELECT count(DISTINCT root) AS n_clusters, " +
        "CAST(SUM(CASE WHEN n <> root THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM lab), " +
        "tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs) " +
@@ -309,9 +305,7 @@ object SparkEntry {
     // (count DESC, lang ASC) total order; trusted set = doc_id ≡ 0 mod 3
     "q132_cluster_label_vote" ->
       (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       ccCtes + ", " +
        "mem AS (SELECT d.doc_id, d.lang, l.root FROM documents d JOIN lab l ON l.n = d.doc_id), " +
        "v AS (SELECT root, lang, count(*) AS c FROM mem WHERE doc_id % 3 = 0 GROUP BY 1, 2), " +
        "t AS (SELECT root, lang AS prop_lang FROM (SELECT root, lang, " +
@@ -324,9 +318,7 @@ object SparkEntry {
     // violation count is computed (provably 0 by construction)
     "q133_leakfree_split" ->
       (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       ccCtes + ", " +
        "mem AS (SELECT d.doc_id, COALESCE(l.root, d.doc_id) AS grp " +
        "FROM documents d LEFT JOIN lab l ON l.n = d.doc_id), " +
        s"a AS (SELECT doc_id, grp, CASE WHEN ${hex60Sql("CAST(grp AS VARCHAR)")} % 100 < 80 THEN 'train' " +
@@ -1075,9 +1067,7 @@ object SparkEntry {
     // engine (no float division → no ulp edge can flip a verdict)
     "q88_curation_verdict" ->
       (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       ccCtes + ", " +
        "dropped AS (SELECT n AS doc_id FROM lab WHERE n <> root), " +
        "tk2 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents), " +
        "pr AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dis, " +
@@ -1152,9 +1142,7 @@ object SparkEntry {
     // keeper = max tokens, ties to the smaller doc_id
     "q94_canonical_pick" ->
       (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       ccCtes + ", " +
        "dd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
        "sel AS (SELECT lab.root AS cluster_id, dd.doc_id, dd.n_tok, " +
        "count(*) OVER (PARTITION BY lab.root) AS n_docs, " +
@@ -1196,9 +1184,7 @@ object SparkEntry {
     // keep rank ≤ ⌈√n⌉ per cluster via the integer predicate (rn−1)² < n
     "q98_soft_neardup" ->
       (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-       "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-       "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-       "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n), " +
+       ccCtes + ", " +
        "dd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
        "sel AS (SELECT lab.root AS cluster_id, dd.doc_id, dd.n_tok, " +
        "count(*) OVER (PARTITION BY lab.root) AS n_docs, " +
@@ -1353,6 +1339,16 @@ object SparkEntry {
     * the driver's sf0.01/0.1 gates. On data degenerate enough to trip the
     * cap, the engine's bounded-recall behavior diverges from the oracle's
     * unbounded pair set intentionally. */
+  /** Shared recursive connected-components CTE chain over a `pairs`
+    * (doc_a, doc_b) CTE: symmetric edges -> transitive reachability ->
+    * min-reachable-id component label per node. ONE definition for every
+    * clustering oracle (q67/q73/q88/q94/q98/q132/q133) so the oracles can
+    * never verify against divergent clusterings. */
+  private def ccCtes: String =
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+    "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
+    "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n)"
+
   private def minhashCtes: String =
     "WITH docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0), " +
     "tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM docs), " +

@@ -170,7 +170,7 @@ object Curation {
   def q134Datasheet(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents").agg(
       count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"),
+      sum(tokenCount(col("text")).cast("bigint")).as("n_tokens"),
       sum(col("n_chars")).as("n_chars"),
       countDistinct(md5(col("text"))).as("n_unique_texts"),
       countDistinct(col("lang")).as("n_langs"),

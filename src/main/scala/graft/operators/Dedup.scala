@@ -806,6 +806,9 @@ object Dedup {
       .select(col("doc_id"), col("lang"))
     val mem = docs.join(labels, col("doc_id") === col("node"))
       .select(col("doc_id"), col("lang"), col("label").as("root"))
+      // both the vote branch and the inherit branch read mem: persist so
+      // the documents scan + labels join runs once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val votes = mem.filter(col("doc_id") % 3 === 0)
       .groupBy(col("root"), col("lang")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("root"))

@@ -97,7 +97,7 @@ object RankMetrics {
     * cast applied to an already-integral value. */
   def q131CalibrationBins(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
-      least(lit(9L), floor(col("value") / 50d).cast("long")).as("bin"),
+      least(lit(9L), floor(col("value") / 50d)).as("bin"),
       col("value"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
     ev.groupBy(col("bin"))

@@ -585,7 +585,10 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("pos"),
         (col("x").cast("double") * lit(1048576d)).cast("long").as("fp"))
     val cents = e.groupBy(col("label"), col("pos"))
-      .agg(sum(col("fp")).as("csum"), count(lit(1)).as("n"))
+      // csum has the same 1e12-vector magnitude as fp·n below — it must
+      // enter DECIMAL before summing, not after overflowing
+      .agg(sum(col("fp").cast("decimal(38,0)")).as("csum"),
+        count(lit(1)).as("n"))
     val d2 = e.join(broadcast(cents), Seq("label", "pos"))
       .select(col("vec_id"), col("label"), col("n"),
         (col("fp").cast("decimal(38,0)") * col("n") - col("csum"))

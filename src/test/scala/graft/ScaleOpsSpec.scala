@@ -1386,15 +1386,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === nDocs, "splits cover the corpus")
     assert(rows.forall(_.getLong(3) === 0L), "no cluster may span splits")
     // the contrast that justifies the operator: hashing DOC ids (q91's
-    // split) DOES scatter at least one near-dup cluster across splits here
+    // split) DOES scatter at least one near-dup cluster across splits here.
+    // The doc-level split is computed with the ENGINE'S OWN sketch60
+    // expression (whatever hash family this session runs), not a driver
+    // twin of one fixed family — the claim is about q91's actual split.
     val labels = graft.operators.Dedup.stagedComponentLabels(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    def docSplit(id: Long): Int =
-      (graft.functions.TextFunctions.hex60Local(id.toString) % 100).toInt
+    val docSplit = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        pmod(graft.functions.TextFunctions.sketch60(
+          col("doc_id").cast("string")), lit(100L)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val leaky = labels.groupBy(_._2).exists { case (_, members) =>
-      members.map(m => docSplit(m._1) match {
+      members.flatMap(m => docSplit.get(m._1)).map {
         case h if h < 80 => "train"; case h if h < 90 => "val"; case _ => "test"
-      }).distinct.size > 1
+      }.distinct.size > 1
     }
     assert(leaky, "fixture should demonstrate doc-hash leakage " +
       "(if this corpus stops leaking, the contrast claim needs new data)")
