@@ -203,6 +203,8 @@ object SparkEntry {
     "q132_cluster_label_vote" -> Dedup.q132ClusterLabelVote _,
     "q133_leakfree_split"     -> graft.operators.Sketches.q133LeakFreeSplit _,
     "q134_datasheet"          -> graft.operators.Curation.q134Datasheet _,
+    "q135_join_size_sketch"   -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q135JoinSizeSketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -950,6 +952,21 @@ object SparkEntry {
        "SELECT d.*, ev.*, em.*, " +
        "CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT) AS dup_ppm " +
        "FROM d, ev, em"),
+    // q135: identical CMS rebuilt from the portable hash family; the
+    // upper-bound boolean and ppm ratio are computed, not asserted
+    "q135_join_size_sketch" ->
+      ("WITH k AS (SELECT user_id FROM events), " +
+       "ex AS (SELECT SUM(c * c) AS exact_v FROM " +
+       "(SELECT user_id, count(*) AS c FROM k GROUP BY 1) g), " +
+       s"cms AS (SELECT d.i, ${hex60Sql("concat(CAST(d.i AS VARCHAR), ':', CAST(user_id AS VARCHAR))")} % 1024 AS j, " +
+       "count(*) AS c FROM k, UNNEST(generate_series(0, 3)) AS d(i) GROUP BY 1, 2), " +
+       "est AS (SELECT MIN(ip) AS est_v FROM " +
+       "(SELECT i, SUM(c * c) AS ip FROM cms GROUP BY 1) p) " +
+       "SELECT CAST(ex.exact_v AS BIGINT) AS exact_pairs, " +
+       "CAST(est.est_v AS BIGINT) AS est_pairs, " +
+       "est.est_v >= ex.exact_v AS upper_bound_ok, " +
+       "CAST(est.est_v * 1000000 // ex.exact_v AS BIGINT) AS ratio_ppm " +
+       "FROM ex, est"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -167,6 +167,48 @@ object Sketches {
     per.crossJoin(broadcast(viol))
   }
 
+  /** q135: JOIN-CARDINALITY estimation from COUNT-MIN sketches, checked
+    * against the exact answer — the optimizer-statistics primitive: a
+    * planner deciding broadcast vs shuffle vs skew-mitigation for
+    * A ⋈_k B wants |A ⋈ B| = Σ_k c_A(k)·c_B(k) WITHOUT computing the
+    * join. The CMS inner-product estimate needs only two w·d-cell
+    * sketches, each built in one map-side-combined pass.
+    *
+    * Here both sides are the event log keyed on user_id (the self-join
+    * a sessionization or co-visit analysis pays), so the truth is
+    * Σ c_u² — one groupBy. The sketch: d=4 rows of w=1024 counters,
+    * counter (i, h_i(k) mod w) summing the key's multiplicity; the
+    * estimate is min_i Σ_j cms[i][j]² and is a PROVABLE OVER-ESTIMATE of
+    * the true inner product (hash collisions only add cross terms) — the
+    * output carries that bound as a computed boolean plus the
+    * over-estimation ratio in exact ppm. Deterministic: the row hashes
+    * are the portable sketch60 family over "i:key", so the DuckDB oracle
+    * rebuilds the identical sketch. All arithmetic integer; squares sum
+    * in DECIMAL(38,0) (c² at 1e12-event keys overflows BIGINT). */
+  def q135JoinSizeSketch(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    val keys = Tables.events(spark, dir).select(col("user_id"))
+    val exact = keys.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("exact"))
+    val cms = keys
+      .select(col("user_id"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("i"))
+      .groupBy(col("i"),
+        pmod(sketch60(concat_ws(":", col("i"), col("user_id"))),
+          lit(width.toLong)).as("j"))
+      .agg(count(lit(1)).as("c"))
+    val est = cms.groupBy(col("i"))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    exact.crossJoin(est).select(
+      col("exact").cast("bigint").as("exact_pairs"),
+      col("est").cast("bigint").as("est_pairs"),
+      (col("est") >= col("exact")).as("upper_bound_ok"),
+      expr("cast((est * 1000000 - (est * 1000000) % exact) / exact as bigint)")
+        .as("ratio_ppm"))
+  }
+
   /** q110: training-shard manifest — the dataloader-facing summary a shard
     * writer emits next to the data: per shard, how many documents, how many
     * characters, and an ORDER-INDEPENDENT membership checksum a consumer can

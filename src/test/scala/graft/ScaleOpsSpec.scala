@@ -1419,6 +1419,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getLong(8) >= 0, "span_days non-negative")
   }
 
+  test("q135 join-size sketch: exact matches recompute, estimate is a true upper bound") {
+    val r = SparkEntry.queries("q135_join_size_sketch")(spark, sf).collect().head
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    val exact = counts.map(c => c * c).sum
+    assert(r.getLong(0) === exact, "exact self-join cardinality")
+    assert(r.getBoolean(2), "CMS inner product must upper-bound the truth")
+    assert(r.getLong(1) >= r.getLong(0))
+    assert(r.getLong(3) === r.getLong(1) * 1000000L / r.getLong(0), "ppm ratio")
+    // sanity: with 1024 counters per row vs this fixture's key count, the
+    // collision inflation should be moderate, not orders of magnitude
+    assert(r.getLong(3) < 10000000L, s"estimate off by >10x: ${r.getLong(3)} ppm")
+  }
+
   test("q131 calibration bins: totals reconcile and ppm matches counts") {
     val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
