@@ -205,6 +205,8 @@ object SparkEntry {
     "q134_datasheet"          -> graft.operators.Curation.q134Datasheet _,
     "q135_join_size_sketch"   -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q135JoinSizeSketch(s, d)),
+    "q136_rrf_fusion"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Search.q136RrfFusion(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -967,6 +969,35 @@ object SparkEntry {
        "est.est_v >= ex.exact_v AS upper_bound_ok, " +
        "CAST(est.est_v * 1000000 // ex.exact_v AS BIGINT) AS ratio_ppm " +
        "FROM ex, est"),
+    // q136: both lists restated on their engine-shared total orders
+    // (TF score desc/doc_id; rounded cosine desc/vec_id), RRF term in
+    // integer floor-division, absent-from-list contributes 0
+    "q136_rrf_fusion" ->
+      ("WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM " +
+       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u " +
+       "GROUP BY 1, 2), " +
+       "terms AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) d " +
+       "ORDER BY df DESC, tok ASC LIMIT 3), " +
+       "kw AS (SELECT doc_id, SUM(tf) AS score FROM tf JOIN terms USING (tok) GROUP BY 1), " +
+       "kwr AS (SELECT doc_id, kw_rank FROM (SELECT doc_id, " +
+       "CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS kw_rank " +
+       "FROM kw) x WHERE kw_rank <= 50), " +
+       "e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM " +
+       "(SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i " +
+       "FROM embeddings) u), " +
+       "q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0), " +
+       "dd AS (SELECT e.vec_id, SUM(e.x * q.qx) AS dot, SUM(e.x * e.x) AS n1, " +
+       "SUM(q.qx * q.qx) AS n2 FROM e JOIN q USING (i) WHERE e.vec_id <> 0 " +
+       "GROUP BY e.vec_id), " +
+       "vr AS (SELECT doc_id, vec_rank FROM (SELECT vec_id AS doc_id, " +
+       "CAST(row_number() OVER (ORDER BY round(dot / (sqrt(n1) * sqrt(n2)), 4) DESC, " +
+       "vec_id ASC) AS BIGINT) AS vec_rank FROM dd) y WHERE vec_rank <= 50), " +
+       "f AS (SELECT COALESCE(kwr.doc_id, vr.doc_id) AS doc_id, kw_rank, vec_rank, " +
+       "COALESCE(1000000000 // (60 + kw_rank), 0) + " +
+       "COALESCE(1000000000 // (60 + vec_rank), 0) AS rrf_score " +
+       "FROM kwr FULL OUTER JOIN vr ON vr.doc_id = kwr.doc_id) " +
+       "SELECT doc_id, kw_rank, vec_rank, CAST(rrf_score AS BIGINT) AS rrf_score " +
+       "FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -128,4 +128,50 @@ object Search {
         .localCheckpoint()
     } finally spark.conf.set(key, prev)
   }
+
+  /** q136: HYBRID retrieval via RECIPROCAL RANK FUSION — the standard way
+    * a search stack combines a keyword ranking and a vector ranking
+    * (RRF, Cormack et al. SIGIR'09: score = Σ 1/(60 + rank)). Documents
+    * and vectors share the id domain here, so the two lists fuse
+    * directly.
+    *
+    * Both input lists are TOP-LISTLEN cuts on engine-deterministic total
+    * orders: keyword = TF sum over the q123 stand-in terms ranked
+    * (score DESC, doc_id), vector = q30's rounded-cosine brute force vs
+    * vec 0 ranked (sim DESC, vec_id). Each cut runs as
+    * TakeOrderedAndProject (orderBy.limit — never a global sort), and the
+    * rank row_numbers are then assigned over the ALREADY-CUT 50-row
+    * frames, so the unpartitioned windows are bounded by construction.
+    * The fusion term 1e9 div (60+rank) is integer floor-division —
+    * deterministic across engines, no 1/x doubles — and absent-from-list
+    * contributes 0 via the outer join's null. */
+  def q136RrfFusion(spark: SparkSession, dir: String, k: Int = 10,
+      listLen: Int = 50): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val terms = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val kwRanked = tf.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(listLen)
+      .withColumn("kw_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("bigint"))
+      .select(col("doc_id"), col("kw_rank"))
+    val vecRanked = Similarity.bruteForceTopK(spark, dir, 0L, listLen)
+      .withColumn("vec_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("vec_id").asc)).cast("bigint"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    kwRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
+        (coalesce(expr("1000000000 DIV (60 + kw_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 DIV (60 + vec_rank)"), lit(0L)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -1433,6 +1433,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) < 10000000L, s"estimate off by >10x: ${r.getLong(3)} ppm")
   }
 
+  test("q136 RRF fusion: scores recompute from ranks; keyword ranks match a driver scan") {
+    val rows = SparkEntry.queries("q136_rrf_fusion")(spark, sf).collect()
+    assert(rows.length === 10)
+    def term(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else 1000000000L / (60L + r.getLong(i))
+    rows.foreach { r =>
+      assert(r.getLong(3) === term(r, 1) + term(r, 2), s"rrf formula for $r") }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "fused list must be rank-ordered")
+    // independent keyword-side ranking
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val tf = docs.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (t, d, g.length.toLong) } }
+    val terms = tf.groupBy(_._1).map { case (t, g) => (t, g.size) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1).toSet
+    val kwRank = tf.filter(p => terms(p._1)).groupBy(_._2)
+      .map { case (d, ps) => d -> ps.map(_._3).sum }.toSeq
+      .sortBy { case (d, s) => (-s, d) }.take(50).zipWithIndex
+      .map { case ((d, _), i) => d -> (i + 1L) }.toMap
+    rows.filterNot(_.isNullAt(1)).foreach { r =>
+      assert(kwRank(r.getLong(0)) === r.getLong(1),
+        s"kw_rank mismatch for doc ${r.getLong(0)}") }
+  }
+
   test("q131 calibration bins: totals reconcile and ppm matches counts") {
     val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
