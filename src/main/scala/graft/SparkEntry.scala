@@ -207,6 +207,8 @@ object SparkEntry {
       graft.operators.Sketches.q135JoinSizeSketch(s, d)),
     "q136_rrf_fusion"         -> ((s: SparkSession, d: String) =>
       graft.operators.Search.q136RrfFusion(s, d)),
+    "q137_image_neardup"      -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.q137ImageNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -998,6 +1000,25 @@ object SparkEntry {
        "FROM kwr FULL OUTER JOIN vr ON vr.doc_id = kwr.doc_id) " +
        "SELECT doc_id, kw_rank, vec_rank, CAST(rrf_score AS BIGINT) AS rrf_score " +
        "FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"),
+    // q137: PNG is lossless, so the oracle restates every SAMPLED gray
+    // level from the fixture formula, rebuilds the 56-bit dhash, and
+    // brute-forces the hamming≤3 pair set the banding must land on exactly
+    "q137_image_neardup" ->
+      ("WITH imgs AS (SELECT doc_id AS media_id, 8 + doc_id % 24 AS w, " +
+       "8 + (doc_id // 3) % 24 AS h FROM documents WHERE doc_id % 3 = 0), " +
+       "bits AS (SELECT media_id, CAST(j.j * 7 + i.i AS BIGINT) AS k, " +
+       "CASE WHEN ((media_id * 31 + (((i.i + 1) * (w - 1)) // 7) * 7 + " +
+       "((j.j * (h - 1)) // 7) * 13) % 256) > " +
+       "((media_id * 31 + ((i.i * (w - 1)) // 7) * 7 + " +
+       "((j.j * (h - 1)) // 7) * 13) % 256) THEN 1 ELSE 0 END AS b " +
+       "FROM imgs, UNNEST(generate_series(0, 7)) AS j(j), " +
+       "UNNEST(generate_series(0, 6)) AS i(i)), " +
+       "hs AS (SELECT media_id, CAST(SUM(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) " +
+       "AS dhash FROM bits GROUP BY 1) " +
+       "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+       "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming " +
+       "FROM hs a JOIN hs b ON a.media_id < b.media_id " +
+       "WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

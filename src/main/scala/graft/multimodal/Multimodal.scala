@@ -300,4 +300,82 @@ object Multimodal {
         col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
   }
+
+  private val dhashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("dhash", LongType)))
+
+  /** 56-bit difference hash of a DECODED image: sample an 8×8 grid of
+    * pixels (row y_j = j·(h−1) div 7, col x_i = i·(w−1) div 7 — pure
+    * integer grid, no resampling arithmetic, so the lossless-PNG oracle
+    * can restate every sampled gray level from the fixture formula), set
+    * bit j·7+i iff gray(x_{i+1}, y_j) > gray(x_i, y_j). 56 bits, never
+    * the sign bit — both engines' shifts stay in positive BIGINT. */
+  def dhash56(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    def g(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFF
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      val y = j * (h - 1) / 7
+      var i = 0
+      while (i < 7) {
+        val x0 = i * (w - 1) / 7
+        val x1 = (i + 1) * (w - 1) / 7
+        if (g(x1, y) > g(x0, y)) bits |= 1L << (j * 7 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** q137: PERCEPTUAL image near-dup — decode every image payload with the
+    * real JDK codec, difference-hash the pixels ([[dhash56]]), and find
+    * pairs within Hamming distance 3 by LSH BANDING, never all-pairs:
+    * the 56-bit hash splits into 4 bands of 14 bits, and two hashes with
+    * hamming ≤ 3 differ in at most 3 bands, so they MUST collide on at
+    * least one band — candidate generation is an equi-join on
+    * (band, band_key) with EXACT recall at the threshold (the simhash
+    * q25 argument, applied to decoded pixels instead of token text).
+    * Verification is one codegen'd `bit_count(xor)` per candidate.
+    *
+    * The oracle restates the whole pipeline from the fixture formula
+    * (PNG is lossless: decoded gray ≡ (id·31 + x·7 + y·13) mod 256) and
+    * brute-forces pairs at sf scale — the banding must land on exactly
+    * that set. */
+  def q137ImageNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(dhashSchema)
+    val hashed = fromDocuments(spark, dir)
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, "payload is not a decodable image")
+          Row(r.getLong(0), dhash56(img))
+        }
+      }(enc)
+    val bands = hashed.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), b * 14).bitwiseAND(lit(0x3FFFL))
+          .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("a.dhash").as("ha"),
+        col("b.media_id").as("id_b"), col("b.dhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

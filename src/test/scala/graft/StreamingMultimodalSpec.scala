@@ -225,6 +225,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(row.getLong(0) === row.getLong(1), "an event_id was emitted twice")
   }
 
+  test("q137 image near-dup: banding equals driver-side brute force over decoded hashes") {
+    import graft.multimodal.Multimodal
+    val hashes = Multimodal.fromDocuments(spark, sf)
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload")).collect()
+      .map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        r.getLong(0) -> Multimodal.dhash56(img)
+      }
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    val q = Multimodal.q137ImageNearDup(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected, "banding must have exact recall at hamming<=3")
+    assert(expected.nonEmpty, "fixture images must contain near-dups")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q137 candidates must come from the band equi-join:\n$plan")
+  }
+
   test("JdkCodec: PNG and WAV encode→decode roundtrips recover the fixtures exactly") {
     import graft.multimodal.Multimodal.JdkCodec
     for (id <- Seq(0L, 3L, 7L, 123L, 4998L)) {
