@@ -209,6 +209,8 @@ object SparkEntry {
       graft.operators.Search.q136RrfFusion(s, d)),
     "q137_image_neardup"      -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.q137ImageNearDup(s, d)),
+    "q138_audio_neardup"      -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.q138AudioNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1019,6 +1021,21 @@ object SparkEntry {
        "CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming " +
        "FROM hs a JOIN hs b ON a.media_id < b.media_id " +
        "WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"),
+    // q138: PCM is lossless — the oracle restates the sampled bytes from
+    // the fixture formula and brute-forces the hamming≤3 pair set
+    "q138_audio_neardup" ->
+      ("WITH auds AS (SELECT doc_id AS media_id, 800 + (doc_id % 160) * 10 AS n " +
+       "FROM documents WHERE doc_id % 3 = 1), " +
+       "bits AS (SELECT media_id, CAST(k.k AS BIGINT) AS k, " +
+       "CASE WHEN ((media_id * 17 + (((k.k + 1) * (n - 1)) // 56) * 11) % 256) > " +
+       "((media_id * 17 + ((k.k * (n - 1)) // 56) * 11) % 256) THEN 1 ELSE 0 END AS b " +
+       "FROM auds, UNNEST(generate_series(0, 55)) AS k(k)), " +
+       "hs AS (SELECT media_id, CAST(SUM(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) " +
+       "AS fp FROM bits GROUP BY 1) " +
+       "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+       "CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming " +
+       "FROM hs a JOIN hs b ON a.media_id < b.media_id " +
+       "WHERE bit_count(xor(a.fp, b.fp)) <= 3"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

@@ -378,4 +378,62 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** 56-bit audio fingerprint over DECODED PCM samples: 57 integer grid
+    * points p_k = k·(n−1) div 56 across the clip, bit k set iff
+    * sample(p_{k+1}) > sample(p_k) — the 1-D twin of [[dhash56]]'s
+    * gradient-sign idea (real audio fingerprinting signs spectral-band
+    * deltas; the Spark shape — decode once per partition, fixed-width
+    * integer fingerprint, banded pairing — is identical). */
+  def audioFp56(samples: Array[Byte]): Long = {
+    val n = samples.length
+    def s(i: Int): Int = samples(i) & 0xFF
+    var bits = 0L
+    var k = 0
+    while (k < 56) {
+      val p0 = k * (n - 1) / 56
+      val p1 = (k + 1) * (n - 1) / 56
+      if (s(p1) > s(p0)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** q138: AUDIO near-dup — q137's banding applied to decoded WAV samples
+    * ([[audioFp56]]): 4 bands × 14 bits, exact recall at hamming ≤ 3,
+    * bit_count(xor) verify. The oracle restates the sampled PCM bytes
+    * from the fixture formula (PCM is lossless) and brute-forces the pair
+    * set. */
+  def q138AudioNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(dhashSchema)
+    val hashed = fromDocuments(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val samples = try ais.readAllBytes() finally ais.close()
+          Row(r.getLong(0), audioFp56(samples))
+        }
+      }(enc)
+    val bands = hashed.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), b * 14).bitwiseAND(lit(0x3FFFL))
+          .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("a.dhash").as("ha"),
+        col("b.media_id").as("id_b"), col("b.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -252,6 +252,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       s"q137 candidates must come from the band equi-join:\n$plan")
   }
 
+  test("q138 audio near-dup: banding equals driver-side brute force over decoded fingerprints") {
+    import graft.multimodal.Multimodal
+    val fps = Multimodal.fromDocuments(spark, sf)
+      .filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload")).collect()
+      .map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val samples = try ais.readAllBytes() finally ais.close()
+        r.getLong(0) -> Multimodal.audioFp56(samples)
+      }
+    val expected = (for {
+      (a, ha) <- fps; (b, hb) <- fps
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    val got = Multimodal.q138AudioNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected, "banding must have exact recall at hamming<=3")
+  }
+
   test("JdkCodec: PNG and WAV encode→decode roundtrips recover the fixtures exactly") {
     import graft.multimodal.Multimodal.JdkCodec
     for (id <- Seq(0L, 3L, 7L, 123L, 4998L)) {
