@@ -211,6 +211,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.q137ImageNearDup(s, d)),
     "q138_audio_neardup"      -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.q138AudioNearDup(s, d)),
+    "q139_skyline"            -> ((s: SparkSession, d: String) =>
+      Relational.q139Skyline(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1036,6 +1038,14 @@ object SparkEntry {
        "CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming " +
        "FROM hs a JOIN hs b ON a.media_id < b.media_id " +
        "WHERE bit_count(xor(a.fp, b.fp)) <= 3"),
+    // q139: brute-force NOT EXISTS dominance — the definition itself
+    "q139_skyline" ->
+      ("WITH m AS (SELECT doc_id, n_chars AS nc, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dt " +
+       "FROM documents) " +
+       "SELECT a.doc_id, a.nc, a.dt FROM m a WHERE NOT EXISTS (" +
+       "SELECT 1 FROM m b WHERE b.dt >= a.dt AND b.nc <= a.nc " +
+       "AND (b.dt > a.dt OR b.nc < a.nc))"),
     "q51_sliding_windows" ->
       ("SELECT start, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start, value FROM events " +

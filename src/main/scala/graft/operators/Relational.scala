@@ -924,6 +924,44 @@ object Relational {
     * work. Quantities sum in DECIMAL (order-independent, oracle-exact);
     * o_orderdate is projected as a yyyy-MM-dd STRING so the cross-engine
     * compare never depends on timestamp encodings. */
+  /** q139: SKYLINE (Pareto front) of documents on two anti-correlated
+    * objectives — MAXIMIZE distinct-token count, MINIMIZE character count
+    * ("most information per byte"): a document survives iff no other
+    * document is at least as good on both axes and strictly better on
+    * one. The classic multi-criteria operator relational engines ship as
+    * a dedicated node; here it is two windowed sweeps.
+    *
+    * One sweep computes a skyline exactly: order by (nc ASC), keep a row
+    * iff its dt beats the running max over STRICTLY smaller nc (a RANGE
+    * frame, so nc ties never see each other) and it is the max dt within
+    * its own nc (an equal-nc row with higher dt dominates). That sweep
+    * is a global window — so the operator runs TWO-PHASE like q127's
+    * prefix scan: phase 1 sweeps each doc_id-hash chunk independently
+    * (any dominator eliminates its victims locally, so global skyline
+    * points always survive), phase 2 sweeps the union of the chunk
+    * skylines — a skyline-sized frame, not the corpus. Phase 2 equals a
+    * one-shot global sweep by idempotence; the spec pins both against a
+    * brute-force dominance scan. */
+  def q139Skyline(spark: SparkSession, dir: String, chunks: Int = 16): DataFrame = {
+    def sweep(df: DataFrame, part: Seq[Column]): DataFrame = {
+      val prefix = Window.partitionBy(part: _*).orderBy(col("nc"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val same = Window.partitionBy(part :+ col("nc"): _*)
+      df.withColumn("best_prev", max(col("dt")).over(prefix))
+        .withColumn("best_same", max(col("dt")).over(same))
+        .filter(col("dt") === col("best_same") &&
+          (col("best_prev").isNull || col("dt") > col("best_prev")))
+        .drop("best_prev", "best_same")
+    }
+    val m = Tables.load(spark, dir, "documents").select(
+      col("doc_id"), col("n_chars").as("nc"),
+      size(array_distinct(split(col("text"), " "))).cast("bigint").as("dt"))
+    val local = sweep(m.withColumn("chunk", pmod(col("doc_id"), lit(chunks))),
+      Seq(col("chunk")))
+    sweep(local.drop("chunk"), Nil)
+      .select(col("doc_id"), col("nc"), col("dt"))
+  }
+
   def q126TpchQ18(spark: SparkSession, dir: String): DataFrame = {
     val big = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))

@@ -1460,6 +1460,25 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"kw_rank mismatch for doc ${r.getLong(0)}") }
   }
 
+  test("q139 skyline: chunk-invariant and equals a brute-force dominance scan") {
+    import graft.operators.Relational
+    def rows(c: Int) = Relational.q139Skyline(spark, sf, chunks = c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val got = rows(16)
+    assert(got === rows(1), "chunking must not change the skyline")
+    val m = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split(" ", -1).distinct.length.toLong))
+    val expected = m.filter { case (_, nc, dt) =>
+      !m.exists { case (_, nc2, dt2) =>
+        dt2 >= dt && nc2 <= nc && (dt2 > dt || nc2 < nc) }
+    }.sortBy(_._1).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("q131 calibration bins: totals reconcile and ppm matches counts") {
     val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
