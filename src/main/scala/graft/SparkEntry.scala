@@ -213,6 +213,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.q138AudioNearDup(s, d)),
     "q139_skyline"            -> ((s: SparkSession, d: String) =>
       Relational.q139Skyline(s, d)),
+    "q140_curation_pipeline"  -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.q140CurationPipeline(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -324,6 +326,20 @@ object SparkEntry {
        "SELECT m.doc_id, m.lang AS orig_lang, t.prop_lang, " +
        "m.lang <> t.prop_lang AS changed FROM mem m JOIN t ON t.root = m.root " +
        "WHERE m.doc_id % 3 <> 0"),
+    // q140: the composed pipeline restated — survivors (min-id or
+    // singleton) → ≥20-token gate → cluster-keyed split → release stats
+    "q140_curation_pipeline" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       ccCtes + ", " +
+       "mem AS (SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_toks, " +
+       "l.root FROM documents d LEFT JOIN lab l ON l.n = d.doc_id), " +
+       "kept AS (SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks, " +
+       "COALESCE(root, doc_id) AS grp FROM mem " +
+       "WHERE (root IS NULL OR root = doc_id) AND n_toks >= 20), " +
+       s"a AS (SELECT *, CASE WHEN ${hex60Sql("CAST(grp AS VARCHAR)")} % 100 < 80 THEN 'train' " +
+       s"WHEN ${hex60Sql("CAST(grp AS VARCHAR)")} % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM kept) " +
+       "SELECT split, count(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens, " +
+       "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM a GROUP BY 1"),
     // q133: same recursive labels; split hashes the GROUP key; the
     // violation count is computed (provably 0 by construction)
     "q133_leakfree_split" ->

@@ -188,6 +188,46 @@ object Curation {
         expr("(n_docs - n_unique_texts) * 1000000 DIV n_docs"))
   }
 
+  /** q140: the CURATION PIPELINE end to end, as ONE declarative plan —
+    * the flagship composition proving the engine's stages chain the way a
+    * real corpus release runs them:
+    *   1. NEAR-DUP SURVIVORSHIP — keep each cluster's min-id canonical
+    *     member (q73's rule) plus every singleton, off the persisted
+    *     component-labels table;
+    *   2. QUALITY GATE — survivors with ≥ 20 tokens (the q88 min-length
+    *     family);
+    *   3. LEAKAGE-FREE SPLIT — the q133 cluster-keyed sketch60 hash
+    *     split, so surviving near-relatives of a train doc can never
+    *     reach eval;
+    *   4. RELEASE STATS — per split, the q134-style doc/token/language
+    *     figures.
+    * Catalyst sees the whole chain as one plan: the quality predicate and
+    * the column pruning reach the scan, the labels table is read once,
+    * and nothing corpus-sized shuffles except the final per-split
+    * aggregation's partial rows. */
+  def q140CurationPipeline(spark: SparkSession, dir: String,
+      minTokens: Int = 20): DataFrame = {
+    val labels = graft.operators.Dedup.stagedComponentLabels(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val joined = docs.join(labels, col("doc_id") === col("node"), "left")
+    val kept = joined
+      .filter(col("label").isNull || col("node") === col("label"))
+      .filter(tokenCount(col("text")) >= minTokens)
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("bigint").as("n_toks"),
+        coalesce(col("label"), col("doc_id")).as("grp"))
+    val h = pmod(graft.functions.TextFunctions.sketch60(
+      col("grp").cast("string")), lit(100L))
+    kept
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** q124: per-source token-distribution DRIFT — the exact total-variation
     * (TV) distance between each source's unigram distribution and the rest
     * of the corpus. The corpus-mix monitoring signal a training pipeline

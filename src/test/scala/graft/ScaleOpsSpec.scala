@@ -1479,6 +1479,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("q140 curation pipeline: stage composition equals a driver-side recompute") {
+    val labels = graft.operators.Dedup.stagedComponentLabels(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    // recompute the split hash with the engine expression per GROUP key
+    val grpOf = docs.map { case (d, _, _) => d -> labels.getOrElse(d, d) }.toMap
+    import spark.implicits._
+    val grpHash = grpOf.values.toSeq.distinct.toDF("grp")
+      .select(col("grp"), pmod(graft.functions.TextFunctions.sketch60(
+        col("grp").cast("string")), lit(100L)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs
+      .filter { case (d, _, _) => labels.get(d).forall(_ == d) } // survivor
+      .filter { case (_, _, nt) => nt >= 20 }                    // quality
+      .groupBy { case (d, _, _) =>
+        grpHash(grpOf(d)) match {
+          case h if h < 80 => "train"; case h if h < 90 => "val"; case _ => "test"
+        }
+      }
+      .map { case (s, rows) =>
+        s -> ((rows.size.toLong, rows.map(_._3).sum,
+          rows.map(_._2).distinct.size.toLong)) }
+    val got = SparkEntry.queries("q140_curation_pipeline")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum > 0)
+  }
+
   test("q131 calibration bins: totals reconcile and ppm matches counts") {
     val got = SparkEntry.queries("q131_calibration_bins")(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
