@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 140 queries × several whole-stage-codegen stages each generate far
+  // more JIT'd code than the JVM's 240 MB default code cache holds; once
+  // it fills (late in a bench run) the sweeper evicts hot methods and
+  // re-timed queries run 1.5-6× slower than their first samples (the r13
+  // retime anomaly). Reserved ≠ committed: the space is charged lazily.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -76,6 +76,17 @@ object Bench {
       Dedup.simhashes(tiny).count()
       tiny.select(graft.functions.TextFunctions.rollingFingerprints(
         org.apache.spark.sql.functions.col("text"))).count()
+      // PPJoin chain (q121): global-df window rank + 5-conjunct prefix
+      // join + forward-index intersect verify — its generated classes are
+      // NOT covered by the sketch warms above, and their Janino+JIT cost
+      // measured ~60 s inside q121's first timed sample in r13. Two
+      // near-dup rows guarantee candidates survive into the verify stage
+      // so every stage's codegen actually runs.
+      val ppj = Seq((0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i k"),
+        (2L, "z y x w v u t s r q"), (3L, "a b c d e f g h i j"))
+        .toDF("doc_id", "text")
+      graft.operators.Linkage.prefixJaccardJoin(ppj).count()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     graft.functions.VectorMax.register(spark)
     // maintenance sweep of the staged-artifact cache (default policy:
@@ -198,7 +209,6 @@ object Bench {
     }
     val calibPost = calibSecs()
     val calibMlPost = calibMlSecs()
-    calibMlDf.unpersist(false)
     // Re-time once more EVERY query whose first sample is nontrivial
     // (≥0.5 s — the r10 lesson: sub-top-5 blips like q15–q18 at 1.0–2.4 s
     // still needed a judge re-run to adjudicate), plus unconditionally the
@@ -225,15 +235,29 @@ object Bench {
         sweepScratch()
         (name, second)
     }
-    // The harness keeps only the LAST ~2000 chars of stdout: with 60+
-    // queries, full query names at full double precision overflow that
-    // window and the line gets decapitated. Short keys (the unique qNN
-    // prefix) at millisecond precision keep the whole line under ~1 KB.
+    // THIRD calib pair, timed AFTER the retime pass: the r13 artifact had
+    // 11 retimed samples 1.5-6× slower than their firsts while the
+    // (pre-retime) calib probes read clean — whatever late-JVM state
+    // inflates the tail was invisible. With a probe on each side of the
+    // retime pass, late-run contention/JVM degradation is adjudicable
+    // from the artifact alone.
+    val calibPostRetime = calibSecs()
+    val calibMlPostRetime = calibMlSecs()
+    calibMlDf.unpersist(false)
+    // The harness keeps only the LAST ~2000 chars of stdout: 140 per-query
+    // keys overflow that window and the line gets decapitated (r13 lost 28
+    // queries' first-run timings). So the bench emits TWO artifacts:
+    //  - BENCH_detail.json (cwd = repo root under sbt): the complete
+    //    per-query map, full staged labels, errors, calib triples, retimes;
+    //  - ONE stdout JSON line with the same summary fields but `queries`
+    //    holding only the TOP-20 slowest first samples — everything else is
+    //    recoverable from the detail file committed with the round.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     // Locale.ROOT: the f-interpolator uses the default JVM locale, and a
     // decimal-comma locale (de_DE) would emit invalid JSON with wrong values.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s""""${shortKey(k)}":${sec(v)}""" }
+    def qmap(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => s""""${shortKey(k)}":${sec(v)}""" }
       .mkString("{", ",", "}")
     // a failed query must be VISIBLE, not a silently tiny timing: every
     // failure lands in `errors` and the exit code is nonzero
@@ -243,24 +267,37 @@ object Bench {
     // one-time state built this JVM (prewarm or, unexpectedly, mid-loop):
     // nonempty means this round paid staging somewhere — compare timings
     // against earlier rounds accordingly
-    val staged = {
+    def stagedJson(maxLabel: Int): String = {
       import scala.jdk.CollectionConverters._
-      // labels truncated: full slugs (corpus fingerprint + params) run ~70
-      // chars each and a full-restage round would push the one-line JSON
-      // past the stdout tail window; kind + slug head identifies the build
+      // stdout labels truncated: full slugs (corpus fingerprint + params)
+      // run ~70 chars each and a full-restage round would push the one-line
+      // JSON past the stdout tail window; the detail file keeps them whole
       graft.util.Staging.builtThisJvm.asScala.toSeq.sorted
-        .map(s => "\"" + jsonEscape(s.take(28)) + "\"").mkString("[", ",", "]")
+        .map(s => "\"" + jsonEscape(s.take(maxLabel)) + "\"")
+        .mkString("[", ",", "]")
     }
-    val calib = s"[${sec(calibPre)},${sec(calibPost)}]"
-    val calibMl = s"[${sec(calibMlPre)},${sec(calibMlPost)}]"
+    val calib =
+      s"[${sec(calibPre)},${sec(calibPost)},${sec(calibPostRetime)}]"
+    val calibMl =
+      s"[${sec(calibMlPre)},${sec(calibMlPost)},${sec(calibMlPostRetime)}]"
     // value = SECOND sample only; the first sample is queries[qNN] by
     // construction (emitting the pair would double the field's footprint
     // in the size-bounded stdout line for zero information)
-    val retimedJson = retimed.map { case (k, second) =>
-      s""""${shortKey(k)}":${sec(second)}""" }.mkString("{", ",", "}")
+    val retimedJson = qmap(retimed)
     val prewarmErrs = prewarmErrors.toSeq.sorted
       .map(s => "\"" + jsonEscape(s) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errors,"staged":$staged,"gcSwept":$gcSwept,"prewarmErrors":$prewarmErrs,"calib":$calib,"calibMl":$calibMl,"retimed":$retimedJson,"sf":"$sfDir"}""")
+    def line(queries: String, staged: String, extra: String): String =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","nq":${results.size},"queries":$queries,"errors":$errors,"staged":$staged,"gcSwept":$gcSwept,"prewarmErrors":$prewarmErrs,"calib":$calib,"calibMl":$calibMl,"retimed":$retimedJson$extra,"sf":"$sfDir"}"""
+    // complete artifact → file (committed with the round); sbt's forked
+    // run executes in the project base, so the relative path is the repo
+    val detailPath = java.nio.file.Paths.get("BENCH_detail.json")
+    java.nio.file.Files.writeString(detailPath,
+      line(qmap(results.map(r => (r._1, r._2))), stagedJson(200), "") + "\n")
+    // stdout: same shape, `queries` cut to the 20 slowest first samples so
+    // the line survives the harness's ~2 KB stdout tail
+    val top20 = results.sortBy(-_._2).take(20).map(r => (r._1, r._2))
+    println(line(qmap(top20), stagedJson(28),
+      s""","detail":"${detailPath.toAbsolutePath}""""))
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

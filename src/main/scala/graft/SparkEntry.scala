@@ -951,7 +951,7 @@ object SparkEntry {
     // q131: ten equal-width bins; floor() in IEEE double BEFORE the cast
     // (Spark truncates double→int, DuckDB rounds), ppm floor-division
     "q131_calibration_bins" ->
-      ("SELECT LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin, " +
+      ("SELECT GREATEST(0, LEAST(9, CAST(floor(value / 50) AS BIGINT))) AS bin, " +
        "count(*) AS n, " +
        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 " +
@@ -1376,7 +1376,7 @@ object SparkEntry {
        "CASE WHEN json_valid(line) THEN " +
        "json_extract_string(line, '$.text') END AS t FROM raw) " +
        "SELECT coalesce(lang, '_malformed') AS lang, count(*) AS n, " +
-       "coalesce(sum(id), 0) AS sum_id, " +
+       "CAST(coalesce(sum(id), 0) AS BIGINT) AS sum_id, " +
        "CAST(coalesce(sum(length(t)), 0) AS BIGINT) AS sum_chars " +
        "FROM p GROUP BY 1"),
     // q104: numeric ranges as DOUBLE, date range as integer-exact epoch

@@ -245,7 +245,12 @@ object Curation {
     * the big shuffle is one map-side-combined count of the token stream;
     * everything after is vocab-bounded (per-token totals joined back on
     * token — both sides vocab-sized), and the per-source totals broadcast.
-    * One floor division to ppm at the end (q99's decimal-div contract). */
+    * One floor division to ppm at the end (q99's decimal-div contract).
+    *
+    * PRECONDITION: ≥ 2 sources. Drift is each source vs THE REST; with a
+    * single source n_r = 0 and tv_ppm comes out NULL (0/0) — there is no
+    * "rest" to drift from, so no defined value exists (the oracle SQL
+    * divides by the same 2·n_s·n_r and agrees). */
   def q124SourceDrift(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))

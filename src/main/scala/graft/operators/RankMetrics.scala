@@ -97,7 +97,10 @@ object RankMetrics {
     * cast applied to an already-integral value. */
   def q131CalibrationBins(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
-      least(lit(9L), floor(col("value") / 50d)).as("bin"),
+      // clamped on BOTH ends: scores outside [0, 500) land in the edge
+      // bins rather than minting a bin -1 / 10+ row the "ten-bin
+      // reliability table" contract promises not to emit
+      greatest(lit(0L), least(lit(9L), floor(col("value") / 50d))).as("bin"),
       col("value"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
     ev.groupBy(col("bin"))

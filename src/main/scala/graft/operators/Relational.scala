@@ -912,18 +912,6 @@ object Relational {
       .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
   }
 
-  /** q126: TPC-H Q18 (large-volume customers) — the aggregate-then-join-back
-    * shape: a HAVING subquery over the fact table materialized as an
-    * aggregate, then joined to its dimensions.
-    *
-    * Scale shape: the only full-fact work is ONE map-side-combined
-    * sum(l_quantity) shuffle keyed on l_orderkey; the >200 cut drops the
-    * aggregate to a sliver (~0.1% of orders), and AQE sees the tiny
-    * survivor side at runtime and broadcasts it into the orders and
-    * customer joins — the join-back costs survivor-sized, not fact-sized,
-    * work. Quantities sum in DECIMAL (order-independent, oracle-exact);
-    * o_orderdate is projected as a yyyy-MM-dd STRING so the cross-engine
-    * compare never depends on timestamp encodings. */
   /** q139: SKYLINE (Pareto front) of documents on two anti-correlated
     * objectives — MAXIMIZE distinct-token count, MINIMIZE character count
     * ("most information per byte"): a document survives iff no other
@@ -962,6 +950,18 @@ object Relational {
       .select(col("doc_id"), col("nc"), col("dt"))
   }
 
+  /** q126: TPC-H Q18 (large-volume customers) — the aggregate-then-join-back
+    * shape: a HAVING subquery over the fact table materialized as an
+    * aggregate, then joined to its dimensions.
+    *
+    * Scale shape: the only full-fact work is ONE map-side-combined
+    * sum(l_quantity) shuffle keyed on l_orderkey; the >200 cut drops the
+    * aggregate to a sliver (~0.1% of orders), and AQE sees the tiny
+    * survivor side at runtime and broadcasts it into the orders and
+    * customer joins — the join-back costs survivor-sized, not fact-sized,
+    * work. Quantities sum in DECIMAL (order-independent, oracle-exact);
+    * o_orderdate is projected as a yyyy-MM-dd STRING so the cross-engine
+    * compare never depends on timestamp encodings. */
   def q126TpchQ18(spark: SparkSession, dir: String): DataFrame = {
     val big = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))

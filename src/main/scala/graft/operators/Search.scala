@@ -62,6 +62,12 @@ object Search {
     // and materialize under the pinned conf (localCheckpoint is eager), so
     // the returned frame is detached and the conf restore can't race a
     // later lazy plan.
+    // NOTE: the toggle is SESSION-GLOBAL. Safe under the sequential
+    // drivers (Verify/Bench run one query at a time and materialization is
+    // eager), but a query planned CONCURRENTLY on this session inside the
+    // window is planned with auto-bucketed scans off; concurrent embedders
+    // should scope the probe via spark.newSession(). (Applies equally to
+    // the q125 phrase-search toggle below.)
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(key)
     try {

@@ -184,7 +184,13 @@ object Sketches {
     * over-estimation ratio in exact ppm. Deterministic: the row hashes
     * are the portable sketch60 family over "i:key", so the DuckDB oracle
     * rebuilds the identical sketch. All arithmetic integer; squares sum
-    * in DECIMAL(38,0) (c² at 1e12-event keys overflows BIGINT). */
+    * in DECIMAL(38,0) (c² at 1e12-event keys overflows BIGINT).
+    *
+    * OUTPUT BOUND: exact_pairs/est_pairs are emitted as BIGINT — valid
+    * while the join cardinality itself is < 2^63 (~9.2e18 pairs, i.e.
+    * key multiplicities up to ~3e9 even at the 100 TB regime the
+    * internal DECIMAL accumulation protects). Past that, widen the two
+    * output casts to DECIMAL(38,0); the internal math already is. */
   def q135JoinSizeSketch(spark: SparkSession, dir: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     import graft.functions.TextFunctions.sketch60

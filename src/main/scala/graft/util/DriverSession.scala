@@ -22,6 +22,13 @@ object DriverSession {
       // under UTC (Tables.normalizeEventTs asserts this)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, must be set at session build: the default 100-entry
+      // codegen cache thrashes under 140 distinct queries (several
+      // generated classes each), so by the bench's retime pass every
+      // entry has been evicted and each retimed query pays full Janino
+      // recompilation + fresh JIT inside its timing. Sized to hold the
+      // whole suite's generated classes once.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       // the engine's extension point (BagDifferenceToAntiJoin)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
