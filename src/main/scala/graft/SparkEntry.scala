@@ -215,6 +215,8 @@ object SparkEntry {
       Relational.q139Skyline(s, d)),
     "q140_curation_pipeline"  -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.q140CurationPipeline(s, d)),
+    "q141_full_grid"          -> SemiSupervised.qFullGrid _,
+    "q142_ts_contract"        -> Relational.q142TsContract _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -497,6 +499,20 @@ object SparkEntry {
       "SELECT * FROM (VALUES ('embeddings', 'CTFS-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(372 AS BIGINT), CAST(0 AS BIGINT), 1.0e0, 0.5625e0, 0.5743821874235381e0, 0.5686314113982176e0, 0.5555555555555556e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q84_experiment_grid" ->
       "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.48199740762669824e0, 0.4573199842436975e0, 0.4903260444900236e0, 0.49316768283342016e0), ('embeddings', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(167 AS BIGINT), CAST(83 AS BIGINT), 0.6653386454183267e0, 0.5117856971403882e0, 0.49132549894957983e0, 0.49482983861997e0, 0.5272030651340995e0), ('embeddings_front', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(86 AS BIGINT), CAST(164 AS BIGINT), 0.3426294820717131e0, 0.5218111408042758e0, 0.5139788602941178e0, 0.5130815654618402e0, 0.4793843707405725e0), ('embeddings_front', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(249 AS BIGINT), CAST(1 AS BIGINT), 0.9920318725099602e0, 0.480021123041718e0, 0.4731037289915965e0, 0.49078230374854637e0, 0.46304347826086956e0), ('embeddings_front', 'supervised-LSVC', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4941431566145525e0, 0.4898019957983193e0, 0.5002299987333919e0, 0.46799677690582964e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(50 AS BIGINT), CAST(0 AS BIGINT), 0.9803921568627451e0, 0.5391676866585067e0, 0.5166269841269842e0, 0.5039863716215565e0, 0.37153846153846154e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    // q141: the full reference-shaped cross-product grid (40 cells) —
+    // golden values regenerated by MlOracleGen, verified identical
+    // under SPARK_GRAFT_CPUS=4 and =32
+    "q141_full_grid" ->
+      "SELECT * FROM (VALUES ('embeddings_half', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('embeddings_half', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('embeddings_half', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('embeddings_half', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('embeddings_half', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    // q142: the events.ts encoding contract — DuckDB reads the parquet
+    // NAIVELY (NTZ wall-clock, or TIMESTAMP_NS for the legacy encoding);
+    // the engine reads through Tables.events normalization under the UTC
+    // session. Equal epoch-micro integers on both sides IS the contract;
+    // an encoding flip or timezone drift fails this one row loudly.
+    "q142_ts_contract" ->
+      ("SELECT count(*) AS n, epoch_us(min(ts)) AS min_us, " +
+       "epoch_us(max(ts)) AS max_us, " +
+       "CAST(sum(hour(ts)) AS BIGINT) AS hour_sum FROM events"),
     // q35: the KMeans-IVF recall summary (recall@10 vs exact brute force)
     // — the quantizer fit has no SQL twin, so the gate pins the seeded,
     // parallelism-invariant recall as a golden value (see MlOracleGen)

@@ -978,4 +978,23 @@ object Relational {
         col("o_totalprice"),
         col("qsum").cast("double").as("sum_qty"))
   }
+
+  /** q142: the events.ts ENCODING CONTRACT as a declared gate query — a
+    * canary, not an analytic. The driver's datagen has already flipped the
+    * parquet encoding once (TIMESTAMP(NANOS) → TIMESTAMP(MICROS, NTZ));
+    * that flip silently broke six r12 bench queries because nothing in the
+    * CORRECTNESS gate read a raw timestamp value end-to-end. This pins the
+    * whole chain: [[graft.sources.Tables.events]] normalization →
+    * session-UTC wall-clock semantics → integer epoch micros, against
+    * DuckDB's naive read of the same file. A future encoding flip (or a
+    * session-timezone drift, via hour_sum) lands HERE as one red row
+    * instead of as a pile of bench errors. All outputs integer-exact:
+    * epoch micros, not rendered timestamps — string formatting trivia
+    * can't mask a unit shift. */
+  def q142TsContract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(lit(1)).as("n"),
+      unix_micros(min(col("ts"))).as("min_us"),
+      unix_micros(max(col("ts"))).as("max_us"),
+      sum(hour(col("ts")).cast("bigint")).as("hour_sum"))
 }

@@ -253,6 +253,46 @@ object SemiSupervised {
       parallelism = 11)
   }
 
+  /** q141: ONE dataset through the reference's FULL cross-product grid —
+    * the shape of its flagship artifact (AllResults.csv: every dataset ×
+    * every classifier × every algorithm × every criterion × every label
+    * fraction; ref FunctionsSemiSupervised.scala:188-257 loops exactly
+    * this product, 2,288 rows over 7 datasets). Here: {ST, CT, supervised}
+    * × {DT, RF, NB, LR} × {threshold 0.8, kBest 0.5} × labeled fractions
+    * {0.1, 0.3} = 40 cells (supervised collapses across criteria), each
+    * 2-fold cross-validated → one 15-column row per cell in grid order,
+    * pinned end-to-end by the golden-value oracle.
+    *
+    * Runtime is bounded the same way the reference's runner ISN'T: all 40
+    * cells share the per-(fold, pct) masked frames ([[Experiments
+    * .runGridShared]] materializes 1 fold table + 4 masked slices ONCE —
+    * the reference recomputes its randomSplit per cell) and run as
+    * bounded concurrent job streams. The frame is a deterministic quarter
+    * of the embeddings table (vec_id % 4 = 0) on the front 32 dims: the
+    * grid's cost is fit-dominated (measured 38 s steady at sf0.1 on the
+    * half/64-dim frame — it would double the whole bench) and the
+    * cross-product itself, not data volume, is what this query gates.
+    * Features abs()'d for multinomial NB. */
+  def qFullGrid(spark: SparkSession, dir: String): DataFrame = {
+    val data = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+      .select(
+        array_to_vector(transform(slice(col("embedding"), 1, 32),
+          x => abs(x))).as("features"),
+        (col("label") % 2).cast("double").as("label"))
+    val cells = Experiments.grid("embeddings_half",
+      classifiers = Seq("DT", "RF", "NB", "LR"),
+      algos = Seq("ST", "CT", "supervised"),
+      pcts = Seq(0.1, 0.3),
+      criterionValues = Map("threshold" -> Seq(0.8), "kBest" -> Seq(0.5)),
+      // one self-labeling round: the gate here is the 40-cell cross-product
+      // reaching every runner branch, not iteration depth (q40-q42 pin
+      // multi-iteration convergence); each extra round is ~80 more fits
+      maxIter = 1)
+    Experiments.runGridShared(Map("embeddings_half" -> data), cells,
+      k = 2, seed = 8L, parallelism = 20)
+  }
+
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
   def qSupervisedCv(spark: SparkSession, dir: String): DataFrame = {
     val df = new UnlabeledTransformer()

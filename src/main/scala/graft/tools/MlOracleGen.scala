@@ -32,7 +32,7 @@ object MlOracleGen {
     for (q <- Seq("q35_ann_ivf", "q39_supervised_roster",
         "q40_selftrain_threshold", "q41_selftrain_kbest", "q42_cotrain",
         "q43_supervised_cv", "q44_cotrain_featsplit",
-        "q84_experiment_grid")) {
+        "q84_experiment_grid", "q141_full_grid")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val schema = df.schema
       val rows = df.collect()

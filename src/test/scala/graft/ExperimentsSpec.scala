@@ -60,6 +60,32 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(g.filter(_.algo == "supervised").forall(_.criterion === "na"))
   }
 
+  test("q141's axes span the reference's full cross-product (40 cells)") {
+    // the gate query's exact axes: {ST, CT, supervised} × {DT, RF, NB, LR}
+    // × {threshold, kBest} × pcts {0.1, 0.3} — supervised collapses across
+    // criteria, so 16 + 16 + 8 = 40 distinct cells, the single-dataset
+    // slice of the reference's AllResults.csv product
+    val g = Experiments.grid("embeddings_half",
+      Seq("DT", "RF", "NB", "LR"), Seq("ST", "CT", "supervised"),
+      pcts = Seq(0.1, 0.3),
+      criterionValues = Map("threshold" -> Seq(0.8), "kBest" -> Seq(0.5)),
+      maxIter = 1)
+    assert(g.size === 40)
+    assert(g.count(_.algo == "ST") === 16)
+    assert(g.count(_.algo == "CT") === 16)
+    assert(g.count(_.algo == "supervised") === 8)
+    // every (algo, classifier, pct) combination present
+    for (a <- Seq("ST", "CT", "supervised"); c <- Seq("DT", "RF", "NB", "LR");
+         p <- Seq(0.1, 0.3))
+      assert(g.exists(x => x.algo == a && x.classifierName == c &&
+        x.percentageLabeled == p), s"missing cell ($a, $c, $p)")
+    // both criteria reach every self-labeling (algo, classifier) pair
+    for (a <- Seq("ST", "CT"); c <- Seq("DT", "RF", "NB", "LR");
+         cr <- Seq("threshold", "kBest"))
+      assert(g.exists(x => x.algo == a && x.classifierName == c &&
+        x.criterion == cr), s"missing criterion cell ($a, $c, $cr)")
+  }
+
   test("runGrid yields one 15-column row per cell with sane metrics") {
     val cells = Seq(
       Experiments.Cell("toy", "DT", "ST", "threshold", 0.3, 0.6, maxIter = 3),
