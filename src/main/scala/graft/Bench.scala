@@ -79,12 +79,17 @@ object Bench {
       // PPJoin chain (q121): global-df window rank + 5-conjunct prefix
       // join + forward-index intersect verify — its generated classes are
       // NOT covered by the sketch warms above, and their Janino+JIT cost
-      // measured ~60 s inside q121's first timed sample in r13. Two
-      // near-dup rows guarantee candidates survive into the verify stage
-      // so every stage's codegen actually runs.
-      val ppj = Seq((0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i k"),
-        (2L, "z y x w v u t s r q"), (3L, "a b c d e f g h i j"))
-        .toDF("doc_id", "text")
+      // measured ~60 s inside q121's first timed sample in r13. A 4-row
+      // frame compiles the codegen but never gets it HOT: tiered JIT only
+      // C2-compiles the generated loops after ~10k iterations, and with a
+      // tiny prewarm ~29 s of C2 work still landed in the first timed
+      // sample (38 s timed vs 9 s steady). So the prewarm corpus is a
+      // deterministic ~1.5k-doc near-dup-dense frame (12 tokens from a
+      // 40-word vocab → plenty of candidate pairs): every join/verify
+      // loop runs thousands of times here, untimed, data-independent.
+      val ppj = Seq.tabulate(1500)(i =>
+        (i.toLong, (0 until 12).map(j => "w" + ((i * 7 + j) % 40))
+          .mkString(" "))).toDF("doc_id", "text")
       graft.operators.Linkage.prefixJaccardJoin(ppj).count()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

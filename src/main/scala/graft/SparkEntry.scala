@@ -217,6 +217,8 @@ object SparkEntry {
       graft.operators.Curation.q140CurationPipeline(s, d)),
     "q141_full_grid"          -> SemiSupervised.qFullGrid _,
     "q142_ts_contract"        -> Relational.q142TsContract _,
+    "q143_ppl_buckets"        -> ((s: SparkSession, d: String) =>
+      TextAnalysis.q143PplBuckets(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -504,6 +506,33 @@ object SparkEntry {
     // under SPARK_GRAFT_CPUS=4 and =32
     "q141_full_grid" ->
       "SELECT * FROM (VALUES ('embeddings_half', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('embeddings_half', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('embeddings_half', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('embeddings_half', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('embeddings_half', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+    // q143: bigram-LM perplexity terciles — bigrams via 1-based index
+    // pairing (= the engine's zip_with-shifted-array pairs), interpolated
+    // P = 0.9·c12/c1 + 0.1·c(w2)/N with identical double evaluation
+    // order, nll rounded 4dp (the q20/q101 libm contract), then the
+    // SORTLESS 2dp-histogram tercile cut: smallest bin with 3·cum ≥ k·tot
+    "q143_ppl_buckets" ->
+      ("WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents), " +
+       "b AS (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2 FROM d, " +
+       "UNNEST(generate_series(1, len(t) - 1)) u(i)), " +
+       "dbt AS (SELECT doc_id, lang, w1, w2, count(*) AS tf FROM b GROUP BY doc_id, lang, w1, w2), " +
+       "bi AS (SELECT w1, w2, SUM(tf) AS c12 FROM dbt GROUP BY w1, w2), " +
+       "uni AS (SELECT w1 AS w, SUM(c12) AS c FROM bi GROUP BY 1), " +
+       "nn AS (SELECT SUM(c) AS n FROM uni), " +
+       "sc AS (SELECT doc_id, dbt.lang AS lang, " +
+       "round(-SUM(tf * ln(0.9 * c12 / u1.c + 0.1 * COALESCE(u2.c, 0) / nn.n)) / SUM(tf), 4) AS nll " +
+       "FROM dbt JOIN bi USING (w1, w2) JOIN uni u1 ON u1.w = dbt.w1 " +
+       "LEFT JOIN uni u2 ON u2.w = dbt.w2 CROSS JOIN nn GROUP BY doc_id, dbt.lang), " +
+       "s2t AS (SELECT lang, nll, CAST(floor(nll * 100) AS BIGINT) AS s2 FROM sc), " +
+       "hist AS (SELECT lang, s2, count(*) AS c FROM s2t GROUP BY 1, 2), " +
+       "cum AS (SELECT lang, s2, SUM(c) OVER (PARTITION BY lang ORDER BY s2) AS cum, " +
+       "SUM(c) OVER (PARTITION BY lang) AS tot FROM hist), " +
+       "cuts AS (SELECT lang, MIN(CASE WHEN 3 * cum >= tot THEN s2 END) AS t1, " +
+       "MIN(CASE WHEN 3 * cum >= 2 * tot THEN s2 END) AS t2 FROM cum GROUP BY 1), " +
+       "lab AS (SELECT s.lang, CASE WHEN s2 <= t1 THEN 'head' WHEN s2 <= t2 THEN 'middle' " +
+       "ELSE 'tail' END AS bucket, nll FROM s2t s JOIN cuts USING (lang)) " +
+       "SELECT lang, bucket, count(*) AS n_docs, " +
+       "min(nll) AS nll_min, max(nll) AS nll_max FROM lab GROUP BY 1, 2"),
     // q142: the events.ts encoding contract — DuckDB reads the parquet
     // NAIVELY (NTZ wall-clock, or TIMESTAMP_NS for the legacy encoding);
     // the engine reads through Tables.events normalization under the UTC

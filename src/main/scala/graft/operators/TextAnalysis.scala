@@ -560,6 +560,86 @@ object TextAnalysis {
         round(col("n_less").cast("double") / col("n"), 4).as("pct_rank"))
   }
 
+  /** q143: CCNet-style PERPLEXITY BUCKETS — the quality-stratification
+    * stage of a pre-training corpus pipeline (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC'20): score every document with a bigram language model
+    * (interpolated with the unigram model, λ = 0.9), then split each
+    * language into head / middle / tail TERCILES of the score — CCNet
+    * keeps "head" for LM training.
+    *
+    * q101 is the unigram proxy; this is the real LM scorer. Scale shape:
+    *   1. bigrams are formed PARTITION-LOCALLY (zip_with against the
+    *      shifted array — q99's trick; no shuffle, no window);
+    *   2. per-doc bigram counts first (one shuffle of the bigram stream,
+    *      output bounded by distinct bigrams per doc), then the corpus
+    *      bigram and unigram models by partial re-aggregation of THAT;
+    *   3. scoring joins the reduced frames on their natural keys — the
+    *      model is never collected or broadcast (at 100 TB the bigram
+    *      table is itself huge); stopword-headed bigrams are the classic
+    *      skew keys, absorbed by AQE skew-join splitting;
+    *   4. nll rounded to 4 dp in BOTH engines (q20/q101 libm contract);
+    *   5. the tercile cut is SORTLESS: a 2-dp histogram of the score
+    *      (≤ ~2000 bins/lang — ln P is bounded by ln(10N)), cumulated by
+    *      a window whose state is O(bins), never O(docs) — the same
+    *      refusal to sort the corpus as q112/q129. Cut rule: smallest bin
+    *      with 3·cum ≥ k·total — integer arithmetic, no double quantiles.
+    * Docs with < 2 tokens have no bigrams and are out of scope (both
+    * engines agree by construction). Output: per (lang, bucket) doc count
+    * and exact-4dp score range. */
+  def q143PplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docBigrams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      // both the model branch and the scoring join consume this; without
+      // the persist each consumer re-explodes the corpus (q101's reason)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("c12"))
+    val uni = bi.groupBy(col("w1").as("w")).agg(sum(col("c12")).as("c"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    val scored = docBigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      // left: a token only ever seen doc-final never heads a bigram; the
+      // interpolation's c12 ≥ 1 keeps P > 0 regardless
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(-sum(col("tf") *
+          log(lit(0.9) * col("c12").cast("double") / col("c1") +
+            lit(0.1) * coalesce(col("c2"), lit(0L)).cast("double") / col("n"))) /
+          sum(col("tf")), 4).as("nll"))
+      .withColumn("s2", floor(col("nll") * 100).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = scored.groupBy(col("lang"), col("s2")).agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("lang").orderBy("s2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") * 3 >= col("tot"), col("s2"))).as("t1"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("s2"))).as("t2"))
+    scored
+      .join(broadcast(cuts), Seq("lang"))
+      .select(col("lang"), col("nll"),
+        when(col("s2") <= col("t1"), "head")
+          .when(col("s2") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nll")).as("nll_min"), max(col("nll")).as("nll_max"))
+  }
+
   def q108BpeMerges(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     val vocab = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
