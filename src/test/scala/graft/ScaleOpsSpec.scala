@@ -1523,4 +1523,65 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
     }
   }
+
+  test("q143 perplexity terciles equal a driver-side bigram-LM recompute") {
+    // independent in-JVM twin of the DuckDB oracle: interpolated bigram LM
+    // (0.9·c12/c1 + 0.1·c(w2)/N), nll HALF_UP-rounded to 4 dp, terciles
+    // cut at the smallest 2-dp bin with 3·cum ≥ k·total — counts must
+    // match exactly, score ranges to 1e-4 (double sum-order headroom)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val dbt = docs.map { case (id, lang, text) =>
+      val t = text.split(" ", -1) // Spark split keeps trailing empties
+      val bg = t.sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))).toSeq
+      (id, lang, bg.groupBy(identity).map { case (k, v) => (k, v.size.toLong) })
+    }.filter(_._3.nonEmpty)
+    val bi = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    dbt.foreach(_._3.foreach { case (k, c) => bi(k) = bi.getOrElse(k, 0L) + c })
+    val uni = bi.groupBy(_._1._1).map { case (w, m) => (w, m.values.sum) }
+    val n = uni.values.sum.toDouble
+    val scored = dbt.map { case (_, lang, m) =>
+      val tot = m.values.sum
+      val s = m.map { case ((w1, w2), tf) =>
+        tf * math.log(0.9 * bi((w1, w2)).toDouble / uni(w1) +
+          0.1 * uni.getOrElse(w2, 0L).toDouble / n)
+      }.sum
+      (lang,
+        BigDecimal(-s / tot).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    val labeled: Seq[((String, String), Double)] =
+      scored.toSeq.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+        val hist = ds.map(d => math.floor(d._2 * 100).toLong)
+          .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+          .toSeq.sortBy(_._1)
+        val tot = ds.size.toLong
+        var cum = 0L; var t1 = Long.MaxValue; var t2 = Long.MaxValue
+        hist.foreach { case (s2, c) =>
+          cum += c
+          if (t1 == Long.MaxValue && 3 * cum >= tot) t1 = s2
+          if (t2 == Long.MaxValue && 3 * cum >= 2 * tot) t2 = s2
+        }
+        ds.map { case (_, nll) =>
+          val s2 = math.floor(nll * 100).toLong
+          val b = if (s2 <= t1) "head" else if (s2 <= t2) "middle" else "tail"
+          ((lang, b), nll)
+        }
+      }
+    val expected = labeled.groupBy(_._1).map { case (k, vs) =>
+      (k, (vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max))
+    }
+    val got = SparkEntry.queries("q143_ppl_buckets")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((k, (nD, mn, mx)) <- expected) {
+      val (gn, gmn, gmx) = got(k)
+      assert(gn === nD, s"$k n_docs: engine $gn vs recompute $nD")
+      assert(math.abs(gmn - mn) <= 1e-4 && math.abs(gmx - mx) <= 1e-4,
+        s"$k nll range: engine ($gmn,$gmx) vs recompute ($mn,$mx)")
+    }
+  }
 }
