@@ -219,6 +219,8 @@ object SparkEntry {
     "q142_ts_contract"        -> Relational.q142TsContract _,
     "q143_ppl_buckets"        -> ((s: SparkSession, d: String) =>
       TextAnalysis.q143PplBuckets(s, d)),
+    "q144_dup_spans"          -> ((s: SparkSession, d: String) =>
+      Dedup.q144DupSpans(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -533,6 +535,25 @@ object SparkEntry {
        "ELSE 'tail' END AS bucket, nll FROM s2t s JOIN cuts USING (lang)) " +
        "SELECT lang, bucket, count(*) AS n_docs, " +
        "min(nll) AS nll_min, max(nll) AS nll_max FROM lab GROUP BY 1, 2"),
+    // q144: duplicated-substring spans — identical gram keys (hex60 of
+    // the 8-token window under oracle mode), identical dfCap prefilter,
+    // and the same diagonal pos − row_number() run grouping; all integer
+    "q144_dup_spans" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "pos AS (SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS i, t " +
+       "FROM d WHERE len(t) >= 8), " +
+       s"g AS (SELECT doc_id, i AS pos, ${hex60Sql("array_to_string(t[i:i+7], ' ')")} AS h FROM pos), " +
+       "rare AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dfd FROM g GROUP BY 1) " +
+       "WHERE dfd <= 16 AND dfd >= 2), " +
+       "hits AS (SELECT g.* FROM g JOIN rare USING (h)), " +
+       "pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb " +
+       "FROM hits x JOIN hits y ON x.h = y.h AND x.doc_id < y.doc_id), " +
+       "rn AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, " +
+       "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp FROM pr), " +
+       "runs AS (SELECT doc_a, doc_b, diag, grp, count(*) + 7 AS span_tokens " +
+       "FROM rn GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 12) " +
+       "SELECT doc_a, doc_b, CAST(max(span_tokens) AS BIGINT) AS max_span, " +
+       "count(*) AS n_spans FROM runs GROUP BY 1, 2"),
     // q142: the events.ts encoding contract — DuckDB reads the parquet
     // NAIVELY (NTZ wall-clock, or TIMESTAMP_NS for the legacy encoding);
     // the engine reads through Tables.events normalization under the UTC

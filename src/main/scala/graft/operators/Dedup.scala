@@ -821,4 +821,66 @@ object Dedup {
       .select(col("doc_id"), col("lang").as("orig_lang"), col("prop_lang"),
         (col("lang") =!= col("prop_lang")).as("changed"))
   }
+
+  /** q144: EXACT duplicated-SUBSTRING-span detection — the third member of
+    * the dedup triad (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 run suffix arrays for exactly this):
+    * MinHash (q24) finds whole-document near-dups, PPJoin (q121) exact
+    * token-SET overlap; this finds CONTIGUOUS shared token spans — the
+    * quote/boilerplate/partial-copy case both of those blur away.
+    *
+    * The suffix-array idea re-expressed in joins and windows:
+    *   1. every g-token gram with its position, formed PARTITION-LOCALLY
+    *      (transform over the index range + a column-argument slice — no
+    *      shuffle, no window); the gram keys are [[sketch60]] hashes, so
+    *      the exchange moves 8-byte keys, never text (hex60 under oracle
+    *      mode — the DuckDB oracle rebuilds the identical keys);
+    *   2. grams seen in more than `dfCap` DISTINCT docs are dropped before
+    *      pairing — navigation boilerplate is the classic quadratic key,
+    *      and a gram in d docs costs O(d²) pairs (the cap is the
+    *      documented pair-work bound: Σ min(d, dfCap)²; at 100 TB raise
+    *      the gram length rather than the cap);
+    *   3. co-gram positions join on the hash → (a, b, pa, pb) with a < b;
+    *   4. a shared span of s tokens is s−g+1 matches on one DIAGONAL
+    *      (pa − pb constant) at consecutive pa — the classic
+    *      pos − row_number() run-grouping over a window whose partition is
+    *      one diagonal of one doc pair (state O(span), never O(corpus));
+    *   5. runs of length r are spans of r+g−1 tokens; keep ≥ minSpan and
+    *      report per pair: longest span + span count.
+    * All integer end to end — positions, diagonals, run lengths — so the
+    * DuckDB oracle (same grams, same diagonal trick) matches exactly. */
+  def q144DupSpans(spark: SparkSession, dir: String, g: Int = 8,
+      dfCap: Int = 16, minSpan: Int = 12): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= g)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - (g - 1)),
+        i => struct(i.as("pos"),
+          sketch60(concat_ws(" ", slice(col("t"), i, lit(g)))).as("h"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
+    val rare = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") <= dfCap && col("dfd") >= 2)
+      .select(col("h"))
+    val hits = grams.join(rare, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = hits.as("x").join(hits.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
+    val wDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"))
+      .orderBy(col("pa"))
+    val runs = pairs
+      .withColumn("grp", col("pa") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"),
+        col("grp"))
+      .agg((count(lit(1)) + (g - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("max_span"),
+        count(lit(1)).as("n_spans"))
+  }
 }

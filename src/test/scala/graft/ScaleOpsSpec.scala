@@ -1584,4 +1584,38 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"$k nll range: engine ($gmn,$gmx) vs recompute ($mn,$mx)")
     }
   }
+
+  test("q144 duplicated spans equal a driver-side diagonal-run recompute") {
+    // same algorithm on raw gram STRINGS (no hash): 8-token grams, ≤16
+    // distinct-doc df cap, diagonal consecutive-run grouping, spans ≥ 12
+    val g = 8; val dfCap = 16; val minSpan = 12
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val grams = docs.flatMap { case (id, t) =>
+      (0 to t.length - g).map(i => (t.slice(i, i + g).mkString(" "), id, i + 1))
+    }
+    val keep = grams.groupBy(_._1).filter { case (_, occ) =>
+      val d = occ.map(_._2).distinct.size; d >= 2 && d <= dfCap
+    }
+    val pairHits = keep.values.flatten.toSeq.groupBy(_._1).toSeq.flatMap {
+      case (_, occ) =>
+        for { a <- occ; b <- occ; if a._2 < b._2 }
+          yield ((a._2, b._2, a._3 - b._3), a._3)
+    }
+    val expected = pairHits.groupBy(_._1).toSeq.flatMap { case ((a, b, _), ps) =>
+      // consecutive-run split on one diagonal
+      val sorted = ps.map(_._2).distinct.sorted
+      val runs = sorted.zipWithIndex.groupBy { case (p, i) => p - i }
+        .values.map(_.size + g - 1).filter(_ >= minSpan).toSeq
+      runs.map(s => ((a, b), s))
+    }.groupBy(_._1).map { case (k, vs) =>
+      (k, (vs.map(_._2).max.toLong, vs.size.toLong))
+    }
+    val got = SparkEntry.queries("q144_dup_spans")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture must contain ≥1 duplicated span")
+  }
 }
