@@ -221,6 +221,8 @@ object SparkEntry {
       TextAnalysis.q143PplBuckets(s, d)),
     "q144_dup_spans"          -> ((s: SparkSession, d: String) =>
       Dedup.q144DupSpans(s, d)),
+    "q145_stream_spans"       -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamSpanContamination(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -554,6 +556,24 @@ object SparkEntry {
        "FROM rn GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 12) " +
        "SELECT doc_a, doc_b, CAST(max(span_tokens) AS BIGINT) AS max_span, " +
        "count(*) AS n_spans FROM runs GROUP BY 1, 2"),
+    // q145: the streaming twin — same gram keys; corpus (even) df-capped
+    // on corpus frequencies only, batch (odd) joins it, per-diagonal hit
+    // counts rolled up per pair with the ≥5 co-diagonal necessary cut
+    "q145_stream_spans" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "pos AS (SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS i, t " +
+       "FROM d WHERE len(t) >= 8), " +
+       s"g AS (SELECT doc_id, i AS pos, ${hex60Sql("array_to_string(t[i:i+7], ' ')")} AS h FROM pos), " +
+       "cg AS (SELECT doc_id AS corpus_doc, pos AS pc, h FROM g WHERE doc_id % 2 = 0), " +
+       "rare AS (SELECT h FROM (SELECT h, count(DISTINCT corpus_doc) AS dfd FROM cg GROUP BY 1) " +
+       "WHERE dfd <= 16), " +
+       "c AS (SELECT cg.* FROM cg JOIN rare USING (h)), " +
+       "bg AS (SELECT doc_id AS batch_doc, pos AS pb, h FROM g WHERE doc_id % 2 = 1), " +
+       "hits AS (SELECT batch_doc, corpus_doc, pb - pc AS diag, count(*) AS hits " +
+       "FROM bg JOIN c USING (h) GROUP BY 1, 2, 3) " +
+       "SELECT batch_doc, corpus_doc, CAST(max(hits) AS BIGINT) AS max_diag_hits, " +
+       "count(*) AS n_diags, CAST(sum(hits) AS BIGINT) AS n_hits " +
+       "FROM hits GROUP BY 1, 2 HAVING max(hits) >= 5"),
     // q142: the events.ts encoding contract — DuckDB reads the parquet
     // NAIVELY (NTZ wall-clock, or TIMESTAMP_NS for the legacy encoding);
     // the engine reads through Tables.events normalization under the UTC

@@ -849,9 +849,12 @@ object Dedup {
     *      report per pair: longest span + span count.
     * All integer end to end — positions, diagonals, run lengths — so the
     * DuckDB oracle (same grams, same diagonal trick) matches exactly. */
-  def q144DupSpans(spark: SparkSession, dir: String, g: Int = 8,
-      dfCap: Int = 16, minSpan: Int = 12): DataFrame = {
-    val grams = Tables.load(spark, dir, "documents")
+  /** (doc_id, pos, h) for every g-token gram — positions 1-based, keys
+    * [[sketch60]]-hashed partition-locally (no shuffle, no window; the
+    * exchange only ever moves 8-byte keys). Shared by q144 and the
+    * streaming q145. */
+  def gramTable(docs: DataFrame, g: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= g)
       .select(col("doc_id"), explode(transform(
@@ -860,6 +863,10 @@ object Dedup {
           sketch60(concat_ws(" ", slice(col("t"), i, lit(g)))).as("h"))))
         .as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
+
+  def q144DupSpans(spark: SparkSession, dir: String, g: Int = 8,
+      dfCap: Int = 16, minSpan: Int = 12): DataFrame = {
+    val grams = gramTable(Tables.load(spark, dir, "documents"), g)
     val rare = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") <= dfCap && col("dfd") >= 2)

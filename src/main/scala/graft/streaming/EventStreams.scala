@@ -427,4 +427,62 @@ object EventStreams {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Driver query (q145): STREAMING span-level decontamination — q144's
+    * online-ingest twin, and the span-grained sibling of q90's MinHash
+    * probe: "is this arriving document a PARTIAL COPY of the frozen
+    * corpus?" — the check an ingest pipeline runs before a document ever
+    * lands in training data (whole-doc MinHash misses a lifted paragraph
+    * inside an otherwise-novel page).
+    *
+    * Shape: the corpus side (even doc_ids) builds its df-capped gram
+    * table ONCE batch-side (the cap is computed from corpus frequencies
+    * only — an online batch can never know global df); each arriving
+    * micro-batch (odd doc_ids) grams partition-locally (stateless
+    * expressions) and STREAM-STATIC joins the corpus grams. The only
+    * stateful operator is the complete-mode (batch_doc, corpus_doc,
+    * diagonal) hit count — state O(co-gram diagonals), bounded by the
+    * rare-gram hit rate, never O(corpus). Contiguity (q144's
+    * pos − row_number run) needs ordered positions, which a streaming agg
+    * can't see, so the online statistic is the NECESSARY condition: ≥ 5
+    * hits on one diagonal is what a ≥ 12-token contiguous span must
+    * produce — flagged pairs go to q144 for exact span confirmation.
+    * Drained rows are rolled up per pair batch-side; the DuckDB oracle
+    * rebuilds the identical integers. */
+  def qStreamSpanContamination(spark: SparkSession, dir: String,
+      g: Int = 8, dfCap: Int = 16, minDiagHits: Int = 5): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        "documents.parquet") { tmp =>
+      import graft.operators.Dedup
+      val corpusGrams = Dedup.gramTable(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 2 === 0), g)
+        .select(col("doc_id").as("corpus_doc"), col("pos").as("pc"), col("h"))
+      val rare = corpusGrams.groupBy(col("h"))
+        .agg(countDistinct(col("corpus_doc")).as("dfd"))
+        .filter(col("dfd") <= dfCap).select(col("h"))
+      // the static probe side materializes once; every micro-batch joins it
+      val corpus = corpusGrams.join(rare, Seq("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+      val batch = spark.readStream
+        .schema(inferredSchema(spark, tmp))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .filter(col("doc_id") % 2 === 1)
+      val hits = Dedup.gramTable(batch, g)
+        .select(col("doc_id").as("batch_doc"), col("pos").as("pb"), col("h"))
+        .join(corpus, Seq("h"))
+        .groupBy(col("batch_doc"), col("corpus_doc"),
+          (col("pb") - col("pc")).as("diag"))
+        .agg(count(lit(1)).as("hits"))
+      val drained = runToMemory(spark, hits,
+        s"q145_stream_${System.nanoTime()}", OutputMode.Complete())
+      corpus.unpersist()
+      drained.groupBy(col("batch_doc"), col("corpus_doc"))
+        .agg(max(col("hits")).as("max_diag_hits"),
+          count(lit(1)).as("n_diags"),
+          sum(col("hits")).as("n_hits"))
+        .filter(col("max_diag_hits") >= minDiagHits)
+    }
 }
