@@ -223,6 +223,8 @@ object SparkEntry {
       Dedup.q144DupSpans(s, d)),
     "q145_stream_spans"       -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamSpanContamination(s, d)),
+    "q146_pagerank"           -> ((s: SparkSession, d: String) =>
+      Dedup.q146PageRank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -574,6 +576,19 @@ object SparkEntry {
        "SELECT batch_doc, corpus_doc, CAST(max(hits) AS BIGINT) AS max_diag_hits, " +
        "count(*) AS n_diags, CAST(sum(hits) AS BIGINT) AS n_hits " +
        "FROM hits GROUP BY 1, 2 HAVING max(hits) >= 5"),
+    // q146: integer fixed-point PageRank over the minhash candidate-pair
+    // graph — same pairs CTE as q24/q67, 5 chained iteration CTEs, floor
+    // division end to end (no float drift anywhere)
+    "q146_pagerank" ->
+      (minhashCtes + ", " +
+       "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+       "deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u), " +
+       "nn AS (SELECT count(*) AS n FROM deg), " +
+       "r0 AS (SELECT u AS v, 1000000000000 // n AS r FROM deg CROSS JOIN nn), " +
+       (1 to 5).map(pageRankIterCte).mkString(", ") + " " +
+       "SELECT r5.v AS doc_id, CAST(deg.deg AS BIGINT) AS deg, " +
+       "CAST(r5.r AS BIGINT) AS rank_micro FROM r5 JOIN deg ON deg.u = r5.v"),
     // q142: the events.ts encoding contract — DuckDB reads the parquet
     // NAIVELY (NTZ wall-clock, or TIMESTAMP_NS for the legacy encoding);
     // the engine reads through Tables.events normalization under the UTC
@@ -1542,6 +1557,17 @@ object SparkEntry {
     * min-reachable-id component label per node. ONE definition for every
     * clustering oracle (q67/q73/q88/q94/q98/q132/q133) so the oracles can
     * never verify against divergent clusterings. */
+  /** One integer fixed-point PageRank iteration as a DuckDB CTE — the
+    * exact twin of the engine's loop body in
+    * [[graft.operators.Dedup.q146PageRank]]: floor division at every
+    * step, so sums are order-independent and the compare is bit-exact. */
+  private def pageRankIterCte(k: Int): String =
+    s"r$k AS (SELECT d.u AS v, (15000000000000 // (100 * nn.n)) + " +
+    s"85 * COALESCE(s.s, 0) // 100 AS r FROM deg d CROSS JOIN nn " +
+    s"LEFT JOIN (SELECT e.v AS v, SUM(r.r // dd.deg) AS s FROM e " +
+    s"JOIN r${k - 1} r ON r.v = e.u JOIN deg dd ON dd.u = e.u " +
+    s"GROUP BY e.v) s ON s.v = d.u)"
+
   private def ccCtes: String =
     "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
     "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +

@@ -849,6 +849,56 @@ object Dedup {
     *      report per pair: longest span + span count.
     * All integer end to end — positions, diagonals, run lengths — so the
     * DuckDB oracle (same grams, same diagonal trick) matches exactly. */
+  /** q146: PAGERANK centrality over the near-dup similarity graph — the
+    * graph-analytics member of the dedup family: which documents sit at
+    * the CENTER of duplication neighborhoods? Curation uses this to rank
+    * canonical candidates (a hub duplicated by many near-copies outranks
+    * a leaf) and to size cleanup by neighborhood influence, the same
+    * centrality-for-selection shape personalized-PageRank data-selection
+    * papers use.
+    *
+    * Exactness is the point (vs the usual float PageRank): ranks are
+    * integer MICRO-UNITS with floor division at every step —
+    *   r₀ = 10¹² div N;  rₖ(v) = (15·10¹²) div (100·N)
+    *     + (85 · Σ_{u~v} (rₖ₋₁(u) div deg(u))) div 100
+    * — a sum of integers is order-independent, so the result is
+    * bit-identical across partitionings AND in the DuckDB oracle (chained
+    * per-iteration CTEs with `//`), with no float drift anywhere.
+    *
+    * Scale shape: edges come from the SHARED staged band table (the one
+    * signature scan the whole dedup family amortizes, q24/q67/q73/q74);
+    * each iteration is one edges⋈ranks join + one map-side-combined sum —
+    * the classic distributed PageRank plan, lineage cut per iteration by
+    * localCheckpoint (the connected-components precedent). The only
+    * driver-side scalar is N (one count of the node table). */
+  def q146PageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashCandidatePairs(spark, dir)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    val n = deg.count()
+    val teleport = (15L * 1000000000000L) / (100L * n)
+    var ranks = deg.select(col("u").as("v"),
+      lit(1000000000000L / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("v", "u"), Seq("u"))
+        .join(deg, Seq("u"))
+        .select(col("v"), expr("r DIV deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      ranks = deg.select(col("u").as("v"))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(teleport) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(deg.withColumnRenamed("u", "v"), Seq("v"))
+      .select(col("v").as("doc_id"), col("deg"), col("r").as("rank_micro"))
+  }
+
   /** (doc_id, pos, h) for every g-token gram — positions 1-based, keys
     * [[sketch60]]-hashed partition-locally (no shuffle, no window; the
     * exchange only ever moves 8-byte keys). Shared by q144 and the
