@@ -880,6 +880,10 @@ object Dedup {
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .persist(MEMORY_AND_DISK)
     val n = deg.count()
+    // a corpus with zero near-dup pairs has no graph to rank — fail with
+    // the reason rather than a divide-by-zero three lines later
+    require(n > 0, s"q146PageRank: no candidate pairs at $dir — " +
+      "the near-dup graph is empty, centrality is undefined")
     val teleport = (15L * 1000000000000L) / (100L * n)
     var ranks = deg.select(col("u").as("v"),
       lit(1000000000000L / n).as("r"))
