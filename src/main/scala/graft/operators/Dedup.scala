@@ -848,7 +848,14 @@ object Dedup {
     *   5. runs of length r are spans of r+g−1 tokens; keep ≥ minSpan and
     *      report per pair: longest span + span count.
     * All integer end to end — positions, diagonals, run lengths — so the
-    * DuckDB oracle (same grams, same diagonal trick) matches exactly. */
+    * DuckDB oracle (same grams, same diagonal trick) matches exactly.
+    *
+    * MEASURED at 20M tokens ([[graft.tools.SkewProbe]] section q144:
+    * 200k docs, universal 10-token boilerplate header, 2,000 planted
+    * 40-token span pairs): full detector 28 s end-to-end on local[32],
+    * recovering exactly the 2,000 planted pairs at max_span=40; the df
+    * cap refused 1.2·10¹¹ candidate-pair work from the boilerplate grams
+    * while keeping 264k — ~450,000× less pair work, zero span loss. */
   /** q146: PAGERANK centrality over the near-dup similarity graph — the
     * graph-analytics member of the dedup family: which documents sit at
     * the CENTER of duplication neighborhoods? Curation uses this to rank
@@ -919,8 +926,13 @@ object Dedup {
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
 
   def q144DupSpans(spark: SparkSession, dir: String, g: Int = 8,
+      dfCap: Int = 16, minSpan: Int = 12): DataFrame =
+    dupSpans(Tables.load(spark, dir, "documents"), g, dfCap, minSpan)
+
+  /** q144's engine over any (doc_id, text) frame (probe + spec entry). */
+  def dupSpans(docs: DataFrame, g: Int = 8,
       dfCap: Int = 16, minSpan: Int = 12): DataFrame = {
-    val grams = gramTable(Tables.load(spark, dir, "documents"), g)
+    val grams = gramTable(docs, g)
     val rare = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("dfd"))
       .filter(col("dfd") <= dfCap && col("dfd") >= 2)

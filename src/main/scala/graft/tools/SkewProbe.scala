@@ -46,6 +46,7 @@ import org.apache.spark.sql.functions._
   * PROBE q123 layout=flat-parquet    selectedBuckets=-  scanEmittedRows=20000000   2.34 s /  0.64 s
   * PROBE q123 layout=bucketed-auto   selectedBuckets=-  scanEmittedRows=  137496   0.45 s /  0.29 s
   * PROBE q123 layout=bucketed-pinned selectedBuckets=3  scanEmittedRows=  137496   0.24 s /  0.27 s
+  * PROBE q144 docs=200000 tokens=20000000 wall= 28.28 s  pairWorkKept=264000 pairWorkRefusedByCap=120000000000
   * }}}
   * Reading: there is no broadcast→SMJ CLIFF in q76's shape — both join
   * children reuse the one pinned user_id exchange, so the sort-merge is
@@ -94,6 +95,14 @@ import org.apache.spark.sql.functions._
   * invisible in local wall-clock behind the page cache, but at cluster
   * scale that is 13/16 of the index I/O never issued. Both effects stack:
   * the q123/q125 index promise is the bucket cut × the page cut.
+  * q144 (200k docs × 100 tokens, every doc opening with the same
+  * 10-token boilerplate, 2,000 planted 40-token span pairs): the full
+  * detector runs 20M tokens end-to-end in 28 s and recovers EXACTLY the
+  * 2,000 planted pairs at max_span=40; the df≤16 cap refuses 1.2·10¹¹
+  * candidate-pair work from the boilerplate grams (3 header grams ×
+  * 200k² each) while keeping 264k — a ~450,000× pair-work cut with zero
+  * loss of the planted spans (boilerplate can never form a ≥12-token
+  * NOVEL shared span; it is shared by construction).
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
@@ -396,6 +405,53 @@ object SkewProbe {
       }
       spark.sql("DROP TABLE IF EXISTS graft_probe_postings")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    // ---- 7. q144 dup-span shape: the df cap vs the quadratic key ------
+    // 200k docs × 100 tokens = 20M tokens. Every doc opens with the SAME
+    // 10-token boilerplate header (the quadratic key: its grams appear in
+    // all 200k docs), and 1% of doc pairs share a planted 40-token span.
+    // The probe measures the capped detector end-to-end and reports the
+    // pair work the cap REFUSED: Σ dfd² over capped-out grams (the pairs
+    // an uncapped join would have generated) vs Σ dfd² over kept grams.
+    if (enabled("q144")) {
+      println("== q144 dup-span shape: df cap vs boilerplate quadratic key ==")
+      val nDocs = 200000L
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          // boilerplate header, identical everywhere
+          concat_ws(" ", (0 until 10).map(j => lit(s"b$j")): _*),
+          // unique filler
+          concat_ws(" ", transform(sequence(lit(0), lit(19)),
+            j => concat(lit("u"), col("id"), lit("_"), j))),
+          // 40-token span, shared by docs 2p/2p+1 when p % 50 == 0
+          // (integral DIV — `/` on longs is DOUBLE division in Spark SQL
+          // and would give odd ids a fractional, never-matching key)
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            j => concat(lit("s"),
+              when(expr("id DIV 2") % 50 === 0, expr("id DIV 2"))
+                .otherwise(col("id") + lit(10000000L)), lit("_"), j))),
+          concat_ws(" ", transform(sequence(lit(0), lit(27)),
+            j => concat(lit("v"), col("id"), lit("_"), j)))).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val secs = timed {
+        val r = graft.operators.Dedup.dupSpans(docs).agg(
+          count(lit(1)), max(col("max_span"))).head
+        println(s"   pairs=${r.getLong(0)} maxSpan=${r.getLong(1)}")
+      }
+      val work = graft.operators.Dedup.gramTable(docs, 8)
+        .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("dfd"))
+        .agg(
+          sum(when(col("dfd") > 16, col("dfd") * col("dfd"))
+            .otherwise(0L)).as("refused"),
+          sum(when(col("dfd").between(2, 16), col("dfd") * col("dfd"))
+            .otherwise(0L)).as("kept")).head
+      println(f"PROBE q144 docs=$nDocs%d tokens=${nDocs * 100}%d " +
+        f"wall=${secs}%6.2f s  pairWorkKept=${work.getLong(1)}%d " +
+        f"pairWorkRefusedByCap=${work.getLong(0)}%d")
+      docs.unpersist()
     }
 
     graft.util.Fs.deleteRecursively(tmp.toFile)
