@@ -12,7 +12,7 @@ object Bench {
   val statefulQueries: Seq[String] =
     Seq("q24_dedup_minhash", "q35_ann_ivf", "q48_bucketed_join",
       "q67_dedup_clusters", "q83_ann_ivf_seeded", "q121_prefix_jaccard",
-      "q123_search", "q125_phrase_search")
+      "q123_search", "q125_phrase_search", "q147_partitioned_scan")
 
   private def jsonEscape(s: String): String =
     s.flatMap {

@@ -225,6 +225,7 @@ object SparkEntry {
       graft.streaming.EventStreams.qStreamSpanContamination(s, d)),
     "q146_pagerank"           -> ((s: SparkSession, d: String) =>
       Dedup.q146PageRank(s, d)),
+    "q147_partitioned_scan"   -> Relational.q147PartitionedScan _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -589,6 +590,13 @@ object SparkEntry {
        (1 to 5).map(pageRankIterCte).mkString(", ") + " " +
        "SELECT r5.v AS doc_id, CAST(deg.deg AS BIGINT) AS deg, " +
        "CAST(r5.r AS BIGINT) AS rank_micro FROM r5 JOIN deg ON deg.u = r5.v"),
+    // q147: the oracle reads the ORIGINAL unpartitioned table — equality
+    // pins the partitioned layout's round-trip AND the pruned scan
+    "q147_partitioned_scan" ->
+      ("SELECT count(*) AS n_docs, " +
+       "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+       "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
+       "FROM documents WHERE lang = 'en'"),
     // q142: the events.ts encoding contract — DuckDB reads the parquet
     // NAIVELY (NTZ wall-clock, or TIMESTAMP_NS for the legacy encoding);
     // the engine reads through Tables.events normalization under the UTC

@@ -997,4 +997,42 @@ object Relational {
       unix_micros(min(col("ts"))).as("min_us"),
       unix_micros(max(col("ts"))).as("max_us"),
       sum(hour(col("ts")).cast("bigint")).as("hour_sum"))
+
+  /** Stage the documents table re-written as a HIVE-PARTITIONED layout
+    * (`…/lang=en/part-*.parquet`) once per corpus fingerprint — the
+    * warehouse layout a 100 TB corpus actually lives in (per-language /
+    * per-source / per-date directories), built with the same crash-safe
+    * publishOnce lifecycle as the band/IVF/ppjoin indexes. */
+  def stagePartitionedDocsOnce(spark: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val slug = graft.util.Staging.pathSlug(dir) + "_" +
+      graft.util.Staging.fileFingerprint(src)
+    val root = new java.io.File(
+      s"${graft.util.Staging.stagingRoot}/graft_partdocs/$slug")
+    graft.util.Staging.publishOnce(root, s"partdocs:${root.getName}") { st =>
+      Tables.load(spark, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(st.getPath)
+    }
+  }
+
+  /** q147: PARTITIONED warehouse layout — sink + pruned scan, end to end.
+    * `partitionBy("lang")` writes one directory per language; a reader
+    * filtering on the partition column never LISTS — let alone reads —
+    * the other partitions (`PartitionFilters` in the scan node,
+    * plan-asserted in PlanSpec). At 100 TB this is the first-order I/O
+    * lever: a one-language slice of a 5-language corpus touches 1/5 of
+    * the files BY CONSTRUCTION, before row groups, pages, or bloom
+    * filters say anything. The aggregate is integer-exact (count, char
+    * sum, distinct sources) so the DuckDB oracle — reading the ORIGINAL
+    * unpartitioned table with an ordinary WHERE — pins both the layout
+    * round-trip (no rows lost or retyped by the partition encoding) and
+    * the pruned read's answer. */
+  def q147PartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = stagePartitionedDocsOnce(spark, dir)
+    spark.read.parquet(root)
+      .filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
 }

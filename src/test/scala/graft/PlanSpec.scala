@@ -465,4 +465,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       s"q20 contains a UDF barrier:\n$p")
   }
+
+  test("q147 staged partitioned layout prunes to the lang=en directory") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("q147_partitioned_scan")(spark, sf)
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"q147 scan not partition-pruned:\n$p")
+    // pruned read's answer equals the unpartitioned filter's
+    val e = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "en")
+      .agg(count(lit(1)), sum(col("n_chars").cast("bigint")),
+        countDistinct(col("source"))).head
+    val g = q.head
+    assert(g.getLong(0) === e.getLong(0) && g.getLong(1) === e.getLong(1) &&
+      g.getLong(2) === e.getLong(2),
+      s"q147 pruned answer $g != unpartitioned $e")
+  }
 }
