@@ -226,6 +226,8 @@ object SparkEntry {
     "q146_pagerank"           -> ((s: SparkSession, d: String) =>
       Dedup.q146PageRank(s, d)),
     "q147_partitioned_scan"   -> Relational.q147PartitionedScan _,
+    "q148_epoch_mix"          -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q148EpochMix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -590,6 +592,19 @@ object SparkEntry {
        (1 to 5).map(pageRankIterCte).mkString(", ") + " " +
        "SELECT r5.v AS doc_id, CAST(deg.deg AS BIGINT) AS deg, " +
        "CAST(r5.r AS BIGINT) AS rank_micro FROM r5 JOIN deg ON deg.u = r5.v"),
+    // q148: identical hash-derived epoch factors and per-doc fractional
+    // rounding (hex60 family), all-integer rollup
+    "q148_epoch_mix" ->
+      ("WITH d AS (SELECT source, doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+       s"500000 + ${hex60Sql("source")} % 3000000 AS factor_ppm FROM documents), " +
+       "c AS (SELECT source, factor_ppm, n_toks, factor_ppm // 1000000 + " +
+       s"(CASE WHEN ${hex60Sql("concat(source, ':', doc_id)")} % 1000000 < " +
+       "factor_ppm % 1000000 THEN 1 ELSE 0 END) AS copies FROM d) " +
+       "SELECT source, CAST(max(factor_ppm) AS BIGINT) AS factor_ppm, " +
+       "count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies, " +
+       "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
+       "FROM c GROUP BY source"),
     // q147: the oracle reads the ORIGINAL unpartitioned table — equality
     // pins the partitioned layout's round-trip AND the pruned scan
     "q147_partitioned_scan" ->

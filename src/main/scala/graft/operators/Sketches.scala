@@ -464,4 +464,42 @@ object Sketches {
         round(col("exact_p50"), 2).as("p50"),
         (abs(col("approx_p50") - col("exact_p50")) <=
           greatest(abs(col("exact_p50")) * 0.05, lit(0.01))).as("pctl_ok"))
+
+  /** q148: EPOCH-WEIGHTED MIXTURE MATERIALIZATION — the "web ×0.7,
+    * books ×3.2" step of a pre-training data recipe, made exact: every
+    * document gets a deterministic integer REPEAT COUNT whose per-source
+    * mean hits the fractional epoch factor without any sampling variance
+    * bookkeeping. q89 decides the proportions; this materializes them.
+    *
+    * The fractional part is rounded doc-by-doc with the engine's own
+    * hash — copies(d) = ⌊f⌋ + [sketch60("source:doc") mod 10⁶ < frac·10⁶]
+    * — so the assignment is (a) reproducible row-locally on any executor
+    * with no coordination, (b) exact in expectation per source, and
+    * (c) integer end to end, which is what lets the DuckDB oracle (hex60
+    * family) rebuild the identical per-source copy and token totals.
+    * The per-source factor itself is derived deterministically here
+    * (0.5–3.5 epochs from the source-name hash) so the gate needs no
+    * config fixture; production passes real factors the same shape.
+    *
+    * Scale shape: one projection over the scan (no shuffle until the
+    * per-source rollup, whose key space is |sources|); the materializer
+    * downstream would `explode(sequence(1, copies))` — also shuffle-free. */
+  def q148EpochMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    val d = Tables.load(spark, dir, "documents").select(
+      col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+      (lit(500000L) + pmod(sketch60(col("source")), lit(3000000L)))
+        .as("factor_ppm"))
+    d.select(col("source"), col("factor_ppm"), col("n_toks"),
+        (expr("factor_ppm DIV 1000000") +
+          when(pmod(sketch60(concat_ws(":", col("source"), col("doc_id"))),
+            lit(1000000L)) < col("factor_ppm") % 1000000, 1L)
+            .otherwise(0L)).as("copies"))
+      .groupBy(col("source"))
+      .agg(max(col("factor_ppm")).as("factor_ppm"),
+        count(lit(1)).as("n_docs"),
+        sum(col("copies")).as("n_copies"),
+        sum(col("copies") * col("n_toks")).as("n_tokens_out"))
+  }
 }
