@@ -532,7 +532,7 @@ object SparkEntry {
        "round(-SUM(tf * ln(0.9 * c12 / u1.c + 0.1 * COALESCE(u2.c, 0) / nn.n)) / SUM(tf), 4) AS nll " +
        "FROM dbt JOIN bi USING (w1, w2) JOIN uni u1 ON u1.w = dbt.w1 " +
        "LEFT JOIN uni u2 ON u2.w = dbt.w2 CROSS JOIN nn GROUP BY doc_id, dbt.lang), " +
-       "s2t AS (SELECT lang, nll, CAST(floor(nll * 100) AS BIGINT) AS s2 FROM sc), " +
+       "s2t AS (SELECT lang, nll, CAST(round(nll * 10000) AS BIGINT) // 100 AS s2 FROM sc), " +
        "hist AS (SELECT lang, s2, count(*) AS c FROM s2t GROUP BY 1, 2), " +
        "cum AS (SELECT lang, s2, SUM(c) OVER (PARTITION BY lang ORDER BY s2) AS cum, " +
        "SUM(c) OVER (PARTITION BY lang) AS tot FROM hist), " +

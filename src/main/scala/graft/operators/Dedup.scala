@@ -875,9 +875,15 @@ object Dedup {
     * Scale shape: edges come from the SHARED staged band table (the one
     * signature scan the whole dedup family amortizes, q24/q67/q73/q74);
     * each iteration is one edges⋈ranks join + one map-side-combined sum —
-    * the classic distributed PageRank plan, lineage cut per iteration by
-    * localCheckpoint (the connected-components precedent). The only
-    * driver-side scalar is N (one count of the node table). */
+    * the classic distributed PageRank plan, each round's frame persisted
+    * eagerly and the previous round's released (prev-handle discipline —
+    * ≤ 2 rank frames live at any moment). The only driver-side scalar is
+    * N (one count of the node table).
+    *
+    * Precondition (oracle contract): the edge list inherits
+    * [[minhashCandidatePairs]]'s bucket cap (10000) while the DuckDB twin
+    * is uncapped — sound while no band bucket approaches the cap, which
+    * ScaleOpsSpec probes at every gated scale factor. */
   def q146PageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = minhashCandidatePairs(spark, dir)
@@ -894,20 +900,33 @@ object Dedup {
     val teleport = (15L * 1000000000000L) / (100L * n)
     var ranks = deg.select(col("u").as("v"),
       lit(1000000000000L / n).as("r"))
+      .persist(MEMORY_AND_DISK)
+    // prev-handle discipline (M14): each round materializes the new rank
+    // frame EAGERLY (count), then releases the previous round's blocks —
+    // the loop holds ≤ 2 rank frames at any moment instead of leaking one
+    // per iteration until session close. InMemoryRelation at the persist
+    // boundary keeps per-round physical plans / codegen constant-size,
+    // the same lineage cut the localCheckpoint gave.
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("v", "u"), Seq("u"))
         .join(deg, Seq("u"))
         .select(col("v"), expr("r DIV deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
-      ranks = deg.select(col("u").as("v"))
+      val next = deg.select(col("u").as("v"))
         .join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit(teleport) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
-        .localCheckpoint()
+        .persist(MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(false)
+      ranks = next
     }
-    ranks.join(deg.withColumnRenamed("u", "v"), Seq("v"))
+    val out = ranks.join(deg.withColumnRenamed("u", "v"), Seq("v"))
       .select(col("v").as("doc_id"), col("deg"), col("r").as("rank_micro"))
+      .localCheckpoint()
+    ranks.unpersist(false); deg.unpersist(false); edges.unpersist(false)
+    out
   }
 
   /** (doc_id, pos, h) for every g-token gram — positions 1-based, keys

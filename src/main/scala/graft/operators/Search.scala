@@ -59,30 +59,27 @@ object Search {
     // aggregation keys on doc_id (not the bucket column) and silently
     // un-buckets the scan — taking BUCKET PRUNING down with it, which is
     // the entire point of the index. Pin the bucketed scan for the probe
-    // and materialize under the pinned conf (localCheckpoint is eager), so
-    // the returned frame is detached and the conf restore can't race a
-    // later lazy plan.
-    // NOTE: the toggle is SESSION-GLOBAL. Safe under the sequential
-    // drivers (Verify/Bench run one query at a time and materialization is
-    // eager), but a query planned CONCURRENTLY on this session inside the
-    // window is planned with auto-bucketed scans off; concurrent embedders
-    // should scope the probe via spark.newSession(). (Applies equally to
-    // the q125 phrase-search toggle below.)
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(key)
-    try {
-      spark.conf.set(key, "false")
-      val postings = spark.table(table).filter(col("tok").isin(terms: _*))
-      val len = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
-      postings.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
-        .filter(col("n_terms") === terms.size)
-        .join(len, Seq("doc_id"))
-        .select(col("doc_id"), col("score"),
-          expr("score * 1000000 DIV n_toks").as("score_ppm"))
-        .localCheckpoint()
-    } finally spark.conf.set(key, prev)
+    // inside a CLONED session: newSession() shares the SparkContext,
+    // SharedState catalog (so the staged bucketed table resolves) and
+    // cache, but owns its SQLConf — the toggle can never be observed by a
+    // query planned concurrently on the parent session, and there is no
+    // conf restore left to race. Every frame under the toggle is built
+    // FROM the clone (frames from two sessions must never meet in one
+    // plan), and localCheckpoint materializes eagerly, so the clone is
+    // discardable when this returns. (Same pattern in q125 below.)
+    val scoped = spark.newSession()
+    scoped.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val postings = scoped.table(table).filter(col("tok").isin(terms: _*))
+    val len = Tables.load(scoped, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+    postings.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .join(len, Seq("doc_id"))
+      .select(col("doc_id"), col("score"),
+        expr("score * 1000000 DIV n_toks").as("score_ppm"))
+      .localCheckpoint()
   }
 
   /** q125: PHRASE search over a POSITIONAL postings index.
@@ -121,18 +118,17 @@ object Search {
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
       .limit(1).collect().head
     val (w1, w2) = (top.getString(0), top.getString(1))
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(key)
-    try {
-      spark.conf.set(key, "false")
-      val a = spark.table(table).filter(col("tok") === w1)
-        .select(col("doc_id"), col("pos"))
-      val b = spark.table(table).filter(col("tok") === w2)
-        .select(col("doc_id"), (col("pos") - 1).as("pos"))
-      a.join(b, Seq("doc_id", "pos"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
-        .localCheckpoint()
-    } finally spark.conf.set(key, prev)
+    // scoped-session toggle — see q123's comment
+    val scoped = spark.newSession()
+    scoped.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val a = scoped.table(table).filter(col("tok") === w1)
+      .select(col("doc_id"), col("pos"))
+    val b = scoped.table(table).filter(col("tok") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
   }
 
   /** q136: HYBRID retrieval via RECIPROCAL RANK FUSION — the standard way

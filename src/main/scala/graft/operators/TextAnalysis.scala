@@ -617,7 +617,15 @@ object TextAnalysis {
           log(lit(0.9) * col("c12").cast("double") / col("c1") +
             lit(0.1) * coalesce(col("c2"), lit(0L)).cast("double") / col("n"))) /
           sum(col("tf")), 4).as("nll"))
-      .withColumn("s2", floor(col("nll") * 100).cast("long"))
+      // bin = hundredths of a unit, recovered from the 4-dp value in ONE
+      // integer rounding step: nll*10000 for a 4-dp double is within
+      // ~1e-8 of an integer (never near a .5 boundary), so Spark's
+      // HALF_UP and DuckDB's libm round agree; DIV 100 is then exact
+      // integer floor division (nll ≥ 0). A direct floor(nll*100) would
+      // sit ON representation boundaries (12.345*100 = 1234.4999…) and
+      // let a cross-engine 1-ulp wobble flip a doc across a tercile cut.
+      .withColumn("s2",
+        expr("CAST(round(nll * 10000, 0) AS BIGINT) DIV 100"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = scored.groupBy(col("lang"), col("s2")).agg(count(lit(1)).as("c"))
     val wOrd = Window.partitionBy("lang").orderBy("s2")

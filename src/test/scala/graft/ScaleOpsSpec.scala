@@ -246,6 +246,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(subs === Seq(0), s"small buckets were split: $subs")
   }
 
+  test("no band bucket approaches the candidate-pair cap at gated scale factors") {
+    // q146 (and every minhashCandidatePairs consumer) generates pairs
+    // through Skew.capBuckets(cap = 10000), while the DuckDB oracle's
+    // `pairs` CTE is uncapped: the two silently diverge the moment any
+    // (band, bucket) group exceeds the cap. This probe pins the
+    // precondition at the gated scale factors — if a fixture ever grows a
+    // boilerplate cluster past the cap, this fails loudly instead of the
+    // gate hash drifting.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val maxBucket = graft.operators.Dedup.stagedBandTable(spark, dir)
+        .groupBy(col("band"), col("bucket")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      assert(maxBucket <= 10000 / 2,
+        s"$dir: largest band bucket $maxBucket is within 2x of the 10000 " +
+          "cap — engine pairs would soon drop sub-bucket-crossing pairs " +
+          "the uncapped oracle keeps")
+    }
+  }
+
   test("saltedSumCount equals direct groupBy aggregation") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toDouble))
@@ -1285,6 +1304,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
     assert(m.isDefined && m.get.group(1).toInt == 1,
       s"a one-term posting read must open exactly 1 bucket:\n$plan")
+  }
+
+  test("q123/q125 bucketing toggle is scoped to a cloned session — parent conf untouched") {
+    // the queries pin their bucketed scans on a spark.newSession() clone;
+    // there is no conf mutation (and no restore) on the parent session at
+    // all, so the parent value must be the pre-existing default both
+    // before and after — concurrent queries on this session can never
+    // observe auto-bucketed scans turned off.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.get(key)
+    assert(before === "true", "parent session must start at the default")
+    assert(SparkEntry.queries("q123_search")(spark, sf).collect().nonEmpty)
+    assert(SparkEntry.queries("q125_phrase_search")(spark, sf).collect().nonEmpty)
+    assert(spark.conf.get(key) === before,
+      "the scoped-session toggle leaked into the parent session")
   }
 
   test("q127 systematic sample: chunking-invariant, Σ picks = k, equals driver-side scan") {
