@@ -55,6 +55,34 @@ object Bench {
       new LogisticRegression().setMaxIter(5).fit(tiny).transform(tiny).count()
       new LinearSVC().setMaxIter(5).fit(tiny).transform(tiny).count()
     }
+    // Grid-runner warmup: the raw-estimator fits above JIT the mllib
+    // kernels, but q141's 40-cell grid additionally JITs the ST/CT wrapper
+    // paths (threshold + kBest selection, the cross-teach branch), the CV
+    // evaluator aggregations, and runGridShared's fold/mask staging +
+    // concurrent job-stream machinery — measured r14: q141 55 s first
+    // sample vs 20 s retimed, ~35 s of one-time compile landing inside the
+    // timed query. One tiny grid through every runner branch (the same
+    // {ST,CT,supervised}×{DT,RF,NB,LR}×{threshold,kBest} product, plus the
+    // supervised LSVC path q39 exercises) pays it here, untimed.
+    locally {
+      import org.apache.spark.ml.linalg.Vectors
+      import spark.implicits._
+      val tiny = (0 until 256).map { i =>
+        (Vectors.dense(i % 7.0, i % 13.0, (i / 16 % 5).toDouble,
+          (i * 2654435761L % 97).toDouble), (i % 2).toDouble)
+      }.toDF("features", "label")
+      import graft.ml.Experiments
+      val cells = Experiments.grid("warm",
+        classifiers = Seq("DT", "RF", "NB", "LR"),
+        algos = Seq("ST", "CT", "supervised"),
+        pcts = Seq(0.3),
+        criterionValues = Map("threshold" -> Seq(0.8), "kBest" -> Seq(0.5)),
+        maxIter = 1) :+
+        Experiments.Cell("warm", "LSVC", "supervised", "na", 0.3, 0.0,
+          maxIter = 1)
+      Experiments.runGridShared(Map("warm" -> tiny), cells, k = 2,
+        seed = 8L, parallelism = 20).count()
+    }
     // Sketch-family codegen warmup. The heavy dedup/sketch expressions
     // (32-seed MinHash aggregate, simhash bit-vote, winnowed fingerprints)
     // generate large whole-stage code whose Janino compile + JIT costs

@@ -228,6 +228,10 @@ object SparkEntry {
     "q147_partitioned_scan"   -> Relational.q147PartitionedScan _,
     "q148_epoch_mix"          -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q148EpochMix(s, d)),
+    "q149_bpe_encode"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.q149BpeEncode(s, d)),
+    "q150_mixture_shards"     -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q150MixtureShards(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -605,6 +609,29 @@ object SparkEntry {
        "count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies, " +
        "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
        "FROM c GROUP BY source"),
+    // q149: golden VALUES regenerated by MlOracleGen (the 20-round merge
+    // replay has no tractable SQL twin; ScaleOpsSpec holds the
+    // independent driver-side parity implementation)
+    "q149_bpe_encode" ->
+      "SELECT * FROM (VALUES ('src2', CAST(1407 AS BIGINT), CAST(6307 AS BIGINT), CAST(4594 AS BIGINT), CAST(1372877 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(5166 AS BIGINT), CAST(3767 AS BIGINT), CAST(1371383 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(6129 AS BIGINT), CAST(4388 AS BIGINT), CAST(1396763 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(6539 AS BIGINT), CAST(4768 AS BIGINT), CAST(1371434 AS BIGINT)), ('src7', CAST(1507 AS BIGINT), CAST(6719 AS BIGINT), CAST(4834 AS BIGINT), CAST(1389946 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(5680 AS BIGINT), CAST(4101 AS BIGINT), CAST(1385028 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(5827 AS BIGINT), CAST(4202 AS BIGINT), CAST(1386720 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(6158 AS BIGINT), CAST(4414 AS BIGINT), CAST(1395106 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(6217 AS BIGINT), CAST(4519 AS BIGINT), CAST(1375746 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(5184 AS BIGINT), CAST(3734 AS BIGINT), CAST(1388323 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(7055 AS BIGINT), CAST(5051 AS BIGINT), CAST(1396753 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(5829 AS BIGINT), CAST(4203 AS BIGINT), CAST(1386866 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(6135 AS BIGINT), CAST(4441 AS BIGINT), CAST(1381445 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(6934 AS BIGINT), CAST(5007 AS BIGINT), CAST(1384861 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(5923 AS BIGINT), CAST(4335 AS BIGINT), CAST(1366320 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(6261 AS BIGINT), CAST(4532 AS BIGINT), CAST(1381509 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(5950 AS BIGINT), CAST(4300 AS BIGINT), CAST(1383720 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(5723 AS BIGINT), CAST(4130 AS BIGINT), CAST(1385714 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(5883 AS BIGINT), CAST(4254 AS BIGINT), CAST(1382933 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(6890 AS BIGINT), CAST(4985 AS BIGINT), CAST(1382146 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_chars\", \"n_tokens\", \"chars_per_token_ppm\")",
+    // q150: the q148 copies replayed row for row, fanned out one row per
+    // epoch copy (generate_series(1, copies) — empty at copies = 0, the
+    // engine's filter twin), then the q110 manifest rollup keyed by the
+    // copy-aware hex60 shard hash
+    "q150_mixture_shards" ->
+      ("WITH d AS (SELECT source, doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+       s"500000 + ${hex60Sql("source")} % 3000000 AS factor_ppm FROM documents), " +
+       "c AS (SELECT source, doc_id, n_toks, factor_ppm // 1000000 + " +
+       s"(CASE WHEN ${hex60Sql("concat(source, ':', doc_id)")} % 1000000 < " +
+       "factor_ppm % 1000000 THEN 1 ELSE 0 END) AS copies FROM d), " +
+       "r AS (SELECT source, doc_id, n_toks, " +
+       "unnest(generate_series(1, copies)) AS copy FROM c WHERE copies >= 1), " +
+       s"h AS (SELECT n_toks, ${hex60Sql("concat(source, ':', doc_id, ':', copy)")} AS hv FROM r) " +
+       "SELECT hv % 16 AS shard, count(*) AS n_rows, " +
+       "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(hv % 1073741824) AS BIGINT) AS id_checksum " +
+       "FROM h GROUP BY 1"),
     // q147: the oracle reads the ORIGINAL unpartitioned table — equality
     // pins the partitioned layout's round-trip AND the pruned scan
     "q147_partitioned_scan" ->

@@ -209,13 +209,17 @@ object Linkage {
           expr("(9 * (pa.sz + pb.sz) + 18) DIV 19"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
+    // the verify kernel: toks is sorted+distinct by index construction, so
+    // |∩| is one allocation-free merge walk per candidate (codegen'd
+    // custom expression) instead of array_intersect's per-row hash set +
+    // intermediate array — the stage that runs once per candidate pair
+    graft.functions.SortedIntersectCount.register(prefix.sparkSession)
     cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
         col("n").as("na")), Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
         col("n").as("nb")), Seq("doc_b"))
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
+      .withColumn("inter", expr("sorted_intersect_count(ta, tb)"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),

@@ -484,6 +484,52 @@ object Sketches {
     * Scale shape: one projection over the scan (no shuffle until the
     * per-source rollup, whose key space is |sources|); the materializer
     * downstream would `explode(sequence(1, copies))` — also shuffle-free. */
+  /** q150: MIXTURE MATERIALIZATION → SHARD MANIFEST — the step after
+    * q148: actually emit one row per (document, epoch copy) of the
+    * recipe and account for it shard by shard, closing the
+    * recipe → shards chain (q148 → q110) end to end. A consumer holding
+    * only the manifest can verify it read exactly the intended mixture:
+    * per shard, row count, token total, and the q110 order-independent
+    * membership checksum — now keyed by (source, doc, COPY), so every
+    * repeat of a document is individually accounted.
+    *
+    * Scale shape: the copy counts are the q148 projection (row-local,
+    * no coordination); `explode(sequence(1, copies))` fans out
+    * shuffle-free (docs with 0 copies are filtered BEFORE the explode —
+    * Spark's sequence(1, 0) would generate a DESCENDING [1, 0]); the
+    * copy-aware shard hash spreads a document's repeats across shards
+    * (what a real epoch-aware shard writer does, so no shard replays the
+    * same doc twice in one pass); the only shuffle is the nShards-row
+    * manifest rollup, map-side-combined. Integer end to end — the DuckDB
+    * twin rebuilds the identical copies, shard keys and checksums from
+    * the hex60 family. */
+  def q150MixtureShards(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    val d = Tables.load(spark, dir, "documents").select(
+      col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+      (lit(500000L) + pmod(sketch60(col("source")), lit(3000000L)))
+        .as("factor_ppm"))
+    val copies = d.select(col("source"), col("doc_id"), col("n_toks"),
+        (expr("factor_ppm DIV 1000000") +
+          when(pmod(sketch60(concat_ws(":", col("source"), col("doc_id"))),
+            lit(1000000L)) < col("factor_ppm") % 1000000, 1L)
+            .otherwise(0L)).as("copies"))
+      .filter(col("copies") >= 1)
+    val rows = copies
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+    val h = sketch60(concat_ws(":",
+      col("source"), col("doc_id"), col("copy")))
+    rows
+      .select(pmod(h, lit(nShards.toLong)).as("shard"), col("n_toks"),
+        pmod(h, lit(1073741824L)).as("idh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("idh")).as("id_checksum"))
+  }
+
   def q148EpochMix(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.sketch60
     val d = Tables.load(spark, dir, "documents").select(

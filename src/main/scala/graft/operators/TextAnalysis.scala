@@ -648,6 +648,129 @@ object TextAnalysis {
         min(col("nll")).as("nll_min"), max(col("nll")).as("nll_max"))
   }
 
+  /** q149: BPE CORPUS ENCODING — the tokenization step a pre-training
+    * pipeline runs between curation (q140) and sharding (q110): learn a
+    * byte-pair-encoding merge table, then encode every document into
+    * tokens with it and report the per-source token accounting. q108
+    * counts first-round merge CANDIDATES; this trains the full iterative
+    * merge list and applies it.
+    *
+    * Scale shape (the Sennrich dictionary trick, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL'16 §3):
+    *   1. TRAIN over the (word, freq) DICTIONARY, never the corpus: one
+    *      corpus shuffle builds the dict, a BOUNDED collect takes its top
+    *      `vocabCap` rows by (freq DESC, word) — tokenizer training is
+    *      driver-scale by industry construction (SentencePiece/HF train
+    *      on a capped dict or sample) — and the nMerges rounds of
+    *      argmax-and-merge run as pure in-memory Scala. An earlier
+    *      draft looped rounds as persisted DataFrames; 20 rounds of
+    *      InMemoryRelation nesting made plan DESCRIPTIONS (ExplainUtils
+    *      walks innerChildren) super-linear and the loop unrunnable —
+    *      the dict collect is the honest architecture, not a concession.
+    *   2. APPLY partition-locally: the whole ordered merge list folds
+    *      into ONE expression chain — per merge, a greedy left-to-right
+    *      single-pass `aggregate` (one pass suffices: a merged symbol
+    *      a·b can never equal a or b, so no new occurrence of the SAME
+    *      pair appears; overlaps only arise for a = b and the fold takes
+    *      them greedily) — evaluated over the DISTINCT-word frame, so
+    *      the encode is memoized by construction (the production
+    *      tokenizer cache). The corpus pass is then one explode + one
+    *      equi-join on the word (broadcast at gate scale, shuffle-keyed
+    *      at 100 TB) + the per-source rollup. Words outside the training
+    *      cap still encode — the fold applies to any word.
+    * All-integer output; oracle = golden VALUES pinned from an
+    * independent pure-Scala recompute (ScaleOpsSpec parity at sf0.001). */
+  def q149BpeEncode(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame =
+    bpeEncode(Tables.load(spark, dir, "documents"), nMerges)
+
+  /** q149's engine over any (source, text) frame — the spec's parity and
+    * greedy-overlap fixtures drive this directly. */
+  def bpeEncode(docs: DataFrame, nMerges: Int,
+      vocabCap: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    // one corpus shuffle; persisted because the dict collect and the
+    // distinct-word encode both read it
+    val wordFreq = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist(MEMORY_AND_DISK)
+    val dict = wordFreq.orderBy(col("f").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = trainMerges(dict, nMerges)
+    val symsInit: org.apache.spark.sql.Column =
+      expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    val symsFinal = merges.foldLeft(symsInit) {
+      case (syms, (a, b)) => applyMerge(syms, a, b)
+    }
+    val encoded = wordFreq.select(col("w"),
+      length(col("w")).cast("bigint").as("n_chr"),
+      size(symsFinal).cast("bigint").as("n_tok"))
+    val out = words.join(encoded, Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 DIV n_tokens"))
+      .localCheckpoint()
+    wordFreq.unpersist(false)
+    out
+  }
+
+  /** Classic BPE merge learning over a (word, freq) dict: nMerges rounds
+    * of freq-weighted pair counting + argmax (count DESC, pair ASC — a
+    * total order, so the table is engine-deterministic) + greedy merge. */
+  private[graft] def trainMerges(dict: Array[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    var vocab = dict.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = a + b
+            else out += s
+          }
+          (out.toArray, f)
+        }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** One greedy left-to-right non-overlapping merge of (a, b) as a single
+    * fold pass. Seeded with a space sentinel so the accumulator is never
+    * empty (ANSI element_at on [] throws); symbols come from space-split
+    * words, so no symbol — or merged symbol — can equal " ". The result
+    * slice takes an UPPER BOUND of length(w) elements (slice truncates at
+    * the end of the array) so the chained expression references its input
+    * exactly once — a size(fold) recomputation would duplicate the whole
+    * nested chain and blow up exponentially over nMerges nests. */
+  private def applyMerge(syms: org.apache.spark.sql.Column,
+      a: String, b: String): org.apache.spark.sql.Column =
+    slice(
+      aggregate(syms, array(lit(" ")), (acc, s) =>
+        when(element_at(acc, size(acc)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s)))),
+      lit(2), greatest(length(col("w")), lit(1)))
+
   def q108BpeMerges(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     val vocab = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))

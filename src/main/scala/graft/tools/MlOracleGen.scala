@@ -29,10 +29,15 @@ object MlOracleGen {
       val s = d.toString
       if (s.contains("E") || s.contains("e")) s else s + "e0"
     }
-    for (q <- Seq("q35_ann_ivf", "q39_supervised_roster",
-        "q40_selftrain_threshold", "q41_selftrain_kbest", "q42_cotrain",
-        "q43_supervised_cv", "q44_cotrain_featsplit",
-        "q84_experiment_grid", "q141_full_grid")) {
+    // q149 is not a model fit, but its oracle is pinned the same way (the
+    // 20-round merge replay has no tractable SQL twin; determinism is
+    // integer sums + a totally-ordered argmax, parity-tested in ScaleOpsSpec)
+    val all = Seq("q35_ann_ivf", "q39_supervised_roster",
+      "q40_selftrain_threshold", "q41_selftrain_kbest", "q42_cotrain",
+      "q43_supervised_cv", "q44_cotrain_featsplit",
+      "q84_experiment_grid", "q141_full_grid", "q149_bpe_encode")
+    for (q <- if (args.nonEmpty) all.filter(n => args.exists(n.contains))
+              else all) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val schema = df.schema
       val rows = df.collect()

@@ -23,12 +23,18 @@ object DriverSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // static conf, must be set at session build: the default 100-entry
-      // codegen cache thrashes under 140 distinct queries (several
-      // generated classes each), so by the bench's retime pass every
-      // entry has been evicted and each retimed query pays full Janino
-      // recompilation + fresh JIT inside its timing. Sized to hold the
-      // whole suite's generated classes once.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // codegen cache thrashes under 148 distinct queries (several
+      // generated classes each), and the ML grids alone emit HUNDREDS of
+      // distinct sources per run (fold indices / seeds / cell params are
+      // baked into the generated code as literals), so even r14's 4000
+      // entries evicted across a full-suite pass — measured: q84 steady
+      // 15.4 s, 22.6 s when re-run after a 25-query mix at 4000 entries,
+      // 13.6 s after the same mix at 40000 (the whole gap was Janino
+      // recompilation inside the timed sample). The bound costs nothing
+      // until entries actually exist; at this suite's footprint the cache
+      // stays well under driver heap headroom.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "40000"))
       // the engine's extension point (BagDifferenceToAntiJoin)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

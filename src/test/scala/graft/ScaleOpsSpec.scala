@@ -1652,4 +1652,72 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got === expected)
     assert(expected.nonEmpty, "fixture must contain ≥1 duplicated span")
   }
+
+  test("q149 BPE encode equals an independent driver-side train+encode") {
+    import scala.collection.mutable
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0),
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq))
+    val freq = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, ws) => ws.foreach(w => freq(w) += 1) }
+    var vocab: Map[String, Vector[String]] =
+      freq.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to 20) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += freq(w)
+      if (counts.nonEmpty) {
+        // identical total order to the engine: cnt DESC, pair ASC
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        vocab = vocab.map { case (w, syms) =>
+          val out = mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = a + b
+            else out += s
+          }
+          w -> out.toVector
+        }
+      }
+    }
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap(_._2)
+      val nChars = ws.map(_.length.toLong).sum
+      val nToks = ws.map(w => vocab(w).size.toLong).sum
+      src -> ((ws.size.toLong, nChars, nToks, nChars * 1000000L / nToks))
+    }
+    val got = SparkEntry.queries("q149_bpe_encode")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("q149 greedy merge fold: left-to-right non-overlapping, hand-pinned") {
+    import spark.implicits._
+    // 'aaaa' pins the only overlap case (a == b): greedy left-to-right
+    // gives [aa, aa], never the 3 overlapping matches
+    val docs = Seq(("s1", "aaaa aa a"), ("s2", "abab bab"))
+      .toDF("source", "text")
+    // round 1 merges (a,a) (count 4 beats (a,b)=3); round 2 merges (a,b)
+    val got = graft.operators.TextAnalysis.bpeEncode(docs, nMerges = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "s1" -> ((3L, 7L, 4L, 1750000L)),
+      "s2" -> ((2L, 7L, 4L, 1750000L))))
+  }
+
+  test("q150 mixture shards reconcile exactly with q148's recipe totals") {
+    // the manifest materializes q148's copy counts row for row: total rows
+    // across shards = total copies, total tokens = the recipe's token-out
+    val mix = SparkEntry.queries("q148_epoch_mix")(spark, sf).collect()
+    val shards = SparkEntry.queries("q150_mixture_shards")(spark, sf).collect()
+    assert(shards.map(_.getLong(1)).sum === mix.map(_.getLong(3)).sum)
+    assert(shards.map(_.getLong(2)).sum === mix.map(_.getLong(4)).sum)
+    assert(shards.length > 1, "copies must spread over multiple shards")
+    assert(shards.map(_.getLong(0)).distinct.length === shards.length)
+  }
 }
