@@ -900,32 +900,42 @@ object Dedup {
     val teleport = (15L * 1000000000000L) / (100L * n)
     var ranks = deg.select(col("u").as("v"),
       lit(1000000000000L / n).as("r"))
-      .persist(MEMORY_AND_DISK)
-    // prev-handle discipline (M14): each round materializes the new rank
-    // frame EAGERLY (count), then releases the previous round's blocks —
-    // the loop holds ≤ 2 rank frames at any moment instead of leaking one
-    // per iteration until session close. InMemoryRelation at the persist
-    // boundary keeps per-round physical plans / codegen constant-size,
-    // the same lineage cut the localCheckpoint gave.
+    // prev-handle discipline (M14) over localCheckpoint frames: each
+    // round's frame materializes eagerly with its lineage truncated (the
+    // fast path for iterative loops — no CacheManager columnar round
+    // trip), and the PREVIOUS round's checkpoint blocks are released by
+    // unpersisting its (just-created) RDD — identified by diffing
+    // getPersistentRDDs around the checkpoint call, which is sound here
+    // because the loop is single-threaded and nothing else persists
+    // between the two snapshots. The freed frame is never referenced
+    // again, so its truncated lineage is irrelevant. ≤ 2 rank frames
+    // live at any moment instead of one leaked per iteration.
+    var prevIds: Set[Int] = Set.empty
+    def sweepPrev(keep: Set[Int]): Unit = {
+      for (id <- prevIds; rdd <- spark.sparkContext.getPersistentRDDs.get(id))
+        rdd.unpersist(false)
+      prevIds = keep
+    }
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("v", "u"), Seq("u"))
         .join(deg, Seq("u"))
         .select(col("v"), expr("r DIV deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val next = deg.select(col("u").as("v"))
         .join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit(teleport) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
-        .persist(MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist(false)
+        .localCheckpoint()
+      sweepPrev(spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       ranks = next
     }
     val out = ranks.join(deg.withColumnRenamed("u", "v"), Seq("v"))
       .select(col("v").as("doc_id"), col("deg"), col("r").as("rank_micro"))
       .localCheckpoint()
-    ranks.unpersist(false); deg.unpersist(false); edges.unpersist(false)
+    sweepPrev(Set.empty)
+    deg.unpersist(false); edges.unpersist(false)
     out
   }
 

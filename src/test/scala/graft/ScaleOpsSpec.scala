@@ -1653,6 +1653,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must contain ≥1 duplicated span")
   }
 
+  test("q146 releases its iteration frames: ≤2 new persistent RDDs survive a run") {
+    // the PageRank loop localCheckpoints one rank frame per round; the
+    // prev-handle sweep must free each round's blocks as the next lands,
+    // leaving only the result checkpoint (+ the capBuckets band frame its
+    // candidate generator materializes) — not one leaked frame per round
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(graft.operators.Dedup.q146PageRank(spark, sf).count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"q146 left ${leaked.size} persistent RDDs behind (expected ≤2)")
+  }
+
   test("q149 BPE encode equals an independent driver-side train+encode") {
     import scala.collection.mutable
     val docs = graft.sources.Tables.load(spark, sf, "documents")
