@@ -232,6 +232,13 @@ object SparkEntry {
       TextAnalysis.q149BpeEncode(s, d)),
     "q150_mixture_shards"     -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q150MixtureShards(s, d)),
+    "q151_bm25_search"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Search.q151Bm25Search(s, d)),
+    "q152_gopher_rules"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.q152GopherRules(s, d)),
+    "q153_dsir_weights"       -> ((s: SparkSession, d: String) =>
+      TextAnalysis.q153DsirWeights(s, d)),
+    "q154_orc_roundtrip"      -> Relational.q154OrcRoundtrip _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -614,6 +621,59 @@ object SparkEntry {
     // independent driver-side parity implementation)
     "q149_bpe_encode" ->
       "SELECT * FROM (VALUES ('src2', CAST(1407 AS BIGINT), CAST(6307 AS BIGINT), CAST(4594 AS BIGINT), CAST(1372877 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(5166 AS BIGINT), CAST(3767 AS BIGINT), CAST(1371383 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(6129 AS BIGINT), CAST(4388 AS BIGINT), CAST(1396763 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(6539 AS BIGINT), CAST(4768 AS BIGINT), CAST(1371434 AS BIGINT)), ('src7', CAST(1507 AS BIGINT), CAST(6719 AS BIGINT), CAST(4834 AS BIGINT), CAST(1389946 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(5680 AS BIGINT), CAST(4101 AS BIGINT), CAST(1385028 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(5827 AS BIGINT), CAST(4202 AS BIGINT), CAST(1386720 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(6158 AS BIGINT), CAST(4414 AS BIGINT), CAST(1395106 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(6217 AS BIGINT), CAST(4519 AS BIGINT), CAST(1375746 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(5184 AS BIGINT), CAST(3734 AS BIGINT), CAST(1388323 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(7055 AS BIGINT), CAST(5051 AS BIGINT), CAST(1396753 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(5829 AS BIGINT), CAST(4203 AS BIGINT), CAST(1386866 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(6135 AS BIGINT), CAST(4441 AS BIGINT), CAST(1381445 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(6934 AS BIGINT), CAST(5007 AS BIGINT), CAST(1384861 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(5923 AS BIGINT), CAST(4335 AS BIGINT), CAST(1366320 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(6261 AS BIGINT), CAST(4532 AS BIGINT), CAST(1381509 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(5950 AS BIGINT), CAST(4300 AS BIGINT), CAST(1383720 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(5723 AS BIGINT), CAST(4130 AS BIGINT), CAST(1385714 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(5883 AS BIGINT), CAST(4254 AS BIGINT), CAST(1382933 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(6890 AS BIGINT), CAST(4985 AS BIGINT), CAST(1382146 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_chars\", \"n_tokens\", \"chars_per_token_ppm\")",
+    // q151: BM25 with the score expression written token-for-token as in
+    // the engine (same double tree, IEEE-identical except ln 1-ulp,
+    // absorbed by the 4dp round); ties break on doc_id so the LIMIT cut
+    // picks the same set
+    "q151_bm25_search" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "tfd AS (SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY tok, doc_id), " +
+       "dft AS (SELECT tok, count(*) AS df FROM tfd GROUP BY tok), " +
+       "terms AS (SELECT tok, df FROM dft ORDER BY df DESC, tok ASC LIMIT 3), " +
+       "lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents), " +
+       "stats AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS sum_len FROM lens) " +
+       "SELECT doc_id, count(*) AS n_terms, " +
+       "round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+       "(tf + 1.2 * (0.25 + 0.75 * len / (CAST(sum_len AS DOUBLE) / n)))), 4) AS score " +
+       "FROM tfd JOIN terms USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats " +
+       "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"),
+    // q152: integer-exact rule twins (cross-multiplied bounds; Σlen(tok)
+    // = len(text) − (n−1) under the single-space convention)
+    "q152_gopher_rules" ->
+      ("WITH d AS (SELECT source, string_split(text, ' ') AS t, len(text) AS lt FROM documents), " +
+       "r AS (SELECT source, " +
+       "len(t) >= 50 AND len(t) <= 100000 AS r1, " +
+       "3 * len(t) <= lt - len(t) + 1 AND lt - len(t) + 1 <= 10 * len(t) AS r2, " +
+       "5 * len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) >= 4 * len(t) AS r3, " +
+       "len(list_intersect(list_distinct(t), ['the', 'a', 'of', 'and', 'to'])) >= 2 AS r4 " +
+       "FROM d) " +
+       "SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount, " +
+       "CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanlen, " +
+       "CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha, " +
+       "CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords, " +
+       "CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass " +
+       "FROM r GROUP BY source"),
+    // q153: identical smoothed log-ratio tree; per-doc weights rounded
+    // 4dp BEFORE the positive test and the mean (both engines)
+    "q153_dsir_weights" ->
+      ("WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "c AS (SELECT doc_id, lang, tok, count(*) AS c FROM toks GROUP BY 1, 2, 3), " +
+       "m AS (SELECT tok, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct, " +
+       "SUM(CASE WHEN lang <> 'en' THEN c ELSE 0 END) AS cb FROM c GROUP BY tok), " +
+       "tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cb) AS BIGINT) AS nb, " +
+       "count(*) AS v FROM m), " +
+       "pd AS (SELECT doc_id, lang, round(SUM(c * (ln((ct + 1.0) / (nt + v)) - " +
+       "ln((cb + 1.0) / (nb + v)))) / SUM(c), 4) AS w " +
+       "FROM c JOIN m USING (tok) CROSS JOIN tt GROUP BY doc_id, lang) " +
+       "SELECT lang, count(*) AS n_docs, " +
+       "CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive, " +
+       "round(avg(w), 4) AS mean_w FROM pd GROUP BY lang"),
+    // q154: the oracle reads the ORIGINAL parquet — equality pins the ORC
+    // encode/decode round trip (q03's contract for the other format)
+    "q154_orc_roundtrip" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate " +
+       "FROM lineitem WHERE l_quantity >= 48.0"),
     // q150: the q148 copies replayed row for row, fanned out one row per
     // epoch copy (generate_series(1, copies) — empty at copies = 0, the
     // engine's filter twin), then the q110 manifest rollup keyed by the

@@ -277,4 +277,43 @@ object Curation {
         " % (2 * cast(n_s as decimal(38,0)) * n_r))" +
         " / (2 * cast(n_s as decimal(38,0)) * n_r) as bigint)").as("tv_ppm"))
   }
+
+  /** q152: GOPHER-STYLE QUALITY RULE FILTER — the repetition of Rae et
+    * al.'s "Scaling Language Models: ... Gopher" (2021, App. A1.1)
+    * document-quality rules every web-scale curation pipeline applies
+    * before training. Four representative rules, each made INTEGER-EXACT
+    * (cross-multiplied comparisons instead of ratio doubles, so the
+    * DuckDB twin agrees bit for bit):
+    *   r1 word count in [50, 100000];
+    *   r2 mean word length in [3, 10]   (3·n ≤ Σlen(tok) ≤ 10·n, where
+    *      Σlen(tok) = len(text) − (n−1) under the corpus's single-space
+    *      convention);
+    *   r3 ≥ 80% of words contain an alphabetic character (5·n_alpha ≥ 4·n);
+    *   r4 ≥ 2 DISTINCT English stopwords present.
+    * Output: per source, docs failing each rule and docs passing all —
+    * the report that tells a curation run which feed loses how much
+    * volume to which rule. One codegen'd projection over the scan + a
+    * |sources|-row rollup: no shuffle carries anything corpus-sized. */
+  def q152GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val nW = size(t).cast("bigint")
+    val sumTok = (length(col("text")) - size(t) + 1).cast("bigint")
+    val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("bigint")
+    val nStop = size(array_intersect(array_distinct(t),
+      array(EnStopwords.map(lit): _*))).cast("bigint")
+    val d = Tables.load(spark, dir, "documents").select(
+      col("source"),
+      (nW >= 50 && nW <= 100000).as("r1"),
+      (lit(3) * nW <= sumTok && sumTok <= lit(10) * nW).as("r2"),
+      (lit(5) * nAlpha >= lit(4) * nW).as("r3"),
+      (nStop >= 2).as("r4"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_wordcount"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("fail_meanlen"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+          .otherwise(0L)).as("n_pass"))
+  }
 }

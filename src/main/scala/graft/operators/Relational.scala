@@ -59,6 +59,25 @@ object Relational {
     back
   }
 
+  /** q154: ORC SINK + SCAN roundtrip (S-surface extension) — source-format
+    * breadth for the other columnar format Spark ships natively: write a
+    * filtered projection as ORC, read it back, return it. The oracle reads
+    * the ORIGINAL parquet with the same filter, so equality pins the full
+    * encode/decode round trip (types incl. DATE, row set). Same
+    * per-invocation scratch-dir discipline as q03. */
+  def q154OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q154_" +
+      java.util.UUID.randomUUID().toString
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 48.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      .write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out).localCheckpoint()
+    graft.util.Fs.deleteRecursively(out)
+    back
+  }
+
   /** DQ-4 — two-column projection (ref: P1 select, SelfTraining.scala:137). */
   def q04Project(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))

@@ -176,4 +176,57 @@ object Search {
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** q151: BM25-SCORED RETRIEVAL over the staged postings index —
+    * q123's conjunctive search upgraded to the ranking function every
+    * production search stack runs (Robertson–Spärck Jones; the Lucene
+    * variant: idf = ln((N − df + 0.5)/(df + 0.5) + 1), k1 = 1.2,
+    * b = 0.75). Disjunctive (OR) semantics: BM25 ranks partial matches.
+    *
+    * Same scale shape as q123: the literal query terms prune buckets at
+    * plan time, so cost scales with the 3 posting lists, not the corpus;
+    * the df table is 3 driver rows, the length stats one broadcast row.
+    * Doubles enter ONLY in the final score expression, written
+    * token-for-token identically in the DuckDB twin and rounded to 4 dp
+    * (the q20/q101 libm contract); ranking ties break on doc_id, so the
+    * top-k cut is engine-deterministic and runs as TakeOrderedAndProject
+    * (orderBy.limit — never a global sort). */
+  def q151Bm25Search(spark: SparkSession, dir: String, k: Int = 20)
+      : DataFrame = {
+    val suffix = dir.replaceAll(".*/", "").replace('.', '_')
+    val table = s"graft_postings_$suffix"
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    graft.plans.Bucketing.stageBucketedOnce(tf, table, "tok",
+      graft.plans.Bucketing.inputFingerprint(spark, s"$dir/documents.parquet"))
+    val terms = spark.table(table)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // scoped-session bucketed-scan pin — see q123's comment
+    val scoped = spark.newSession()
+    scoped.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    import scoped.implicits._
+    val dfTable = terms.toDF("tok", "df")
+    val lens = Tables.load(scoped, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"))
+    scoped.table(table).filter(col("tok").isin(terms.map(_._1): _*))
+      .join(broadcast(dfTable), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") /
+              (col("sum_len").cast("double") / col("n"))))), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .localCheckpoint()
+  }
 }

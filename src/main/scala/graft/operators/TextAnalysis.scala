@@ -771,6 +771,54 @@ object TextAnalysis {
           .otherwise(concat(acc, array(s)))),
       lit(2), greatest(length(col("w")), lit(1)))
 
+  /** q153: DSIR-STYLE IMPORTANCE WEIGHTS — data selection for language
+    * models via importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score
+    * every document by how much more likely its tokens are under a
+    * TARGET distribution (here the English slice — the q147 axis) than
+    * under the BACKGROUND (every other language),
+    *   w(d) = (1/|d|) Σ_t c_{d,t} · [ln p_tgt(t) − ln p_bg(t)],
+    * add-one smoothed over the shared vocabulary. Positive weight =
+    * "looks like target data" — the signal DSIR resamples by.
+    *
+    * One token-stream shuffle builds per-doc term counts; both unigram
+    * models are partial RE-aggregations of that frame (vocab-bounded,
+    * joined on their natural key, never collected or broadcast — the
+    * q143 discipline, correct at 100 TB where the vocab is itself huge);
+    * scoring is one equi-join on the token + a per-doc rollup. Per-doc
+    * weights round to 4 dp (the q20/q101 libm contract) BEFORE the
+    * positive-count and mean so every downstream comparison is on the
+    * rounded value. Output: per language, doc count, docs with positive
+    * weight, 4-dp mean weight. */
+  def q153DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = c.groupBy(col("tok")).agg(
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"),
+      sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("cb"))
+    val totals = model.agg(sum(col("ct")).as("nt"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val perDoc = c
+      .join(model, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(
+        sum(col("c") * (log((col("ct") + 1.0) / (col("nt") + col("v"))) -
+          log((col("cb") + 1.0) / (col("nb") + col("v"))))) /
+          sum(col("c")), 4).as("w"))
+    val out = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_positive"),
+        round(avg(col("w")), 4).as("mean_w"))
+      .localCheckpoint()
+    c.unpersist(false)
+    out
+  }
+
   def q108BpeMerges(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
     val vocab = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))

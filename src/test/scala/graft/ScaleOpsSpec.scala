@@ -1653,6 +1653,83 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must contain ≥1 duplicated span")
   }
 
+  test("q151 BM25 equals a driver-side recompute (scores to 4dp, same top-20 set)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val tf = docs.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (t, d, g.length.toLong) } }
+    val dfm = tf.groupBy(_._1).map { case (t, g) => (t, g.size.toLong) }
+    val terms = dfm.toSeq.sortBy { case (t, c) => (-c, t) }.take(3)
+    val n = docs.length.toLong
+    val sumLen = docs.map(_._2.size.toLong).sum
+    val avg = sumLen.toDouble / n
+    val lens = docs.map { case (d, ts) => d -> ts.size.toLong }.toMap
+    val scores = tf.filter(p => terms.exists(_._1 == p._1))
+      .groupBy(_._2).map { case (d, ps) =>
+        val s = ps.map { case (t, _, f) =>
+          val df = dfm.find(_._1 == t).get._2
+          math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (f * 2.2) /
+            (f + 1.2 * (0.25 + 0.75 * lens(d) / avg))
+        }.sum
+        d -> (ps.size.toLong, s)
+      }
+    val expected = scores.toSeq
+      .sortBy { case (d, (_, sc)) =>
+        (-BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP), d) }
+      .take(20).toMap
+    val got = SparkEntry.queries("q151_bm25_search")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((d, (nt, sc)) <- expected) {
+      assert(got(d)._1 === nt, s"doc $d n_terms")
+      assert(math.abs(got(d)._2 - sc) < 1e-3, s"doc $d score ${got(d)._2} vs $sc")
+    }
+  }
+
+  test("q152 Gopher rules equal an exact driver-side recompute") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val stop = graft.functions.TextFunctions.EnStopwords.toSet
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val rules = ds.map { case (_, text) =>
+        val t = text.split(" ", -1)
+        val nW = t.length.toLong
+        val sumTok = text.length.toLong - nW + 1
+        val nAlpha = t.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+        val nStop = t.distinct.count(stop).toLong
+        (nW >= 50 && nW <= 100000,
+          3 * nW <= sumTok && sumTok <= 10 * nW,
+          5 * nAlpha >= 4 * nW, nStop >= 2)
+      }
+      src -> ((ds.size.toLong, rules.count(!_._1).toLong,
+        rules.count(!_._2).toLong, rules.count(!_._3).toLong,
+        rules.count(!_._4).toLong,
+        rules.count(r => r._1 && r._2 && r._3 && r._4).toLong))
+    }
+    val got = SparkEntry.queries("q152_gopher_rules")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._6 > 0), "some docs should pass all rules")
+    assert(expected.values.exists(v => v._2 > 0 || v._3 > 0),
+      "some docs should fail some rule")
+  }
+
+  test("q153 DSIR weights: target language scores above every background language") {
+    val rows = SparkEntry.queries("q153_dsir_weights")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum === total, "every doc must be scored")
+    val en = rows.find(_._1 == "en").get
+    for ((lang, _, nPos, meanW) <- rows if lang != "en") {
+      assert(en._4 > meanW, s"en mean weight must beat $lang")
+      assert(nPos <= rows.find(_._1 == lang).get._2)
+    }
+    assert(en._3 > 0, "some en docs must score positive")
+  }
+
   test("q146 releases its iteration frames: ≤2 new persistent RDDs survive a run") {
     // the PageRank loop localCheckpoints one rank frame per round; the
     // prev-handle sweep must free each round's blocks as the next lands,
