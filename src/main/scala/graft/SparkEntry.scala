@@ -239,6 +239,8 @@ object SparkEntry {
     "q153_dsir_weights"       -> ((s: SparkSession, d: String) =>
       TextAnalysis.q153DsirWeights(s, d)),
     "q154_orc_roundtrip"      -> Relational.q154OrcRoundtrip _,
+    "q155_token_ids"          -> ((s: SparkSession, d: String) =>
+      TextAnalysis.q155TokenIds(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -616,6 +618,11 @@ object SparkEntry {
        "count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies, " +
        "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
        "FROM c GROUP BY source"),
+    // q155: golden VALUES regenerated by MlOracleGen (same rationale as
+    // q149; the order-sensitive checksum additionally pins the id
+    // ASSIGNMENT and sequence order, parity-recomputed in ScaleOpsSpec)
+    "q155_token_ids" ->
+      "SELECT * FROM (VALUES ('src2', CAST(25 AS BIGINT), CAST(4594 AS BIGINT), CAST(5976526 AS BIGINT)), ('src8', CAST(25 AS BIGINT), CAST(3767 AS BIGINT), CAST(4100140 AS BIGINT)), ('src17', CAST(25 AS BIGINT), CAST(4388 AS BIGINT), CAST(5143926 AS BIGINT)), ('src0', CAST(25 AS BIGINT), CAST(4768 AS BIGINT), CAST(6036844 AS BIGINT)), ('src7', CAST(25 AS BIGINT), CAST(4834 AS BIGINT), CAST(6147459 AS BIGINT)), ('src12', CAST(25 AS BIGINT), CAST(4101 AS BIGINT), CAST(4691815 AS BIGINT)), ('src15', CAST(25 AS BIGINT), CAST(4202 AS BIGINT), CAST(5109717 AS BIGINT)), ('src16', CAST(25 AS BIGINT), CAST(4414 AS BIGINT), CAST(5888498 AS BIGINT)), ('src18', CAST(25 AS BIGINT), CAST(4519 AS BIGINT), CAST(5644057 AS BIGINT)), ('src19', CAST(25 AS BIGINT), CAST(3734 AS BIGINT), CAST(4159269 AS BIGINT)), ('src1', CAST(25 AS BIGINT), CAST(5051 AS BIGINT), CAST(6651373 AS BIGINT)), ('src4', CAST(25 AS BIGINT), CAST(4203 AS BIGINT), CAST(5007487 AS BIGINT)), ('src9', CAST(25 AS BIGINT), CAST(4441 AS BIGINT), CAST(5286356 AS BIGINT)), ('src13', CAST(25 AS BIGINT), CAST(5007 AS BIGINT), CAST(6684495 AS BIGINT)), ('src14', CAST(25 AS BIGINT), CAST(4335 AS BIGINT), CAST(5296130 AS BIGINT)), ('src3', CAST(25 AS BIGINT), CAST(4532 AS BIGINT), CAST(5947576 AS BIGINT)), ('src5', CAST(25 AS BIGINT), CAST(4300 AS BIGINT), CAST(5217638 AS BIGINT)), ('src6', CAST(25 AS BIGINT), CAST(4130 AS BIGINT), CAST(4987837 AS BIGINT)), ('src10', CAST(25 AS BIGINT), CAST(4254 AS BIGINT), CAST(5323472 AS BIGINT)), ('src11', CAST(25 AS BIGINT), CAST(4985 AS BIGINT), CAST(6373768 AS BIGINT))) AS t(\"source\", \"n_docs\", \"n_tokens\", \"id_checksum\")",
     // q149: golden VALUES regenerated by MlOracleGen (the 20-round merge
     // replay has no tractable SQL twin; ScaleOpsSpec holds the
     // independent driver-side parity implementation)

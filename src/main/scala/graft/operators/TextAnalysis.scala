@@ -700,14 +700,9 @@ object TextAnalysis {
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val merges = trainMerges(dict, nMerges)
-    val symsInit: org.apache.spark.sql.Column =
-      expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
-    val symsFinal = merges.foldLeft(symsInit) {
-      case (syms, (a, b)) => applyMerge(syms, a, b)
-    }
     val encoded = wordFreq.select(col("w"),
       length(col("w")).cast("bigint").as("n_chr"),
-      size(symsFinal).cast("bigint").as("n_tok"))
+      size(foldedSyms(merges)).cast("bigint").as("n_tok"))
     val out = words.join(encoded, Seq("w"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"),
@@ -717,6 +712,70 @@ object TextAnalysis {
         expr("n_chars * 1000000 DIV n_tokens"))
       .localCheckpoint()
     wordFreq.unpersist(false)
+    out
+  }
+
+  /** q155: TOKEN-ID SEQUENCE EMISSION — the tokenizer's actual output
+    * contract, closing the q108 → q149 chain: assign every final BPE
+    * symbol a TOKEN ID (rank by corpus frequency DESC, symbol ASC — the
+    * standard frequency-ordered vocab file) and emit each document's id
+    * sequence, accounted per source with an order-SENSITIVE checksum
+    * (Σ position·id mod 2³⁰ per doc, the q110 bound, then summed — a
+    * reordering or off-by-one anywhere in the pipeline flips it).
+    *
+    * Scale shape: training + encode are q149's (bounded dict collect, one
+    * folded apply over DISTINCT words); the id table is SYMBOL-vocab
+    * bounded (its ranking window is over the vocab, never the corpus —
+    * the IVF-centroid size class) and broadcasts into the token stream;
+    * per-doc token positions come from one doc-partitioned window over
+    * word positions (state O(doc), no global sort). The corpus pass is
+    * one posexplode + explode + broadcast join + rollup. */
+  def q155TokenIds(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame =
+    tokenIdAccounting(Tables.load(spark, dir, "documents"), nMerges)
+
+  /** q155's engine over any (source, doc_id, text) frame. */
+  def tokenIdAccounting(docs: DataFrame, nMerges: Int,
+      vocabCap: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wordsPos = docs.select(col("source"), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .filter(length(col("w")) >= 1)
+    val wordFreq = wordsPos.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist(MEMORY_AND_DISK)
+    val dict = wordFreq.orderBy(col("f").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = trainMerges(dict, nMerges)
+    // encoded distinct-word table: both the id ranking and the corpus
+    // join read it
+    val encoded = wordFreq
+      .select(col("w"), col("f"), foldedSyms(merges).as("syms"))
+      .persist(MEMORY_AND_DISK)
+    val idTable = encoded
+      .select(col("f"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("f")).as("sf"))
+      .withColumn("id",
+        (row_number().over(Window.orderBy(col("sf").desc, col("sym").asc))
+          - 1).cast("bigint"))
+      .select(col("sym"), col("id"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+    val out = wordsPos
+      .join(encoded.select(col("w"), col("syms")), Seq("w"))
+      .withColumn("base",
+        (sum(size(col("syms"))).over(wDoc) - size(col("syms"))).cast("bigint"))
+      .select(col("source"), col("doc_id"), col("base"),
+        posexplode(col("syms")).as(Seq("j", "sym")))
+      .join(broadcast(idTable), Seq("sym"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        pmod(sum((col("base") + col("j") + 1) * col("id")),
+          lit(1073741824L)).as("ck"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("ck")).as("id_checksum"))
+      .localCheckpoint()
+    encoded.unpersist(false); wordFreq.unpersist(false)
     out
   }
 
@@ -752,6 +811,16 @@ object TextAnalysis {
       round += 1
     }
     merges.toSeq
+  }
+
+  /** The whole ordered merge list folded into one expression chain over
+    * a word column `w` — the partition-local BPE APPLY (shared by q149's
+    * token accounting and q155's id emission). */
+  private def foldedSyms(merges: Seq[(String, String)])
+      : org.apache.spark.sql.Column = {
+    val symsInit: org.apache.spark.sql.Column =
+      expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    merges.foldLeft(symsInit) { case (syms, (a, b)) => applyMerge(syms, a, b) }
   }
 
   /** One greedy left-to-right non-overlapping merge of (a, b) as a single

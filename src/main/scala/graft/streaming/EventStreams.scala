@@ -476,6 +476,15 @@ object EventStreams {
         .groupBy(col("batch_doc"), col("corpus_doc"),
           (col("pb") - col("pc")).as("diag"))
         .agg(count(lit(1)).as("hits"))
+      // GUARD (gate-harness plumbing, not the production sink): the
+      // complete-mode memory sink materializes every (batch_doc,
+      // corpus_doc, diag) row in driver memory. That bound is the
+      // rare-gram hit rate — fine for the gated corpora, but
+      // DATA-DEPENDENT: an adversarial batch sharing many df≤cap grams
+      // with the corpus inflates it toward |batch grams| · dfCap. A
+      // production deployment keeps this aggregation in update mode
+      // feeding a keyed store/sink (the q128 idempotent-sink shape), so
+      // no corpus-shaped state ever lands on the driver.
       val drained = runToMemory(spark, hits,
         s"q145_stream_${System.nanoTime()}", OutputMode.Complete())
       corpus.unpersist()

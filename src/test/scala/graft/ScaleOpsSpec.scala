@@ -1784,6 +1784,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("q155 token ids equal an independent driver-side encode (ids + order-sensitive checksums)") {
+    import scala.collection.mutable
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).filter(_.nonEmpty).toSeq))
+    val freq = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, _, ws) => ws.foreach(w => freq(w) += 1) }
+    var vocab: Map[String, Vector[String]] =
+      freq.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to 20) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += freq(w)
+      if (counts.nonEmpty) {
+        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        vocab = vocab.map { case (w, syms) =>
+          val out = mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = a + b
+            else out += s
+          }
+          w -> out.toVector
+        }
+      }
+    }
+    // frequency-ordered ids over the FINAL symbol vocab
+    val symFreq = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, syms) <- vocab; s <- syms) symFreq(s) += freq(w)
+    val id = symFreq.toSeq.sortBy { case (sym, f) => (-f, sym) }
+      .zipWithIndex.map { case ((sym, _), i) => sym -> i.toLong }.toMap
+    val perDoc = docs.map { case (src, d, ws) =>
+      val ids = ws.flatMap(w => vocab(w)).map(id)
+      val ck = ids.zipWithIndex.map { case (i, p) => (p + 1) * i }.sum
+      (src, d, ids.size.toLong, ((ck % 1073741824L) + 1073741824L) % 1073741824L)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.size.toLong, ds.map(_._3).sum, ds.map(_._4).sum))
+    }
+    val got = SparkEntry.queries("q155_token_ids")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("q149 greedy merge fold: left-to-right non-overlapping, hand-pinned") {
     import spark.implicits._
     // 'aaaa' pins the only overlap case (a == b): greedy left-to-right
