@@ -679,7 +679,11 @@ object TextAnalysis {
     *      at 100 TB) + the per-source rollup. Words outside the training
     *      cap still encode — the fold applies to any word.
     * All-integer output; oracle = golden VALUES pinned from an
-    * independent pure-Scala recompute (ScaleOpsSpec parity at sf0.001). */
+    * independent pure-Scala recompute (ScaleOpsSpec parity at sf0.001).
+    * MEASURED at 20M tokens / ~50k-word dict / 50 merges
+    * ([[graft.tools.SkewProbe]] section q149): 31 s end-to-end on
+    * local[16] — train+encode, with the corpus touched exactly twice
+    * (dict shuffle, encode join). */
   def q149BpeEncode(spark: SparkSession, dir: String,
       nMerges: Int = 20): DataFrame =
     bpeEncode(Tables.load(spark, dir, "documents"), nMerges)

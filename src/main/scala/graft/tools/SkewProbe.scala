@@ -454,6 +454,37 @@ object SkewProbe {
       docs.unpersist()
     }
 
+    // ---- 8. q149 BPE shape: dict-bounded training, memoized encode ----
+    // 200k docs × 100 tokens = 20M tokens over a ~50k-word vocabulary
+    // (20% of positions drawn from a 100-word hot head so merges have
+    // high-frequency structure to learn). The probe exercises the two
+    // costs the scaladoc claims separately: TRAIN is dict-bounded (one
+    // corpus shuffle + a vocab-sized collect + driver rounds — never a
+    // corpus pass per round), ENCODE is one fold over DISTINCT words +
+    // one corpus join (never a per-occurrence fold), at 50 merges — a
+    // 50-deep folded apply chain, 2.5× the gated depth.
+    if (enabled("q149")) {
+      println("== q149 BPE shape: dict-bounded train, memoized encode ==")
+      val nDocs = 200000L
+      val docs = spark.range(nDocs).select(
+        lit("s").as("source"),
+        concat_ws(" ", transform(sequence(lit(0L), lit(99L)), j => {
+          val h = xxhash64(col("id") * 100 + j)
+          concat(lit("w"), when(pmod(h, lit(5L)) === 0, pmod(h, lit(100L)))
+            .otherwise(pmod(h, lit(50000L))))
+        })).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val secs = timed {
+        val r = graft.operators.TextAnalysis.bpeEncode(docs, nMerges = 50)
+          .agg(sum(col("n_tokens")), sum(col("n_chars"))).head
+        println(s"   tokensOut=${r.getLong(0)} charsIn=${r.getLong(1)}")
+      }
+      println(f"PROBE q149 docs=$nDocs%d tokens=${nDocs * 100}%d merges=50 " +
+        f"wall=${secs}%6.2f s (train+encode end-to-end, ~50k-word dict)")
+      docs.unpersist()
+    }
+
     graft.util.Fs.deleteRecursively(tmp.toFile)
     spark.stop()
   }
