@@ -110,12 +110,43 @@ object Bench {
       Dedup.simhashes(tiny).count()
       tiny.select(graft.functions.TextFunctions.rollingFingerprints(
         org.apache.spark.sql.functions.col("text"))).count()
+      // q107's edit-distance kernel: levenshtein's generated loop JIT
+      tiny.select(org.apache.spark.sql.functions.levenshtein(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.reverse(
+          org.apache.spark.sql.functions.col("text")))).count()
       // q121's codegen + JIT warm rides the statefulQueries prewarm below:
       // the full query runs untimed there (staging its prefix index AND
       // C2-compiling the join/verify loops on REAL data profiles — a
       // synthetic warm corpus left 8-26 s of deopt/recompile variance in
       // the first timed sample across r14 runs).
     }
+    // Streaming-machinery warmup: the first streaming query in the timed
+    // loop (alphabetically q106) otherwise absorbs the one-time JIT of
+    // the whole micro-batch stack — IncrementalExecution, state store,
+    // file-stream source, memory sink (measured r15: 19.2 s first vs
+    // 1.8 s retimed). A 20-row file stream through a watermarked
+    // session-window aggregation (q106's exact operator set) pays it
+    // here, untimed and data-independent.
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit, session_window, timestamp_seconds}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm_stream")
+      spark.range(20).select(col("id"),
+        (col("id") % 3).as("k"), timestamp_seconds(col("id")).as("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val q = spark.readStream
+        .schema("id BIGINT, k BIGINT, ts TIMESTAMP")
+        .parquet(s"$tmp/in")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("k"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_warm_stream")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      spark.catalog.dropTempView("graft_warm_stream")
+      graft.util.Fs.deleteRecursively(tmp.toFile)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] stream warm failed: ${e.getMessage}") }
     graft.functions.VectorMax.register(spark)
     // maintenance sweep of the staged-artifact cache (default policy:
     // 7-day idle, 64 roots/family) BEFORE the prewarm that re-stages
