@@ -820,7 +820,7 @@ object TextAnalysis {
   /** The whole ordered merge list folded into one expression chain over
     * a word column `w` — the partition-local BPE APPLY (shared by q149's
     * token accounting and q155's id emission). */
-  private def foldedSyms(merges: Seq[(String, String)])
+  private[graft] def foldedSyms(merges: Seq[(String, String)])
       : org.apache.spark.sql.Column = {
     val symsInit: org.apache.spark.sql.Column =
       expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")

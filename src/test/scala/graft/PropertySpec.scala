@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SortedIntersectCount
+
+/** Property-based tests for the engine's custom kernels: randomized
+  * inputs pin semantics the fixtures can't enumerate (overlap shapes,
+  * unicode ordering, degenerate sizes). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def arr(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  // sorted, duplicate-free string arrays over a small alphabet (so
+  // intersections are common), plus occasional multi-byte code points to
+  // exercise UTF8 binary ordering
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(2, Gen.alphaLowerChar),
+    Gen.oneOf("é", "ß", "中", "aa", "ab", "b", "zz"))
+  private val sortedSetGen: Gen[Vector[String]] =
+    Gen.listOf(tokenGen).map(_.distinct.sortBy(UTF8String.fromString).toVector)
+
+  test("sorted_intersect_count equals set-intersection cardinality (property)") {
+    // scalacheck driven directly (the scalatest bridge isn't on the
+    // offline classpath): 400 seeded cases through the generators
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    for (_ <- 1 to 400) {
+      val a = sortedSetGen.pureApply(params, seed); seed = seed.next
+      val b = sortedSetGen.pureApply(params, seed); seed = seed.next
+      val expected = (a.toSet & b.toSet).size.toLong
+      assert(SortedIntersectCount.countOf(arr(a), arr(b)) === expected,
+        s"a=$a b=$b")
+    }
+    // explicit degenerate shapes
+    assert(SortedIntersectCount.countOf(arr(Nil), arr(Nil)) === 0L)
+    assert(SortedIntersectCount.countOf(arr(Seq("x")), arr(Nil)) === 0L)
+    assert(SortedIntersectCount.countOf(arr(Seq("x")), arr(Seq("x"))) === 1L)
+  }
+
+  test("sorted_intersect_count expression equals array_intersect end-to-end") {
+    // randomized-but-seeded bulk comparison through real Spark eval (the
+    // codegen path), against the built-in it replaces
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    val rows = Seq.tabulate(300) { i =>
+      def set() = Seq.fill(rnd.nextInt(12))(
+        s"t${rnd.nextInt(20)}").distinct.sortBy(UTF8String.fromString)
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    SortedIntersectCount.register(spark)
+    val bad = df.select(col("id"),
+        expr("sorted_intersect_count(a, b)").as("got"),
+        size(array_intersect(col("a"), col("b"))).cast("bigint").as("want"))
+      .filter(col("got") =!= col("want"))
+    assert(bad.count() === 0)
+  }
+
+  test("the Spark BPE merge fold equals a driver-side greedy fold (randomized words)") {
+    // random words over a 3-letter alphabet make overlapping pairs (aa)
+    // and repeated structure common; every merge list is applied both by
+    // the folded Catalyst chain and by the reference greedy loop
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(10))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+      .distinct
+    val merges = Seq("a" -> "a", "a" -> "b", "ab" -> "c", "b" -> "a",
+      "aa" -> "aa", "c" -> "c", "ba" -> "ba")
+    def driverFold(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    val got = words.toDF("w")
+      .select(col("w"), graft.operators.TextAnalysis.foldedSyms(merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    for (w <- words) {
+      assert(got(w) === driverFold(w), s"word '$w'")
+      assert(got(w).mkString === w, s"'$w': merge fold must preserve characters")
+    }
+  }
+}
