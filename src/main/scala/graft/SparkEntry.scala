@@ -241,6 +241,8 @@ object SparkEntry {
     "q154_orc_roundtrip"      -> Relational.q154OrcRoundtrip _,
     "q155_token_ids"          -> ((s: SparkSession, d: String) =>
       TextAnalysis.q155TokenIds(s, d)),
+    "q156_stream_quality"     -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamQualityGate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -618,6 +620,25 @@ object SparkEntry {
        "count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies, " +
        "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
        "FROM c GROUP BY source"),
+    // q156: the streaming ingest gate's batch twin — q152's rule SQL
+    // restricted to the arriving (odd doc_id) half; complete-mode
+    // emission over a drained static source equals the batch aggregation
+    "q156_stream_quality" ->
+      ("WITH d AS (SELECT source, string_split(text, ' ') AS t, len(text) AS lt " +
+       "FROM documents WHERE doc_id % 2 = 1), " +
+       "r AS (SELECT source, " +
+       "len(t) >= 50 AND len(t) <= 100000 AS r1, " +
+       "3 * len(t) <= lt - len(t) + 1 AND lt - len(t) + 1 <= 10 * len(t) AS r2, " +
+       "5 * len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) >= 4 * len(t) AS r3, " +
+       "len(list_intersect(list_distinct(t), ['the', 'a', 'of', 'and', 'to'])) >= 2 AS r4 " +
+       "FROM d) " +
+       "SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount, " +
+       "CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanlen, " +
+       "CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha, " +
+       "CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords, " +
+       "CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass " +
+       "FROM r GROUP BY source"),
     // q155: golden VALUES regenerated by MlOracleGen (same rationale as
     // q149; the order-sensitive checksum additionally pins the id
     // ASSIGNMENT and sequence order, parity-recomputed in ScaleOpsSpec)

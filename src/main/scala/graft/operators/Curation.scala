@@ -294,19 +294,30 @@ object Curation {
     * the report that tells a curation run which feed loses how much
     * volume to which rule. One codegen'd projection over the scan + a
     * |sources|-row rollup: no shuffle carries anything corpus-sized. */
-  def q152GopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def q152GopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRollup(gopherScore(Tables.load(spark, dir, "documents")))
+
+  /** The four rules as a STATELESS per-row scorer over any (source, text)
+    * frame — shared by the batch report (q152) and the streaming ingest
+    * gate (q156); statelessness is what makes it streaming-safe. */
+  private[graft] def gopherScore(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     val nW = size(t).cast("bigint")
     val sumTok = (length(col("text")) - size(t) + 1).cast("bigint")
     val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("bigint")
     val nStop = size(array_intersect(array_distinct(t),
       array(EnStopwords.map(lit): _*))).cast("bigint")
-    val d = Tables.load(spark, dir, "documents").select(
+    docs.select(
       col("source"),
       (nW >= 50 && nW <= 100000).as("r1"),
       (lit(3) * nW <= sumTok && sumTok <= lit(10) * nW).as("r2"),
       (lit(5) * nAlpha >= lit(4) * nW).as("r3"),
       (nStop >= 2).as("r4"))
+  }
+
+  /** q152's per-source rollup over a scored frame (also the q156 stream
+    * aggregation — identical integers either way). */
+  private[graft] def gopherRollup(d: DataFrame): DataFrame =
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_wordcount"),
@@ -315,5 +326,4 @@ object Curation {
         sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_stopwords"),
         sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
           .otherwise(0L)).as("n_pass"))
-  }
 }

@@ -494,4 +494,31 @@ object EventStreams {
           sum(col("hits")).as("n_hits"))
         .filter(col("max_diag_hits") >= minDiagHits)
     }
+
+  /** q156: STREAMING QUALITY GATE — q152's Gopher rules applied at
+    * INGEST time: every arriving micro-batch of documents (odd doc_ids;
+    * the even half is the already-curated corpus) is scored by the
+    * stateless per-row rule projection and rolled up per source, the
+    * accept/reject dashboard an online ingest pipeline keeps. The
+    * span-decontamination twin is q145; this is the quality half of the
+    * same ingest gate.
+    *
+    * Scale shape: scoring is STATELESS (pure row-local Catalyst — the
+    * exact projection the batch report runs, shared code), so the only
+    * stateful operator is the |sources|-row complete-mode rollup —
+    * state O(sources), never O(stream). The identical integers come out
+    * of the batch oracle restricted to the odd half. */
+  def qStreamQualityGate(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        "documents.parquet") { tmp =>
+      val batch = spark.readStream
+        .schema(inferredSchema(spark, tmp))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .filter(col("doc_id") % 2 === 1)
+      val agg = graft.operators.Curation.gopherRollup(
+        graft.operators.Curation.gopherScore(batch))
+      runToMemory(spark, agg,
+        s"q156_stream_${System.nanoTime()}", OutputMode.Complete())
+    }
 }
