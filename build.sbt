@@ -14,6 +14,8 @@ run / fork := true
 // The bench/verify drivers tail-parse the LAST stdout line as JSON; sbt's
 // "[success] Total time: …" epilogue would otherwise trail the summary line.
 Global / showSuccess := false
+// lintUnused can't see command-level usage of showSuccess
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
