@@ -243,6 +243,7 @@ object SparkEntry {
       TextAnalysis.q155TokenIds(s, d)),
     "q156_stream_quality"     -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamQualityGate(s, d)),
+    "q157_compaction"         -> Relational.q157Compaction _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -620,6 +621,13 @@ object SparkEntry {
        "count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies, " +
        "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
        "FROM c GROUP BY source"),
+    // q157: row preservation + both file counts (64 round-robin inputs,
+    // 4 compacted outputs, LEAST'd against the row count for tiny sfs)
+    "q157_compaction" ->
+      ("SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+       "CAST(LEAST(64, count(*)) AS BIGINT) AS n_files_small, " +
+       "CAST(LEAST(4, count(*)) AS BIGINT) AS n_files_compacted " +
+       "FROM documents"),
     // q156: the streaming ingest gate's batch twin — q152's rule SQL
     // restricted to the arriving (odd doc_id) half; complete-mode
     // emission over a drained static source equals the batch aggregation

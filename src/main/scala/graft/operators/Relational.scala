@@ -78,6 +78,48 @@ object Relational {
     back
   }
 
+  /** q157: SMALL-FILE COMPACTION — the warehouse maintenance pass every
+    * long-running ingest pipeline needs (streaming sinks and per-batch
+    * writers fragment tables into thousands of tiny files; at 100 TB the
+    * file-listing + per-file open overhead dominates scan cost long
+    * before I/O does). The op: read the fragmented table, rewrite it at a
+    * target file count with rows SORTED WITHIN each output file on
+    * (lang, n_chars) — compaction is the free moment to also lay rows out
+    * for parquet min/max row-group skipping (the q123 page-index lesson).
+    *
+    * Gate determinism: the fragmented input is staged at 64 round-robin
+    * partitions and compacted to 4 (LEAST(·, row count) — an sf whose
+    * table is smaller than the partition count writes one file per row);
+    * production sizes the target from totalBytes / targetFileBytes (or
+    * AQE rebalance) — same plan, computed counts. Output pins row
+    * preservation (count + content sum) AND both file counts, so a
+    * compaction that drops or duplicates rows, or silently stops
+    * compacting, fails the gate loudly. */
+  def q157Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q157_" +
+      java.util.UUID.randomUUID().toString
+    def nFiles(p: String): Long =
+      new java.io.File(p).listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    t(spark, dir, "documents")
+      .repartition(64)
+      .write.parquet(s"$scratch/small")
+    val small = spark.read.parquet(s"$scratch/small")
+    small.repartition(4)
+      .sortWithinPartitions(col("lang"), col("n_chars"))
+      .write.parquet(s"$scratch/compacted")
+    val nSmall = nFiles(s"$scratch/small")
+    val nCompacted = nFiles(s"$scratch/compacted")
+    val out = spark.read.parquet(s"$scratch/compacted")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .withColumn("n_files_small", lit(nSmall))
+      .withColumn("n_files_compacted", lit(nCompacted))
+      .localCheckpoint()
+    graft.util.Fs.deleteRecursively(scratch)
+    out
+  }
+
   /** DQ-4 — two-column projection (ref: P1 select, SelfTraining.scala:137). */
   def q04Project(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
