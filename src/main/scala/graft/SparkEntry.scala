@@ -244,6 +244,8 @@ object SparkEntry {
     "q156_stream_quality"     -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamQualityGate(s, d)),
     "q157_compaction"         -> Relational.q157Compaction _,
+    "q158_truncation_energy"  -> ((s: SparkSession, d: String) =>
+      Similarity.q158TruncationEnergy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -621,6 +623,17 @@ object SparkEntry {
        "count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies, " +
        "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
        "FROM c GROUP BY source"),
+    // q158: identical left-to-right fold, float->double widening exact,
+    // sqrt + per-row ratio and the rollup mean both 4dp (libm contract)
+    "q158_truncation_energy" ->
+      ("WITH r AS (SELECT CAST(label AS BIGINT) AS label, " +
+       "round(sqrt(list_sum(list_transform(embedding[1:32], " +
+       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / " +
+       "list_sum(list_transform(embedding, " +
+       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS ratio " +
+       "FROM embeddings) " +
+       "SELECT label, count(*) AS n_vecs, round(avg(ratio), 4) AS mean_ratio, " +
+       "min(ratio) AS min_ratio FROM r GROUP BY label"),
     // q157: row preservation + both file counts (64 round-robin inputs,
     // 4 compacted outputs, LEAST'd against the row count for tiny sfs)
     "q157_compaction" ->

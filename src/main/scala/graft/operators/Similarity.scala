@@ -604,4 +604,32 @@ object Similarity {
         expr("cast(d2num DIV (cast(n as decimal(38,0)) * n) as bigint)")
           .as("d2_scaled"))
   }
+
+  /** q158: EMBEDDING TRUNCATION ENERGY AUDIT — how much of each vector's
+    * signal survives keeping only the front k dimensions? The question
+    * behind every Matryoshka-style truncated deployment, and behind this
+    * engine's own q141 grid (which trains on the front 32 of 64 dims).
+    * For zero-padded truncation the cosine to the original collapses to
+    * the NORM RATIO: cos(v, pad(v₁..ₖ)) = |v₁..ₖ| / |v| — one row-local
+    * fold per side, no pairs, no joins.
+    *
+    * Per-row sums fold LEFT-TO-RIGHT over the array in both engines
+    * (Spark `aggregate`, DuckDB `list_sum` in list order), floats
+    * widened to double exactly, sqrt under the 4-dp libm contract —
+    * hash-exact. Output per label: vector count, 4-dp mean and min
+    * ratio. One codegen'd projection + a |labels|-row rollup. */
+  def q158TruncationEnergy(spark: SparkSession, dir: String,
+      k: Int = 32): DataFrame = {
+    def sq(sliced: String) = // Σ x² over a slice, folded left-to-right
+      s"aggregate(transform($sliced, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label").cast("bigint").as("label"),
+        round(sqrt(expr(sq(s"slice(embedding, 1, $k)")) / expr(sq("embedding"))),
+          4).as("ratio"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("ratio")), 4).as("mean_ratio"),
+        min(col("ratio")).as("min_ratio"))
+  }
 }
