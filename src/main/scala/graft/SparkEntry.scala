@@ -246,6 +246,10 @@ object SparkEntry {
     "q157_compaction"         -> Relational.q157Compaction _,
     "q158_truncation_energy"  -> ((s: SparkSession, d: String) =>
       Similarity.q158TruncationEnergy(s, d)),
+    "q159_seq_packing"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q159SeqPacking(s, d)),
+    "q160_hll_sketch"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q160HllSketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -634,6 +638,55 @@ object SparkEntry {
        "FROM embeddings) " +
        "SELECT label, count(*) AS n_vecs, round(avg(ratio), 4) AS mean_ratio, " +
        "min(ratio) AS min_ratio FROM r GROUP BY label"),
+    // q159: pure integer window arithmetic (running offset DIV seqLen);
+    // explicit ROWS frame on both sides
+    "q159_seq_packing" ->
+      ("WITH d AS (SELECT source, doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+       "c AS (SELECT source, nt, sum(nt) OVER (PARTITION BY source " +
+       "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+       "- nt AS s FROM d), " +
+       "k AS (SELECT source, nt, (s + nt - 1) // 256 - s // 256 AS k FROM c) " +
+       "SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens, " +
+       "CAST((sum(nt) + 255) // 256 AS BIGINT) AS n_sequences, " +
+       "CAST((sum(nt) + 255) // 256 * 256 - sum(nt) AS BIGINT) AS pad_tokens, " +
+       "CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs, " +
+       "CAST(sum(k) AS BIGINT) AS n_crossings " +
+       "FROM k GROUP BY source"),
+    // q160: the register state is integer/string-exact (md5 nibble
+    // arithmetic, no libm); only hll_raw divides doubles — one division,
+    // identical expression tree, 4dp both sides
+    "q160_hll_sketch" ->
+      ("WITH e AS (SELECT event_type, user_id, " +
+       "md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
+       "x AS (SELECT event_type, user_id, " +
+       "CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) % 64 AS b, " +
+       "substr(h, 3, 13) AS t FROM e), " +
+       "y AS (SELECT event_type, user_id, b, " +
+       "13 - length(ltrim(t, '0')) AS z, " +
+       "substr(t, 13 - length(ltrim(t, '0')) + 1, 1) AS c FROM x), " +
+       "r1 AS (SELECT event_type, user_id, b, CAST(4 * z + " +
+       "(CASE WHEN c = '1' THEN 3 WHEN c IN ('2','3') THEN 2 " +
+       "WHEN c IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1 AS BIGINT) " +
+       "AS rho FROM y), " +
+       "regs AS (SELECT event_type, b, max(rho) AS r, " +
+       "count(DISTINCT user_id) AS nd FROM r1 GROUP BY event_type, b), " +
+       "agg AS (SELECT event_type, CAST(sum(nd) AS BIGINT) AS n_distinct, " +
+       "count(*) AS n_buckets, CAST(sum(r) AS BIGINT) AS register_sum, " +
+       "CAST(sum(r * (b + 1)) AS BIGINT) AS register_ck, " +
+       "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+       "CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * " +
+       "CAST(4096.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) " +
+       "/ CAST(sum(CAST(1 AS BIGINT) << " +
+       "CAST(53 - r AS INTEGER)) + (64 - count(*)) * 9007199254740992 " +
+       "AS DOUBLE) AS raw " +
+       "FROM regs GROUP BY event_type) " +
+       "SELECT event_type, n_distinct, n_buckets, register_sum, " +
+       "register_ck, round(raw, 4) AS hll_raw, " +
+       "round(CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND n_buckets < 64 " +
+       "THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / " +
+       "CAST(64 - n_buckets AS DOUBLE)) ELSE raw END, 4) AS hll_est " +
+       "FROM agg"),
     // q157: row preservation + both file counts (64 round-robin inputs,
     // 4 compacted outputs, LEAST'd against the row count for tiny sfs)
     "q157_compaction" ->

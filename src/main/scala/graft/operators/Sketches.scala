@@ -548,4 +548,97 @@ object Sketches {
         sum(col("copies")).as("n_copies"),
         sum(col("copies") * col("n_toks")).as("n_tokens_out"))
   }
+
+  /** q159: SEQUENCE-PACKING BOUNDARY AUDIT — the concat-and-chunk step a
+    * pre-training loader runs between tokenization (q155) and shard
+    * emission (q110/q150): each source's documents are concatenated in
+    * doc_id order and cut into fixed `seqLen`-token training sequences.
+    * Emits, per source, the exact packing accounting: sequences produced,
+    * pad tokens in the final chunk, documents split across a chunk
+    * boundary, and total boundary crossings (= attention-mask
+    * discontinuities a boundary-aware loader must handle).
+    *
+    * One window pass (running token offset per source, explicit ROWS
+    * frame) + one rollup — the crossing count for a doc spanning
+    * [s, s+nt) is `(s+nt-1) DIV L − s DIV L`, pure integer arithmetic, so
+    * the DuckDB twin is bit-exact. At 100 TB the window partitions by
+    * shard stream (here: source), which is exactly the axis a real packer
+    * is sequential over — no global order, no skew beyond the largest
+    * single stream, and the rollup is map-side combined. */
+  def q159SeqPacking(spark: SparkSession, dir: String,
+      seqLen: Long = 256L): DataFrame = {
+    val d = Tables.load(spark, dir, "documents").select(
+      col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("nt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("s", sum(col("nt")).over(w) - col("nt"))
+      .withColumn("k",
+        expr(s"(s + nt - 1) DIV $seqLen - s DIV $seqLen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        expr(s"(sum(nt) + ${seqLen - 1}) DIV $seqLen").as("n_sequences"),
+        expr(s"(sum(nt) + ${seqLen - 1}) DIV $seqLen * $seqLen - sum(nt)")
+          .as("pad_tokens"),
+        sum(when(col("k") > 0, 1L).otherwise(0L)).as("n_split_docs"),
+        sum(col("k")).as("n_crossings"))
+  }
+
+  /** q160: MERGEABLE HLL REGISTER SKETCH — a from-scratch HyperLogLog
+    * built on the portable md5-hex hash family so the sketch STATE (not
+    * just a tolerance boolean like q60) is oracle-checkable: bucket = the
+    * hash's first byte mod 64, rho = leading-zero count of the next 52
+    * bits + 1, computed with string arithmetic (leading-'0' run length +
+    * a 16-way nibble case) that is engine-deterministic — no libm, no
+    * log2. Registers are `max(rho)` per (group, bucket): Spark's max agg
+    * makes them map-side-combinable partials, which is the whole point of
+    * HLL at 100 TB — a 64-byte sketch per group crosses the exchange
+    * instead of the key set, and sketches from different days/shards
+    * merge by element-wise max. The raw estimate αm²/Σ2^−r is emitted via
+    * an integer scaled sum S = Σ2^(53−r) (exact in BIGINT) with one
+    * double division at the end, 4dp both sides. Exact distincts ride
+    * along per bucket (buckets partition the key space, so per-bucket
+    * COUNT DISTINCT sums to the true total) for an error-audit view.
+    * `hll_est` applies the standard small-range correction (linear
+    * counting m·ln(m/V) when the raw estimate ≤ 2.5m and V = empty
+    * buckets > 0 — Flajolet et al. §4); `hll_raw` keeps the uncorrected
+    * value so the correction itself is auditable. */
+  def q160HllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val e = Tables.events(spark, dir).select(col("event_type"),
+        col("user_id"), md5(col("user_id").cast("string")).as("h"))
+      .withColumn("b",
+        expr(s"CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT) % $m"))
+      .withColumn("t", expr("substr(h, 3, 13)"))
+      .withColumn("z", lit(13) - length(ltrim(col("t"), "0")))
+      .withColumn("c", expr("substr(t, z + 1, 1)"))
+      .withColumn("rho", (lit(4) * col("z") +
+        when(col("c") === "1", 3).when(col("c").isin("2", "3"), 2)
+          .when(col("c").isin("4", "5", "6", "7"), 1).otherwise(0) +
+        lit(1)).cast("bigint"))
+    e.groupBy(col("event_type"), col("b"))
+      .agg(max(col("rho")).as("r"),
+        countDistinct(col("user_id")).as("nd"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("nd")).as("n_distinct"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("r")).as("register_sum"),
+        sum(col("r") * (col("b") + 1)).as("register_ck"),
+        expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
+          .as("sp"))
+      .select(col("event_type"), col("n_distinct"), col("n_buckets"),
+        col("register_sum"), col("register_ck"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble) *
+          (m.toDouble * m) * 9007199254740992.0 /
+          (col("sp") + (lit(m.toLong) - col("n_buckets")) *
+            lit(9007199254740992L)).cast("double")).as("raw"))
+      .select(col("event_type"), col("n_distinct"), col("n_buckets"),
+        col("register_sum"), col("register_ck"),
+        round(col("raw"), 4).as("hll_raw"),
+        round(when(col("raw") <= 2.5 * m && col("n_buckets") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            (lit(m.toLong) - col("n_buckets")).cast("double")))
+          .otherwise(col("raw")), 4).as("hll_est"))
+  }
 }

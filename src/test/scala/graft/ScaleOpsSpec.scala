@@ -1856,4 +1856,59 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(shards.length > 1, "copies must spread over multiple shards")
     assert(shards.map(_.getLong(0)).distinct.length === shards.length)
   }
+
+  test("q159 packing accounting matches a driver-side sequential simulation") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val L = 256L
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      var off = 0L; var crossings = 0L; var splitDocs = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nt) =>
+        val k = (off + nt - 1) / L - off / L
+        crossings += k; if (k > 0) splitDocs += 1; off += nt
+      }
+      src -> ((rows.length.toLong, off, (off + L - 1) / L,
+        (off + L - 1) / L * L - off, splitDocs, crossings))
+    }
+    val got = SparkEntry.queries("q159_seq_packing")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._5 > 0), "fixture should split some doc")
+  }
+
+  test("q160 HLL registers match an independent JVM md5 implementation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sketch(id: Long): (Long, Long) = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val b = java.lang.Long.parseLong(h.take(2), 16) % 64
+      val v = java.lang.Long.parseLong(h.substring(2), 16) // 52 bits
+      val rho = if (v == 0L) 53L
+        else 52L - (64 - java.lang.Long.numberOfLeadingZeros(v)) + 1L
+      (b, rho)
+    }
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val regs = rows.map(r => sketch(r._2))
+        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+      t -> ((rows.map(_._2).distinct.length.toLong, regs.size.toLong,
+        regs.values.sum, regs.map { case (b, r) => r * (b + 1) }.sum))
+    }
+    val got = SparkEntry.queries("q160_hll_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(6)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap ===
+      expected)
+    // corrected estimate sanity: within 2x of the exact distinct
+    got.foreach { case (t, v) =>
+      assert(v._5 > 0.5 * v._1 && v._5 < 2.0 * v._1,
+        s"$t corrected HLL estimate ${v._5} vs exact ${v._1}")
+    }
+  }
 }
