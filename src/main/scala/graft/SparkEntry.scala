@@ -250,6 +250,10 @@ object SparkEntry {
       graft.operators.Sketches.q159SeqPacking(s, d)),
     "q160_hll_sketch"         -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q160HllSketch(s, d)),
+    "q161_k_anonymity"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.q161KAnonymity(s, d)),
+    "q162_triangle_count"     -> ((s: SparkSession, d: String) =>
+      Dedup.q162TriangleCount(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -687,6 +691,37 @@ object SparkEntry {
        "THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / " +
        "CAST(64 - n_buckets AS DOUBLE)) ELSE raw END, 4) AS hll_est " +
        "FROM agg"),
+    // q161: integer-exact two-level census; the balance band floors an
+    // identical IEEE double division on both sides
+    "q161_k_anonymity" ->
+      ("WITH q AS (SELECT c_nationkey, c_mktsegment, " +
+       "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) " +
+       "AS bal_band FROM customer), " +
+       "cls AS (SELECT c_nationkey, c_mktsegment, bal_band, " +
+       "count(*) AS n FROM q GROUP BY 1, 2, 3) " +
+       "SELECT c_nationkey, count(*) AS n_classes, " +
+       "CAST(sum(n) AS BIGINT) AS n_rows, " +
+       "CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_risky_classes, " +
+       "CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) " +
+       "AS n_risky_rows, " +
+       "CAST(min(n) AS BIGINT) AS min_class_size " +
+       "FROM cls GROUP BY c_nationkey"),
+    // q162: same pairs CTE as q146; oriented-edge wedge join closes each
+    // triangle a<b<c exactly once; per-doc counts via lateral unnest
+    "q162_triangle_count" ->
+      (minhashCtes + ", " +
+       "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs), " +
+       "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c " +
+       "FROM e e1 JOIN e e2 ON e1.v = e2.u " +
+       "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), " +
+       "pd AS (SELECT x.d AS doc_id, count(*) AS n_tri FROM tri, " +
+       "UNNEST([a, b, c]) AS x(d) GROUP BY x.d), " +
+       "dg AS (SELECT y.d AS doc_id, count(*) AS deg FROM e, " +
+       "UNNEST([u, v]) AS y(d) GROUP BY y.d) " +
+       "SELECT dg.doc_id, CAST(dg.deg AS BIGINT) AS deg, " +
+       "CAST(coalesce(pd.n_tri, 0) AS BIGINT) AS n_tri " +
+       "FROM dg LEFT JOIN pd USING (doc_id)"),
     // q157: row preservation + both file counts (64 round-robin inputs,
     // 4 compacted outputs, LEAST'd against the row count for tiny sfs)
     "q157_compaction" ->

@@ -326,4 +326,33 @@ object Curation {
         sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_stopwords"),
         sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
           .otherwise(0L)).as("n_pass"))
+
+  /** q161: K-ANONYMITY AUDIT — the privacy-side complement of q100's PII
+    * scrub: instead of redacting direct identifiers, measure how
+    * RE-IDENTIFIABLE rows are through quasi-identifier combinations
+    * (nation × market segment × account-balance band here; ZIP × age ×
+    * gender in the classic Sweeney formulation). An equivalence class
+    * smaller than k means its members are k-anonymity violations — the
+    * released rows a linker could pin to individuals. Emits, per nation:
+    * class count, risky-class/row counts under k=5, and the minimum
+    * class size (the table's own k).
+    *
+    * Two stacked aggregations, both map-side combinable: the QI-class
+    * census shuffles one row per distinct class (bounded by the QI
+    * domain, not the table), the nation rollup one row per nation. No
+    * windows, no joins — the shape survives 100 TB unchanged. */
+  def q161KAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0D) AS BIGINT)")
+          .as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_rows"),
+        min(col("n")).as("min_class_size"))
 }

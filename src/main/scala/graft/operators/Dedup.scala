@@ -939,6 +939,42 @@ object Dedup {
     out
   }
 
+  /** q162: TRIANGLE COUNT over the near-dup candidate graph — the
+    * transitivity audit for banded LSH: genuine duplicate neighborhoods
+    * are near-cliques (every member collides with every other), so a doc
+    * with high degree but few triangles is surrounded by SPURIOUS band
+    * collisions — exactly the docs whose pairs deserve the exact-verify
+    * budget first. Emits (doc_id, deg, n_tri) per graph node.
+    *
+    * Plan: edges stay oriented doc_a < doc_b (each undirected edge once),
+    * wedges come from one self-equi-join on the shared middle vertex, and
+    * a second equi-join closes them against the edge list — every
+    * triangle a<b<c is produced exactly once as (a,b)(b,c)(a,c). Both
+    * joins are hash equi-joins on 8-byte keys; the edge list is
+    * localCheckpoint'd once and read three times. At 100 TB the standard
+    * upgrade is DEGREE-ordered orientation ((deg,id) instead of raw id),
+    * bounding wedge fan-out by O(m^{3/2}) on skewed graphs — same plan
+    * shape, one extra degree join; raw-id orientation is already exact,
+    * and the band-table bucket cap bounds fan-out at gated scale. */
+  def q162TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = minhashCandidatePairs(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perDoc = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    e.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   /** (doc_id, pos, h) for every g-token gram — positions 1-based, keys
     * [[sketch60]]-hashed partition-locally (no shuffle, no window; the
     * exchange only ever moves 8-byte keys). Shared by q144 and the

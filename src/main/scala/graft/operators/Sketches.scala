@@ -556,7 +556,10 @@ object Sketches {
     * Emits, per source, the exact packing accounting: sequences produced,
     * pad tokens in the final chunk, documents split across a chunk
     * boundary, and total boundary crossings (= attention-mask
-    * discontinuities a boundary-aware loader must handle).
+    * discontinuities a boundary-aware loader must handle). Distinct from
+    * q81 ([[graft.operators.TextAnalysis.qPackChunks]]), which bins
+    * chunks WITHIN one document; here the stream concatenates ACROSS
+    * documents and the deliverable is the cross-document boundary audit.
     *
     * One window pass (running token offset per source, explicit ROWS
     * frame) + one rollup — the crossing count for a doc spanning

@@ -1911,4 +1911,48 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"$t corrected HLL estimate ${v._5} vs exact ${v._1}")
     }
   }
+
+  test("q161 k-anonymity census matches a driver-side recount") {
+    val rows = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val classes = rows.groupBy(identity).view.mapValues(_.length.toLong)
+    val expected = classes.toSeq.groupBy(_._1._1).map { case (nat, cs) =>
+      val sizes = cs.map(_._2)
+      nat -> ((cs.length.toLong, sizes.sum,
+        sizes.count(_ < 5L).toLong, sizes.filter(_ < 5L).sum, sizes.min))
+    }
+    val got = SparkEntry.queries("q161_k_anonymity")(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+  }
+
+  test("q162 triangle counts match a brute-force driver enumeration") {
+    val es = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    es.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val tri = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((u, v) <- es; w <- adj(u) & adj(v) if w > v) {
+      tri(u) += 1; tri(v) += 1; tri(w) += 1
+    }
+    val expected = adj.map { case (d, nb) =>
+      d -> ((nb.size.toLong, tri(d)))
+    }.toMap
+    val got = SparkEntry.queries("q162_triangle_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // a doc's triangles are bounded by its wedge count C(deg, 2)
+    got.foreach { case (d, (deg, t)) =>
+      assert(t <= deg * (deg - 1) / 2, s"doc $d: $t triangles, deg $deg")
+    }
+  }
 }
