@@ -254,6 +254,8 @@ object SparkEntry {
       graft.operators.Curation.q161KAnonymity(s, d)),
     "q162_triangle_count"     -> ((s: SparkSession, d: String) =>
       Dedup.q162TriangleCount(s, d)),
+    "q163_stream_hll"         -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamHll(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -722,6 +724,40 @@ object SparkEntry {
        "SELECT dg.doc_id, CAST(dg.deg AS BIGINT) AS deg, " +
        "CAST(coalesce(pd.n_tri, 0) AS BIGINT) AS n_tri " +
        "FROM dg LEFT JOIN pd USING (doc_id)"),
+    // q163: max-merged registers are batching-insensitive, so the
+    // streaming drain equals the batch sketch — q160's oracle minus the
+    // exact-distinct audit column (COUNT DISTINCT has no streaming twin)
+    "q163_stream_hll" ->
+      ("WITH e AS (SELECT event_type, user_id, " +
+       "md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
+       "x AS (SELECT event_type, " +
+       "CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) % 64 AS b, " +
+       "substr(h, 3, 13) AS t FROM e), " +
+       "y AS (SELECT event_type, b, " +
+       "13 - length(ltrim(t, '0')) AS z, " +
+       "substr(t, 13 - length(ltrim(t, '0')) + 1, 1) AS c FROM x), " +
+       "r1 AS (SELECT event_type, b, CAST(4 * z + " +
+       "(CASE WHEN c = '1' THEN 3 WHEN c IN ('2','3') THEN 2 " +
+       "WHEN c IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1 AS BIGINT) " +
+       "AS rho FROM y), " +
+       "regs AS (SELECT event_type, b, max(rho) AS r " +
+       "FROM r1 GROUP BY event_type, b), " +
+       "agg AS (SELECT event_type, " +
+       "count(*) AS n_buckets, CAST(sum(r) AS BIGINT) AS register_sum, " +
+       "CAST(sum(r * (b + 1)) AS BIGINT) AS register_ck, " +
+       "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+       "CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * " +
+       "CAST(4096.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) " +
+       "/ CAST(sum(CAST(1 AS BIGINT) << " +
+       "CAST(53 - r AS INTEGER)) + (64 - count(*)) * 9007199254740992 " +
+       "AS DOUBLE) AS raw " +
+       "FROM regs GROUP BY event_type) " +
+       "SELECT event_type, n_buckets, register_sum, " +
+       "register_ck, round(raw, 4) AS hll_raw, " +
+       "round(CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND n_buckets < 64 " +
+       "THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / " +
+       "CAST(64 - n_buckets AS DOUBLE)) ELSE raw END, 4) AS hll_est " +
+       "FROM agg"),
     // q157: row preservation + both file counts (64 round-robin inputs,
     // 4 compacted outputs, LEAST'd against the row count for tiny sfs)
     "q157_compaction" ->

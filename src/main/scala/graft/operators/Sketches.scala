@@ -607,20 +607,11 @@ object Sketches {
     * counting m·ln(m/V) when the raw estimate ≤ 2.5m and V = empty
     * buckets > 0 — Flajolet et al. §4); `hll_raw` keeps the uncorrected
     * value so the correction itself is auditable. */
-  def q160HllSketch(spark: SparkSession, dir: String): DataFrame = {
-    val m = 64
-    val e = Tables.events(spark, dir).select(col("event_type"),
-        col("user_id"), md5(col("user_id").cast("string")).as("h"))
-      .withColumn("b",
-        expr(s"CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT) % $m"))
-      .withColumn("t", expr("substr(h, 3, 13)"))
-      .withColumn("z", lit(13) - length(ltrim(col("t"), "0")))
-      .withColumn("c", expr("substr(t, z + 1, 1)"))
-      .withColumn("rho", (lit(4) * col("z") +
-        when(col("c") === "1", 3).when(col("c").isin("2", "3"), 2)
-          .when(col("c").isin("4", "5", "6", "7"), 1).otherwise(0) +
-        lit(1)).cast("bigint"))
-    e.groupBy(col("event_type"), col("b"))
+  def q160HllSketch(spark: SparkSession, dir: String): DataFrame =
+    hllBucketRho(
+        Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+        col("user_id"))
+      .groupBy(col("event_type"), col("b"))
       .agg(max(col("rho")).as("r"),
         countDistinct(col("user_id")).as("nd"))
       .groupBy(col("event_type"))
@@ -630,18 +621,46 @@ object Sketches {
         sum(col("r") * (col("b") + 1)).as("register_ck"),
         expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
           .as("sp"))
-      .select(col("event_type"), col("n_distinct"), col("n_buckets"),
-        col("register_sum"), col("register_ck"),
+      .transform(hllEstimates(_, keep = Seq("n_distinct")))
+
+  /** (b, rho) columns for the portable md5-hex HLL family: bucket = first
+    * hash byte mod 64, rho = leading-zero count of the next 52 bits + 1,
+    * all string/integer arithmetic (engine-deterministic — no libm, no
+    * log2). Shared by q160 and the streaming register monitor (q163). */
+  private[graft] def hllBucketRho(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("h", md5(key.cast("string")))
+      .withColumn("b",
+        expr("CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT) % 64"))
+      .withColumn("t", expr("substr(h, 3, 13)"))
+      .withColumn("z", lit(13) - length(ltrim(col("t"), "0")))
+      .withColumn("c", expr("substr(t, z + 1, 1)"))
+      .withColumn("rho", (lit(4) * col("z") +
+        when(col("c") === "1", 3).when(col("c").isin("2", "3"), 2)
+          .when(col("c").isin("4", "5", "6", "7"), 1).otherwise(0) +
+        lit(1)).cast("bigint"))
+      .drop("h", "t", "z", "c")
+
+  /** Final HLL estimate columns over a per-group rollup carrying
+    * (n_buckets, register_sum, register_ck, sp = Σ2^(53−r)): raw αm²/Σ2^−r
+    * via the integer-scaled sum, plus the linear-counting small-range
+    * correction. `keep` forwards extra audit columns (q160's exact
+    * distinct). */
+  private[graft] def hllEstimates(agg: DataFrame,
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    val m = 64
+    val head = Seq(col("event_type")) ++ keep.map(col) ++ Seq(
+      col("n_buckets"), col("register_sum"), col("register_ck"))
+    agg.select(head :+
         (lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble) *
           (m.toDouble * m) * 9007199254740992.0 /
           (col("sp") + (lit(m.toLong) - col("n_buckets")) *
-            lit(9007199254740992L)).cast("double")).as("raw"))
-      .select(col("event_type"), col("n_distinct"), col("n_buckets"),
-        col("register_sum"), col("register_ck"),
-        round(col("raw"), 4).as("hll_raw"),
+            lit(9007199254740992L)).cast("double")).as("raw"): _*)
+      .select(head :+
+        round(col("raw"), 4).as("hll_raw") :+
         round(when(col("raw") <= 2.5 * m && col("n_buckets") < m,
           lit(m.toDouble) * log(lit(m.toDouble) /
             (lit(m.toLong) - col("n_buckets")).cast("double")))
-          .otherwise(col("raw")), 4).as("hll_est"))
+          .otherwise(col("raw")), 4).as("hll_est"): _*)
   }
 }

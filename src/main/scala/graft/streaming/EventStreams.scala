@@ -521,4 +521,37 @@ object EventStreams {
       runToMemory(spark, agg,
         s"q156_stream_${System.nanoTime()}", OutputMode.Complete())
     }
+
+  /** q163: STREAMING CARDINALITY MONITOR — q160's mergeable HLL registers
+    * maintained as standing streaming state. This is the sketch/streaming
+    * bridge that makes HLL the production distinct-count monitor: the
+    * register update is `max(rho)` per (group, bucket), and max is
+    * exactly the aggregation Structured Streaming merges incrementally
+    * across micro-batches — state is O(groups × 64) registers, never
+    * O(keys), and no exact-distinct shuffle ever happens on the stream
+    * (COUNT DISTINCT is unsupported in streaming aggregation for
+    * precisely the reason sketches exist). Two staged files force the
+    * register state to merge across micro-batches; the drained
+    * complete-mode register table then rolls up through the SAME
+    * estimate arithmetic as q160 — and because max is order- and
+    * batching-insensitive, the final registers are bit-identical to the
+    * batch sketch, which is what the shared-contract oracle pins. */
+  def qStreamHll(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        "events_a.parquet", "events_b.parquet") { tmp =>
+      val regs = graft.operators.Sketches.hllBucketRho(
+          readEvents(spark, tmp).select(col("event_type"), col("user_id")),
+          col("user_id"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(max(col("rho")).as("r"))
+      val emitted = runToMemory(spark, regs,
+        s"q163_stream_${System.nanoTime()}", OutputMode.Complete())
+      graft.operators.Sketches.hllEstimates(
+        emitted.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("r")).as("register_sum"),
+            sum(col("r") * (col("b") + 1)).as("register_ck"),
+            expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
+              .as("sp")))
+    }
 }

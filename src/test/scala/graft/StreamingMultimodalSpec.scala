@@ -371,4 +371,17 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("media_id").agg(min("frame_no").as("m"))
       .filter(col("m") =!= 0).count() === 0)
   }
+
+  test("q163 streaming HLL registers equal the batch sketch (q160)") {
+    // max-merged registers are batching-insensitive: the two-micro-batch
+    // drain must land on exactly the batch sketch state and estimates
+    val stream = SparkEntry.queries("q163_stream_hll")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val batch = SparkEntry.queries("q160_hll_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
 }
