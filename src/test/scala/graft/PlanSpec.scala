@@ -483,4 +483,28 @@ class PlanSpec extends AnyFunSuite {
       g.getLong(2) === e.getLong(2),
       s"q147 pruned answer $g != unpartitioned $e")
   }
+
+  test("q159 packing: one window exchange on source, rollup map-side combined") {
+    val p = formatted("q159_seq_packing")
+    // exactly one full-size exchange (the source-partitioned window);
+    // the per-source rollup rides partial aggregation
+    assert(p.contains("Window"), s"q159 lost its window:\n$p")
+    assert(p.contains("partial"), s"q159 rollup not partial-aggregated:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"q159 has $exchanges exchanges:\n$p")
+  }
+
+  test("q161 census: both aggregation levels partial, no join, no window") {
+    val p = formatted("q161_k_anonymity")
+    assert(p.contains("partial"), s"q161 not partial-aggregated:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q161 grew a join or window:\n$p")
+  }
+
+  test("q162 triangles: hash equi-joins only, never a nested loop") {
+    val p = formatted("q162_triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q162 wedge join degraded to a nested loop:\n$p")
+  }
 }
