@@ -256,6 +256,8 @@ object SparkEntry {
       Dedup.q162TriangleCount(s, d)),
     "q163_stream_hll"         -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamHll(s, d)),
+    "q164_stream_lateness"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamLateness(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -693,6 +695,28 @@ object SparkEntry {
        "THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / " +
        "CAST(64 - n_buckets AS DOUBLE)) ELSE raw END, 4) AS hll_est " +
        "FROM agg"),
+    // q164: the emitted set reconstructed from the two data-derived
+    // watermarks of the A/B/C staging (see qStreamLateness's scaladoc for
+    // the probe-verified two-watermark contract): A and B rows are never
+    // late; C rows are dropped iff their hourly window was finalized by
+    // wm_A = max(ts_A) − delay; windows emit iff their end precedes
+    // wm_final = max(ts) − delay (append mode). Thresholds never land on
+    // whole-hour window edges (the maxima carry random microseconds), so
+    // strict-vs-inclusive boundary conventions cannot flip a row.
+    "q164_stream_lateness" ->
+      ("WITH s AS (SELECT max(CASE WHEN ts < TIMESTAMP " +
+       "'2024-01-30 12:00:00' AND event_id % 11 <> 0 THEN ts END) " +
+       "- INTERVAL '30 minutes' AS wma, " +
+       "max(ts) - INTERVAL '30 minutes' AS wmf FROM events), " +
+       "w AS (SELECT event_id, ts, " +
+       "time_bucket(INTERVAL '1 hour', ts) AS ws, " +
+       "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we " +
+       "FROM events), " +
+       "kept AS (SELECT ws, we FROM w CROSS JOIN s " +
+       "WHERE ts >= TIMESTAMP '2024-01-30 12:00:00' " +
+       "OR event_id % 11 <> 0 OR we > wma) " +
+       "SELECT epoch_us(ws) AS w_start, count(*) AS n " +
+       "FROM kept CROSS JOIN s WHERE we <= wmf GROUP BY 1"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

@@ -554,4 +554,61 @@ object EventStreams {
             expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
               .as("sp")))
     }
+
+  /** q164: WATERMARK LATE-DATA ACCOUNTING — the semantics every streaming
+    * aggregation at scale lives or dies by, pinned end to end: which late
+    * rows are DROPPED, which windows EMIT, and with what counts. The
+    * stream is staged as three files with explicitly ordered modification
+    * times (FileStreamSource consumes oldest-first, one per trigger;
+    * unlike q55/q163 this operator is ORDER-SENSITIVE, so the ordering is
+    * forced, not assumed): A = the bulk history minus a held-back late
+    * pack, B = the newest tail (advances the watermark and finalizes the
+    * history's hourly windows with A-only counts), C = the late pack
+    * arriving AFTER finalization.
+    *
+    * The batch sequence exercises Spark's TWO-watermark contract,
+    * probe-verified on this exact staging (tools/LateProbe): the late-data
+    * filter of batch N uses the watermark that was current during batch
+    * N−1, while state eviction at the end of batch N uses batch N's own —
+    * so B is never late (its filter watermark is still 0), C rows into
+    * windows finalized by wm_A = max(ts_A) − delay are dropped
+    * (numRowsDroppedByWatermark = their exact count), C rows into the
+    * still-open boundary window merge and emit, and windows past
+    * wm_final = max(ts) − delay never emit (append mode). Every
+    * threshold is a pure function of the data (per-file max event
+    * times), so the DuckDB oracle reconstructs the exact emitted set —
+    * no golden pinning, and no threshold ever lands on a whole-hour
+    * window edge (the maxima carry random microseconds). */
+  def qStreamLateness(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_late")
+    try {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"))
+      def stage(name: String, pred: org.apache.spark.sql.Column,
+          mtime: Long): Unit = {
+        val scratch = tmp.resolve(name + "_w").toString
+        ev.filter(pred).coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        val dst = tmp.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        graft.util.Fs.deleteRecursively(scratch)
+      }
+      val cut = "2024-01-30 12:00:00"
+      val t0 = System.currentTimeMillis() - 180000L
+      stage("a.parquet",
+        col("ts") < cut && col("event_id") % 11 =!= 0, t0)
+      stage("b.parquet", col("ts") >= cut, t0 + 60000L)
+      stage("c.parquet",
+        col("ts") < cut && col("event_id") % 11 === 0, t0 + 120000L)
+      val agg = readEvents(spark, tmp.toString)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start"), col("n"))
+      runToMemory(spark, agg, s"q164_stream_${System.nanoTime()}")
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
 }

@@ -384,4 +384,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stream === batch)
     assert(stream.nonEmpty)
   }
+
+  test("q164 lateness replay: drops, boundary merge, unemitted tail all appear") {
+    import org.apache.spark.sql.functions._
+    val HOUR = 3600L * 1000000L
+    val DELAY = 30L * 60L * 1000000L
+    val cut = java.time.LocalDateTime.parse("2024-01-30T12:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def isA(e: (Long, Long)) = e._2 < cut && e._1 % 11 != 0
+    def isB(e: (Long, Long)) = e._2 >= cut
+    val wma = ev.filter(isA).map(_._2).max - DELAY
+    val wmf = ev.map(_._2).max - DELAY
+    // the probe-verified contract: A/B never late, C dropped iff its
+    // window was finalized by wm_A; emit iff window end <= wm_final
+    val kept = ev.filter(e => isA(e) || isB(e) ||
+      (e._2 / HOUR) * HOUR + HOUR > wma)
+    val expected = kept.groupBy(e => (e._2 / HOUR) * HOUR)
+      .filter { case (ws, _) => ws + HOUR <= wmf }
+      .view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q164_stream_lateness")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    val dropped = ev.length - kept.length
+    assert(dropped > 0, "fixture must drop some late rows")
+    val unemitted = kept.map(e => (e._2 / HOUR) * HOUR).distinct
+      .count(ws => ws + HOUR > wmf)
+    assert(unemitted > 0, "fixture must leave an open window unemitted")
+    // at least one emitted window's count was reduced by a drop
+    val full = ev.groupBy(e => (e._2 / HOUR) * HOUR)
+      .view.mapValues(_.length.toLong).toMap
+    assert(expected.exists { case (ws, n) => full(ws) > n },
+      "drops must be visible in at least one emitted count")
+  }
 }
