@@ -258,6 +258,8 @@ object SparkEntry {
       graft.streaming.EventStreams.qStreamHll(s, d)),
     "q164_stream_lateness"    -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamLateness(s, d)),
+    "q165_stream_outer_join"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamOuterJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -717,6 +719,27 @@ object SparkEntry {
        "OR event_id % 11 <> 0 OR we > wma) " +
        "SELECT epoch_us(ws) AS w_start, count(*) AS n " +
        "FROM kept CROSS JOIN s WHERE we <= wmf GROUP BY 1"),
+    // q165: matched pairs are the plain batch band join; the null-padded
+    // rows are purchases with no qualifying click whose state expired.
+    // Eviction of the left row is gated by the GLOBAL watermark — the
+    // minimum of both sides' (max event time − delay) — verified against
+    // the drained stream at both gated sfs: the final purchase itself
+    // stays in state because its own side's watermark never passes it
+    "q165_stream_outer_join" ->
+      ("WITH c AS (SELECT user_id, event_id AS c_id, ts AS c_ts " +
+       "FROM events WHERE event_type = 'click'), " +
+       "p AS (SELECT user_id, event_id AS p_id, ts AS p_ts " +
+       "FROM events WHERE event_type = 'purchase'), " +
+       "m AS (SELECT p.p_id, c.c_id FROM p JOIN c " +
+       "ON p.user_id = c.user_id AND c_ts <= p_ts " +
+       "AND c_ts >= p_ts - INTERVAL '10 minutes'), " +
+       "s AS (SELECT least((SELECT max(c_ts) FROM c), " +
+       "(SELECT max(p_ts) FROM p)) - INTERVAL '10 minutes' AS gwm), " +
+       "unm AS (SELECT p_id FROM p CROSS JOIN s " +
+       "WHERE p_id NOT IN (SELECT p_id FROM m) AND p_ts <= gwm) " +
+       "SELECT (SELECT count(*) FROM m) AS n_pairs, " +
+       "(SELECT count(DISTINCT p_id) FROM m) AS n_attributed, " +
+       "(SELECT count(*) FROM unm) AS n_expired_unmatched"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

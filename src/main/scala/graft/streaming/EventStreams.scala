@@ -611,4 +611,53 @@ object EventStreams {
       runToMemory(spark, agg, s"q164_stream_${System.nanoTime()}")
     } finally graft.util.Fs.deleteRecursively(tmp.toString)
   }
+
+  /** q165: stream-stream LEFT OUTER attribution — q64's join with the
+    * semantics production attribution actually needs: purchases WITHOUT a
+    * qualifying prior click must surface too (the unconverted-spend
+    * signal), and in a stream they can only surface once no future click
+    * could still match. Structured Streaming emits the null-padded row
+    * when the left row's state expires — gated by the GLOBAL watermark,
+    * the minimum of both sides' (max event time − delay), measured
+    * against the drained stream at both gated sfs: a future click must
+    * satisfy p_ts − 10min ≤ c_ts ≤ p_ts, but eviction waits for the
+    * joint watermark to pass p_ts, so "unmatched" is a definitive
+    * verdict, not a still-waiting row. Matched pairs emit immediately
+    * (inner results are never watermark-gated). Purchases newer than the
+    * final global watermark stay in state and never emit — the honest
+    * answer for rows whose attribution window is still open. All
+    * thresholds are data-derived (per-side max event times), so the
+    * DuckDB oracle reconstructs the exact matched/expired-unmatched
+    * split with no golden pinning. */
+  def qStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    withStagedDir(src, "events.parquet") { tmpC =>
+      withStagedDir(src, "events.parquet") { tmpP =>
+        val clicks = readEvents(spark, tmpC)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"),
+            col("ts").as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = readEvents(spark, tmpP)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"),
+          "leftOuter")
+        val emitted = runToMemory(spark,
+          joined.select(col("p_id"), col("c_id")),
+          s"q165_stream_${System.nanoTime()}")
+        emitted.agg(
+          sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+          countDistinct(when(col("c_id").isNotNull, col("p_id")))
+            .as("n_attributed"),
+          sum(when(col("c_id").isNull, 1L).otherwise(0L))
+            .as("n_expired_unmatched"))
+      }
+    }
+  }
 }

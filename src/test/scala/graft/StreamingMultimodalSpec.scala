@@ -419,4 +419,35 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(expected.exists { case (ws, n) => full(ws) > n },
       "drops must be visible in at least one emitted count")
   }
+
+  test("q165 outer-join replay: global-watermark expiry splits unmatched purchases") {
+    import org.apache.spark.sql.functions._
+    val DELAY = 10L * 60L * 1000000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val byUser = clicks.groupBy(_._2)
+    val matchedPairs = purchases.flatMap { p =>
+      byUser.getOrElse(p._2, Array.empty[(Long, Long, String, Long)])
+        .filter(c => c._4 <= p._4 && c._4 >= p._4 - DELAY)
+        .map(c => (p._1, c._1))
+    }
+    val gwm = math.min(clicks.map(_._4).max, purchases.map(_._4).max) - DELAY
+    val matchedIds = matchedPairs.map(_._1).toSet
+    val expiredUnmatched = purchases
+      .count(p => !matchedIds.contains(p._1) && p._4 <= gwm)
+    val got = SparkEntry.queries("q165_stream_outer_join")(spark, sf).head()
+    assert(got.getLong(0) === matchedPairs.length.toLong)
+    assert(got.getLong(1) === matchedIds.size.toLong)
+    assert(got.getLong(2) === expiredUnmatched.toLong)
+    assert(got.getLong(2) > 0, "fixture must expire some unmatched purchase")
+    val openUnmatched = purchases
+      .count(p => !matchedIds.contains(p._1) && p._4 > gwm)
+    assert(openUnmatched > 0,
+      "fixture must hold back a still-open unmatched purchase")
+  }
 }
