@@ -260,6 +260,7 @@ object SparkEntry {
       graft.streaming.EventStreams.qStreamLateness(s, d)),
     "q165_stream_outer_join"  -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamOuterJoin(s, d)),
+    "q166_incremental_agg"    -> Relational.q166IncrementalAgg _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -740,6 +741,13 @@ object SparkEntry {
        "SELECT (SELECT count(*) FROM m) AS n_pairs, " +
        "(SELECT count(DISTINCT p_id) FROM m) AS n_attributed, " +
        "(SELECT count(*) FROM unm) AS n_expired_unmatched"),
+    // q166: the maintained state must equal the from-scratch rollup —
+    // the oracle IS the full recompute (the invariant, not a twin)
+    "q166_incremental_agg" ->
+      ("SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+       "FROM documents GROUP BY source"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

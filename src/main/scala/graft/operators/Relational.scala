@@ -1096,4 +1096,48 @@ object Relational {
         sum(col("n_chars").cast("bigint")).as("sum_chars"),
         countDistinct(col("source")).as("n_sources"))
   }
+
+  /** q166: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    * delta-merge pattern: a standing per-source rollup (docs, chars,
+    * tokens) is brought current by merging the INCREMENT's rollup into
+    * the previous state with one full-outer join + coalesced sums,
+    * instead of rescanning history. At 100 TB this is the difference
+    * between touching the day's partition and touching the corpus: the
+    * join is |sources| × |sources| — dimension-sized, broadcastable,
+    * independent of fact-table size — and both rollups are map-side
+    * combined before anything crosses an exchange. Additive aggregates
+    * (sum/count) merge losslessly; the gate pins that the maintained
+    * state is EXACTLY the from-scratch rollup — the invariant every
+    * incremental-view pipeline must hold. The even/odd doc split stands
+    * in for yesterday's corpus vs today's ingest; q92's row-level CDC
+    * merge is the upstream sibling (this maintains the AGGREGATE, not
+    * the rows). */
+  def q166IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def rollup(pred: org.apache.spark.sql.Column): DataFrame =
+      t(spark, dir, "documents").filter(pred)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("n_chars"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"))
+    mergeAdditiveState(rollup(col("doc_id") % 2 === 0),
+      rollup(col("doc_id") % 2 === 1),
+      keys = Seq("source"), measures = Seq("n_docs", "n_chars", "n_tokens"))
+  }
+
+  /** Merge two additive rollups sharing (keys ++ measures) schemas: one
+    * full-outer join on the keys, coalesced sums per measure. Keys absent
+    * from either side pass through with the other side's totals — the
+    * edge a brand-new source (delta-only) or a quiet day (state-only)
+    * exercises. */
+  private[graft] def mergeAdditiveState(state: DataFrame, delta: DataFrame,
+      keys: Seq[String], measures: Seq[String]): DataFrame = {
+    val s = state.select((keys.map(col) ++
+      measures.map(m => col(m).as(s"s_$m"))): _*)
+    val d = delta.select((keys.map(col) ++
+      measures.map(m => col(m).as(s"d_$m"))): _*)
+    s.join(d, keys, "fullOuter")
+      .select((keys.map(col) ++ measures.map(m =>
+        (coalesce(col(s"s_$m"), lit(0L)) +
+          coalesce(col(s"d_$m"), lit(0L))).as(m))): _*)
+  }
 }

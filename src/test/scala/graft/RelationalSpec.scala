@@ -99,6 +99,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q166 incremental state merge handles state-only and delta-only keys") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val state = Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("k", "n", "c")
+    val delta = Seq(("b", 3L, 7L), ("c", 4L, 9L)).toDF("k", "n", "c")
+    val merged = operators.Relational.mergeAdditiveState(
+        state, delta, keys = Seq("k"), measures = Seq("n", "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged === Map("a" -> ((2L, 10L)), "b" -> ((4L, 12L)),
+      "c" -> ((4L, 9L))))
+    // and the gated query's maintained state equals the from-scratch rollup
+    val got = SparkEntry.queries("q166_incremental_agg")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val full = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)), sum(col("n_chars").cast("bigint")),
+        sum(size(split(col("text"), " ")).cast("bigint")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === full)
+  }
+
   test("q62 bin-bucketed interval join equals the direct band join, no nested loop") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
