@@ -261,6 +261,8 @@ object SparkEntry {
     "q165_stream_outer_join"  -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamOuterJoin(s, d)),
     "q166_incremental_agg"    -> Relational.q166IncrementalAgg _,
+    "q167_pretrain_e2e"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q167PretrainE2e(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -748,6 +750,44 @@ object SparkEntry {
        "CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
        "FROM documents GROUP BY source"),
+    // q167: the composed CTEs of q152 (rules) + q148 (copies) + q150
+    // (explode + shard hash) + q159 (packing window) — the whole path
+    "q167_pretrain_e2e" ->
+      ("WITH d0 AS (SELECT source, doc_id, string_split(text, ' ') AS t, " +
+       "len(text) AS lt FROM documents), " +
+       "k AS (SELECT source, doc_id, CAST(len(t) AS BIGINT) AS n_toks " +
+       "FROM d0 WHERE len(t) >= 50 AND len(t) <= 100000 " +
+       "AND 3 * len(t) <= lt - len(t) + 1 " +
+       "AND lt - len(t) + 1 <= 10 * len(t) " +
+       "AND 5 * len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) " +
+       ">= 4 * len(t) " +
+       "AND len(list_intersect(list_distinct(t), " +
+       "['the', 'a', 'of', 'and', 'to'])) >= 2), " +
+       "f AS (SELECT source, doc_id, n_toks, " +
+       s"500000 + ${hex60Sql("source")} % 3000000 AS factor_ppm FROM k), " +
+       "c AS (SELECT source, doc_id, n_toks, factor_ppm // 1000000 + " +
+       s"(CASE WHEN ${hex60Sql("concat(source, ':', doc_id)")} % 1000000 " +
+       "< factor_ppm % 1000000 THEN 1 ELSE 0 END) AS copies FROM f), " +
+       "r AS (SELECT source, doc_id, n_toks, " +
+       "unnest(generate_series(1, copies)) AS copy FROM c " +
+       "WHERE copies >= 1), " +
+       "h AS (SELECT doc_id, copy, n_toks, " +
+       s"${hex60Sql("concat(source, ':', doc_id, ':', copy)")} % 8 " +
+       "AS shard FROM r), " +
+       "o AS (SELECT shard, n_toks, sum(n_toks) OVER (PARTITION BY shard " +
+       "ORDER BY doc_id, copy ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+       "CURRENT ROW) - n_toks AS s FROM h), " +
+       "kk AS (SELECT shard, n_toks, " +
+       "(s + n_toks - 1) // 256 - s // 256 AS k FROM o) " +
+       "SELECT shard, count(*) AS n_rows, " +
+       "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+       "CAST((sum(n_toks) + 255) // 256 AS BIGINT) AS n_sequences, " +
+       "CAST((sum(n_toks) + 255) // 256 * 256 - sum(n_toks) AS BIGINT) " +
+       "AS pad_tokens, " +
+       "CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_split_rows, " +
+       "CAST(sum(k) AS BIGINT) AS n_crossings " +
+       "FROM kk GROUP BY shard"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

@@ -301,18 +301,38 @@ object Curation {
     * frame — shared by the batch report (q152) and the streaming ingest
     * gate (q156); statelessness is what makes it streaming-safe. */
   private[graft] def gopherScore(docs: DataFrame): DataFrame = {
+    val (r1, r2, r3, r4) = gopherRuleCols
+    docs.select(col("source"),
+      r1.as("r1"), r2.as("r2"), r3.as("r3"), r4.as("r4"))
+  }
+
+  /** The four rule predicates over a `text` column — the single source of
+    * truth shared by the per-source report (q152), the streaming gate
+    * (q156), and the end-to-end pipeline's keep predicate (q167). */
+  private def gopherRuleCols: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) = {
     val t = split(col("text"), " ")
     val nW = size(t).cast("bigint")
     val sumTok = (length(col("text")) - size(t) + 1).cast("bigint")
     val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("bigint")
     val nStop = size(array_intersect(array_distinct(t),
       array(EnStopwords.map(lit): _*))).cast("bigint")
-    docs.select(
-      col("source"),
-      (nW >= 50 && nW <= 100000).as("r1"),
-      (lit(3) * nW <= sumTok && sumTok <= lit(10) * nW).as("r2"),
-      (lit(5) * nAlpha >= lit(4) * nW).as("r3"),
-      (nStop >= 2).as("r4"))
+    ((nW >= 50 && nW <= 100000),
+      (lit(3) * nW <= sumTok && sumTok <= lit(10) * nW),
+      (lit(5) * nAlpha >= lit(4) * nW),
+      (nStop >= 2))
+  }
+
+  /** Doc-keyed pass verdict + token count — the quality gate as a
+    * pipeline stage (q167): one row per document, everything downstream
+    * needs (shard keys, mixture factors, packing offsets) derivable from
+    * (source, doc_id, n_toks). */
+  private[graft] def gopherPass(docs: DataFrame): DataFrame = {
+    val (r1, r2, r3, r4) = gopherRuleCols
+    docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+      (r1 && r2 && r3 && r4).as("pass"))
   }
 
   /** q152's per-source rollup over a scored frame (also the q156 stream

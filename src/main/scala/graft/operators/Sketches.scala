@@ -623,6 +623,59 @@ object Sketches {
           .as("sp"))
       .transform(hllEstimates(_, keep = Seq("n_distinct")))
 
+  /** q167: THE PRE-TRAINING DATA PATH, END TO END, AS ONE PLAN — quality
+    * gate (q152's Gopher rules) → epoch-weighted mixture (q148's
+    * hash-rounded integer copies) → copy materialization + copy-aware
+    * shard assignment (q150) → concat-and-chunk sequence packing with
+    * boundary accounting (q159), composed as a single declarative chain
+    * so Catalyst sees the whole pipeline: the quality predicate prunes
+    * before the mixture arithmetic runs, nothing materializes between
+    * stages, and the only exchanges are the per-shard packing window and
+    * the |shards|-row rollup. Per shard: rows packed, tokens, sequences,
+    * pad tokens, and boundary-split accounting — the numbers a training
+    * job's data loader reconciles against. Every stage is integer/hash
+    * exact, so the DuckDB oracle replays the full chain (the composed
+    * CTEs of q152+q148+q150+q159) and the gate pins the whole path, not
+    * just its stages. */
+  def q167PretrainE2e(spark: SparkSession, dir: String,
+      seqLen: Long = 256L, nShards: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    val kept = graft.operators.Curation
+      .gopherPass(Tables.load(spark, dir, "documents"))
+      .filter(col("pass"))
+      .select(col("source"), col("doc_id"), col("n_toks"))
+    val copies = kept
+      .withColumn("factor_ppm",
+        lit(500000L) + pmod(sketch60(col("source")), lit(3000000L)))
+      .withColumn("copies",
+        expr("factor_ppm DIV 1000000") +
+          when(pmod(sketch60(concat_ws(":", col("source"), col("doc_id"))),
+            lit(1000000L)) < col("factor_ppm") % 1000000, 1L)
+            .otherwise(0L))
+      .filter(col("copies") >= 1)
+    val rows = copies
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+      .withColumn("shard", pmod(sketch60(concat_ws(":",
+        col("source"), col("doc_id"), col("copy"))), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("copy"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("s", sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("k",
+        expr(s"(s + n_toks - 1) DIV $seqLen - s DIV $seqLen"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr(s"(sum(n_toks) + ${seqLen - 1}) DIV $seqLen")
+          .as("n_sequences"),
+        expr(s"(sum(n_toks) + ${seqLen - 1}) DIV $seqLen * $seqLen " +
+          "- sum(n_toks)").as("pad_tokens"),
+        sum(when(col("k") > 0, 1L).otherwise(0L)).as("n_split_rows"),
+        sum(col("k")).as("n_crossings"))
+  }
+
   /** (b, rho) columns for the portable md5-hex HLL family: bucket = first
     * hash byte mod 64, rho = leading-zero count of the next 52 bits + 1,
     * all string/integer arithmetic (engine-deterministic — no libm, no

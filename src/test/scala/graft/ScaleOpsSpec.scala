@@ -1931,6 +1931,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q167 pipeline reconciles internally and stays one shallow plan") {
+    val rows = SparkEntry.queries("q167_pretrain_e2e")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (shard, nRows, nTok, nSeq, pad, nSplit, nCross) =>
+      assert(pad >= 0 && pad < 256, s"shard $shard pad $pad out of range")
+      assert(nSeq * 256 - pad === nTok, s"shard $shard packing identity")
+      assert(nSplit <= nRows && nCross >= nSplit)
+    }
+    // the mixture stage must reconcile with q148's recipe restricted to
+    // quality-passing docs: per-source copies × tokens sum to the same
+    // totals the shards carry
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val kept = graft.operators.Curation.gopherPass(docs)
+      .filter(col("pass"))
+      .select(col("source"), col("doc_id"), col("n_toks"))
+    import graft.functions.TextFunctions.sketch60
+    val recipe = kept
+      .withColumn("factor_ppm",
+        lit(500000L) + pmod(sketch60(col("source")), lit(3000000L)))
+      .withColumn("copies", expr("factor_ppm DIV 1000000") +
+        when(pmod(sketch60(concat_ws(":", col("source"), col("doc_id"))),
+          lit(1000000L)) < col("factor_ppm") % 1000000, 1L).otherwise(0L))
+      .agg(sum(col("copies")), sum(col("copies") * col("n_toks"))).head()
+    assert(rows.map(_._2).sum === recipe.getLong(0))
+    assert(rows.map(_._3).sum === recipe.getLong(1))
+    // one plan, shallow: packing window + final rollup are the only
+    // full-size exchanges
+    val plan = SparkEntry.queries("q167_pretrain_e2e")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"q167 has $exchanges exchanges:\n$plan")
+  }
+
   test("q162 triangle counts match a brute-force driver enumeration") {
     val es = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
       .collect()
