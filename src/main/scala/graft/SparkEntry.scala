@@ -263,6 +263,8 @@ object SparkEntry {
     "q166_incremental_agg"    -> Relational.q166IncrementalAgg _,
     "q167_pretrain_e2e"       -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q167PretrainE2e(s, d)),
+    "q168_bloom_calibration"  -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q168BloomCalibration(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -788,6 +790,30 @@ object SparkEntry {
        "AS n_split_rows, " +
        "CAST(sum(k) AS BIGINT) AS n_crossings " +
        "FROM kk GROUP BY shard"),
+    // q168: identical md5 nibble-triple bit positions; the FP check
+    // counts matched position ROWS (self-colliding positions match
+    // twice on both sides); the bound is pure integer cross-multiply
+    "q168_bloom_calibration" ->
+      ("WITH ins AS (SELECT doc_id, md5(concat('bf:', doc_id)) AS h " +
+       "FROM documents WHERE doc_id % 2 = 0), " +
+       "prb AS (SELECT doc_id, md5(concat('bf:', doc_id)) AS h " +
+       "FROM documents WHERE doc_id % 2 = 1), " +
+       "ip AS (SELECT DISTINCT CAST(concat('0x', " +
+       "substr(h, 1 + 3 * j, 3)) AS BIGINT) % 4096 AS pos " +
+       "FROM ins, UNNEST([0, 1, 2]) AS u(j)), " +
+       "pp AS (SELECT doc_id, CAST(concat('0x', " +
+       "substr(h, 1 + 3 * j, 3)) AS BIGINT) % 4096 AS pos " +
+       "FROM prb, UNNEST([0, 1, 2]) AS u(j)), " +
+       "fp AS (SELECT doc_id FROM pp JOIN ip USING (pos) " +
+       "GROUP BY doc_id HAVING count(*) = 3), " +
+       "s AS (SELECT (SELECT count(*) FROM ins) AS n_inserted, " +
+       "(SELECT count(*) FROM ip) AS n_bits_set, " +
+       "(SELECT count(*) FROM prb) AS n_probes, " +
+       "(SELECT count(*) FROM fp) AS n_false_positives) " +
+       "SELECT n_inserted, n_bits_set, n_probes, n_false_positives, " +
+       "n_false_positives * 4096 * 4096 * 4096 <= " +
+       "2 * n_probes * n_bits_set * n_bits_set * n_bits_set " +
+       "AS within_bound FROM s"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

@@ -676,6 +676,46 @@ object Sketches {
         sum(col("k")).as("n_crossings"))
   }
 
+  /** q168: BLOOM-FILTER FALSE-POSITIVE CALIBRATION — the sketch-family
+    * member q95's runtime filter uses opaquely, rebuilt on the portable
+    * md5-hex hash family so its STATE and its ERROR are both
+    * oracle-checkable (the q116/q135 calibration pattern): k=3 bit
+    * positions per key from disjoint md5 nibble triples, the filter = the
+    * distinct positions of the inserted half (even doc_ids), probes = the
+    * disjoint odd half. A probe is a false positive iff all k of its
+    * positions are set — measured EXACTLY by a positions⋈filter join, and
+    * checked against the saturation bound fpr ≤ 2·(bits_set/m)^k in pure
+    * cross-multiplied integers (no doubles anywhere). Everything is
+    * partial-aggregated sets of ≤ m = 4096 bit positions: the filter that
+    * crosses the exchange is the bitmap, never the key set — the property
+    * that makes Bloom the join-pruning workhorse at 100 TB. */
+  def q168BloomCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val k = 3
+    def positions(df: DataFrame): DataFrame =
+      df.withColumn("h", md5(concat_ws(":", lit("bf"), col("doc_id"))))
+        .select(col("doc_id"), explode(array((0 until k).map(j =>
+          expr(s"CAST(conv(substr(h, ${1 + 3 * j}, 3), 16, 10) AS BIGINT) " +
+            s"% $m")): _*)).as("pos"))
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val filterBits = positions(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("pos")).distinct()
+    val probeHits = positions(docs.filter(col("doc_id") % 2 === 1))
+      .join(filterBits, Seq("pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === k)
+    docs.filter(col("doc_id") % 2 === 0).agg(count(lit(1)).as("n_inserted"))
+      .crossJoin(filterBits.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(docs.filter(col("doc_id") % 2 === 1)
+        .agg(count(lit(1)).as("n_probes")))
+      .crossJoin(probeHits.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_false_positives")))
+      .withColumn("within_bound",
+        col("n_false_positives") * lit(m.toLong) * m * m <=
+          lit(2L) * col("n_probes") * col("n_bits_set") *
+            col("n_bits_set") * col("n_bits_set"))
+  }
+
   /** (b, rho) columns for the portable md5-hex HLL family: bucket = first
     * hash byte mod 64, rho = leading-zero count of the next 52 bits + 1,
     * all string/integer arithmetic (engine-deterministic — no libm, no

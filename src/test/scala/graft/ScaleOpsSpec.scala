@@ -1966,6 +1966,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exchanges <= 4, s"q167 has $exchanges exchanges:\n$plan")
   }
 
+  test("q168 bloom calibration matches an independent JVM replay") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pos(id: Long): Seq[Long] = {
+      val h = md.digest(s"bf:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 3).map(j =>
+        java.lang.Long.parseLong(h.substring(3 * j, 3 * j + 3), 16) % 4096)
+    }
+    val ids = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val inserted = ids.filter(_ % 2 == 0)
+    val probes = ids.filter(_ % 2 != 0)
+    val bits = inserted.flatMap(pos).toSet
+    val nFp = probes.count(p => pos(p).forall(bits.contains))
+    val r = SparkEntry.queries("q168_bloom_calibration")(spark, sf).head()
+    assert(r.getLong(0) === inserted.length.toLong)
+    assert(r.getLong(1) === bits.size.toLong)
+    assert(r.getLong(2) === probes.length.toLong)
+    assert(r.getLong(3) === nFp.toLong)
+    assert(r.getBoolean(4))
+  }
+
   test("q162 triangle counts match a brute-force driver enumeration") {
     val es = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
       .collect()
