@@ -265,6 +265,8 @@ object SparkEntry {
       graft.operators.Sketches.q167PretrainE2e(s, d)),
     "q168_bloom_calibration"  -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q168BloomCalibration(s, d)),
+    "q169_word_entropy"       -> ((s: SparkSession, d: String) =>
+      TextAnalysis.q169WordEntropy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -814,6 +816,23 @@ object SparkEntry {
        "n_false_positives * 4096 * 4096 * 4096 <= " +
        "2 * n_probes * n_bits_set * n_bits_set * n_bits_set " +
        "AS within_bound FROM s"),
+    // q169: H = log2(n) − (Σ c·log2 c)/n, per-doc 4dp before the cut
+    // and the rollup; mean rides a DECIMAL sum (order-independent)
+    "q169_word_entropy" ->
+      ("WITH w AS (SELECT source, doc_id, unnest(string_split(text, ' ')) " +
+       "AS w FROM documents), " +
+       "cnt AS (SELECT source, doc_id, w, count(*) AS c FROM w " +
+       "GROUP BY 1, 2, 3), " +
+       "d AS (SELECT source, doc_id, " +
+       "round(log2(CAST(sum(c) AS DOUBLE)) - " +
+       "sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / " +
+       "CAST(sum(c) AS DOUBLE), 4) AS h " +
+       "FROM cnt GROUP BY 1, 2) " +
+       "SELECT source, count(*) AS n_docs, " +
+       "round(CAST(sum(CAST(h AS DECIMAL(18,4))) AS DOUBLE) / count(*), " +
+       "4) AS mean_entropy, min(h) AS min_entropy, " +
+       "CAST(sum(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_low_entropy FROM d GROUP BY source"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

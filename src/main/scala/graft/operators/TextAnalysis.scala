@@ -905,4 +905,38 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** q169: WORD-ENTROPY QUALITY SIGNAL — per-document Shannon entropy of
+    * the word distribution, the repetition/gibberish detector the
+    * surface ratios (q27) and the Gopher rules (q152) can't see: a page
+    * of one phrase repeated has healthy length, alphabet and stopword
+    * ratios but collapsed entropy. Computed via the sum decomposition
+    * H = log2(n) − (Σ c·log2 c)/n so the per-doc aggregation is one
+    * map-side-combinable Σ c·log2 c over the (doc, word) counts — the
+    * same two-shuffle shape as every token rollup here, nothing
+    * corpus-wide. Per-doc H is rounded to 4dp BEFORE the low-entropy
+    * cut and the per-source mean, so the threshold compare and the
+    * rollup are engine-stable (the q143 ULP lesson). */
+  def q169WordEntropy(spark: SparkSession, dir: String,
+      lowBits: Double = 3.0): DataFrame = {
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log2(col("c").cast("double")))
+          .as("clc"))
+      .select(col("source"),
+        round(log2(col("n").cast("double")) -
+          col("clc") / col("n").cast("double"), 4).as("h"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("h").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("mean_entropy"),
+        min(col("h")).as("min_entropy"),
+        sum(when(col("h") < lowBits, 1L).otherwise(0L))
+          .as("n_low_entropy"))
+  }
 }

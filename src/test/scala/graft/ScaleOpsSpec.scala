@@ -1988,6 +1988,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getBoolean(4))
   }
 
+  test("q169 word entropy matches a driver-side recomputation") {
+    def h(words: Seq[String]): Double = {
+      val n = words.length.toDouble
+      val clc = words.groupBy(identity).values
+        .map(g => g.length.toDouble * (math.log(g.length) / math.log(2.0)))
+        .sum
+      val v = math.log(n) / math.log(2.0) - clc / n
+      math.rint(v * 10000.0) / 10000.0
+    }
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val hs = ds.map(d => h(d._2))
+      src -> ((ds.length.toLong,
+        math.rint(hs.sum / hs.length * 10000.0) / 10000.0,
+        hs.min, hs.count(_ < 3.0).toLong))
+    }
+    val got = SparkEntry.queries("q169_word_entropy")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (src, (n, mean, mn, low)) =>
+      val e = expected(src)
+      assert(n === e._1)
+      assert(math.abs(mean - e._2) < 2e-4, s"$src mean $mean vs ${e._2}")
+      assert(math.abs(mn - e._3) < 2e-4)
+      assert(low === e._4, s"$src low-entropy count")
+    }
+  }
+
   test("q162 triangle counts match a brute-force driver enumeration") {
     val es = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
       .collect()
