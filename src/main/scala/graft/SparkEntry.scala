@@ -267,6 +267,8 @@ object SparkEntry {
       graft.operators.Sketches.q168BloomCalibration(s, d)),
     "q169_word_entropy"       -> ((s: SparkSession, d: String) =>
       TextAnalysis.q169WordEntropy(s, d)),
+    "q170_dim_variance"       -> ((s: SparkSession, d: String) =>
+      Similarity.q170DimVariance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -833,6 +835,20 @@ object SparkEntry {
        "4) AS mean_entropy, min(h) AS min_entropy, " +
        "CAST(sum(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT) " +
        "AS n_low_entropy FROM d GROUP BY source"),
+    // q170: 4dp-rounded components into DECIMAL make the sums exact and
+    // order-independent; the variance tree is identical double ops; rank
+    // on the 6dp value with dim tie-break
+    "q170_dim_variance" ->
+      ("WITH e AS (SELECT CAST(u.j - 1 AS BIGINT) AS dim, " +
+       "CAST(round(CAST(embedding[u.j] AS DOUBLE), 4) AS DECIMAL(14,4)) " +
+       "AS x4 FROM embeddings, " +
+       "UNNEST(generate_series(1, len(embedding))) AS u(j)), " +
+       "a AS (SELECT dim, count(*) AS n, sum(x4) AS s1, " +
+       "sum(x4 * x4) AS s2 FROM e GROUP BY dim) " +
+       "SELECT dim, round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+       "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+       "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance " +
+       "FROM a ORDER BY variance DESC, dim ASC LIMIT 8"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

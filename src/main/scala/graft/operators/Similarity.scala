@@ -632,4 +632,35 @@ object Similarity {
         round(avg(col("ratio")), 4).as("mean_ratio"),
         min(col("ratio")).as("min_ratio"))
   }
+
+  /** q170: DIMENSION-VARIANCE FEATURE RANKING — the kBest criterion
+    * applied to the embedding space: rank dimensions by variance across
+    * the corpus and keep the top-k (low-variance dims carry no signal
+    * and are the first to prune before indexing/quantization; q158
+    * audits the front-k PREFIX convention, this ranks dims
+    * individually). Numerically exact by construction: components are
+    * 4dp-rounded into DECIMAL, so Σx and Σx² are order-independent
+    * integers in disguise; the variance (Σx²)/n − (Σx/n)² is then two
+    * exact casts and four double ops in a fixed tree — no
+    * sum-order wobble to absorb, only the final 6dp presentation round.
+    * One posexplode + one 64-group partial agg + a top-k sort over 64
+    * rows: the exchange carries per-dimension sums, never vectors. */
+  def q170DimVariance(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d").cast("bigint").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(x, 4) AS DECIMAL(14,4))")).as("s1"),
+        sum(expr("CAST(round(x, 4) AS DECIMAL(14,4)) * " +
+          "CAST(round(x, 4) AS DECIMAL(14,4))")).as("s2"))
+      .select(col("dim"),
+        round(col("s2").cast("double") / col("n").cast("double") -
+          (col("s1").cast("double") / col("n").cast("double")) *
+          (col("s1").cast("double") / col("n").cast("double")), 6)
+          .as("variance"))
+      .orderBy(col("variance").desc, col("dim").asc)
+      .limit(k)
 }

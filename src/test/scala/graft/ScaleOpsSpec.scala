@@ -2019,6 +2019,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 dimension variances match a driver-side exact recompute") {
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val expected = (0 until dims).map { d =>
+      // same quantization: 4dp HALF_UP into exact decimal units
+      val q = vecs.map(v => math.rint(v(d).toDouble * 10000.0).toLong)
+      val n = q.length.toDouble
+      val s1 = q.sum.toDouble / 10000.0
+      val s2 = q.map(x => x * x).sum.toDouble / 1e8
+      d.toLong -> math.rint((s2 / n - (s1 / n) * (s1 / n)) * 1e6) / 1e6
+    }.toMap
+    val top = expected.toSeq.sortBy { case (d, v) => (-v, d) }.take(8)
+    val got = SparkEntry.queries("q170_dim_variance")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq === top.map(_._1).toSeq,
+      s"selected dims ${got.map(_._1).toSeq} vs ${top.map(_._1).toSeq}")
+    got.foreach { case (d, v) =>
+      assert(math.abs(v - expected(d)) < 2e-6, s"dim $d: $v vs ${expected(d)}")
+    }
+  }
+
   test("q162 triangle counts match a brute-force driver enumeration") {
     val es = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
       .collect()
