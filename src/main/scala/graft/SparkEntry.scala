@@ -269,6 +269,7 @@ object SparkEntry {
       TextAnalysis.q169WordEntropy(s, d)),
     "q170_dim_variance"       -> ((s: SparkSession, d: String) =>
       Similarity.q170DimVariance(s, d)),
+    "q171_csv_roundtrip"      -> Relational.q171CsvRoundtrip _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -849,6 +850,14 @@ object SparkEntry {
        "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
        "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance " +
        "FROM a ORDER BY variance DESC, dim ASC LIMIT 8"),
+    // q171: the oracle reads the ORIGINAL table — equality pins the CSV
+    // quote/escape round trip (tricky = 'a,\"' || lang || '\",b')
+    "q171_csv_roundtrip" ->
+      ("SELECT count(*) AS n_docs, " +
+       "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+       "CAST(sum(len(concat('a,\"', lang, '\",b'))) AS BIGINT) " +
+       "AS sum_tricky_len, " +
+       "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

@@ -120,6 +120,43 @@ object Relational {
     out
   }
 
+  /** q171: CSV SINK + SCAN roundtrip — the remaining cell of the format
+    * matrix (parquet q03, ORC q154, JSONL ingest q103): write a
+    * projection as quoted CSV, read it back with an explicit schema, and
+    * pin the round trip against the ORIGINAL table. The projection
+    * includes a deliberately hostile column (embedded commas and double
+    * quotes) so the quote/escape path is what's being gated, not just
+    * happy-path tokens — a CSV writer that mis-escapes shifts columns
+    * and fails the count/char-sum equality loudly. Same per-invocation
+    * scratch-dir discipline as q03/q154. */
+  def q171CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q171_" +
+      java.util.UUID.randomUUID().toString
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("bigint").as("n_chars"),
+        concat(lit("a,\""), col("lang"), lit("\",b")).as("tricky"))
+      .write.mode("overwrite").option("header", "true")
+      // the reader's ignore*WhiteSpace defaults silently TRIM unquoted
+      // fields (RelationalSpec pins the trailing-space case) — a CSV
+      // pipeline that round-trips must disable them on both ends
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(out)
+    val back = spark.read
+      .schema("doc_id BIGINT, source STRING, lang STRING, " +
+        "n_chars BIGINT, tricky STRING")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(out)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("tricky")).cast("bigint")).as("sum_tricky_len"),
+        countDistinct(col("lang")).as("n_langs"))
+      .localCheckpoint()
+    graft.util.Fs.deleteRecursively(out)
+    back
+  }
+
   /** DQ-4 — two-column projection (ref: P1 select, SelfTraining.scala:137). */
   def q04Project(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))

@@ -123,6 +123,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(got === full)
   }
 
+  test("q171 CSV roundtrip preserves hostile strings byte for byte") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "a,\"x\",b"), (2L, "line with, commas"), (3L, "\"\"quoted\"\""),
+      (4L, ""), (5L, "trailing space "))
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q171_spec_" +
+      java.util.UUID.randomUUID().toString
+    try {
+      // ignore*WhiteSpace default to TRUE on read and silently trim
+      // unquoted fields — the roundtrip needs them off explicitly
+      hostile.toDF("id", "s").write.option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(out)
+      val back = spark.read
+        .schema("id BIGINT, s STRING")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(out)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+        .toMap
+      assert(back === hostile.toMap)
+    } finally graft.util.Fs.deleteRecursively(out)
+    // and the gated aggregate equals the source-of-truth recompute
+    val got = SparkEntry.queries("q171_csv_roundtrip")(spark, sf).head()
+    val e = graft.sources.Tables.load(spark, sf, "documents")
+      .agg(count(lit(1)), sum(col("n_chars").cast("bigint")),
+        sum(length(concat(lit("a,\""), col("lang"), lit("\",b")))
+          .cast("bigint")),
+        countDistinct(col("lang"))).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))))
+  }
+
   test("q62 bin-bucketed interval join equals the direct band join, no nested loop") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
