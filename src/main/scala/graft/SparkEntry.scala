@@ -270,6 +270,7 @@ object SparkEntry {
     "q170_dim_variance"       -> ((s: SparkSession, d: String) =>
       Similarity.q170DimVariance(s, d)),
     "q171_csv_roundtrip"      -> Relational.q171CsvRoundtrip _,
+    "q172_null_semantics"     -> Relational.q172NullSemantics _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -858,6 +859,25 @@ object SparkEntry {
        "CAST(sum(len(concat('a,\"', lang, '\",b'))) AS BIGINT) " +
        "AS sum_tricky_len, " +
        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents"),
+    // q172: ANSI three-valued logic, pinned identically: NOT IN drops
+    // NULL keys; NOT IN over a NULL-bearing list is empty; DISTINCT
+    // excludes NULLs while GROUP BY keeps one NULL group
+    "q172_null_semantics" ->
+      ("WITH d AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+       "ELSE CAST(o_custkey % 100 AS BIGINT) END AS v FROM orders), " +
+       "base AS (SELECT count(*) AS n_rows, " +
+       "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_null, " +
+       "CAST(sum(CASE WHEN v IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_in, " +
+       "CAST(sum(CASE WHEN v NOT IN (1, 2, 3) THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_not_in, " +
+       "CAST(sum(CASE WHEN v NOT IN (1, 2, NULL) THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_not_in_null_list, " +
+       "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct FROM d), " +
+       "g AS (SELECT count(*) AS n_groups FROM " +
+       "(SELECT v, count(*) AS c FROM d GROUP BY v)) " +
+       "SELECT * FROM base CROSS JOIN g"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

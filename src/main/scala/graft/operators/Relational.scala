@@ -157,6 +157,36 @@ object Relational {
     back
   }
 
+  /** q172: NULL-SEMANTICS CONTRACT CANARY — the three-valued-logic
+    * behaviors every engine swap silently breaks, pinned as integers
+    * (the q142 pattern, applied to NULL logic instead of timestamp
+    * encodings): a nullable key is injected over orders, then one pass
+    * counts (1) IN over a literal list, (2) NOT IN — NULL keys drop out
+    * under 3VL, they are neither in nor not-in, (3) NOT IN against a
+    * list CONTAINING a NULL — the classic trap, provably zero rows
+    * forever, (4) COUNT(DISTINCT) — excludes NULLs, versus (5) GROUP BY
+    * — which collates all NULLs into one real group, so the two
+    * "distinct" notions differ by exactly one. Engines agree on ANSI
+    * semantics here; the canary exists so any future non-ANSI
+    * regression (or a port to an engine with different defaults) fails
+    * the gate loudly rather than corrupting filters downstream. */
+  def q172NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val v = when(col("o_orderkey") % 7 === 0, lit(null))
+      .otherwise(col("o_custkey") % 100)
+    val d = t(spark, dir, "orders").select(v.cast("bigint").as("v"))
+    val base = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("v").isin(1, 2, 3), 1L).otherwise(0L)).as("n_in"),
+      sum(when(!col("v").isin(1, 2, 3), 1L).otherwise(0L)).as("n_not_in"),
+      sum(when(!col("v").isin(lit(1), lit(2), lit(null)), 1L)
+        .otherwise(0L)).as("n_not_in_null_list"),
+      countDistinct(col("v")).as("n_distinct"))
+    base.crossJoin(
+      d.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups")))
+  }
+
   /** DQ-4 — two-column projection (ref: P1 select, SelfTraining.scala:137). */
   def q04Project(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))

@@ -157,6 +157,20 @@ class RelationalSpec extends AnyFunSuite {
       === ((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))))
   }
 
+  test("q172 null semantics: the 3VL identities hold on the fixture") {
+    val r = SparkEntry.queries("q172_null_semantics")(spark, sf).head()
+    val (rows, nulls, in, notIn, notInNull, distinct, groups) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(nulls > 0 && in > 0, "fixture must exercise both regimes")
+    // NULL keys are neither IN nor NOT IN
+    assert(in + notIn + nulls === rows)
+    // NOT IN against a NULL-bearing list can never be true
+    assert(notInNull === 0L)
+    // GROUP BY keeps exactly one NULL group that DISTINCT excludes
+    assert(groups === distinct + 1)
+  }
+
   test("q62 bin-bucketed interval join equals the direct band join, no nested loop") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
