@@ -271,6 +271,8 @@ object SparkEntry {
       Similarity.q170DimVariance(s, d)),
     "q171_csv_roundtrip"      -> Relational.q171CsvRoundtrip _,
     "q172_null_semantics"     -> Relational.q172NullSemantics _,
+    "q173_stream_timeout"     -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamTimeout(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -878,6 +880,17 @@ object SparkEntry {
        "g AS (SELECT count(*) AS n_groups FROM " +
        "(SELECT v, count(*) AS c FROM d GROUP BY v)) " +
        "SELECT * FROM base CROSS JOIN g"),
+    // q173: data calls precede timeout processing in a batch, so every
+    // reaped summary carries the complete per-user aggregate; reap iff
+    // the final watermark passed last + gap (GroupState's ms clock)
+    "q173_stream_timeout" ->
+      ("WITH u AS (SELECT user_id, count(*) AS n_events, " +
+       "CAST(max(epoch_us(ts)) AS BIGINT) AS last_us FROM events " +
+       "GROUP BY user_id), " +
+       "s AS (SELECT max(epoch_us(ts)) // 1000 - 1800000 AS wmf_ms " +
+       "FROM events) " +
+       "SELECT user_id, n_events, last_us FROM u CROSS JOIN s " +
+       "WHERE last_us // 1000 + 7200000 < wmf_ms"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

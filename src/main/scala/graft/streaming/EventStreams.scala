@@ -612,6 +612,76 @@ object EventStreams {
     } finally graft.util.Fs.deleteRecursively(tmp.toString)
   }
 
+  case class TimeoutState(count: Long, lastUs: Long)
+  case class TimedOutUser(user_id: Long, n_events: Long, last_us: Long)
+
+  /** q173: EVENT-TIME-TIMEOUT STATE REAPING — the corner q53's scaladoc
+    * defers: a custom flatMapGroupsWithState machine whose per-user
+    * state is closed by the WATERMARK, not by new data. Each data call
+    * updates (count, last event time) and arms an event-time timeout at
+    * last + gap, emitting nothing; the timeout callback emits the user's
+    * final summary exactly once and removes the state — the
+    * sessionize-by-inactivity pattern that keeps executor state bounded
+    * by ACTIVE keys on an unbounded feed (idle keys are reaped, which
+    * NoTimeout q53 never does). Two mtime-ordered files (bulk, then the
+    * tail that advances the watermark) drive the machine through both
+    * firing regimes — users reaped mid-stream after the first watermark
+    * advance, and users reaped by the final watermark — while users
+    * still active near stream end hold their state and never emit. Since
+    * data calls precede timeout processing within a batch, an emitted
+    * summary always carries the user's COMPLETE count, so the oracle is
+    * the per-user aggregate filtered by last + gap < final watermark
+    * (millisecond arithmetic, matching GroupState's timeout clock). */
+  def qStreamTimeout(spark: SparkSession, dir: String,
+      gapMs: Long = 7200000L): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_timeout")
+    try {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"))
+      def stage(name: String, pred: org.apache.spark.sql.Column,
+          mtime: Long): Unit = {
+        val scratch = tmp.resolve(name + "_w").toString
+        ev.filter(pred).coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        val dst = tmp.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        graft.util.Fs.deleteRecursively(scratch)
+      }
+      val cut = "2024-01-30 12:00:00"
+      val t0 = System.currentTimeMillis() - 120000L
+      stage("a.parquet", col("ts") < cut, t0)
+      stage("b.parquet", col("ts") >= cut, t0 + 60000L)
+      val reaped = readEvents(spark, tmp.toString)
+        .withWatermark("ts", "30 minutes")
+        .selectExpr("user_id", "ts", "unix_micros(ts) AS tsm")
+        .as[(Long, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+           state: GroupState[TimeoutState]) =>
+            if (state.hasTimedOut) {
+              val s = state.get
+              state.remove()
+              Iterator(TimedOutUser(uid, s.count, s.lastUs))
+            } else {
+              val prev = state.getOption.getOrElse(TimeoutState(0L, 0L))
+              var c = prev.count; var last = prev.lastUs
+              rows.foreach { r => c += 1; if (r._3 > last) last = r._3 }
+              state.update(TimeoutState(c, last))
+              state.setTimeoutTimestamp(last / 1000L + gapMs)
+              Iterator.empty
+            }
+        }
+      runToMemory(spark, reaped.toDF(),
+        s"q173_stream_${System.nanoTime()}")
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
+
   /** q165: stream-stream LEFT OUTER attribution — q64's join with the
     * semantics production attribution actually needs: purchases WITHOUT a
     * qualifying prior click must surface too (the unconverted-spend

@@ -420,6 +420,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "drops must be visible in at least one emitted count")
   }
 
+  test("q173 timeout reaping: complete summaries for inactive users only") {
+    import org.apache.spark.sql.functions._
+    val GAP_MS = 7200000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wmfMs = ev.map(_._2).max / 1000L - 1800000L
+    val perUser = ev.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).max)).toMap
+    val expected = perUser.collect {
+      case (u, (n, last)) if last / 1000L + GAP_MS < wmfMs =>
+        u -> ((n, last))
+    }.toMap
+    val got = SparkEntry.queries("q173_stream_timeout")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must reap some idle user")
+    assert(got.size < perUser.size,
+      "users active near stream end must keep their state")
+  }
+
   test("q165 outer-join replay: global-watermark expiry splits unmatched purchases") {
     import org.apache.spark.sql.functions._
     val DELAY = 10L * 60L * 1000000L
