@@ -273,6 +273,7 @@ object SparkEntry {
     "q172_null_semantics"     -> Relational.q172NullSemantics _,
     "q173_stream_timeout"     -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamTimeout(s, d)),
+    "q174_schema_evolution"   -> Relational.q174SchemaEvolution _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -891,6 +892,17 @@ object SparkEntry {
        "FROM events) " +
        "SELECT user_id, n_events, last_us FROM u CROSS JOIN s " +
        "WHERE last_us // 1000 + 7200000 < wmf_ms"),
+    // q174: the merged read's answer recomputed from the original table
+    // — lang exists only for the odd (later-batch) half
+    "q174_schema_evolution" ->
+      ("SELECT count(*) AS n_docs, " +
+       "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+       "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_with_lang, " +
+       "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_null_lang, " +
+       "CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) " +
+       "AS BIGINT) AS n_langs FROM documents"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

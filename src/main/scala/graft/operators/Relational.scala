@@ -187,6 +187,41 @@ object Relational {
         .agg(count(lit(1)).as("n_groups")))
   }
 
+  /** q174: SCHEMA-EVOLUTION SCAN — the schema-drift surface every
+    * long-lived ingest hits: an early batch written WITHOUT a column, a
+    * later batch written WITH it, one `mergeSchema` read unifying both —
+    * old rows surface the new column as NULL, and the aggregate pins
+    * exactly which rows carry values. Parquet's per-file self-describing
+    * footers are what make this work (the reason columnar lakes tolerate
+    * additive drift without a migration); by default Spark does NOT pay
+    * the footer-merge cost — `mergeSchema` is an explicit opt-in, and a
+    * reader that forgets it silently drops the new column, which is why
+    * the n_with_lang/n_null_lang split is gate-pinned. Same scratch
+    * discipline as q03/q154/q171. */
+  def q174SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q174_" +
+      java.util.UUID.randomUUID().toString
+    val docs = t(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      .write.parquet(s"$out/b=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("bigint").as("n_chars"), col("lang"))
+      .write.parquet(s"$out/b=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(out)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("lang").isNotNull, 1L).otherwise(0L))
+          .as("n_with_lang"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        countDistinct(col("lang")).as("n_langs"))
+      .localCheckpoint()
+    graft.util.Fs.deleteRecursively(out)
+    back
+  }
+
   /** DQ-4 — two-column projection (ref: P1 select, SelfTraining.scala:137). */
   def q04Project(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))

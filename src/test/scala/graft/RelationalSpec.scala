@@ -171,6 +171,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(groups === distinct + 1)
   }
 
+  test("q174 merged evolution scan backfills the late column with NULLs") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q174_schema_evolution")(spark, sf).head()
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val e = docs.agg(count(lit(1)),
+      sum(col("n_chars").cast("bigint")),
+      sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)),
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)),
+      countDistinct(when(col("doc_id") % 2 === 1, col("lang")))).head()
+    assert((0 to 4).forall(i => got.getLong(i) === e.getLong(i)),
+      s"merged read $got != source recompute $e")
+    assert(got.getLong(2) > 0 && got.getLong(3) > 0,
+      "both schema generations must contribute rows")
+  }
+
   test("q62 bin-bucketed interval join equals the direct band join, no nested loop") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
