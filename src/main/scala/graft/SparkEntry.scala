@@ -274,6 +274,8 @@ object SparkEntry {
     "q173_stream_timeout"     -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamTimeout(s, d)),
     "q174_schema_evolution"   -> Relational.q174SchemaEvolution _,
+    "q175_weighted_sample"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q175WeightedSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -903,6 +905,15 @@ object SparkEntry {
        "AS n_null_lang, " +
        "CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) " +
        "AS BIGINT) AS n_langs FROM documents"),
+    // q175: identical A-ES key tree (u from the hex60 family, one ln,
+    // one division), 4dp micro-scaled with a doc_id tie-break so the
+    // bottom-k cut is engine-deterministic
+    "q175_weighted_sample" ->
+      ("SELECT doc_id, round(-ln((CAST(" +
+       s"${hex60Sql("concat('aes:', doc_id)")} % 1152921504606846976 " +
+       "AS DOUBLE) + 1.0) / 1.152921504606846976e18) / " +
+       "CAST(n_chars AS DOUBLE) * 1000000.0, 4) AS key_micro " +
+       "FROM documents ORDER BY key_micro ASC, doc_id ASC LIMIT 20"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

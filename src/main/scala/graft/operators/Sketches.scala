@@ -623,6 +623,35 @@ object Sketches {
           .as("sp"))
       .transform(hllEstimates(_, keep = Seq("n_distinct")))
 
+  /** q175: WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    * A-ES) — the member the sampling family still lacked: q65 samples
+    * uniformly by hash, q70/q102 per stratum, q127 proportional WITH the
+    * systematic grid; A-ES draws k items with inclusion odds
+    * proportional to weight and WITHOUT replacement, via one pure
+    * projection: key_i = −ln(u_i)/w_i with u_i a hash-derived uniform,
+    * and the sample = global bottom-k keys. That reduction to top-k is
+    * the whole scale story — no sequential pass, no coordination, a
+    * TakeOrderedAndProject over a scan, mergeable across partitions and
+    * days (the reason A-ES is THE distributed weighted sampler). The
+    * hash-derived u keeps the engine's reproducible-sampling contract
+    * (q65): the sample is a pure function of the data, stable across
+    * retries and repartitioning. Keys are 4dp-rounded with a doc_id
+    * tie-break on BOTH sides so the cut is engine-deterministic (q31's
+    * ranking contract). */
+  def q175WeightedSample(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+        ((pmod(sketch60(concat(lit("aes:"), col("doc_id"))),
+          lit(1152921504606846976L)).cast("double") + 1.0) /
+          1.152921504606846976e18).as("u"))
+      .select(col("doc_id"),
+        round(-log(col("u")) / col("w") * 1000000.0, 4).as("key_micro"))
+      .orderBy(col("key_micro").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** q167: THE PRE-TRAINING DATA PATH, END TO END, AS ONE PLAN — quality
     * gate (q152's Gopher rules) → epoch-weighted mixture (q148's
     * hash-rounded integer copies) → copy materialization + copy-aware

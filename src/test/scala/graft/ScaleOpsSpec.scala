@@ -2042,6 +2042,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q175 A-ES sample: exact bottom-k cut, biased toward heavy docs") {
+    import graft.functions.TextFunctions.sketch60
+    val keys = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+        ((pmod(sketch60(concat(lit("aes:"), col("doc_id"))),
+          lit(1152921504606846976L)).cast("double") + 1.0) /
+          1.152921504606846976e18).as("u"))
+      .select(col("doc_id"), col("w"),
+        round(-log(col("u")) / col("w") * 1000000.0, 4).as("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = keys.sortBy(r => (r._3, r._1)).take(20).map(_._1).toSeq
+    val got = SparkEntry.queries("q175_weighted_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected, "bottom-k cut must match the driver replay")
+    // weighted bias: the sample's mean weight exceeds the corpus mean
+    val sampleW = keys.filter(r => got.contains(r._1)).map(_._2)
+    assert(sampleW.sum / sampleW.length > keys.map(_._2).sum / keys.length,
+      "A-ES must favor heavier documents")
+  }
+
   test("q162 triangle counts match a brute-force driver enumeration") {
     val es = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
       .collect()
