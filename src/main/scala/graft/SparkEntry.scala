@@ -276,6 +276,8 @@ object SparkEntry {
     "q174_schema_evolution"   -> Relational.q174SchemaEvolution _,
     "q175_weighted_sample"    -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q175WeightedSample(s, d)),
+    "q176_jl_projection"      -> ((s: SparkSession, d: String) =>
+      Similarity.q176JlProjection(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -914,6 +916,27 @@ object SparkEntry {
        "AS DOUBLE) + 1.0) / 1.152921504606846976e18) / " +
        "CAST(n_chars AS DOUBLE) * 1000000.0, 4) AS key_micro " +
        "FROM documents ORDER BY key_micro ASC, doc_id ASC LIMIT 20"),
+    // q176: identical hash-sign matrix, identical left-to-right folds
+    // (the q158 contract), only the final ratio rounded
+    "q176_jl_projection" ->
+      ("WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+       "embedding, list_transform(generate_series(0, 15), j -> " +
+       "list_sum(list_transform(generate_series(1, 64), d -> " +
+       s"CASE WHEN ${hex60Sql("concat('jl:', j, ':', d - 1)")} % 2 = 0 " +
+       "THEN CAST(embedding[d] AS DOUBLE) " +
+       "ELSE -CAST(embedding[d] AS DOUBLE) END)) / 4.0) AS p " +
+       "FROM embeddings), " +
+       "pr AS (SELECT a.label, round(" +
+       "sqrt(list_sum(list_transform(generate_series(1, 16), j -> " +
+       "(a.p[j] - b.p[j]) * (a.p[j] - b.p[j])))) / " +
+       "sqrt(list_sum(list_transform(generate_series(1, 64), d -> " +
+       "(CAST(a.embedding[d] AS DOUBLE) - CAST(b.embedding[d] AS DOUBLE)) " +
+       "* (CAST(a.embedding[d] AS DOUBLE) - " +
+       "CAST(b.embedding[d] AS DOUBLE))))), 4) AS ratio " +
+       "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1) " +
+       "SELECT label, count(*) AS n_pairs, " +
+       "round(avg(ratio), 4) AS mean_ratio, min(ratio) AS min_ratio, " +
+       "max(ratio) AS max_ratio FROM pr GROUP BY label"),
     // q161: integer-exact two-level census; the balance band floors an
     // identical IEEE double division on both sides
     "q161_k_anonymity" ->

@@ -633,6 +633,54 @@ object Similarity {
         min(col("ratio")).as("min_ratio"))
   }
 
+  /** q176: JOHNSON–LINDENSTRAUSS PROJECTION + DISTORTION AUDIT — the
+    * other dimensionality-reduction lever next to truncation (q158) and
+    * per-dim selection (q170): project 64 → 16 dims through a
+    * DETERMINISTIC ±1 matrix derived from the portable hash family
+    * (sign(j,d) = parity of hash("jl:j:d")) scaled by 1/√16, then audit
+    * what JL promises — pairwise Euclidean distances survive — on the
+    * consecutive-id pair set: ratio = dist₁₆/dist₆₄ per pair, rolled up
+    * per label (count, mean, min, max at 4dp). The hash-derived matrix
+    * is the scale move: no matrix to broadcast, no RNG seed to
+    * coordinate — any executor (or engine: the oracle rebuilds the same
+    * signs) regenerates entry (j,d) locally, so the projection is a pure
+    * per-row expression. Folds are left-to-right on both engines (the
+    * q158 contract) and only the final ratio is rounded. */
+  def q176JlProjection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    def signed(e: org.apache.spark.sql.Column,
+        j: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(pmod(sketch60(concat(lit("jl:"), j.cast("string"), lit(":"),
+        d.cast("string"))), lit(2L)) === 0L, e).otherwise(-e)
+    val proj = transform(sequence(lit(0), lit(15)), j =>
+      aggregate(
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => signed(x.cast("double"), j, d)),
+        lit(0.0), (acc, t) => acc + t) / 4.0)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        col("embedding"), proj.as("p"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("b.vec_id") === col("a.vec_id") + 1)
+    def dist(va: org.apache.spark.sql.Column,
+        vb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sqrt(aggregate(zip_with(va, vb,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, t) => acc + t))
+    pairs
+      .select(col("a.label").as("label"),
+        round(dist(col("a.p"), col("b.p")) /
+          dist(col("a.embedding"), col("b.embedding")), 4).as("ratio"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("ratio")), 4).as("mean_ratio"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
+  }
+
   /** q170: DIMENSION-VARIANCE FEATURE RANKING — the kBest criterion
     * applied to the embedding space: rank dimensions by variance across
     * the corpus and keep the top-k (low-variance dims carry no signal

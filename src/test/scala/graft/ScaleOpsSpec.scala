@@ -2062,6 +2062,55 @@ class ScaleOpsSpec extends AnyFunSuite {
       "A-ES must favor heavier documents")
   }
 
+  test("q176 JL distortion matches a driver replay and preserves distances") {
+    // the replay's sign matrix is md5-based (hex60Local), so build and run
+    // the engine plan under the same hash family
+    graft.functions.TextFunctions.withOracleMode(true) {
+    import graft.functions.TextFunctions.hex60Local
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(16) { j =>
+        var acc = 0.0
+        var d = 0
+        while (d < v.length) {
+          acc += (if (hex60Local(s"jl:$j:$d") % 2 == 0) v(d) else -v(d))
+          d += 1
+        }
+        acc / 4.0
+      }
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val ratios = vecs.flatMap { case (id, lab, v) =>
+      byId.get(id + 1).map { case (_, _, w) =>
+        lab -> math.rint(dist(proj(v), proj(w)) / dist(v, w) * 10000.0) / 10000.0
+      }
+    }
+    val expected = ratios.groupBy(_._1).view.mapValues { rs =>
+      val vs = rs.map(_._2)
+      (vs.length.toLong,
+        math.rint(vs.sum / vs.length * 10000.0) / 10000.0, vs.min, vs.max)
+    }.toMap
+    val got = SparkEntry.queries("q176_jl_projection")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (lab, (n, mean, mn, mx)) =>
+      val e = expected(lab)
+      assert(n === e._1)
+      assert(math.abs(mean - e._2) < 2e-4, s"label $lab mean")
+      assert(math.abs(mn - e._3) < 2e-4 && math.abs(mx - e._4) < 2e-4)
+      // the JL promise itself: distances survive 64 -> 16 on average
+      assert(mean > 0.8 && mean < 1.2, s"label $lab distortion $mean")
+    }
+    }
+  }
+
   test("q162 triangle counts match a brute-force driver enumeration") {
     val es = graft.operators.Dedup.minhashCandidatePairs(spark, sf)
       .collect()
