@@ -14,6 +14,11 @@ run / fork := true
 // The bench/verify drivers tail-parse the LAST stdout line as JSON; sbt's
 // "[success] Total time: …" epilogue would otherwise trail the summary line.
 Global / showSuccess := false
+// ... and sbt's logger prefixes every forked-process line with "[info] ",
+// which still breaks the tail-parse. StdoutOutput passes the forked run's
+// stdout through RAW (no logger, no prefix), so the summary JSON is the
+// literal last stdout line.
+run / outputStrategy := Some(StdoutOutput)
 // lintUnused can't see command-level usage of showSuccess
 Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -278,6 +278,7 @@ object SparkEntry {
       graft.operators.Sketches.q175WeightedSample(s, d)),
     "q176_jl_projection"      -> ((s: SparkSession, d: String) =>
       Similarity.q176JlProjection(s, d)),
+    "q177_grid_datasets"      -> SemiSupervised.qGridDatasets _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -824,8 +825,13 @@ object SparkEntry {
        "(SELECT count(*) FROM prb) AS n_probes, " +
        "(SELECT count(*) FROM fp) AS n_false_positives) " +
        "SELECT n_inserted, n_bits_set, n_probes, n_false_positives, " +
-       "n_false_positives * 4096 * 4096 * 4096 <= " +
-       "2 * n_probes * n_bits_set * n_bits_set * n_bits_set " +
+       "CAST(n_false_positives AS DECIMAL(18,0)) * " +
+       "CAST(4096 AS DECIMAL(6,0)) * CAST(4096 AS DECIMAL(6,0)) * " +
+       "CAST(4096 AS DECIMAL(6,0)) <= " +
+       "CAST(2 AS DECIMAL(2,0)) * CAST(n_probes AS DECIMAL(18,0)) * " +
+       "CAST(n_bits_set AS DECIMAL(6,0)) * " +
+       "CAST(n_bits_set AS DECIMAL(6,0)) * " +
+       "CAST(n_bits_set AS DECIMAL(6,0)) " +
        "AS within_bound FROM s"),
     // q169: H = log2(n) − (Σ c·log2 c)/n, per-doc 4dp before the cut
     // and the rollup; mean rides a DECIMAL sum (order-independent)
@@ -863,8 +869,8 @@ object SparkEntry {
     "q171_csv_roundtrip" ->
       ("SELECT count(*) AS n_docs, " +
        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
-       "CAST(sum(len(concat('a,\"', lang, '\",b'))) AS BIGINT) " +
-       "AS sum_tricky_len, " +
+       "CAST(sum(len(concat('a,\"', COALESCE(lang, ''), '\",b'))) " +
+       "AS BIGINT) AS sum_tricky_len, " +
        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents"),
     // q172: ANSI three-valued logic, pinned identically: NOT IN drops
     // NULL keys; NOT IN over a NULL-bearing list is empty; DISTINCT
@@ -2040,6 +2046,89 @@ object SparkEntry {
        "(SELECT count(*) FROM orders o WHERE NOT EXISTS " +
        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey " +
        "AND c.c_custkey % 97 <> 0))"),
+    // q177: golden-pinned like q84/q141 (MlOracleGen, verified
+    // bit-identical under local[4] and local[32]) - the 3-dataset
+    // uniform-grid AllResults shape, 30 rows
+    "q177_grid_datasets" ->
+      ("SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 A" +
+       "S BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260" +
+       "744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST" +
+       "-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS " +
+       "BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.42" +
+       "77701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS" +
+       " INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.3174603" +
+       "1746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0'" +
+       ", 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(2" +
+       "0 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0," +
+       " 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER)," +
+       " CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744" +
+       "e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_" +
+       "res0', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), C" +
+       "AST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.49447400425661" +
+       "29e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0," +
+       " CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT)," +
+       " 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), (" +
+       "'emb_res0', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGIN" +
+       "T), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.518751055" +
+       "7075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 A" +
+       "S INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.526" +
+       "0744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 's" +
+       "upervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 " +
+       "AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.4826474780455629" +
+       "6e0, 0.0e0), ('emb_res1', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT)" +
+       ", CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023" +
+       "061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-DT', 'kB" +
+       "est', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), " +
+       "CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352" +
+       "901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER)" +
+       ", CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.3174603174603174" +
+       "4e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb" +
+       "_res1', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), " +
+       "CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4969210480920" +
+       "2575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-DT', 'threshold', 0.3e0, 0.8e0" +
+       ", CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT)" +
+       ", 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.516352" +
+       "3513965147e0), ('emb_res1', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), " +
+       "CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.498296645702306" +
+       "1e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-NB', 'thre" +
+       "shold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT)" +
+       ", CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.53104145" +
+       "42675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), " +
+       "CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e" +
+       "0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_r" +
+       "es1', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT)," +
+       " CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155" +
+       "352901148e0, 0.5163523513965147e0), ('emb_res1', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTE" +
+       "GER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.537473794" +
+       "5492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('keel_csv', 'ST-DT'," +
+       " 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS B" +
+       "IGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734" +
+       "924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGE" +
+       "R), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.31372549019607" +
+       "84e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('kee" +
+       "l_csv', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGIN" +
+       "T), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602" +
+       "627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-NB', 'kBest', 0.3e0, 0.5e0," +
+       " CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT)," +
+       " 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.258064516" +
+       "12903225e0), ('keel_csv', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT)" +
+       ", CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.50999592003263" +
+       "97e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-DT', 'kBes" +
+       "t', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CA" +
+       "ST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.47349244154917" +
+       "16e0, 0.3779840848806366e0), ('keel_csv', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CA" +
+       "ST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, " +
+       "0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv" +
+       "', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(" +
+       "16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0," +
+       " 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAS" +
+       "T(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, " +
+       "0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv'" +
+       ", 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAS" +
+       "T(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.518521375914" +
+       "5764e0, 0.25806451612903225e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\"," +
+       " \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"" +
+       "UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")"),
   )
 
   /** Shared oracle for q50 (batch session windows) and q106 (its

@@ -118,15 +118,26 @@ object Linkage {
     * timed + retimed samples), and a fresh persist per invocation would
     * stack duplicate MEMORY_AND_DISK copies of the same parquet, bloating
     * storage memory until other queries' cached state is evicted. */
+  /** ONE live handle per session (not per (session, root)): when the
+    * corpus fingerprint changes, the old root's persisted prefix table
+    * would otherwise stay cached — and strongly referenced — for the JVM
+    * lifetime. Replacing on root change unpersists the stale copy, so a
+    * long-lived host holds exactly one cached prefix table per session. */
   private val prefixHandles = scala.collection.mutable.Map
-    .empty[(SparkSession, String), DataFrame]
+    .empty[SparkSession, (String, DataFrame)]
 
   def q121PrefixJaccardJoin(spark: SparkSession, dir: String): DataFrame = {
     val root = stagePrefixIndexOnce(spark, dir)
     val prefix = prefixHandles.synchronized {
-      prefixHandles.getOrElseUpdate((spark, root),
-        spark.read.parquet(s"$root/prefix")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      prefixHandles.get(spark) match {
+        case Some((r, df)) if r == root => df
+        case stale =>
+          stale.foreach(_._2.unpersist(false))
+          val df = spark.read.parquet(s"$root/prefix")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prefixHandles.update(spark, (root, df))
+          df
+      }
     }
     joinFromPrefixIndex(prefix, spark.read.parquet(s"$root/arrs"))
   }

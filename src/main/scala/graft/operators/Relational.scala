@@ -135,7 +135,11 @@ object Relational {
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars").cast("bigint").as("n_chars"),
-        concat(lit("a,\""), col("lang"), lit("\",b")).as("tricky"))
+        // coalesce: Spark's concat is NULL-absorbing while DuckDB's
+        // concat skips NULL arguments — without it a NULL lang would
+        // silently diverge engine and oracle on sum_tricky_len
+        concat(lit("a,\""), coalesce(col("lang"), lit("")),
+          lit("\",b")).as("tricky"))
       .write.mode("overwrite").option("header", "true")
       // the reader's ignore*WhiteSpace defaults silently TRIM unquoted
       // fields (RelationalSpec pins the trailing-space case) — a CSV

@@ -293,6 +293,52 @@ object SemiSupervised {
       k = 2, seed = 8L, parallelism = 20)
   }
 
+  /** q177: the reference's AllResults ARTIFACT SHAPE gated end-to-end —
+    * the SAME cross-product grid replicated over ≥3 datasets through one
+    * shared-grid run (ref FunctionsSemiSupervised.scala:188-257 iterates 7
+    * Keel datasets × the full grid into one 2,288-row AllResults.csv).
+    * q84 pins the dataset AXIS (heterogeneous cells across 3 datasets) and
+    * q141 pins one dataset's FULL 40-cell product; this pins the
+    * dataset × uniform-grid CROSS — every dataset through an identical
+    * {DT,NB} × {ST,CT,supervised} × {threshold,kBest} grid, 10 cells × 3
+    * datasets = 30 result rows, one runGridShared invocation so all three
+    * datasets' fold/mask frames stage and their fits interleave in the
+    * same concurrent job stream (the 100 TB posture: the grid scheduler
+    * treats datasets as one work queue, not three sequential runs).
+    * Datasets: two DISJOINT strided embedding slices (stride-4 residues 0
+    * and 1 — provably row-disjoint, so per-dataset metrics must differ)
+    * plus the CSV-ingested Keel frame (q84's staged fixture, through the
+    * real reader + featurization pipeline). DT/NB only: the cheap half of
+    * the roster keeps 30 cells ≈ q141's bench cost ÷ 3; RF/LR/LSVC grid
+    * coverage stays with q84/q141. tools/AllResultsGen.scala remains the
+    * on-demand full-scale (120-cell) replica of the same artifact. */
+  def qGridDatasets(spark: SparkSession, dir: String): DataFrame = {
+    def frame(offset: Int): DataFrame = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 4 === offset)
+      .select(
+        array_to_vector(transform(slice(col("embedding"), 1, 32),
+          x => abs(x))).as("features"),
+        (col("label") % 2).cast("double").as("label"))
+    def keelCsvFrame(): DataFrame = {
+      val (raw, featureCols, labelIn) = graft.sources.Ingestion
+        .loadKeelCsv(spark, s"${stageKeelCsv(spark, dir)}/*.csv")
+      graft.ml.Featurization.pipeline(featureCols.toSeq, Nil, labelIn)
+        .fit(raw).transform(raw).select(col("features"), col("label"))
+    }
+    val datasets = Map(
+      "emb_res0" -> frame(0),
+      "emb_res1" -> frame(1),
+      "keel_csv" -> keelCsvFrame())
+    val cells = datasets.keys.toSeq.sorted.flatMap(n => Experiments.grid(n,
+      classifiers = Seq("DT", "NB"),
+      algos = Seq("ST", "CT", "supervised"),
+      pcts = Seq(0.3),
+      criterionValues = Map("threshold" -> Seq(0.8), "kBest" -> Seq(0.5)),
+      maxIter = 1))
+    Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
+      parallelism = 20)
+  }
+
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
   def qSupervisedCv(spark: SparkSession, dir: String): DataFrame = {
     val df = new UnlabeledTransformer()

@@ -739,10 +739,22 @@ object Sketches {
         .agg(count(lit(1)).as("n_probes")))
       .crossJoin(probeHits.agg(
         coalesce(count(lit(1)), lit(0L)).as("n_false_positives")))
+      // DECIMAL cross-multiply, not BIGINT: with a near-full filter
+      // (n_bits_set → m = 4096) the right side is 2·n_probes·6.9e10,
+      // which wraps silently past n_probes ≈ 7e7 under Spark's non-ANSI
+      // BIGINT while DuckDB raises — at 100 TB the engine and oracle
+      // would diverge instead of failing loudly. Staged widths keep every
+      // product ≤ DECIMAL(38): 18+6+6+6 = 36 left, 2+18+6+6+6 = 38 right
+      // (n_bits_set ≤ m by construction, so DECIMAL(6,0) holds it).
       .withColumn("within_bound",
-        col("n_false_positives") * lit(m.toLong) * m * m <=
-          lit(2L) * col("n_probes") * col("n_bits_set") *
-            col("n_bits_set") * col("n_bits_set"))
+        col("n_false_positives").cast("decimal(18,0)") *
+          lit(m).cast("decimal(6,0)") * lit(m).cast("decimal(6,0)") *
+          lit(m).cast("decimal(6,0)") <=
+          lit(2).cast("decimal(2,0)") *
+            col("n_probes").cast("decimal(18,0)") *
+            col("n_bits_set").cast("decimal(6,0)") *
+            col("n_bits_set").cast("decimal(6,0)") *
+            col("n_bits_set").cast("decimal(6,0)"))
   }
 
   /** (b, rho) columns for the portable md5-hex HLL family: bucket = first

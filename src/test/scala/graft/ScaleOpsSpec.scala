@@ -254,7 +254,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     // precondition at the gated scale factors — if a fixture ever grows a
     // boilerplate cluster past the cap, this fails loudly instead of the
     // gate hash drifting.
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // sf0.1 included: the BENCH runs there, and a boilerplate cluster past
+    // the cap at bench scale would silently diverge engine and oracle
+    // while both gated sfs stayed green (the band table is staged
+    // fingerprint-keyed state, so after the first build this reads parquet)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val maxBucket = graft.operators.Dedup.stagedBandTable(spark, dir)
         .groupBy(col("band"), col("bucket")).count()
         .agg(max(col("count"))).head.getLong(0)
