@@ -58,6 +58,20 @@ object Bench {
       case c if c < ' ' => " "
       case c => c.toString
     }
+  /** Stderr-stamp a warmup phase's duration: when a first timed sample
+    * spikes anyway, the log shows whether the corresponding warm actually
+    * ran (and how long it took) instead of leaving prewarm efficacy to
+    * inference. */
+  private def warmPhase[T](label: String)(body: => T): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      body
+      System.err.println(
+        f"[bench] warm $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warm $label FAILED: ${e.getMessage}") }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,7 +90,7 @@ object Bench {
     // classes JIT ~9s on first fit, which otherwise lands entirely on the
     // alphabetically-first ML query)
     spark.range(100).count()
-    try {
+    warmPhase("ml-roster") {
       import org.apache.spark.ml.classification._
       import org.apache.spark.ml.linalg.Vectors
       import spark.implicits._
@@ -91,8 +105,7 @@ object Bench {
       new NaiveBayes().fit(tiny).transform(tiny).count()
       new LogisticRegression().setMaxIter(5).fit(tiny).transform(tiny).count()
       new LinearSVC().setMaxIter(5).fit(tiny).transform(tiny).count()
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] roster warm failed: ${e.getMessage}") }
+    }
     // Grid-runner warmup: the raw-estimator fits above JIT the mllib
     // kernels, but q141's 40-cell grid additionally JITs the ST/CT wrapper
     // paths (threshold + kBest selection, the cross-teach branch), the CV
@@ -102,10 +115,9 @@ object Bench {
     // timed query. One tiny grid through every runner branch (the same
     // {ST,CT,supervised}×{DT,RF,NB,LR}×{threshold,kBest} product, plus the
     // supervised LSVC path q39 exercises) pays it here, untimed.
-    // try/NonFatal like the streaming warmup below: a failure in the
-    // UNTIMED warm grid must degrade to cold first samples, not abort
-    // the whole bench run
-    try {
+    // warmPhase: a failure in the UNTIMED warm grid must degrade to cold
+    // first samples, not abort the whole bench run
+    warmPhase("grid-runner") {
       import org.apache.spark.ml.linalg.Vectors
       import spark.implicits._
       val tiny = (0 until 256).map { i =>
@@ -136,8 +148,7 @@ object Bench {
         .setFeatureSplit(true).setThreshold(0.8).setMaxIter(1)
         .fitWithSummary(masked)
       fsModel.transform(tiny).count()
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] grid warm failed: ${e.getMessage}") }
+    }
     // Sketch-family codegen warmup. The heavy dedup/sketch expressions
     // (32-seed MinHash aggregate, simhash bit-vote, winnowed fingerprints)
     // generate large whole-stage code whose Janino compile + JIT costs
@@ -148,7 +159,7 @@ object Bench {
     // q116 40 s timed vs 3.4 s steady on a fully-staged host). Evaluating
     // the same expressions on a 4-row frame pays the compile here instead,
     // data-independent by construction.
-    try {
+    warmPhase("sketch-family") {
       import spark.implicits._
       val tiny = Seq.tabulate(4)(i =>
         (i.toLong, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
@@ -209,8 +220,7 @@ object Bench {
       // C2-compiling the join/verify loops on REAL data profiles — a
       // synthetic warm corpus left 8-26 s of deopt/recompile variance in
       // the first timed sample across r14 runs).
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] sketch warm failed: ${e.getMessage}") }
+    }
     // Streaming-machinery warmup: the first streaming query in the timed
     // loop (alphabetically q106) otherwise absorbs the one-time JIT of
     // the whole micro-batch stack — IncrementalExecution, state store,
@@ -218,7 +228,7 @@ object Bench {
     // 1.8 s retimed). A 20-row file stream through a watermarked
     // session-window aggregation (q106's exact operator set) pays it
     // here, untimed and data-independent.
-    try {
+    warmPhase("streaming-stack") {
       import org.apache.spark.sql.functions.{col, count, lit, session_window, timestamp_seconds}
       val tmp = java.nio.file.Files.createTempDirectory("graft_warm_stream")
       spark.range(20).select(col("id"),
@@ -235,8 +245,7 @@ object Bench {
       q.processAllAvailable(); q.stop()
       spark.catalog.dropTempView("graft_warm_stream")
       graft.util.Fs.deleteRecursively(tmp.toFile)
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] stream warm failed: ${e.getMessage}") }
+    }
     graft.functions.VectorMax.register(spark)
     // maintenance sweep of the staged-artifact cache (default policy:
     // 7-day idle, 64 roots/family) BEFORE the prewarm that re-stages

@@ -279,6 +279,9 @@ object SparkEntry {
     "q176_jl_projection"      -> ((s: SparkSession, d: String) =>
       Similarity.q176JlProjection(s, d)),
     "q177_grid_datasets"      -> SemiSupervised.qGridDatasets _,
+    "q178_cdc_chunks"         -> Dedup.q178CdcChunks _,
+    "q179_dedup_discount_mix" -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q179DedupDiscountMix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -656,6 +659,31 @@ object SparkEntry {
        "count(*) AS n_docs, CAST(sum(copies) AS BIGINT) AS n_copies, " +
        "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
        "FROM c GROUP BY source"),
+    // q179: the q67 recursive-CTE component chain feeds cluster sizes,
+    // then q148's integer copy arithmetic with factor_ppm DIV csize —
+    // bit-exact end to end (singletons absent from lab count 1)
+    "q179_dedup_discount_mix" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       ccCtes + ", " +
+       "sz AS (SELECT root, count(*) AS csize FROM lab GROUP BY root), " +
+       "dd AS (SELECT d.doc_id, d.source, " +
+       "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks, " +
+       "COALESCE(sz.csize, 1) AS csize FROM documents d " +
+       "LEFT JOIN lab ON lab.n = d.doc_id " +
+       "LEFT JOIN sz ON sz.root = lab.root), " +
+       "fx AS (SELECT doc_id, source, n_toks, csize, " +
+       s"(500000 + ${hex60Sql("source")} % 3000000) // csize AS eff_ppm " +
+       "FROM dd), " +
+       "cp AS (SELECT source, n_toks, csize, eff_ppm // 1000000 + " +
+       s"(CASE WHEN ${hex60Sql("concat('d4:', doc_id)")} % 1000000 < " +
+       "eff_ppm % 1000000 THEN 1 ELSE 0 END) AS copies FROM fx) " +
+       "SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_clustered, " +
+       "CAST(max(csize) AS BIGINT) AS max_csize, " +
+       "CAST(sum(copies) AS BIGINT) AS n_copies, " +
+       "CAST(sum(copies * n_toks) AS BIGINT) AS n_tokens_out " +
+       "FROM cp GROUP BY source"),
     // q158: identical left-to-right fold, float->double widening exact,
     // sqrt + per-row ratio and the rollup mean both 4dp (libm contract)
     "q158_truncation_energy" ->
@@ -2046,6 +2074,34 @@ object SparkEntry {
        "(SELECT count(*) FROM orders o WHERE NOT EXISTS " +
        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey " +
        "AND c.c_custkey % 97 <> 0))"),
+    // q178: same hex60 boundary + chunk fingerprints, same window
+    // arithmetic; string_agg ORDER BY pos is the array_sort twin;
+    // integer floor-division ppm on both sides
+    "q178_cdc_chunks" ->
+      ("WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t " +
+       "FROM documents), " +
+       "tk AS (SELECT doc_id, source, u.i AS pos, t[u.i] AS tok FROM d, " +
+       "UNNEST(generate_series(1, len(t))) u(i)), " +
+       "f AS (SELECT doc_id, source, pos, tok, CASE WHEN " +
+       s"${hex60Sql("tok")} % 8 = 0 THEN 1 ELSE 0 END AS brk FROM tk), " +
+       "c AS (SELECT doc_id, source, pos, tok, SUM(brk) OVER " +
+       "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED " +
+       "PRECEDING AND CURRENT ROW) - brk AS chunk FROM f), " +
+       "ch AS (SELECT doc_id, source, chunk, " +
+       "string_agg(tok, ' ' ORDER BY pos) AS chunk_text, " +
+       "count(*) AS n_words FROM c GROUP BY 1, 2, 3), " +
+       "cf AS (SELECT doc_id, source, n_words, " +
+       s"${hex60Sql("chunk_text")} AS cfp FROM ch), " +
+       "sh AS (SELECT cfp, count(DISTINCT doc_id) AS nd FROM cf " +
+       "GROUP BY cfp) " +
+       "SELECT source, count(*) AS n_chunks, " +
+       "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_shared_chunks, " +
+       "CAST(sum(n_words) AS BIGINT) AS n_words, " +
+       "CAST(max(n_words) AS BIGINT) AS max_chunk_words, " +
+       "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000 " +
+       "// count(*) AS BIGINT) AS shared_ppm " +
+       "FROM cf JOIN sh USING (cfp) GROUP BY source"),
     // q177: golden-pinned like q84/q141 (MlOracleGen, verified
     // bit-identical under local[4] and local[32]) - the 3-dataset
     // uniform-grid AllResults shape, 30 rows

@@ -1021,4 +1021,67 @@ object Dedup {
       .agg(max(col("span_tokens")).as("max_span"),
         count(lit(1)).as("n_spans"))
   }
+
+  /** q178: CONTENT-DEFINED CHUNKING (CDC) dedup audit — the
+    * insertion-robust chunking a storage/dedup system uses (gear/Rabin
+    * CDC), at word granularity: a chunk boundary falls after any token
+    * whose 60-bit sketch ≡ 0 (mod 8), so boundaries depend ONLY on local
+    * content. Insert a sentence into a document and only the chunk it
+    * lands in reflows — every later chunk keeps its byte-identical
+    * fingerprint, which is exactly what fixed-size chunking (q79) loses
+    * (one insertion shifts every subsequent window) and what winnowed
+    * k-gram fingerprints (q36) only approximate pairwise. Per source:
+    * chunk counts, cross-document shared-chunk count (fingerprint seen in
+    * ≥2 distinct docs), and a shared-ppm integer ratio.
+    *
+    * Scale shape: the only per-document state is a window keyed by doc_id
+    * (bounded by document length — no cross-document ordering anywhere);
+    * chunk texts reduce to 60-bit fingerprints BEFORE the cross-document
+    * exchange, so the sharing join moves (fp, doc_id) pairs, never text;
+    * the rollup is a |sources|-row aggregate. Expected chunk length is the
+    * divisor (8 words) — tune up for longer chunks at higher corpus scale.
+    * Integer-exact throughout (counts + floor-division ppm), so the DuckDB
+    * twin matches bit-for-bit under the hex60 oracle family. */
+  def q178CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkTable(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")))
+    val shared = chunks.groupBy(col("cfp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(shared, Seq("cfp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(col("n_words")).as("n_words"),
+        max(col("n_words")).as("max_chunk_words"))
+      .withColumn("shared_ppm",
+        expr("n_shared_chunks * 1000000 DIV n_chunks"))
+  }
+
+  /** The CDC chunk table behind q178: (doc_id, source, chunk, chunk_text,
+    * n_words, cfp) from a (doc_id, source, text) frame. Boundary after any
+    * token whose sketch ≡ 0 (mod 8); the boundary token closes its chunk.
+    * Factored out so the insertion-robustness property is directly
+    * testable (ScaleOpsSpec). */
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val flagged = toks.withColumn("brk",
+      when(pmod(sketch60(col("tok")), lit(8)) === 0, 1L).otherwise(0L))
+    // the boundary token CLOSES its chunk: chunk id = boundaries strictly
+    // before this token = running sum minus the token's own flag
+    val withChunk = flagged.withColumn("chunk",
+      sum(col("brk")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))) - col("brk"))
+    withChunk
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(
+        // order-exact chunk text without a second window: sort the
+        // (pos, tok) structs inside the aggregate (pos leads the struct,
+        // so array_sort is positional order)
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), s => s.getField("tok")), " ")
+          .as("chunk_text"),
+        count(lit(1)).as("n_words"))
+      .withColumn("cfp", sketch60(col("chunk_text")))
+  }
 }

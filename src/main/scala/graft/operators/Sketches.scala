@@ -549,6 +549,52 @@ object Sketches {
         sum(col("copies") * col("n_toks")).as("n_tokens_out"))
   }
 
+  /** q179: DEDUP-DISCOUNTED EPOCH MIXTURE — the D4-style recipe (dedup
+    * then diversify) that closes the gap between the dedup family and the
+    * mixture family: a document's epoch weight is its source's mixture
+    * factor (q148's 0.5–3.5-epoch base) DIVIDED by its near-dup CLUSTER
+    * SIZE, so a 40-way-duplicated boilerplate cluster contributes ~one
+    * document's worth of tokens to the epoch no matter how many copies
+    * crawled in — instead of drop-all-but-one (q73's survivors) or
+    * keep-everything (q148). Cluster structure is the SHARED staged
+    * component labels ([[graft.operators.Dedup.stagedComponentLabels]],
+    * same table q67/q73/q88 read; singletons absent from the label table
+    * count 1). Copies stay integer end to end: eff_ppm = factor_ppm DIV
+    * csize, whole part + hash-rounded fractional part exactly as q148, so
+    * the per-source expectation hits factor/csize exactly and the DuckDB
+    * twin (recursive-CTE components + identical integer arithmetic) is
+    * bit-exact.
+    *
+    * Scale shape: two equi-joins on doc_id/root (co-partitionable; the
+    * label table is |clustered docs| ≤ corpus), zero new shuffles beyond
+    * them, and the |sources|-row rollup is map-side combined. The cluster
+    * sizes never require document text — the discount plan touches only
+    * (doc_id, source, n_toks) plus the 2-column label table. */
+  def q179DedupDiscountMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    val labels = graft.operators.Dedup.stagedComponentLabels(spark, dir)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("label"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .withColumn("factor_ppm",
+        lit(500000L) + pmod(sketch60(col("source")), lit(3000000L)))
+      .withColumn("eff_ppm", expr("factor_ppm DIV csize"))
+      .withColumn("copies",
+        expr("eff_ppm DIV 1000000") +
+          when(pmod(sketch60(concat_ws(":", lit("d4"), col("doc_id"))),
+            lit(1000000L)) < col("eff_ppm") % 1000000, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        max(col("csize")).as("max_csize"),
+        sum(col("copies")).as("n_copies"),
+        sum(col("copies") * col("n_toks")).as("n_tokens_out"))
+  }
+
   /** q159: SEQUENCE-PACKING BOUNDARY AUDIT — the concat-and-chunk step a
     * pre-training loader runs between tokenization (q155) and shard
     * emission (q110/q150): each source's documents are concatenated in

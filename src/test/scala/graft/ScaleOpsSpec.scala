@@ -2140,4 +2140,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(t <= deg * (deg - 1) / 2, s"doc $d: $t triangles, deg $deg")
     }
   }
+
+  test("q178 CDC chunking is insertion-robust; fixed windows are not") {
+    import spark.implicits._
+    // 200 deterministic pseudo-words, then the same doc with ONE word
+    // inserted near the front — the CDC selling point is that only the
+    // chunk containing the insertion reflows
+    val words = (0 until 200).map(i => s"w${(i * 2654435761L) % 997}")
+    val inserted = (words.take(10) :+ "INSERTED") ++ words.drop(10)
+    val docs = Seq(
+      (1L, "srcA", words.mkString(" ")),
+      (2L, "srcA", inserted.mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val chunks = graft.operators.Dedup.cdcChunkTable(docs)
+      .select(col("doc_id"), col("cfp")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (a, b) = (chunks(1L), chunks(2L))
+    // every original chunk except the (possibly split) one holding the
+    // insertion survives byte-identically: ≤ 2 of A's fingerprints missing
+    val lost = (a -- b).size
+    assert(lost <= 2, s"CDC lost $lost of ${a.size} chunks on one insertion")
+    assert(a.size >= 10, s"divisor-8 CDC should cut ~25 chunks, got ${a.size}")
+    // contrast: FIXED 8-word windows lose every window after the insertion
+    def fixedFps(ws: Seq[String]): Set[String] =
+      ws.grouped(8).map(_.mkString(" ")).toSet
+    val fixedLost = (fixedFps(words) -- fixedFps(inserted)).size
+    assert(fixedLost > a.size / 2,
+      s"fixed windows should shift nearly everywhere, lost only $fixedLost")
+  }
 }
