@@ -51,6 +51,20 @@ object Bench {
       usedMb(_.contains("Metaspace")))
   }
 
+  /** Cumulative GC seconds + used heap MB — the remaining late-JVM-tax
+    * channel once the r16 samples exonerated the codegen cache (≤3k of
+    * 40k entries) and the code heap (≤180 MB of 1 g): old-gen garbage
+    * from 178 queries' worth of broadcasts/accumulators lands its
+    * collection cost on the many-threaded late workloads. */
+  private def jvmGcHeap(): (Double, Long) = {
+    import scala.jdk.CollectionConverters._
+    val gcMs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val heap = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    (gcMs / 1000.0, heap)
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -349,6 +363,7 @@ object Bench {
     val calibMlPre = calibMlSecs()
     val cgPre = codegenCacheEntries()
     val codePre = jvmCodeMb()
+    val gcPre = jvmGcHeap()
     // deterministic name-sorted execution (Map iteration order is
     // hash-dependent; sorted order makes per-round timings comparable)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -371,6 +386,7 @@ object Bench {
     val calibMlPost = calibMlSecs()
     val cgPost = codegenCacheEntries()
     val codePost = jvmCodeMb()
+    val gcPost = jvmGcHeap()
     // Re-time once more EVERY query whose first sample is nontrivial
     // (≥0.5 s — the r10 lesson: sub-top-5 blips like q15–q18 at 1.0–2.4 s
     // still needed a judge re-run to adjudicate), plus unconditionally the
@@ -417,6 +433,7 @@ object Bench {
     val calibMlPostRetime = calibMlSecs()
     val cgPostRetime = codegenCacheEntries()
     val codePostRetime = jvmCodeMb()
+    val gcPostRetime = jvmGcHeap()
     calibMlDf.unpersist(false)
     // The harness keeps only the LAST ~2000 chars of stdout: 140 per-query
     // keys overflow that window and the line gets decapitated (r13 lost 28
@@ -461,7 +478,9 @@ object Bench {
     // the artifact alone instead of inferred from calibMl drift
     val jvm = s"""{"cgEntries":[$cgPre,$cgPost,$cgPostRetime],""" +
       s""""codeMb":[${codePre._1},${codePost._1},${codePostRetime._1}],""" +
-      s""""metaMb":[${codePre._2},${codePost._2},${codePostRetime._2}]}"""
+      s""""metaMb":[${codePre._2},${codePost._2},${codePostRetime._2}],""" +
+      s""""gcSec":[${sec(gcPre._1)},${sec(gcPost._1)},${sec(gcPostRetime._1)}],""" +
+      s""""heapMb":[${gcPre._2},${gcPost._2},${gcPostRetime._2}]}"""
     // value = SECOND sample only; the first sample is queries[qNN] by
     // construction (emitting the pair would double the field's footprint
     // in the size-bounded stdout line for zero information)

@@ -282,6 +282,10 @@ object SparkEntry {
     "q178_cdc_chunks"         -> Dedup.q178CdcChunks _,
     "q179_dedup_discount_mix" -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q179DedupDiscountMix(s, d)),
+    "q180_zipf_slope"         -> ((s: SparkSession, d: String) =>
+      TextAnalysis.q180ZipfSlope(s, d)),
+    "q181_repetition_rules"   -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.q181RepetitionRules(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -861,6 +865,64 @@ object SparkEntry {
        "CAST(n_bits_set AS DECIMAL(6,0)) * " +
        "CAST(n_bits_set AS DECIMAL(6,0)) " +
        "AS within_bound FROM s"),
+    // q180: 4dp-rounded ln coordinates (same doubles both engines), all
+    // four Σ in DECIMAL, one fixed double tree for the slope, 4dp out;
+    // rank ties broken by token so the top-50 cut is deterministic
+    "q180_zipf_slope" ->
+      ("WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "f AS (SELECT source, tok, count(*) AS c FROM w GROUP BY 1, 2), " +
+       "r AS (SELECT source, c, row_number() OVER (PARTITION BY source " +
+       "ORDER BY c DESC, tok) AS rank FROM f), " +
+       "p AS (SELECT source, c, round(ln(CAST(rank AS DOUBLE)), 4) AS x, " +
+       "round(ln(CAST(c AS DOUBLE)), 4) AS y FROM r WHERE rank <= 50), " +
+       "a AS (SELECT source, count(*) AS n_ranks, max(c) AS top_freq, " +
+       "sum(CAST(x AS DECIMAL(18,4))) AS sx, " +
+       "sum(CAST(y AS DECIMAL(18,4))) AS sy, " +
+       "sum(CAST(x * y AS DECIMAL(24,10))) AS sxy, " +
+       "sum(CAST(x * x AS DECIMAL(24,10))) AS sxx FROM p GROUP BY source) " +
+       "SELECT source, n_ranks, CAST(top_freq AS BIGINT) AS top_freq, " +
+       "round((n_ranks * CAST(sxy AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+       "(n_ranks * CAST(sxx AS DOUBLE) - " +
+       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope " +
+       "FROM a"),
+    // q181: same integer cross-multiplied bounds; the dup-5-gram
+    // coverage replays the identical gaps-and-islands running-max union
+    "q181_repetition_rules" ->
+      ("WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS arr " +
+       "FROM documents), " +
+       "b AS (SELECT doc_id, source, CAST(len(arr) AS BIGINT) AS n FROM d), " +
+       "g2 AS (SELECT doc_id, array_to_string(list_slice(arr, p, p + 1), ' ') AS g " +
+       "FROM d, UNNEST(generate_series(1, len(arr) - 1)) AS t(p)), " +
+       "o2 AS (SELECT doc_id, max(c) AS occ2 FROM (SELECT doc_id, g, " +
+       "count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id), " +
+       "g3 AS (SELECT doc_id, array_to_string(list_slice(arr, p, p + 2), ' ') AS g " +
+       "FROM d, UNNEST(generate_series(1, len(arr) - 2)) AS t(p)), " +
+       "o3 AS (SELECT doc_id, max(c) AS occ3 FROM (SELECT doc_id, g, " +
+       "count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id), " +
+       "g5 AS (SELECT doc_id, CAST(p AS BIGINT) AS s, " +
+       "array_to_string(list_slice(arr, p, p + 4), ' ') AS g " +
+       "FROM d, UNNEST(generate_series(1, len(arr) - 4)) AS t(p)), " +
+       "dup AS (SELECT doc_id, s FROM (SELECT doc_id, s, " +
+       "count(*) OVER (PARTITION BY doc_id, g) AS cnt FROM g5) WHERE cnt >= 2), " +
+       "cov AS (SELECT doc_id, sum(s + 4 - greatest(" +
+       "coalesce(pe + 4, s - 1), s - 1)) AS covered FROM (SELECT doc_id, s, " +
+       "max(s) OVER (PARTITION BY doc_id ORDER BY s " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dup) " +
+       "GROUP BY doc_id), " +
+       "v AS (SELECT b.source, " +
+       "10 * coalesce(occ2, 0) > n AS f2, " +
+       "50 * coalesce(occ3, 0) > 3 * n AS f3, " +
+       "20 * coalesce(covered, 0) > 3 * n AS f5 " +
+       "FROM b LEFT JOIN o2 USING (doc_id) LEFT JOIN o3 USING (doc_id) " +
+       "LEFT JOIN cov USING (doc_id)) " +
+       "SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_top2, " +
+       "CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_top3, " +
+       "CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup5, " +
+       "CAST(sum(CASE WHEN NOT f2 AND NOT f3 AND NOT f5 THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_pass FROM v GROUP BY source"),
     // q169: H = log2(n) − (Σ c·log2 c)/n, per-doc 4dp before the cut
     // and the rollup; mean rides a DECIMAL sum (order-independent)
     "q169_word_entropy" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -375,4 +376,88 @@ object Curation {
         sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_classes"),
         sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_rows"),
         min(col("n")).as("min_class_size"))
+
+  /** q181: WITHIN-DOCUMENT REPETITION RULES — the Gopher repetition
+    * family (Rae et al. 2021, App. A1.2–A1.5) that q152's A1.1 bounds
+    * deliberately left out: a document whose mass concentrates in one
+    * repeated n-gram, or whose text is largely covered by DUPLICATED
+    * 5-grams, is machine-generated boilerplate no length/stopword rule
+    * catches. Token-based restatement of the paper's character fractions
+    * (the corpus is single-space tokenized, so token and character
+    * fractions rank identically), each rule INTEGER-EXACT via
+    * cross-multiplied bounds (the q152 discipline):
+    *   - top-2-gram: fail when 2·occ₂ᵐᵃˣ/n > 0.20  ⇔  10·occ₂ᵐᵃˣ > n;
+    *   - top-3-gram: fail when 3·occ₃ᵐᵃˣ/n > 0.18  ⇔  50·occ₃ᵐᵃˣ > 3·n;
+    *   - dup-5-gram: fail when covered/n > 0.15    ⇔  20·covered > 3·n,
+    *     where `covered` is the EXACT number of token positions inside at
+    *     least one occurrence of a 5-gram that appears ≥2× in the doc —
+    *     the paper's "fraction of characters inside duplicate n-grams",
+    *     computed as a gaps-and-islands interval union (running-max of
+    *     span ends over the doc-ordered occurrence list), so overlapping
+    *     occurrences are never double-counted.
+    *
+    * Scale shape: every shuffle is keyed by doc_id (or doc_id+gram) —
+    * partition state is bounded by DOCUMENT length, never corpus size;
+    * the per-doc verdicts collapse into a |sources|-row rollup. The
+    * n-gram tables are transient explode products (no materialization),
+    * and the interval union is one doc-partitioned window over only the
+    * DUPLICATED occurrences. Composes with q167's gate the way q152
+    * does: `pass` is a pure per-doc predicate. */
+  def q181RepetitionRules(spark: SparkSession, dir: String): DataFrame =
+    repetitionRollup(Tables.load(spark, dir, "documents"))
+
+  /** q181's engine over any (doc_id, source, text) frame — the spec's
+    * overlap fixtures drive this directly. */
+  private[graft] def repetitionRollup(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("arr"))
+    val base = docs.select(col("doc_id"), col("source"),
+      size(col("arr")).cast("bigint").as("n"))
+    // max per-doc occurrence count of any k-gram (0 when the doc is
+    // shorter than k — restored by the left join's coalesce)
+    def topK(k: Int): DataFrame = docs
+      .filter(size(col("arr")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(arr) - ${k - 1}), " +
+        s"p -> array_join(slice(arr, p, $k), ' '))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as(s"occ$k"))
+    // exact token positions covered by duplicated 5-grams: occurrences
+    // of grams with per-doc count ≥ 2, spans [s, s+4] unioned via a
+    // running max of prior span ends
+    val occ5 = docs
+      .filter(size(col("arr")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(arr) - 4), " +
+        "p -> array_join(slice(arr, p, 5), ' '))")).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("s"), col("g"))
+    val dupOcc = occ5
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("g"))))
+      .filter(col("cnt") >= 2)
+    val covered = dupOcc
+      .withColumn("pe", max(col("s")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("doc_id"),
+        (col("s") + 4 - greatest(coalesce(col("pe") + 4, col("s") - 1),
+          col("s") - 1)).as("cov"))
+      .groupBy(col("doc_id")).agg(sum(col("cov")).as("covered"))
+    val verdicts = base
+      .join(topK(2), Seq("doc_id"), "left")
+      .join(topK(3), Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("source"),
+        (lit(10) * coalesce(col("occ2"), lit(0L)) > col("n")).as("f2"),
+        (lit(50) * coalesce(col("occ3"), lit(0L)) > lit(3) * col("n")).as("f3"),
+        (lit(20) * coalesce(col("covered"), lit(0L)) > lit(3) * col("n")).as("f5"))
+    verdicts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("fail_top2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("fail_top3"),
+        sum(when(col("f5"), 1L).otherwise(0L)).as("fail_dup5"),
+        sum(when(!col("f2") && !col("f3") && !col("f5"), 1L)
+          .otherwise(0L)).as("n_pass"))
+  }
 }

@@ -939,4 +939,49 @@ object TextAnalysis {
         sum(when(col("h") < lowBits, 1L).otherwise(0L))
           .as("n_low_entropy"))
   }
+
+  /** q180: ZIPF-SLOPE lexical-health fit — the corpus-linguistics check a
+    * curation pass runs per source: natural text follows freq ∝ rank^s
+    * with s ≈ −1; a slope near 0 flags templated/boilerplate sources
+    * (flat head) and a steep slope flags degenerate repetition. Closed-form
+    * least squares of y = ln(freq) on x = ln(rank) over each source's top
+    * `topR` vocabulary ranks (frequency-desc, token tie-break — fully
+    * deterministic ranking in any engine).
+    *
+    * Numeric contract: ln is libm → each coordinate is 4dp-rounded FIRST
+    * (the q20/q101 precedent), making x and y the same doubles in both
+    * engines; every Σ (x, y, xy, x²) then rides DECIMAL so partial-agg
+    * order can't move a bit; the final slope is one fixed double tree over
+    * those exact sums, rounded 4dp. Scale shape: the ranking input is the
+    * per-source VOCABULARY (map-side-combined counts — sublinear in corpus
+    * tokens), the per-source window sorts vocab not corpus, and everything
+    * after rank ≤ topR is a |sources|-row rollup. */
+  def q180ZipfSlope(spark: SparkSession, dir: String,
+      topR: Int = 50): DataFrame = {
+    val freq = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val pts = freq
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("tok"))))
+      .filter(col("rank") <= topR)
+      .select(col("source"), col("c"),
+        round(log(col("rank").cast("double")), 4).as("x"),
+        round(log(col("c").cast("double")), 4).as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        max(col("c")).as("top_freq"),
+        sum(col("x").cast("decimal(18,4)")).as("sx"),
+        sum(col("y").cast("decimal(18,4)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(24,10)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(24,10)")).as("sxx"))
+      .select(col("source"), col("n_ranks"), col("top_freq"),
+        round((col("n_ranks") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_ranks") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 4)
+          .as("zipf_slope"))
+  }
 }

@@ -2168,4 +2168,63 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(fixedLost > a.size / 2,
       s"fixed windows should shift nearly everywhere, lost only $fixedLost")
   }
+
+  test("q180 Zipf slope matches a driver-side least-squares recompute") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+      // rank by (freq desc, token asc) — the query's deterministic order
+      val top = counts.sortBy { case (tok, c) => (-c, tok) }.take(50)
+      val pts = top.zipWithIndex.map { case ((_, c), i) =>
+        (math.rint(math.log(i + 1.0) * 10000.0) / 10000.0,
+          math.rint(math.log(c.toDouble) * 10000.0) / 10000.0)
+      }
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      src -> ((pts.length.toLong, top.map(_._2).max,
+        math.rint(slope * 10000.0) / 10000.0))
+    }
+    val got = SparkEntry.queries("q180_zipf_slope")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (src, (n, top, slope)) =>
+      val e = expected(src)
+      assert(n === e._1, s"$src n_ranks")
+      assert(top === e._2, s"$src top_freq")
+      assert(math.abs(slope - e._3) < 2e-4, s"$src slope $slope vs ${e._3}")
+      // any real token stream ranks downhill: slope strictly negative
+      assert(slope < 0.0 && slope > -5.0, s"$src implausible slope $slope")
+    }
+  }
+
+  test("q181 repetition rules: interval union counts overlaps once") {
+    import spark.implicits._
+    // doc 1: "a b a b a b ..." — the top 2-gram "a b" owns the doc, and
+    // every 5-gram repeats, so BOTH top2 and dup5 fire. Its duplicated
+    // 5-gram occurrences overlap heavily: naive 5·occurrences would be
+    // ≫ n, the exact union is the whole doc.
+    // doc 2: 60 distinct words — nothing repeats, all rules pass.
+    // doc 3: two copies of one 5-gram inside otherwise-distinct text —
+    //   covered = exactly 10 of 70 tokens (no overlap), under the 15%
+    //   bound ⇒ dup5 must NOT fire; top2 occ=2 over n=70 passes too.
+    val rep = Seq.fill(30)("a b").mkString(" ")
+    val uniq = (0 until 60).map("u" + _).mkString(" ")
+    val planted = ((0 until 20).map("v" + _) ++ Seq("p q r s t") ++
+      (20 until 60).map("v" + _) ++ Seq("p q r s t")).mkString(" ")
+    val docs = Seq((1L, "sA", rep), (2L, "sB", uniq), (3L, "sC", planted))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Curation.repetitionRollup(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("sA") === ((1L, 1L, 1L, 1L, 0L)), s"sA ${got("sA")}")
+    assert(got("sB") === ((1L, 0L, 0L, 0L, 1L)), s"sB ${got("sB")}")
+    assert(got("sC") === ((1L, 0L, 0L, 0L, 1L)), s"sC ${got("sC")}")
+  }
 }
