@@ -783,6 +783,93 @@ object TextAnalysis {
     out
   }
 
+  /** q182: TOKENIZER COVERAGE / OOV AUDIT — the number that decides
+    * whether a trained BPE table TRANSFERS to a new corpus slice: train
+    * the merge table on one slice (the English documents — the q153
+    * target-domain convention), export its vocabulary (every symbol
+    * present in the trained dictionary's final encoding — characters that
+    * training always merged away are NOT in the vocab file, exactly like
+    * a real tokenizer export), then encode the ENTIRE corpus and report,
+    * per source, how many emitted symbols fall outside that vocabulary.
+    * A source with a high OOV ppm needs tokenizer retraining before its
+    * data can join the mixture — the go/no-go a data-acquisition review
+    * reads.
+    *
+    * Scale shape: training is q149's bounded-dict collect; the corpus
+    * pass encodes the DISTINCT-word frame once (memoized by
+    * construction), marks OOV symbols via a broadcast join against the
+    * vocab table (vocab-bounded — never a per-row literal scan), and the
+    * per-source rollup rides (source, word, count) — occurrence counts
+    * cross the exchange, never occurrences. */
+  def q182TokenizerCoverage(spark: SparkSession, dir: String,
+      nMerges: Int = 20, vocabCap: Int = 12): DataFrame =
+    tokenizerCoverage(Tables.load(spark, dir, "documents"),
+      col("lang") === "en", nMerges, vocabCap)
+
+  /** q182's engine over any (source, lang, text) frame. */
+  private[graft] def tokenizerCoverage(docs: DataFrame,
+      trainPred: org.apache.spark.sql.Column, nMerges: Int,
+      vocabCap: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-(source, word) occurrence counts: the encode join and the
+    // rollup carry counts, never the token stream
+    val srcWords = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      .persist(MEMORY_AND_DISK)
+    val trainDict = docs.filter(trainPred)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = trainMerges(trainDict, nMerges)
+    // the exported vocab file: symbols of the trained dict's FINAL
+    // encoding (driver-scale — bounded by the dict, like the training)
+    val vocab = trainDict.iterator
+      .flatMap { case (w, _) => encodeDriver(w, merges) }.toSet
+    val vocabDf = vocab.toSeq.sorted.toDF("sym").withColumn("known", lit(true))
+    val perWord = srcWords.select(col("w")).distinct()
+      .select(col("w"), explode(foldedSyms(merges)).as("sym"))
+      .join(broadcast(vocabDf), Seq("sym"), "left")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_sym"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov_sym"))
+    val out = srcWords.join(perWord, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("n_sym")).as("n_tokens"),
+        sum(col("f") * col("n_oov_sym")).as("n_oov_tokens"),
+        sum(when(col("n_oov_sym") >= 1, col("f")).otherwise(0L))
+          .as("n_oov_words"))
+      .withColumn("oov_ppm", expr("n_oov_tokens * 1000000 DIV n_tokens"))
+      .localCheckpoint()
+    srcWords.unpersist(false)
+    out
+  }
+
+  /** Driver-side twin of [[foldedSyms]] — one greedy left-to-right
+    * non-overlapping pass per merge, same semantics bit for bit (parity
+    * pinned by the q149/q182 specs). Used where the input is already a
+    * bounded driver-side dictionary. */
+  private[graft] def encodeDriver(w: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    var syms = w.map(_.toString).toVector
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (s <- syms) {
+        if (out.nonEmpty && out.last == a && s == b)
+          out(out.length - 1) = a + b
+        else out += s
+      }
+      syms = out.toVector
+    }
+    syms
+  }
+
   /** Classic BPE merge learning over a (word, freq) dict: nMerges rounds
     * of freq-weighted pair counting + argmax (count DESC, pair ASC — a
     * total order, so the table is engine-deterministic) + greedy merge. */

@@ -36,7 +36,7 @@ object MlOracleGen {
       "q40_selftrain_threshold", "q41_selftrain_kbest", "q42_cotrain",
       "q43_supervised_cv", "q44_cotrain_featsplit",
       "q84_experiment_grid", "q141_full_grid", "q149_bpe_encode",
-      "q155_token_ids", "q177_grid_datasets")
+      "q155_token_ids", "q177_grid_datasets", "q182_tokenizer_coverage")
     for (q <- if (args.nonEmpty) all.filter(n => args.exists(n.contains))
               else all) {
       val df = graft.SparkEntry.queries(q)(spark, dir)

@@ -2227,4 +2227,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got("sB") === ((1L, 0L, 0L, 0L, 1L)), s"sB ${got("sB")}")
     assert(got("sC") === ((1L, 0L, 0L, 0L, 1L)), s"sC ${got("sC")}")
   }
+
+  test("q182 tokenizer coverage equals an independent driver-side audit") {
+    import graft.operators.TextAnalysis.{encodeDriver, trainMerges}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getString(2).split(" ", -1).filter(_.nonEmpty).toSeq))
+    // train on the en slice, capped dict — same total order as the query
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    docs.filter(_._2 == "en").foreach(_._3.foreach(w => freq(w) += 1))
+    val dict = freq.toSeq.sortBy { case (w, f) => (-f, w) }.take(12).toArray
+    val merges = trainMerges(dict, 20)
+    val vocab = dict.iterator
+      .flatMap { case (w, _) => encodeDriver(w, merges) }.toSet
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap(_._3)
+      val encs = ws.map(w => encodeDriver(w, merges))
+      val nTok = encs.map(_.size.toLong).sum
+      val nOovTok = encs.map(_.count(s => !vocab(s)).toLong).sum
+      val nOovW = encs.count(_.exists(s => !vocab(s))).toLong
+      src -> ((ws.size.toLong, nTok, nOovTok, nOovW,
+        nOovTok * 1000000L / nTok))
+    }
+    val got = SparkEntry.queries("q182_tokenizer_coverage")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    // the audit must measure something: real OOV somewhere
+    assert(expected.values.map(_._3).sum > 0L, "no OOV anywhere — vacuous")
+  }
 }
