@@ -288,6 +288,8 @@ object SparkEntry {
       graft.operators.Curation.q181RepetitionRules(s, d)),
     "q182_tokenizer_coverage" -> ((s: SparkSession, d: String) =>
       TextAnalysis.q182TokenizerCoverage(s, d)),
+    "q183_stream_mixture"     -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamMixtureShards(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -300,6 +302,25 @@ object SparkEntry {
     * engine-deterministic. The model-fit queries (q35, q39-q44, q84) are
     * pinned by golden-value constant oracles (see the comment at their
     * block) — nothing is rows-only. */
+  /** The q148 copies replayed row for row, fanned out one row per epoch
+    * copy, then the q110 manifest rollup keyed by the copy-aware hex60
+    * shard hash — ONE text shared by batch q150 and its streaming ingest
+    * twin q183 (bit-identical manifests by construction). */
+  private lazy val mixtureShardSql: String =
+    ("WITH d AS (SELECT source, doc_id, " +
+     "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+     s"500000 + ${hex60Sql("source")} % 3000000 AS factor_ppm FROM documents), " +
+     "c AS (SELECT source, doc_id, n_toks, factor_ppm // 1000000 + " +
+     s"(CASE WHEN ${hex60Sql("concat(source, ':', doc_id)")} % 1000000 < " +
+     "factor_ppm % 1000000 THEN 1 ELSE 0 END) AS copies FROM d), " +
+     "r AS (SELECT source, doc_id, n_toks, " +
+     "unnest(generate_series(1, copies)) AS copy FROM c WHERE copies >= 1), " +
+     s"h AS (SELECT n_toks, ${hex60Sql("concat(source, ':', doc_id, ':', copy)")} AS hv FROM r) " +
+     "SELECT hv % 16 AS shard, count(*) AS n_rows, " +
+     "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+     "CAST(sum(hv % 1073741824) AS BIGINT) AS id_checksum " +
+     "FROM h GROUP BY 1")
+
   def oracleSql: Map[String, String] = Map(
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
     "q24_dedup_minhash" ->
@@ -1197,20 +1218,10 @@ object SparkEntry {
     // epoch copy (generate_series(1, copies) — empty at copies = 0, the
     // engine's filter twin), then the q110 manifest rollup keyed by the
     // copy-aware hex60 shard hash
-    "q150_mixture_shards" ->
-      ("WITH d AS (SELECT source, doc_id, " +
-       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
-       s"500000 + ${hex60Sql("source")} % 3000000 AS factor_ppm FROM documents), " +
-       "c AS (SELECT source, doc_id, n_toks, factor_ppm // 1000000 + " +
-       s"(CASE WHEN ${hex60Sql("concat(source, ':', doc_id)")} % 1000000 < " +
-       "factor_ppm % 1000000 THEN 1 ELSE 0 END) AS copies FROM d), " +
-       "r AS (SELECT source, doc_id, n_toks, " +
-       "unnest(generate_series(1, copies)) AS copy FROM c WHERE copies >= 1), " +
-       s"h AS (SELECT n_toks, ${hex60Sql("concat(source, ':', doc_id, ':', copy)")} AS hv FROM r) " +
-       "SELECT hv % 16 AS shard, count(*) AS n_rows, " +
-       "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
-       "CAST(sum(hv % 1073741824) AS BIGINT) AS id_checksum " +
-       "FROM h GROUP BY 1"),
+    "q150_mixture_shards" -> mixtureShardSql,
+    // q183: the streaming ingest twin drains to the IDENTICAL manifest —
+    // the shared contract is the same SQL text (the q163≡q160 pattern)
+    "q183_stream_mixture" -> mixtureShardSql,
     // q147: the oracle reads the ORIGINAL unpartitioned table — equality
     // pins the partitioned layout's round-trip AND the pruned scan
     "q147_partitioned_scan" ->

@@ -504,9 +504,18 @@ object Sketches {
     * twin rebuilds the identical copies, shard keys and checksums from
     * the hex60 family. */
   def q150MixtureShards(spark: SparkSession, dir: String,
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = 16): DataFrame =
+    mixtureShardRollup(Tables.load(spark, dir, "documents"), nShards)
+
+  /** q150's engine over any (source, doc_id, text) frame. Every step
+    * before the nShards-row rollup is a STATELESS row-local projection
+    * (copies, fan-out, shard hash), which is what makes the identical
+    * code the streaming ingest twin (q183): a streaming frame flows
+    * through unchanged and the only state is the shard rollup. */
+  private[graft] def mixtureShardRollup(docs: DataFrame,
+      nShards: Int): DataFrame = {
     import graft.functions.TextFunctions.sketch60
-    val d = Tables.load(spark, dir, "documents").select(
+    val d = docs.select(
       col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("bigint").as("n_toks"),
       (lit(500000L) + pmod(sketch60(col("source")), lit(3000000L)))

@@ -555,6 +555,51 @@ object EventStreams {
               .as("sp")))
     }
 
+  /** q183: STREAMING MIXTURE MATERIALIZATION — q150's epoch-weighted
+    * shard manifest maintained under INCREMENTAL ingest, the q163≡q160
+    * bridge for the mixture path: a pre-training data loader that shards
+    * as documents ARRIVE must converge on exactly the manifest a batch
+    * rebuild would produce, or its recipe accounting is unauditable.
+    * Everything before the rollup is the SHARED stateless projection
+    * ([[graft.operators.Sketches.mixtureShardRollup]] — copies, fan-out,
+    * copy-aware shard hash are all row-local, so they stream unchanged);
+    * the only state is the |shards|-row complete-mode rollup, and because
+    * count/sum are order- and batching-insensitive the drained manifest is
+    * BIT-IDENTICAL to batch q150 — the shared-contract oracle pins it.
+    * The corpus is staged as two DISJOINT mtime-ordered halves so the
+    * shard state genuinely merges across micro-batches (one staged file
+    * would prove only single-batch equivalence). */
+  def qStreamMixtureShards(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix")
+    try {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      def stage(name: String, pred: org.apache.spark.sql.Column,
+          mtime: Long): Unit = {
+        val scratch = tmp.resolve(name + "_w").toString
+        docs.filter(pred).coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        val dst = tmp.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        graft.util.Fs.deleteRecursively(scratch)
+      }
+      val t0 = System.currentTimeMillis() - 120000L
+      stage("a.parquet", col("doc_id") % 2 === 0, t0)
+      stage("b.parquet", col("doc_id") % 2 === 1, t0 + 60000L)
+      val batch = spark.readStream
+        .schema(inferredSchema(spark, tmp.toString))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.toString)
+      val agg = graft.operators.Sketches.mixtureShardRollup(batch, nShards)
+      runToMemory(spark, agg,
+        s"q183_stream_${System.nanoTime()}", OutputMode.Complete())
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
+
   /** q164: WATERMARK LATE-DATA ACCOUNTING — the semantics every streaming
     * aggregation at scale lives or dies by, pinned end to end: which late
     * rows are DROPPED, which windows EMIT, and with what counts. The

@@ -385,6 +385,20 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("q183 streaming mixture manifest equals the batch manifest (q150)") {
+    // the two disjoint mtime-ordered halves drain through the shared
+    // stateless projection; count/sum merging across micro-batches must
+    // land on exactly the batch shard manifest, row for row
+    val stream = SparkEntry.queries("q183_stream_mixture")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = SparkEntry.queries("q150_mixture_shards")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stream === batch)
+    assert(stream.size > 1, "manifest should span multiple shards")
+  }
+
   test("q164 lateness replay: drops, boundary merge, unemitted tail all appear") {
     import org.apache.spark.sql.functions._
     val HOUR = 3600L * 1000000L
