@@ -51,6 +51,24 @@ object Bench {
       usedMb(_.contains("Metaspace")))
   }
 
+  /** Number of live CacheManager entries (cached logical plans). Every
+    * query's planning walks this list looking for cache hits, paying a
+    * canonicalized plan comparison per entry — so stale entries tax ALL
+    * later queries in proportion to THEIR plan size, exactly the
+    * late-suite ML-grid signature. Read via reflection (no public API). */
+  private def cachedPlanEntries(spark: org.apache.spark.sql.SparkSession): Int =
+    try {
+      val cm = spark.sharedState.cacheManager
+      val f = cm.getClass.getDeclaredMethods
+        .find(_.getName == "cachedData")
+      f.map(_.invoke(cm)) match {
+        case Some(it: java.lang.Iterable[_]) =>
+          var n = 0; val i = it.iterator(); while (i.hasNext) { i.next(); n += 1 }; n
+        case Some(s: scala.collection.Iterable[_]) => s.size
+        case _ => -1
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1 }
+
   /** Cumulative GC seconds + used heap MB — the remaining late-JVM-tax
     * channel once the r16 samples exonerated the codegen cache (≤3k of
     * 40k entries) and the code heap (≤180 MB of 1 g): old-gen garbage
@@ -134,7 +152,11 @@ object Bench {
     warmPhase("grid-runner") {
       import org.apache.spark.ml.linalg.Vectors
       import spark.implicits._
-      val tiny = (0 until 256).map { i =>
+      // 1024 rows, not a handful: the tiered JIT only promotes the grid
+      // runner's fit/selection loops to C2 once they're genuinely hot, and
+      // a too-small warm frame leaves that promotion inside q141's first
+      // timed sample (r16: 31 s first vs 18 s retimed on a 256-row warm)
+      val tiny = (0 until 1024).map { i =>
         (Vectors.dense(i % 7.0, i % 13.0, (i / 16 % 5).toDouble,
           (i * 2654435761L % 97).toDouble), (i % 2).toDouble)
       }.toDF("features", "label")
@@ -364,6 +386,7 @@ object Bench {
     val cgPre = codegenCacheEntries()
     val codePre = jvmCodeMb()
     val gcPre = jvmGcHeap()
+    val cpPre = cachedPlanEntries(spark)
     // deterministic name-sorted execution (Map iteration order is
     // hash-dependent; sorted order makes per-round timings comparable)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -387,6 +410,7 @@ object Bench {
     val cgPost = codegenCacheEntries()
     val codePost = jvmCodeMb()
     val gcPost = jvmGcHeap()
+    val cpPost = cachedPlanEntries(spark)
     // Re-time once more EVERY query whose first sample is nontrivial
     // (≥0.5 s — the r10 lesson: sub-top-5 blips like q15–q18 at 1.0–2.4 s
     // still needed a judge re-run to adjudicate), plus unconditionally the
@@ -434,6 +458,7 @@ object Bench {
     val cgPostRetime = codegenCacheEntries()
     val codePostRetime = jvmCodeMb()
     val gcPostRetime = jvmGcHeap()
+    val cpPostRetime = cachedPlanEntries(spark)
     calibMlDf.unpersist(false)
     // The harness keeps only the LAST ~2000 chars of stdout: 140 per-query
     // keys overflow that window and the line gets decapitated (r13 lost 28
@@ -480,6 +505,7 @@ object Bench {
       s""""codeMb":[${codePre._1},${codePost._1},${codePostRetime._1}],""" +
       s""""metaMb":[${codePre._2},${codePost._2},${codePostRetime._2}],""" +
       s""""gcSec":[${sec(gcPre._1)},${sec(gcPost._1)},${sec(gcPostRetime._1)}],""" +
+      s""""cachedPlans":[$cpPre,$cpPost,$cpPostRetime],""" +
       s""""heapMb":[${gcPre._2},${gcPost._2},${gcPostRetime._2}]}"""
     // value = SECOND sample only; the first sample is queries[qNN] by
     // construction (emitting the pair would double the field's footprint

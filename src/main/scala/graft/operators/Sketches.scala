@@ -852,4 +852,53 @@ object Sketches {
             (lit(m.toLong) - col("n_buckets")).cast("double")))
           .otherwise(col("raw")), 4).as("hll_est"): _*)
   }
+
+  /** q184: TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT — the continuous-
+    * distribution complement of q124's token TV-distance: per event type,
+    * has the VALUE distribution shifted between the early and late halves
+    * of the window? (Feature drift between a training snapshot and live
+    * traffic is the canonical "retrain or don't" monitor.) The KS statistic
+    * D = max_v |F_early(v) − F_late(v)| is made INTEGER-EXACT by cross-
+    * multiplication: at each distinct value, |c1·n2 − c2·n1| over the
+    * merged ECDF support, so both engines compare integers and the 4dp/ppm
+    * wobble of a double ECDF never exists. Emitted as ppm
+    * (⌊10⁶·max|c1·n2 − c2·n1| / (n1·n2)⌋, DECIMAL(38,0) products — BIGINT
+    * would wrap once per-type counts pass ~3·10⁹) plus a drift flag at
+    * D > 0.05 (50 000 ppm — the α-threshold is a consumer constant, kept
+    * integer instead of the libm critical-value formula).
+    *
+    * Scale shape: one shuffle to the (type, value) census (map-side
+    * combined — ties collapse BEFORE the window), then a per-type window
+    * over DISTINCT values for the running ECDFs. The per-type sort is the
+    * honest cost of an exact KS; at 100 TB the drop-in approximation is
+    * binning values first (the same plan over `floor(value·k)`), which
+    * tightens the partition to k rows per type with bounded D error. */
+  def q184KsDrift(spark: SparkSession, dir: String,
+      cut: String = "2024-01-16 00:00:00"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (col("ts") < lit(cut).cast("timestamp")).as("early"))
+    val census = ev.groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("a1"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("a2"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val ecdf = census.select(col("event_type"),
+        sum(col("a1")).over(run).as("c1"),
+        sum(col("a2")).over(run).as("c2"))
+      .select(col("event_type"), col("c1"), col("c2"),
+        max(col("c1")).over(all).as("n1"),
+        max(col("c2")).over(all).as("n2"))
+    ecdf
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n_early"), max(col("n2")).as("n_late"),
+        max(abs(col("c1").cast("decimal(38,0)") * col("n2") -
+          col("c2").cast("decimal(38,0)") * col("n1"))).as("num"))
+      .filter(col("n_early") > 0 && col("n_late") > 0)
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        expr("CAST((num * 1000000) DIV (CAST(n_early AS DECIMAL(38,0)) * " +
+          "CAST(n_late AS DECIMAL(38,0))) AS BIGINT)").as("ks_ppm"))
+      .withColumn("is_drift", col("ks_ppm") > 50000L)
+  }
 }

@@ -2258,4 +2258,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the audit must measure something: real OOV somewhere
     assert(expected.values.map(_._3).sum > 0L, "no OOV anywhere — vacuous")
   }
+
+  test("q184 KS drift equals a driver-side exact two-sample recompute") {
+    val cutUs = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (et, rows) =>
+      val early = rows.filter(_._3 < cutUs).map(_._2).sorted
+      val late = rows.filter(_._3 >= cutUs).map(_._2).sorted
+      val (n1, n2) = (early.length.toLong, late.length.toLong)
+      val support = (early ++ late).distinct.sorted
+      val num = support.map { v =>
+        val c1 = early.count(_ <= v).toLong
+        val c2 = late.count(_ <= v).toLong
+        math.abs(c1 * n2 - c2 * n1)
+      }.max
+      et -> ((n1, n2, num * 1000000L / (n1 * n2)))
+    }
+    val got = SparkEntry.queries("q184_ks_drift")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (et, (n1, n2, ppm, flag)) =>
+      val e = expected(et)
+      assert((n1, n2, ppm) === e, s"$et")
+      assert(flag === (ppm > 50000L), s"$et flag")
+    }
+    // same synthetic distribution both halves: D should sit well under
+    // the D≈1 a real shift would produce (sanity that ppm is a fraction)
+    assert(got.values.forall(_._3 < 1000000L))
+  }
 }
