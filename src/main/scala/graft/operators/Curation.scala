@@ -460,4 +460,53 @@ object Curation {
         sum(when(!col("f2") && !col("f3") && !col("f5"), 1L)
           .otherwise(0L)).as("n_pass"))
   }
+
+  /** q185: CURRICULUM-PHASE MANIFEST — the data-ORDERING side of a
+    * training recipe (curriculum learning / annealed data schedules:
+    * "start on the plainest text, finish on the densest"): rank every
+    * document by an integer difficulty key (lexical diversity,
+    * distinct-tokens-per-token ppm), then cut the ranked corpus into
+    * `phases` consecutive slices of EQUAL TOKEN BUDGET — phase k of a
+    * 4-phase curriculum owns tokens [k·T/4, (k+1)·T/4) of the ranked
+    * stream. Emits the manifest a data loader schedules from: per phase,
+    * docs, tokens, and the difficulty band it spans.
+    *
+    * Scale shape — the global running sum is a DISTRIBUTED two-level
+    * prefix sum, not a single-partition window: (1) one map-side-combined
+    * shuffle to per-difficulty-value token subtotals (|distinct scores|
+    * rows — vocabulary-sized); (2) the running offset over those
+    * subtotals is a window over that SMALL frame; (3) each doc's global
+    * offset = its score's base offset + an intra-score window partitioned
+    * BY score (bounded by the ties at one difficulty value; a degenerate
+    * corpus where half the docs tie at one score would need the q54 salt
+    * there). The phase id is then pure row-local integer arithmetic
+    * ((cum−1)·phases DIV total), and the manifest rollup is |phases| rows.
+    * Deterministic total order: (score, doc_id). */
+  def q185CurriculumPhases(spark: SparkSession, dir: String,
+      phases: Int = 4): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast("bigint").as("n_toks"),
+        expr("CAST(size(array_distinct(arr)) AS BIGINT) * 1000000" +
+          " DIV size(arr)").as("score"))
+    // (1) per-score token subtotals; (2) running base offset over them
+    val wScore = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy(col("score"))
+      .agg(sum(col("n_toks")).as("toks_at"))
+      .withColumn("base", coalesce(sum(col("toks_at")).over(wScore), lit(0L)))
+      .select(col("score"), col("base"))
+    val total = docs.agg(sum(col("n_toks"))).first().getLong(0)
+    // (3) intra-score running sum + the score's base = global prefix sum
+    val wIntra = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(bases, Seq("score"))
+      .withColumn("cum", col("base") + sum(col("n_toks")).over(wIntra))
+      .select(col("score"), col("n_toks"),
+        expr(s"(cum - 1) * $phases DIV ${total}L").as("phase"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+  }
 }

@@ -2291,4 +2291,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the D≈1 a real shift would produce (sanity that ppm is a fraction)
     assert(got.values.forall(_._3 < 1000000L))
   }
+
+  test("q185 curriculum phases equal a driver-side ranked recompute") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        (r.getLong(0), ws.length.toLong,
+          ws.distinct.length.toLong * 1000000L / ws.length)
+      }
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val expected = docs.sortBy(d => (d._3, d._1)).map { case (_, n, s) =>
+      cum += n
+      ((cum - 1) * 4 / total, n, s)
+    }.groupBy(_._1).map { case (p, rows) =>
+      p -> ((rows.length.toLong, rows.map(_._2).sum,
+        rows.map(_._3).min, rows.map(_._3).max))
+    }
+    val got = SparkEntry.queries("q185_curriculum_phases")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // the defining property: phases carry near-equal token budgets
+    // (off by at most one straddling document's tokens)
+    val budgets = got.values.map(_._2)
+    val maxDoc = docs.map(_._2).max
+    assert(got.size === 4)
+    assert(budgets.max - budgets.min <= 2 * maxDoc,
+      s"unbalanced phases: $budgets (max doc $maxDoc)")
+  }
 }
