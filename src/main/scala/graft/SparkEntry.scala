@@ -294,6 +294,8 @@ object SparkEntry {
       graft.operators.Sketches.q184KsDrift(s, d)),
     "q185_curriculum_phases"  -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.q185CurriculumPhases(s, d)),
+    "q186_mmr_topk"           -> ((s: SparkSession, d: String) =>
+      graft.operators.Similarity.q186MmrTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -918,6 +920,34 @@ object SparkEntry {
     // — the q149 precedent); regenerate via MlOracleGen q182
     "q182_tokenizer_coverage" ->
       "SELECT * FROM (VALUES ('src7', CAST(1507 AS BIGINT), CAST(5106 AS BIGINT), CAST(1489 AS BIGINT), CAST(785 AS BIGINT), CAST(291617 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(4762 AS BIGINT), CAST(1383 AS BIGINT), CAST(721 AS BIGINT), CAST(290424 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(4446 AS BIGINT), CAST(1290 AS BIGINT), CAST(694 AS BIGINT), CAST(290148 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(4488 AS BIGINT), CAST(1309 AS BIGINT), CAST(711 AS BIGINT), CAST(291666 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(4702 AS BIGINT), CAST(1358 AS BIGINT), CAST(719 AS BIGINT), CAST(288813 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(4423 AS BIGINT), CAST(1268 AS BIGINT), CAST(662 AS BIGINT), CAST(286683 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(4623 AS BIGINT), CAST(1323 AS BIGINT), CAST(735 AS BIGINT), CAST(286177 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(4005 AS BIGINT), CAST(1188 AS BIGINT), CAST(634 AS BIGINT), CAST(296629 AS BIGINT)), ('src2', CAST(1407 AS BIGINT), CAST(4821 AS BIGINT), CAST(1424 AS BIGINT), CAST(758 AS BIGINT), CAST(295374 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(4713 AS BIGINT), CAST(1322 AS BIGINT), CAST(701 AS BIGINT), CAST(280500 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(3952 AS BIGINT), CAST(1195 AS BIGINT), CAST(611 AS BIGINT), CAST(302378 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(4447 AS BIGINT), CAST(1278 AS BIGINT), CAST(693 AS BIGINT), CAST(287384 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(5017 AS BIGINT), CAST(1466 AS BIGINT), CAST(775 AS BIGINT), CAST(292206 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(4362 AS BIGINT), CAST(1285 AS BIGINT), CAST(693 AS BIGINT), CAST(294589 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(5283 AS BIGINT), CAST(1538 AS BIGINT), CAST(821 AS BIGINT), CAST(291122 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(5300 AS BIGINT), CAST(1605 AS BIGINT), CAST(847 AS BIGINT), CAST(302830 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(4309 AS BIGINT), CAST(1283 AS BIGINT), CAST(678 AS BIGINT), CAST(297748 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(5241 AS BIGINT), CAST(1516 AS BIGINT), CAST(792 AS BIGINT), CAST(289257 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(4519 AS BIGINT), CAST(1269 AS BIGINT), CAST(693 AS BIGINT), CAST(280814 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(4748 AS BIGINT), CAST(1345 AS BIGINT), CAST(719 AS BIGINT), CAST(283277 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_tokens\", \"n_oov_tokens\", \"n_oov_words\", \"oov_ppm\")",
+    // q186: the greedy replayed as a recursive CTE — same 4dp sims, same
+    // unrounded λ-score comparisons, same (score DESC, id ASC) tie-break
+    "q186_mmr_topk" ->
+      ("WITH RECURSIVE " +
+       "e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v " +
+       "FROM embeddings), " +
+       "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+       "cand AS (SELECT vec_id, round(list_dot_product(v, qv) / " +
+       "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) " +
+       "AS sim, v FROM e, q WHERE vec_id <> 0 " +
+       "ORDER BY sim DESC, vec_id LIMIT 16), " +
+       "p AS (SELECT a.vec_id AS ai, b.vec_id AS bi, " +
+       "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) " +
+       "* sqrt(list_dot_product(b.v, b.v))), 4) AS s " +
+       "FROM cand a, cand b WHERE a.vec_id <> b.vec_id), " +
+       "sel(step, ids, picked, rel, score) AS (" +
+       "SELECT 1, [m.vec_id], m.vec_id, m.sim, round(0.7 * m.sim, 4) FROM (" +
+       "SELECT vec_id, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 1) m " +
+       "UNION ALL " +
+       "SELECT sel.step + 1, list_append(sel.ids, nxt.id), nxt.id, nxt.rel, " +
+       "round(nxt.score, 4) FROM sel, LATERAL (" +
+       "SELECT c.vec_id AS id, c.sim AS rel, " +
+       "0.7 * c.sim - 0.3 * (SELECT max(p.s) FROM p WHERE p.ai = c.vec_id " +
+       "AND list_contains(sel.ids, p.bi)) AS score " +
+       "FROM cand c WHERE NOT list_contains(sel.ids, c.vec_id) " +
+       "ORDER BY score DESC, c.vec_id LIMIT 1) nxt WHERE sel.step < 8) " +
+       "SELECT CAST(step AS BIGINT) AS rank, picked AS vec_id, " +
+       "rel AS relevance, score AS mmr_score FROM sel"),
     // q185: the twin's single global window replays the engine's
     // two-level distributed prefix sum — same (score, doc_id) total
     // order, same integer phase arithmetic

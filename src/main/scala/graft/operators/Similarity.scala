@@ -711,4 +711,70 @@ object Similarity {
           .as("variance"))
       .orderBy(col("variance").desc, col("dim").asc)
       .limit(k)
+
+  /** q186: MMR-DIVERSIFIED TOP-K — maximal marginal relevance (Carbonell
+    * & Goldstein, SIGIR'98), the de-dup of RETRIEVAL: a plain cosine
+    * top-k hands a RAG prompt eight near-copies of the same passage; MMR
+    * re-ranks a relevance pool so each pick balances query relevance
+    * against redundancy with what's already selected,
+    *   pick_{t+1} = argmax_d  λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s).
+    *
+    * Scale shape: the RELEVANCE POOL is the distributed part — one
+    * codegen'd brute-force cosine pass with a TakeOrderedAndProject cut
+    * (or any ANN front end: q35/q117 produce the same (id, sim) shape);
+    * the greedy loop then runs driver-side over the POOL-BOUNDED
+    * poolN + poolN² sims (the IVF-centroid size class — k·poolN score
+    * evaluations over ≤16 candidates, never corpus work). Determinism:
+    * all sims 4dp-rounded (the q30 contract), unrounded λ-scores compared
+    * with (score DESC, vec_id ASC) total order, emitted scores rounded
+    * 4dp via the same HALF_UP Spark/DuckDB share — the DuckDB twin
+    * replays the greedy as a recursive CTE and must match bit for bit. */
+  def q186MmrTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 8, poolN: Int = 16, lam: Double = 0.7,
+      // the redundancy weight is its OWN literal, never computed as
+      // 1 − λ: IEEE 1.0 − 0.7 is 0.30000000000000004, a different double
+      // than the twin's parsed 0.3 — the kind of bit that flips a greedy
+      mu: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = emb.filter(col("vec_id") === queryId).select(col("e").as("qe"))
+    val cand = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("e"),
+        round(cosine(col("e"), col("qe")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(poolN)
+    val a = cand.select(col("vec_id").as("ai"), col("e").as("ea"))
+    val b = cand.select(col("vec_id").as("bi"), col("e").as("eb"))
+    val pairSim = a.crossJoin(broadcast(b)).filter(col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        round(cosine(col("ea"), col("eb")), 4).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val pool = cand.select(col("vec_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def round4(x: Double): Double = // Spark round() = HALF_UP on the double
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rel = pool.toMap
+    val remaining = scala.collection.mutable.TreeSet(pool.map(_._1): _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Double, Double)]
+    var step = 1
+    while (step <= math.min(k, pool.length)) {
+      val picked =
+        if (out.isEmpty)
+          remaining.toSeq.map(id => (id, lam * rel(id)))
+            .minBy { case (id, sc) => (-sc, id) }
+        else
+          remaining.toSeq.map { id =>
+            val pen = out.map(s => pairSim((id, s._2))).max
+            (id, lam * rel(id) - mu * pen)
+          }.minBy { case (id, sc) => (-sc, id) }
+      remaining -= picked._1
+      out += ((step.toLong, picked._1, rel(picked._1), round4(picked._2)))
+      step += 1
+    }
+    out.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }

@@ -2321,4 +2321,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(budgets.max - budgets.min <= 2 * maxDoc,
       s"unbalanced phases: $budgets (max doc $maxDoc)")
   }
+
+  test("q186 MMR equals a driver-side greedy; first pick is top relevance") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val qv = emb(0L)
+    val pool = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(16)
+    val rel = pool.toMap
+    var remaining = pool.map(_._1).toSet
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    while (sel.length < 8) {
+      val pick = remaining.toSeq.map { id =>
+        val pen = if (sel.isEmpty) None
+          else Some(sel.map(s => cos(emb(id), emb(s._1))).max)
+        (id, pen.fold(0.7 * rel(id))(p => 0.7 * rel(id) - 0.3 * p))
+      }.minBy { case (id, s) => (-s, id) }
+      remaining -= pick._1
+      sel += ((pick._1, BigDecimal(pick._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q186_mmr_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(g => (g._2, g._4)).toSeq === sel.toSeq)
+    assert(got.map(_._1).toSeq === (1L to 8L), "ranks 1..k in order")
+    // MMR's defining move: the first pick is the pure-relevance argmax
+    assert(got.head._2 === pool.head._1)
+    // relevance column carries the pool sims; the score bound is
+    // |s − λ·rel| ≤ μ (pairwise cosine lives in [−1, 1], so the penalty
+    // term can push EITHER way)
+    got.foreach { case (_, id, r, s) =>
+      assert(r === rel(id))
+      assert(math.abs(s - 0.7 * r) <= 0.3 + 1e-9, s"vec $id score $s")
+    }
+  }
 }
