@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -597,6 +598,74 @@ object EventStreams {
       val agg = graft.operators.Sketches.mixtureShardRollup(batch, nShards)
       runToMemory(spark, agg,
         s"q183_stream_${System.nanoTime()}", OutputMode.Complete())
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
+
+  /** q187: STREAMING DRIFT MONITOR — q184's standing-state sibling: the
+    * exact KS needs the full merged ECDF (unbounded state), so the
+    * production stream monitor keeps BINNED counts instead — state
+    * O(types × bins), never O(stream) — and reports the binned
+    * total-variation distance of live traffic against a frozen reference
+    * histogram. The reference (the early half) is computed batch-side
+    * once; the live half arrives as two mtime-ordered micro-batches whose
+    * (type, bin) counts merge incrementally in complete mode; the drained
+    * histogram reconciles against the reference with the integer
+    * cross-multiplied TV: tv_ppm = ⌊10⁶·Σ|c_ref·n_live − c_live·n_ref| /
+    * (2·n_ref·n_live)⌋ — count/sum are batching-insensitive, so the
+    * drained counts (and hence the ppm) equal a batch rebuild exactly,
+    * which is what gives this stream a plain SQL oracle. */
+  def qStreamDrift(spark: SparkSession, dir: String,
+      cut: String = "2024-01-16 00:00:00",
+      cut2: String = "2024-01-24 00:00:00"): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift")
+    try {
+      def bin(v: org.apache.spark.sql.Column) =
+        least(floor(v / 10.0), lit(31.0)).cast("bigint")
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      def stage(name: String, pred: org.apache.spark.sql.Column,
+          mtime: Long): Unit = {
+        val scratch = tmp.resolve(name + "_w").toString
+        ev.filter(pred).coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        val dst = tmp.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        graft.util.Fs.deleteRecursively(scratch)
+      }
+      val t0 = System.currentTimeMillis() - 120000L
+      stage("a.parquet", col("ts") >= cut && col("ts") < cut2, t0)
+      stage("b.parquet", col("ts") >= cut2, t0 + 60000L)
+      val live = readEvents(spark, tmp.toString)
+        .select(col("event_type"), bin(col("value")).as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c2"))
+      val drained = runToMemory(spark, live,
+        s"q187_stream_${System.nanoTime()}", OutputMode.Complete())
+      val ref = ev.filter(col("ts") < cut)
+        .select(col("event_type"), bin(col("value")).as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c1"))
+      val joined = ref.join(drained, Seq("event_type", "bin"), "full")
+        .select(col("event_type"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val tot = Window.partitionBy(col("event_type"))
+      joined
+        .select(col("event_type"), col("c1"), col("c2"),
+          sum(col("c1")).over(tot).as("n1"),
+          sum(col("c2")).over(tot).as("n2"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_live"),
+          sum(abs(col("c1").cast("decimal(38,0)") * col("n2") -
+            col("c2").cast("decimal(38,0)") * col("n1"))).as("num"))
+        .filter(col("n_ref") > 0 && col("n_live") > 0)
+        .select(col("event_type"), col("n_ref"), col("n_live"),
+          expr("CAST((num * 1000000) DIV (2 * CAST(n_ref AS DECIMAL(38,0))" +
+            " * CAST(n_live AS DECIMAL(38,0))) AS BIGINT)").as("tv_ppm"))
+        .withColumn("is_drift", col("tv_ppm") > 100000L)
     } finally graft.util.Fs.deleteRecursively(tmp.toString)
   }
 

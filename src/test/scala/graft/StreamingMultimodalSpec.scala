@@ -399,6 +399,34 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stream.size > 1, "manifest should span multiple shards")
   }
 
+  test("q187 streaming drift equals a driver-side binned-TV recompute") {
+    import org.apache.spark.sql.functions._
+    val cutUs = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def bin(v: Double): Long = math.min(math.floor(v / 10.0), 31.0).toLong
+    val expected = ev.groupBy(_._1).map { case (et, rows) =>
+      val (early, late) = rows.partition(_._3 < cutUs)
+      val (n1, n2) = (early.length.toLong, late.length.toLong)
+      val h1 = early.groupBy(r => bin(r._2)).view.mapValues(_.length.toLong)
+      val h2 = late.groupBy(r => bin(r._2)).view.mapValues(_.length.toLong)
+      val num = (h1.keySet ++ h2.keySet).toSeq.map { b =>
+        math.abs(h1.getOrElse(b, 0L) * n2 - h2.getOrElse(b, 0L) * n1)
+      }.sum
+      et -> ((n1, n2, num * 1000000L / (2L * n1 * n2)))
+    }
+    val got = SparkEntry.queries("q187_stream_drift")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (et, (n1, n2, ppm, flag)) =>
+      assert((n1, n2, ppm) === expected(et), s"$et")
+      assert(flag === (ppm > 100000L))
+    }
+  }
+
   test("q164 lateness replay: drops, boundary merge, unemitted tail all appear") {
     import org.apache.spark.sql.functions._
     val HOUR = 3600L * 1000000L
