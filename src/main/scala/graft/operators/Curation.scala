@@ -379,7 +379,11 @@ object Curation {
 
   /** q181: WITHIN-DOCUMENT REPETITION RULES — the Gopher repetition
     * family (Rae et al. 2021, App. A1.2–A1.5) that q152's A1.1 bounds
-    * deliberately left out: a document whose mass concentrates in one
+    * deliberately left out, and that q87's duplicate-unigram/bigram
+    * RATIOS don't capture (a ratio sees "many repeats somewhere"; these
+    * rules see CONCENTRATION — one dominating n-gram — and COVERAGE —
+    * how much of the text sits inside duplicated spans):
+    * a document whose mass concentrates in one
     * repeated n-gram, or whose text is largely covered by DUPLICATED
     * 5-grams, is machine-generated boilerplate no length/stopword rule
     * catches. Token-based restatement of the paper's character fractions
@@ -461,12 +465,15 @@ object Curation {
           .otherwise(0L)).as("n_pass"))
   }
 
-  /** q185: CURRICULUM-PHASE MANIFEST — the data-ORDERING side of a
-    * training recipe (curriculum learning / annealed data schedules:
-    * "start on the plainest text, finish on the densest"): rank every
+  /** q185: EQUAL-TOKEN-BUDGET CURRICULUM MANIFEST — the exact-boundary
+    * complement of q93 (deliberately distinct: q93 cuts phases at QUALITY-
+    * HISTOGRAM values by DOC-count quantiles — every doc sharing a quality
+    * value lands in one phase, the no-sort approximation; THIS operator
+    * guarantees what a training loader actually schedules against — equal
+    * TOKEN budgets with exact PER-DOCUMENT boundaries): rank every
     * document by an integer difficulty key (lexical diversity,
     * distinct-tokens-per-token ppm), then cut the ranked corpus into
-    * `phases` consecutive slices of EQUAL TOKEN BUDGET — phase k of a
+    * `phases` consecutive slices of equal token budget — phase k of a
     * 4-phase curriculum owns tokens [k·T/4, (k+1)·T/4) of the ranked
     * stream. Emits the manifest a data loader schedules from: per phase,
     * docs, tokens, and the difficulty band it spans.
