@@ -1146,6 +1146,52 @@ object Relational {
         col("qsum").cast("double").as("sum_qty"))
   }
 
+  /** q188: SOLE-LATE-SUPPLIER (the TPC-H Q21 SHAPE on this schema — the
+    * reference's star joins q122/q126 cover inner-join planning; this one
+    * exercises the OTHER half of Catalyst's join arsenal, composed
+    * LeftSemi + LeftAnti correlation: suppliers who shipped late into a
+    * multi-supplier order where NO other supplier was late — the classic
+    * "who alone kept the order waiting" blame query. Lateness is
+    * l_shipdate > o_orderdate + 365 days (this synthetic schema has no
+    * commit/receipt dates; the join algebra, which is what Q21 tests, is
+    * unchanged).
+    *
+    * Scale shape: all three correlation joins key on l_orderkey — ONE
+    * shuffle partitioning serves the orders join, the EXISTS semi and the
+    * NOT-EXISTS anti (Spark reuses the exchange); the suppkey inequality
+    * rides the join condition, never a post-filter on a fanned-out
+    * product; supplier names broadcast; the top-20 is a
+    * TakeOrderedAndProject. Output is Q21's: (s_name, numwait), numwait
+    * counting LATE LINES, ties broken by name inside the limit. */
+  def q188LateSupplier(spark: SparkSession, dir: String,
+      lateDays: Int = 365): DataFrame = {
+    val lines = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") +
+          expr(s"INTERVAL $lateDays DAYS")).as("is_late"))
+    val late = lines.filter(col("is_late"))
+    val anyOther = lines
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOther = late
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    late
+      .join(anyOther, col("l_orderkey") === col("ok2") &&
+        col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(lateOther, col("l_orderkey") === col("ok3") &&
+        col("l_suppkey") =!= col("sk3"), "left_anti")
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
   /** q142: the events.ts ENCODING CONTRACT as a declared gate query — a
     * canary, not an analytic. The driver's datagen has already flipped the
     * parquet encoding once (TIMESTAMP(NANOS) → TIMESTAMP(MICROS, NTZ));

@@ -341,6 +341,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"q126 must stay equi-join:\n$p")
   }
 
+  test("q188 Q21 shape: LeftSemi + LeftAnti correlation, broadcast names, top-k cut") {
+    val q = SparkEntry.queries("q188_late_supplier")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"q188's EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"q188's NOT EXISTS must plan as an anti join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q188's top-20 must be a TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q188 must stay equi-join (suppkey inequality rides the condition):\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct
