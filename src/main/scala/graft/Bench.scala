@@ -59,14 +59,9 @@ object Bench {
   private def cachedPlanEntries(spark: org.apache.spark.sql.SparkSession): Int =
     try {
       val cm = spark.sharedState.cacheManager
-      val f = cm.getClass.getDeclaredMethods
-        .find(_.getName == "cachedData")
-      f.map(_.invoke(cm)) match {
-        case Some(it: java.lang.Iterable[_]) =>
-          var n = 0; val i = it.iterator(); while (i.hasNext) { i.next(); n += 1 }; n
-        case Some(s: scala.collection.Iterable[_]) => s.size
-        case _ => -1
-      }
+      // numCachedEntries is private[sql] in Scala but public in bytecode
+      cm.getClass.getMethod("numCachedEntries")
+        .invoke(cm).asInstanceOf[java.lang.Integer].intValue()
     } catch { case scala.util.control.NonFatal(_) => -1 }
 
   /** Cumulative GC seconds + used heap MB — the remaining late-JVM-tax
@@ -439,6 +434,16 @@ object Bench {
         // measurements is what the retime pass's "steady state" claim
         // means.
         System.gc()
+        // the forced GC ENQUEUES cleanup, it doesn't finish it: collected
+        // broadcast/RDD references land on the ContextCleaner's reference
+        // queue and their unpersist RPCs drain ASYNCHRONOUSLY — straight
+        // into the next timed sample if we start it immediately (r16
+        // measured: retimed ML grids 1.3-1.6× their own first samples
+        // while firsts were clean, the reverse of a JIT story; the
+        // retime pass runs all heavyweights back-to-back, so each one
+        // timed the previous one's cleanup). A short drain window keeps
+        // the sample honest; wall-clock cost ≤ 32 × 1.2 s, untimed.
+        Thread.sleep(1200)
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val second =

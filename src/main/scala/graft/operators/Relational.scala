@@ -1249,6 +1249,52 @@ object Relational {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** q189: DYNAMIC PARTITION PRUNING — q147's static prune needs the
+    * literal `lang = 'en'` in the query text; the 100 TB warehouse case
+    * is harder: the pruning keys only EXIST after filtering a dimension
+    * (here: "romance-family languages", a family attribute the fact table
+    * doesn't carry). A naive plan scans every fact partition and throws
+    * rows away post-join; DPP instead evaluates the dim filter first,
+    * reuses its broadcast as an IN-subquery PARTITION filter on the fact
+    * scan, and never lists the non-qualifying language directories —
+    * plan-asserted (`dynamicpruning` in PartitionFilters, PlanSpec).
+    * The dim is derived from the corpus itself (distinct langs + a CASE
+    * family attribute) so the gate needs no fixture; the DuckDB twin
+    * replays the dim join over the ORIGINAL unpartitioned table, which
+    * also pins the partitioned layout's round-trip under a join (vs
+    * q147's plain WHERE). */
+  def q189DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val root = stagePartitionedDocsOnce(spark, dir)
+    val fact = spark.read.parquet(root)
+    // the family attribute must come from DATA (a file-backed dim), not
+    // from an expression over lang: a `CASE ... END = 'romance'` dim is
+    // rewritten by constraint propagation into a STATIC partition filter
+    // (q147's case, no subquery needed) — the first q189 draft proved
+    // that; only a join against opaque dim rows forces the DYNAMIC path
+    val dim = spark.read.parquet(stageLangDimOnce(spark, dir))
+    fact
+      .join(dim.filter(col("family") === "romance"), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+  }
+
+  /** The (lang, family) dimension as a real parquet table — staged once
+    * with the same crash-safe lifecycle as the partitioned docs. Tiny by
+    * construction; exists so q189's dim filter is a genuine DATA
+    * predicate the optimizer cannot fold into the fact scan. */
+  private def stageLangDimOnce(spark: SparkSession, dir: String): String = {
+    val root = new java.io.File(
+      s"${graft.util.Staging.stagingRoot}/graft_langdim/v1")
+    graft.util.Staging.publishOnce(root, "langdim:v1") { st =>
+      import spark.implicits._
+      Seq(("en", "germanic"), ("de", "germanic"),
+        ("es", "romance"), ("fr", "romance"), ("zh", "sinitic"))
+        .toDF("lang", "family")
+        .coalesce(1).write.mode("overwrite").parquet(st.getPath)
+    }
+  }
+
   /** q166: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
     * delta-merge pattern: a standing per-source rollup (docs, chars,
     * tokens) is brought current by merging the INCREMENT's rollup into

@@ -355,6 +355,16 @@ class PlanSpec extends AnyFunSuite {
       s"q188 must stay equi-join (suppkey inequality rides the condition):\n$p")
   }
 
+  test("q189 fact scan carries a dynamicpruning partition filter") {
+    val q = SparkEntry.queries("q189_dynamic_pruning")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"q189's fact scan must be DPP-filtered, not post-join filtered:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"q189 must prune at the partition level:\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct
