@@ -1279,6 +1279,42 @@ object Relational {
         sum(col("n_chars").cast("bigint")).as("sum_chars"))
   }
 
+  /** q190: RUNTIME BLOOM-FILTER JOIN — q189's sibling for the fact table
+    * that is NOT partitioned by the join key (the common case): when a
+    * selective dim filter survives only as join input, Spark can build a
+    * BLOOM FILTER over the dim's join keys at runtime and inject
+    * `might_contain` into the fact side BEFORE its shuffle — at 100 TB
+    * the difference between shuffling the whole fact table and shuffling
+    * the ~survivors. Demonstrated under a SCOPED session (the q123
+    * clone-session pattern): broadcast disabled (the 100 TB stance — a
+    * dim joined to a 100 TB fact may still broadcast, but the point here
+    * is the shuffle-join path) and the application-side size threshold
+    * lowered so the gate-scale fact qualifies; production keeps the 10 GB
+    * default. Plan-asserted: the fact scan side carries
+    * `BloomFilterMightContain` fed by a bloom aggregate subquery.
+    * Answer (urgent-order revenue by priority) is engine-invariant —
+    * the filter is semantics-preserving — so the DuckDB twin is the
+    * plain join. */
+  def q190RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    scoped.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1KB")
+    val orders = t(scoped, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val lines = t(scoped, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    lines.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("rev")).cast("double"), 2).as("revenue"))
+  }
+
   /** The (lang, family) dimension as a real parquet table — staged once
     * with the same crash-safe lifecycle as the partitioned docs. Tiny by
     * construction; exists so q189's dim filter is a genuine DATA

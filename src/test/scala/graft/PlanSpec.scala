@@ -365,6 +365,17 @@ class PlanSpec extends AnyFunSuite {
       s"q189 must prune at the partition level:\n$p")
   }
 
+  test("q190 fact side carries a runtime bloom filter before its shuffle") {
+    val q = SparkEntry.queries("q190_runtime_filter")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("bloomfilter") ||
+      p.contains("might_contain"),
+      s"q190's fact scan must be runtime-bloom-filtered:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"q190 runs the 100 TB shuffle-join stance (broadcast disabled):\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct
