@@ -78,6 +78,42 @@ object Relational {
     back
   }
 
+  /** q191: JSON SINK + SCAN roundtrip under HOSTILE payloads — the format
+    * matrix closer (parquet q03, ORC q154, quote-hostile CSV q171): JSONL
+    * is every interchange pipeline's lingua franca, and its classic
+    * corruption is an unescaped newline/quote/backslash splitting a
+    * record. Every document's payload gets the full escape gauntlet
+    * appended (newline, tab, double-quote, backslash, JSON structural
+    * chars, non-ASCII incl. an astral-plane emoji), is written as JSONL,
+    * read back line-framed, and summarized: row count, codepoint length
+    * sum, and a content checksum (per-row hex60 of id|lang|payload mod
+    * 1e9+7, summed mod 1e9+7 — order-independent, DECIMAL-safe at any
+    * scale). The oracle computes the same summary over the ORIGINAL
+    * table + the same appended literal, so any row split, truncation, or
+    * mojibake in the writer/reader flips the checksum. */
+  def q191JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    val out = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q191_" +
+      java.util.UUID.randomUUID().toString
+    val gauntlet = "\n\"\\\t{}[],:čüé🐦"
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(gauntlet)).as("payload"))
+      .coalesce(2)
+      .write.mode("overwrite").json(out)
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, payload STRING")
+      .json(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("payload"))).cast("bigint").as("sum_len"),
+        pmod(sum(pmod(sketch60(concat_ws("|", col("doc_id"), col("lang"),
+            col("payload"))), lit(1000000007L)).cast("decimal(38,0)")),
+          lit(1000000007L)).cast("bigint").as("checksum"))
+      .localCheckpoint()
+    graft.util.Fs.deleteRecursively(out)
+    back
+  }
+
   /** q157: SMALL-FILE COMPACTION — the warehouse maintenance pass every
     * long-running ingest pipeline needs (streaming sinks and per-batch
     * writers fragment tables into thousands of tiny files; at 100 TB the
