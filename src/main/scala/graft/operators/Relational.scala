@@ -1351,6 +1351,59 @@ object Relational {
         round(sum(col("rev")).cast("double"), 2).as("revenue"))
   }
 
+  /** q192: AQE SKEW-JOIN SPLIT — the runtime answer to the problem q54's
+    * salting solves by hand: a shuffle join keyed on a HOT key puts one
+    * partition's worth of work on one task (the canonical straggler at
+    * 100 TB — one executor runs for hours while 999 idle). AQE detects
+    * the skewed partition from runtime shuffle statistics and SPLITS it
+    * into sub-partitions, replicating the matching build side — no
+    * salting in the query text. The skew is synthesized (80% of docs
+    * collapse onto one join key; the rest keep their source) and the
+    * detection thresholds are lowered in a SCOPED clone session so
+    * gate-scale shuffle sizes qualify (production keeps the 256 MB
+    * default — same plan, bigger numbers). Plan-asserted: the join's
+    * AQEShuffleRead shows `isSkew=true` sub-reads. The rollup answer is
+    * skew-invariant, so the DuckDB twin is the plain join. */
+  def q192SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    scoped.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+    scoped.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+    scoped.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    scoped.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // the rollup after the join REUSES the join's hash partitioning, so
+    // splitting the hot partition forces a re-shuffle of the join output;
+    // by default AQE refuses skew handling that adds an exchange — this
+    // opt-in says "a straggler costs more than a shuffle", which is the
+    // correct trade at 100 TB where the hot partition is hours, not KBs
+    scoped.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    def skewKey = when(col("doc_id") % 10 < 8, lit("hot"))
+      .otherwise(col("source"))
+    // round-robin repartition BEFORE the keyed shuffle: a skewed reduce
+    // partition is split at MAP-OUTPUT-CHUNK granularity, so a
+    // single-mapper input (one tiny parquet split at gate scale) is
+    // unsplittable no matter how skewed — at 100 TB the mappers number
+    // in the thousands and this repartition is the scan itself
+    val left = t(scoped, dir, "documents")
+      .select(skewKey.as("k"), col("n_chars"))
+      .repartition(8)
+    // materialized (localCheckpoint) so the JOIN's right child is a fresh
+    // shuffle stage: skew handling must re-read the right side's map
+    // outputs to replicate them against the split partitions, which it
+    // cannot do through the aggregate's own reused exchange
+    val right = t(scoped, dir, "documents")
+      .select(skewKey.as("k"), col("doc_id"))
+      .groupBy(col("k")).agg(count(lit(1)).as("k_docs"))
+      .localCheckpoint()
+    left.join(right, Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"),
+        max(col("k_docs")).as("k_docs"))
+  }
+
   /** The (lang, family) dimension as a real parquet table — staged once
     * with the same crash-safe lifecycle as the partitioned docs. Tiny by
     * construction; exists so q189's dim filter is a genuine DATA

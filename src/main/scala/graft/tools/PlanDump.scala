@@ -14,7 +14,8 @@ object PlanDump {
     require(args.length >= 2, "usage: PlanDump <sfDir> <query>...")
     val spark = graft.util.DriverSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
     for (name <- args.drop(1)) {
       val q = graft.SparkEntry.queries(name)(spark, args(0))
       q.collect()

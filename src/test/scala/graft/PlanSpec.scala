@@ -376,6 +376,16 @@ class PlanSpec extends AnyFunSuite {
       s"q190 runs the 100 TB shuffle-join stance (broadcast disabled):\n$p")
   }
 
+  test("q192 AQE splits the skewed join partition (isSkew sub-reads)") {
+    val q = SparkEntry.queries("q192_skew_join")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+      s"q192's hot partition must be split by AQE skew handling:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"q192 must exercise the shuffle-join path:\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct
