@@ -308,6 +308,8 @@ object SparkEntry {
       graft.operators.Relational.q191JsonRoundtrip(s, d)),
     "q192_skew_join"          -> ((s: SparkSession, d: String) =>
       graft.operators.Relational.q192SkewJoin(s, d)),
+    "q193_freeze_manifest"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q193FreezeManifest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -932,6 +934,23 @@ object SparkEntry {
     // — the q149 precedent); regenerate via MlOracleGen q182
     "q182_tokenizer_coverage" ->
       "SELECT * FROM (VALUES ('src7', CAST(1507 AS BIGINT), CAST(5106 AS BIGINT), CAST(1489 AS BIGINT), CAST(785 AS BIGINT), CAST(291617 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(4762 AS BIGINT), CAST(1383 AS BIGINT), CAST(721 AS BIGINT), CAST(290424 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(4446 AS BIGINT), CAST(1290 AS BIGINT), CAST(694 AS BIGINT), CAST(290148 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(4488 AS BIGINT), CAST(1309 AS BIGINT), CAST(711 AS BIGINT), CAST(291666 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(4702 AS BIGINT), CAST(1358 AS BIGINT), CAST(719 AS BIGINT), CAST(288813 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(4423 AS BIGINT), CAST(1268 AS BIGINT), CAST(662 AS BIGINT), CAST(286683 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(4623 AS BIGINT), CAST(1323 AS BIGINT), CAST(735 AS BIGINT), CAST(286177 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(4005 AS BIGINT), CAST(1188 AS BIGINT), CAST(634 AS BIGINT), CAST(296629 AS BIGINT)), ('src2', CAST(1407 AS BIGINT), CAST(4821 AS BIGINT), CAST(1424 AS BIGINT), CAST(758 AS BIGINT), CAST(295374 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(4713 AS BIGINT), CAST(1322 AS BIGINT), CAST(701 AS BIGINT), CAST(280500 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(3952 AS BIGINT), CAST(1195 AS BIGINT), CAST(611 AS BIGINT), CAST(302378 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(4447 AS BIGINT), CAST(1278 AS BIGINT), CAST(693 AS BIGINT), CAST(287384 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(5017 AS BIGINT), CAST(1466 AS BIGINT), CAST(775 AS BIGINT), CAST(292206 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(4362 AS BIGINT), CAST(1285 AS BIGINT), CAST(693 AS BIGINT), CAST(294589 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(5283 AS BIGINT), CAST(1538 AS BIGINT), CAST(821 AS BIGINT), CAST(291122 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(5300 AS BIGINT), CAST(1605 AS BIGINT), CAST(847 AS BIGINT), CAST(302830 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(4309 AS BIGINT), CAST(1283 AS BIGINT), CAST(678 AS BIGINT), CAST(297748 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(5241 AS BIGINT), CAST(1516 AS BIGINT), CAST(792 AS BIGINT), CAST(289257 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(4519 AS BIGINT), CAST(1269 AS BIGINT), CAST(693 AS BIGINT), CAST(280814 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(4748 AS BIGINT), CAST(1345 AS BIGINT), CAST(719 AS BIGINT), CAST(283277 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_tokens\", \"n_oov_tokens\", \"n_oov_words\", \"oov_ppm\")",
+    // q193: ten per-table identity censuses, same hex60-mod checksums
+    "q193_freeze_manifest" -> (Seq(
+       ("region", "CAST(r_regionkey AS VARCHAR)"),
+       ("nation", "CAST(n_nationkey AS VARCHAR)"),
+       ("customer", "CAST(c_custkey AS VARCHAR)"),
+       ("supplier", "CAST(s_suppkey AS VARCHAR)"),
+       ("part", "CAST(p_partkey AS VARCHAR)"),
+       ("orders", "CAST(o_orderkey AS VARCHAR)"),
+       ("lineitem", "concat_ws('|', l_orderkey, l_linenumber)"),
+       ("events", "CAST(event_id AS VARCHAR)"),
+       ("documents", "concat_ws('|', doc_id, n_chars)"),
+       ("embeddings", "CAST(vec_id AS VARCHAR)"))
+      .map { case (tbl, k) =>
+        s"SELECT '$tbl' AS tbl, count(*) AS n_rows, " +
+        s"CAST(sum(${hex60Sql(k)} % 1000000007) % 1000000007 AS BIGINT) " +
+        s"AS id_checksum FROM $tbl" }
+      .mkString(" UNION ALL ")),
     // q192: the skew split is semantics-preserving — the twin is the
     // plain join over the same synthesized hot key
     "q192_skew_join" ->

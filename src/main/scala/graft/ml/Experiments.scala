@@ -227,7 +227,10 @@ object Experiments {
             slicesByKey((cell.dataName, cell.percentageLabeled)),
             fitOnMasked(cell)))
         })
-    } finally handles.foreach(_.unpersist())
+    // blocking: an async unpersist drains block deletions into whatever
+    // runs NEXT in the JVM — the transient "Block rdd_N does not exist"
+    // race a later same-plan run can hit through the cache lookup
+    } finally handles.foreach(_.unpersist(blocking = true))
   }
 
   /** Cross-product grid builder (ref M7's nested tuples, flattened). */

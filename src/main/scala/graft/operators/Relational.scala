@@ -1404,6 +1404,55 @@ object Relational {
         max(col("k_docs")).as("k_docs"))
   }
 
+  /** q193: DATASET FREEZE MANIFEST — the data-versioning primitive every
+    * reproducible training run starts from: one row per input table with
+    * its row count and an order-independent row-identity checksum (per
+    * row, hex60 of the table's natural key rendered canonically, summed
+    * mod 1e9+7). Pin the manifest next to a model checkpoint and any
+    * later row loss, duplication, or re-keyed regeneration of ANY input
+    * is one red row — the "which exact data trained this" answer DVC-style
+    * tooling provides, as a query. Value-level drift is deliberately NOT
+    * this operator's job (the per-table roundtrips q03/q154/q171/q191 and
+    * the q142 ts contract pin content); identity + cardinality is what a
+    * freeze manifest promises.
+    *
+    * Scale shape: ten independent scans (each reads ONLY its key
+    * columns — columnar pruning makes the census nearly free), per-scan
+    * map-side partial sums, one 10-row rollup. Nothing corpus-sized
+    * crosses the exchange. */
+  def q193FreezeManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.sketch60
+    val m = 1000000007L
+    val parts: Seq[(String, DataFrame)] = Seq(
+      "region" -> t(spark, dir, "region")
+        .select(col("r_regionkey").cast("string").as("k")),
+      "nation" -> t(spark, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("k")),
+      "customer" -> t(spark, dir, "customer")
+        .select(col("c_custkey").cast("string").as("k")),
+      "supplier" -> t(spark, dir, "supplier")
+        .select(col("s_suppkey").cast("string").as("k")),
+      "part" -> t(spark, dir, "part")
+        .select(col("p_partkey").cast("string").as("k")),
+      "orders" -> t(spark, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("k")),
+      "lineitem" -> t(spark, dir, "lineitem")
+        .select(concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("k")),
+      "events" -> Tables.events(spark, dir)
+        .select(col("event_id").cast("string").as("k")),
+      "documents" -> t(spark, dir, "documents")
+        .select(concat_ws("|", col("doc_id"), col("n_chars")).as("k")),
+      "embeddings" -> t(spark, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("k")))
+    parts.map { case (name, df) =>
+      df.select(lit(name).as("tbl"), pmod(sketch60(col("k")), lit(m)).as("h"))
+    }.reduce(_.unionAll(_))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("h")).cast("decimal(38,0)"), lit(m))
+          .cast("bigint").as("id_checksum"))
+  }
+
   /** The (lang, family) dimension as a real parquet table — staged once
     * with the same crash-safe lifecycle as the partitioned docs. Tiny by
     * construction; exists so q189's dim filter is a genuine DATA

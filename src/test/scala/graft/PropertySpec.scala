@@ -95,4 +95,39 @@ class PropertySpec extends AnyFunSuite {
       assert(got(w).mkString === w, s"'$w': merge fold must preserve characters")
     }
   }
+
+  test("q181 dup-5-gram interval union equals brute-force coverage (property)") {
+    // random small-alphabet token streams (repetition-dense so duplicated
+    // 5-grams with every overlap shape occur), engine union vs a literal
+    // "is position p inside any duplicated occurrence's span" count
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(7L)
+    val docGen = Gen.chooseNum(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val docs = (1 to 60).map { i =>
+      val words = docGen.pureApply(params, seed); seed = seed.next
+      (i.toLong, s"s$i", words.mkString(" "))
+    }
+    def bruteCovered(ws: Seq[String]): Long = {
+      val grams = ws.sliding(5).map(_.mkString(" ")).toVector
+      val dupStarts = grams.zipWithIndex
+        .filter { case (g, _) => grams.count(_ == g) >= 2 }
+        .map(_._2 + 1) // 1-based
+      (1 to ws.length).count(p =>
+        dupStarts.exists(s => p >= s && p <= s + 4)).toLong
+    }
+    val expected = docs.map { case (id, src, text) =>
+      val ws = text.split(" ").toSeq
+      val n = ws.length.toLong
+      src -> (20L * bruteCovered(ws) > 3L * n)
+    }.toMap
+    val got = graft.operators.Curation.repetitionRollup(
+        docs.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(4) === 1L)).toMap
+    assert(got === expected)
+    // the generator must actually produce both verdicts
+    assert(expected.values.exists(identity) && expected.values.exists(!_),
+      "degenerate property corpus: only one dup5 verdict produced")
+  }
 }
