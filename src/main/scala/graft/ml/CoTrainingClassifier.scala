@@ -79,8 +79,10 @@ class CoTrainingClassifier[
   private def fitRowSplit(dataset: Dataset[_]): (M, SemiSupervisedSummary) = {
     val fCol = $(featuresCol); val lCol = $(labelCol)
     // one materialization of the narrow input — the initial-count aggregate
-    // and all four view caches fork from here (see SelfTrainingClassifier)
-    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)))
+    // and all four view caches fork from here (see SelfTrainingClassifier).
+    // FitNonce: private cache entries per fit (see FitNonce's scaladoc)
+    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)),
+        FitNonce.column())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
 
@@ -217,8 +219,10 @@ class CoTrainingClassifier[
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val fCol = $(featuresCol); val lCol = $(labelCol)
     // one materialization of the narrow input — the dim probe, three labeled
-    // slices and the pool all fork from here (see SelfTrainingClassifier)
-    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)))
+    // slices and the pool all fork from here (see SelfTrainingClassifier).
+    // FitNonce: private cache entries per fit (see FitNonce's scaladoc)
+    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)),
+        FitNonce.column())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
 

@@ -73,7 +73,11 @@ class SelfTrainingClassifier[
     // this persist each would recompute the full upstream lineage (for the
     // driver queries that lineage contains two randomSplit per-partition
     // sorts over the corpus — three redundant sorted scans per fit).
-    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)))
+    // FitNonce: makes this fit's persisted plans canonically unique so a
+    // concurrent fit over the same staged input can never share (and then
+    // tear down) this fit's cache entries — see FitNonce's scaladoc
+    val df = dataset.toDF.select(col(fCol), col(lCol), col($(unlabeledCol)),
+        FitNonce.column())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (labeled0, unlabeled0) = Sentinels.splitByMask(df, $(unlabeledCol))
 

@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   * zero shuffle (exceptAll hashes entire rows incl. the features vector,
   * the 100 TB scalability cliff called out in SURVEY §7).
   */
+/** Unique-per-fit plan salt. DataFrame.persist registers in the shared
+  * CacheManager keyed by the CANONICALIZED plan — two concurrent grid
+  * cells over the same staged input build canonically-equal intermediate
+  * frames, silently share one cache entry, and the first cell to
+  * unpersist deletes blocks the other is still reading mid-job
+  * ("Block rdd_N does not exist", r16 bench runs 5-6, q141). An inert
+  * literal column with a process-unique value makes every fit's plan
+  * tree distinct, so estimator-internal caching is private by
+  * construction. The column carries no data dependence — downstream
+  * projections never read it — so results are bit-identical. */
+private[graft] object FitNonce {
+  private val ctr = new java.util.concurrent.atomic.AtomicLong(0L)
+  def column(): Column = lit(ctr.incrementAndGet()).as("__fit_nonce")
+}
+
 object Sentinels {
   def isUnlabeled(c: Column): Column = isnan(c)
   def isLabeled(c: Column): Column = !isnan(c)
