@@ -310,6 +310,8 @@ object SparkEntry {
       graft.operators.Relational.q192SkewJoin(s, d)),
     "q193_freeze_manifest"    -> ((s: SparkSession, d: String) =>
       graft.operators.Relational.q193FreezeManifest(s, d)),
+    "q194_token_budget"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.q194TokenBudget(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -934,6 +936,33 @@ object SparkEntry {
     // — the q149 precedent); regenerate via MlOracleGen q182
     "q182_tokenizer_coverage" ->
       "SELECT * FROM (VALUES ('src7', CAST(1507 AS BIGINT), CAST(5106 AS BIGINT), CAST(1489 AS BIGINT), CAST(785 AS BIGINT), CAST(291617 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(4762 AS BIGINT), CAST(1383 AS BIGINT), CAST(721 AS BIGINT), CAST(290424 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(4446 AS BIGINT), CAST(1290 AS BIGINT), CAST(694 AS BIGINT), CAST(290148 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(4488 AS BIGINT), CAST(1309 AS BIGINT), CAST(711 AS BIGINT), CAST(291666 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(4702 AS BIGINT), CAST(1358 AS BIGINT), CAST(719 AS BIGINT), CAST(288813 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(4423 AS BIGINT), CAST(1268 AS BIGINT), CAST(662 AS BIGINT), CAST(286683 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(4623 AS BIGINT), CAST(1323 AS BIGINT), CAST(735 AS BIGINT), CAST(286177 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(4005 AS BIGINT), CAST(1188 AS BIGINT), CAST(634 AS BIGINT), CAST(296629 AS BIGINT)), ('src2', CAST(1407 AS BIGINT), CAST(4821 AS BIGINT), CAST(1424 AS BIGINT), CAST(758 AS BIGINT), CAST(295374 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(4713 AS BIGINT), CAST(1322 AS BIGINT), CAST(701 AS BIGINT), CAST(280500 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(3952 AS BIGINT), CAST(1195 AS BIGINT), CAST(611 AS BIGINT), CAST(302378 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(4447 AS BIGINT), CAST(1278 AS BIGINT), CAST(693 AS BIGINT), CAST(287384 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(5017 AS BIGINT), CAST(1466 AS BIGINT), CAST(775 AS BIGINT), CAST(292206 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(4362 AS BIGINT), CAST(1285 AS BIGINT), CAST(693 AS BIGINT), CAST(294589 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(5283 AS BIGINT), CAST(1538 AS BIGINT), CAST(821 AS BIGINT), CAST(291122 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(5300 AS BIGINT), CAST(1605 AS BIGINT), CAST(847 AS BIGINT), CAST(302830 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(4309 AS BIGINT), CAST(1283 AS BIGINT), CAST(678 AS BIGINT), CAST(297748 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(5241 AS BIGINT), CAST(1516 AS BIGINT), CAST(792 AS BIGINT), CAST(289257 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(4519 AS BIGINT), CAST(1269 AS BIGINT), CAST(693 AS BIGINT), CAST(280814 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(4748 AS BIGINT), CAST(1345 AS BIGINT), CAST(719 AS BIGINT), CAST(283277 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_tokens\", \"n_oov_tokens\", \"n_oov_words\", \"oov_ppm\")",
+    // q194: the same closed-form water-fill over the |sources| frame —
+    // fully-funded prefix test, integer division + largest-capped bonus
+    "q194_token_budget" ->
+      ("WITH s AS (SELECT source, " +
+       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply " +
+       "FROM documents GROUP BY 1), " +
+       "r AS (SELECT source, supply, " +
+       "row_number() OVER (ORDER BY supply, source) AS i, " +
+       "sum(supply) OVER (ORDER BY supply, source " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix, " +
+       "count(*) OVER () AS n, " +
+       "sum(supply) OVER () // 2 AS budget FROM s), " +
+       "f AS (SELECT *, (prefix - supply + supply * (n - i + 1)) <= budget " +
+       "AS is_full FROM r), " +
+       "g AS (SELECT *, " +
+       "sum(CASE WHEN is_full THEN 1 ELSE 0 END) OVER () AS n_full, " +
+       "sum(CASE WHEN is_full THEN supply ELSE 0 END) OVER () " +
+       "AS prefix_full FROM f), " +
+       "h AS (SELECT *, n - n_full AS n_capped, " +
+       "budget - prefix_full AS leftover, " +
+       "CASE WHEN NOT is_full THEN row_number() OVER " +
+       "(ORDER BY is_full, supply DESC, source) END AS capped_rank FROM g) " +
+       "SELECT source, supply, " +
+       "CAST(CASE WHEN is_full THEN supply ELSE leftover // n_capped + " +
+       "(CASE WHEN capped_rank <= leftover % n_capped THEN 1 ELSE 0 END) " +
+       "END AS BIGINT) AS alloc, " +
+       "NOT is_full AS is_capped FROM h"),
     // q193: ten per-table identity censuses, same hex60-mod checksums
     "q193_freeze_manifest" -> (Seq(
        ("region", "CAST(r_regionkey AS VARCHAR)"),

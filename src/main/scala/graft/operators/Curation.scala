@@ -516,4 +516,60 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         min(col("score")).as("min_score"), max(col("score")).as("max_score"))
   }
+
+  /** q194: TOKEN-BUDGET WATER-FILLING — the recipe-design step before any
+    * mixture materializes: given each source's token SUPPLY and a total
+    * training budget B (here B = ⌊total/2⌋), allocate per-source budgets
+    * that equalize across sources without exceeding anyone's supply — the
+    * classic water-fill: small sources are taken whole, large sources are
+    * capped at a common level. (q148/q150 materialize a GIVEN recipe;
+    * this computes one.) INTEGER-EXACT closed form, no iteration: with
+    * sources ascending by supply, source i is fully funded iff
+    * prefix_{i−1} + sᵢ·(n−i+1) ≤ B (the fully-funded set is a prefix of
+    * that order); the capped rest split the remainder by integer
+    * division, with the `rem` leftovers going +1 each to the largest-
+    * supply capped sources (name tie-break) — Σ alloc = B exactly, no
+    * fractional water level ever exists.
+    *
+    * Scale shape: ONE map-side-combined corpus shuffle to per-source
+    * supplies; every window after that runs over the |sources|-row frame
+    * (dimension-scale, the q93 histogram size class) — the corpus is
+    * touched exactly once. */
+  def q194TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val supply = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("supply"))
+    val asc = Window.orderBy(col("supply").asc, col("source").asc)
+    val all = Window.orderBy(col("supply").asc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = supply
+      .withColumn("i", row_number().over(asc))
+      .withColumn("prefix", sum(col("supply")).over(
+        asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("budget", expr("sum(supply) OVER () DIV 2"))
+      .withColumn("full", col("prefix") - col("supply") +
+        col("supply") * (col("n") - col("i") + 1) <= col("budget"))
+    val funded = ranked
+      .withColumn("n_full", sum(when(col("full"), 1L).otherwise(0L)).over(all))
+      .withColumn("prefix_full",
+        sum(when(col("full"), col("supply")).otherwise(0L)).over(all))
+      .withColumn("n_capped", col("n") - col("n_full"))
+      .withColumn("leftover", col("budget") - col("prefix_full"))
+      .withColumn("base", when(col("n_capped") > 0,
+        expr("leftover DIV n_capped")).otherwise(lit(0L)))
+      .withColumn("rem", when(col("n_capped") > 0,
+        col("leftover") % col("n_capped")).otherwise(lit(0L)))
+      // +1 bonus to the `rem` largest-supply capped sources (name tie-break)
+      .withColumn("capped_rank", when(!col("full"),
+        row_number().over(Window.orderBy(
+          col("full").asc, col("supply").desc, col("source").asc))))
+    funded.select(col("source"), col("supply"),
+      when(col("full"), col("supply"))
+        .otherwise(col("base") +
+          when(col("capped_rank") <= col("rem"), 1L).otherwise(0L))
+        .as("alloc"),
+      (!col("full")).as("is_capped"))
+  }
 }

@@ -2364,4 +2364,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(math.abs(s - 0.7 * r) <= 0.3 + 1e-9, s"vec $id score $s")
     }
   }
+
+  test("q194 water-fill: budget exact, supplies respected, level flat") {
+    val rows = SparkEntry.queries("q194_token_budget")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val totalSupply = rows.map(_._2).sum
+    val budget = totalSupply / 2
+    // the defining identity: allocations spend the budget EXACTLY
+    assert(rows.map(_._3).sum === budget)
+    // nobody is allocated more than they have
+    rows.foreach { case (s, supply, alloc, capped) =>
+      assert(alloc <= supply, s"$s over-allocated")
+      assert(capped === (alloc < supply), s"$s capped flag")
+    }
+    val cappedAllocs = rows.filter(_._4).map(_._3)
+    val fullSupplies = rows.filterNot(_._4).map(_._2)
+    assert(cappedAllocs.nonEmpty, "budget=total/2 must cap someone")
+    // water level is flat: capped allocations differ by at most 1, and
+    // every capped allocation >= every fully-funded source's supply
+    // (otherwise the fill wasn't level)
+    assert(cappedAllocs.max - cappedAllocs.min <= 1,
+      s"uneven water level: $cappedAllocs")
+    if (fullSupplies.nonEmpty)
+      assert(cappedAllocs.min >= fullSupplies.max,
+        s"capped level ${cappedAllocs.min} below a full supply")
+  }
 }
