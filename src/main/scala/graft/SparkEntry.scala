@@ -948,8 +948,8 @@ object SparkEntry {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix, " +
        "count(*) OVER () AS n, " +
        "sum(supply) OVER () // 2 AS budget FROM s), " +
-       "f AS (SELECT *, (prefix - supply + supply * (n - i + 1)) <= budget " +
-       "AS is_full FROM r), " +
+       "f AS (SELECT *, (prefix - supply + CAST(supply AS HUGEINT) * " +
+       "(n - i + 1)) <= budget AS is_full FROM r), " +
        "g AS (SELECT *, " +
        "sum(CASE WHEN is_full THEN 1 ELSE 0 END) OVER () AS n_full, " +
        "sum(CASE WHEN is_full THEN supply ELSE 0 END) OVER () " +

@@ -549,8 +549,13 @@ object Curation {
         asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("budget", expr("sum(supply) OVER () DIV 2"))
-      .withColumn("full", col("prefix") - col("supply") +
-        col("supply") * (col("n") - col("i") + 1) <= col("budget"))
+      // DECIMAL: supply·(n−i+1) wraps BIGINT once one source nears
+      // 10¹⁵ tokens across 10⁴ sources (Spark wraps silently under
+      // non-ANSI, DuckDB raises — the q168 divergence class)
+      .withColumn("full",
+        col("prefix").cast("decimal(38,0)") - col("supply") +
+        col("supply").cast("decimal(38,0)") * (col("n") - col("i") + 1) <=
+          col("budget").cast("decimal(38,0)"))
     val funded = ranked
       .withColumn("n_full", sum(when(col("full"), 1L).otherwise(0L)).over(all))
       .withColumn("prefix_full",
