@@ -2402,85 +2402,7 @@ object SparkEntry {
     // bit-identical under local[4] and local[32]) - the 3-dataset
     // uniform-grid AllResults shape, 30 rows
     "q177_grid_datasets" ->
-      ("SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 A" +
-       "S BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260" +
-       "744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST" +
-       "-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS " +
-       "BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.42" +
-       "77701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS" +
-       " INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.3174603" +
-       "1746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0'" +
-       ", 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(2" +
-       "0 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0," +
-       " 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER)," +
-       " CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744" +
-       "e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_" +
-       "res0', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), C" +
-       "AST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.49447400425661" +
-       "29e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0," +
-       " CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT)," +
-       " 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), (" +
-       "'emb_res0', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGIN" +
-       "T), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.518751055" +
-       "7075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 A" +
-       "S INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.526" +
-       "0744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 's" +
-       "upervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 " +
-       "AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.4826474780455629" +
-       "6e0, 0.0e0), ('emb_res1', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT)" +
-       ", CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023" +
-       "061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-DT', 'kB" +
-       "est', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), " +
-       "CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352" +
-       "901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER)" +
-       ", CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.3174603174603174" +
-       "4e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb" +
-       "_res1', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), " +
-       "CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4969210480920" +
-       "2575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-DT', 'threshold', 0.3e0, 0.8e0" +
-       ", CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT)" +
-       ", 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.516352" +
-       "3513965147e0), ('emb_res1', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), " +
-       "CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.498296645702306" +
-       "1e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-NB', 'thre" +
-       "shold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT)" +
-       ", CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.53104145" +
-       "42675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), " +
-       "CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e" +
-       "0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_r" +
-       "es1', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT)," +
-       " CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155" +
-       "352901148e0, 0.5163523513965147e0), ('emb_res1', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTE" +
-       "GER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.537473794" +
-       "5492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('keel_csv', 'ST-DT'," +
-       " 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS B" +
-       "IGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734" +
-       "924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGE" +
-       "R), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.31372549019607" +
-       "84e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('kee" +
-       "l_csv', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGIN" +
-       "T), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602" +
-       "627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-NB', 'kBest', 0.3e0, 0.5e0," +
-       " CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT)," +
-       " 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.258064516" +
-       "12903225e0), ('keel_csv', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT)" +
-       ", CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.50999592003263" +
-       "97e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-DT', 'kBes" +
-       "t', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CA" +
-       "ST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.47349244154917" +
-       "16e0, 0.3779840848806366e0), ('keel_csv', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CA" +
-       "ST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, " +
-       "0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv" +
-       "', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(" +
-       "16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0," +
-       " 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAS" +
-       "T(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, " +
-       "0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv'" +
-       ", 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAS" +
-       "T(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.518521375914" +
-       "5764e0, 0.25806451612903225e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\"," +
-       " \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"" +
-       "UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")"),
+      "SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('emb_res0', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('emb_res0', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('emb_res0', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('emb_res0', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res1', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5280398322851153e0, 0.5194122640567262e0, 0.5455965289388884e0, 0.658887381275441e0), ('emb_res1', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5280398322851153e0, 0.5194122640567262e0, 0.5455965289388884e0, 0.658887381275441e0), ('emb_res1', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4876359596161354e0, 0.5329884839151722e0, 0.6311688311688312e0), ('emb_res1', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4876359596161354e0, 0.5329884839151722e0, 0.6311688311688312e0), ('emb_res1', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('keel_csv', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5246838025295797e0, 0.49637246852764094e0, 0.46761743014922097e0, 0.1282051282051282e0), ('keel_csv', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5246838025295797e0, 0.49637246852764094e0, 0.46761743014922097e0, 0.1282051282051282e0), ('keel_csv', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5071399428804569e0, 0.3872536945812808e0, 0.42845811517325094e0, 0.25953488372093025e0), ('keel_csv', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5071399428804569e0, 0.3872536945812808e0, 0.42845811517325094e0, 0.25953488372093025e0), ('keel_csv', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
   )
 
   /** Shared oracle for q50 (batch session windows) and q106 (its
