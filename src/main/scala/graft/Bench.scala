@@ -374,8 +374,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // Same measurement courtesy the retimed samples get: the calib
+    // probes must measure the JVM, not the PREVIOUS workload's async
+    // cleanup residue (r16: the post-retime pair ran right after q177's
+    // 52 s grid retime and read 1.6x pre on otherwise-clean runs).
+    def calmJvm(): Unit = { System.gc(); Thread.sleep(1200) }
     calibSecs() // untimed JIT warm so calibPre measures load, not compilation
     calibMlSecs()
+    calmJvm()
     val calibPre = calibSecs()
     val calibMlPre = calibMlSecs()
     val cgPre = codegenCacheEntries()
@@ -400,6 +406,7 @@ object Bench {
       sweepScratch()
       (name, elapsed, err)
     }
+    calmJvm()
     val calibPost = calibSecs()
     val calibMlPost = calibMlSecs()
     val cgPost = codegenCacheEntries()
@@ -476,6 +483,7 @@ object Bench {
     // inflates the tail was invisible. With a probe on each side of the
     // retime pass, late-run contention/JVM degradation is adjudicable
     // from the artifact alone.
+    calmJvm()
     val calibPostRetime = calibSecs()
     val calibMlPostRetime = calibMlSecs()
     val cgPostRetime = codegenCacheEntries()
