@@ -957,12 +957,12 @@ object SparkEntry {
        "h AS (SELECT *, n - n_full AS n_capped, " +
        "budget - prefix_full AS leftover, " +
        "CASE WHEN NOT is_full THEN row_number() OVER " +
-       "(ORDER BY is_full, supply DESC, source) END AS capped_rank FROM g) " +
-       "SELECT source, supply, " +
+       "(ORDER BY is_full, supply DESC, source) END AS capped_rank FROM g), " +
+       "z AS (SELECT source, supply, " +
        "CAST(CASE WHEN is_full THEN supply ELSE leftover // n_capped + " +
        "(CASE WHEN capped_rank <= leftover % n_capped THEN 1 ELSE 0 END) " +
-       "END AS BIGINT) AS alloc, " +
-       "NOT is_full AS is_capped FROM h"),
+       "END AS BIGINT) AS alloc FROM h) " +
+       "SELECT source, supply, alloc, alloc < supply AS is_capped FROM z"),
     // q193: ten per-table identity censuses, same hex60-mod checksums
     "q193_freeze_manifest" -> (Seq(
        ("region", "CAST(r_regionkey AS VARCHAR)"),
@@ -2400,7 +2400,7 @@ object SparkEntry {
        "FROM cf JOIN sh USING (cfp) GROUP BY source"),
     // q177: golden-pinned like q84/q141 (MlOracleGen, verified
     // bit-identical under local[4] and local[32]) - the 3-dataset
-    // uniform-grid AllResults shape, 30 rows
+    // full AllResults shape, 120 rows (3 datasets x q141's 40 cells)
     "q177_grid_datasets" ->
       "SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('emb_res0', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('emb_res0', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('emb_res0', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('emb_res0', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res1', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5280398322851153e0, 0.5194122640567262e0, 0.5455965289388884e0, 0.658887381275441e0), ('emb_res1', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5280398322851153e0, 0.5194122640567262e0, 0.5455965289388884e0, 0.658887381275441e0), ('emb_res1', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4876359596161354e0, 0.5329884839151722e0, 0.6311688311688312e0), ('emb_res1', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4876359596161354e0, 0.5329884839151722e0, 0.6311688311688312e0), ('emb_res1', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('keel_csv', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5246838025295797e0, 0.49637246852764094e0, 0.46761743014922097e0, 0.1282051282051282e0), ('keel_csv', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5246838025295797e0, 0.49637246852764094e0, 0.46761743014922097e0, 0.1282051282051282e0), ('keel_csv', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5071399428804569e0, 0.3872536945812808e0, 0.42845811517325094e0, 0.25953488372093025e0), ('keel_csv', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5071399428804569e0, 0.3872536945812808e0, 0.42845811517325094e0, 0.25953488372093025e0), ('keel_csv', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
   )

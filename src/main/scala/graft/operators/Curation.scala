@@ -570,11 +570,15 @@ object Curation {
       .withColumn("capped_rank", when(!col("full"),
         row_number().over(Window.orderBy(
           col("full").asc, col("supply").desc, col("source").asc))))
+    // is_capped is derived from the EMITTED allocation (alloc < supply),
+    // not from the funding test: when capped sources tie at
+    // supply = base+1 the rem bonus can fund them exactly, and the flag
+    // must agree with the allocation it describes.
     funded.select(col("source"), col("supply"),
       when(col("full"), col("supply"))
         .otherwise(col("base") +
           when(col("capped_rank") <= col("rem"), 1L).otherwise(0L))
-        .as("alloc"),
-      (!col("full")).as("is_capped"))
+        .as("alloc"))
+      .withColumn("is_capped", col("alloc") < col("supply"))
   }
 }

@@ -132,7 +132,11 @@ object Linkage {
       prefixHandles.get(spark) match {
         case Some((r, df)) if r == root => df
         case stale =>
-          stale.foreach(_._2.unpersist(false))
+          // blocking: a concurrent invocation mid-job on the old handle
+          // must not lose blocks to an async deletion (the FitNonce race
+          // class) — root changes are rare, so the synchronous wait is
+          // paid only when the corpus fingerprint actually moves
+          stale.foreach(_._2.unpersist(blocking = true))
           val df = spark.read.parquet(s"$root/prefix")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           prefixHandles.update(spark, (root, df))

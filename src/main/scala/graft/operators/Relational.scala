@@ -1294,8 +1294,12 @@ object Relational {
     * reuses its broadcast as an IN-subquery PARTITION filter on the fact
     * scan, and never lists the non-qualifying language directories —
     * plan-asserted (`dynamicpruning` in PartitionFilters, PlanSpec).
-    * The dim is derived from the corpus itself (distinct langs + a CASE
-    * family attribute) so the gate needs no fixture; the DuckDB twin
+    * The dim is a FIXED five-language (lang, family) fixture staged as
+    * its own parquet table (stageLangDimOnce) — it must be file-backed,
+    * not derived from the corpus, or constraint propagation rewrites the
+    * family predicate into a static partition filter and DPP never
+    * fires; if datagen ever grows beyond these langs the fixture (and
+    * the DuckDB twin's VALUES dim) must grow with it. The DuckDB twin
     * replays the dim join over the ORIGINAL unpartitioned table, which
     * also pins the partitioned layout's round-trip under a join (vs
     * q147's plain WHERE). */
