@@ -312,6 +312,12 @@ object SparkEntry {
       graft.operators.Relational.q193FreezeManifest(s, d)),
     "q194_token_budget"       -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.q194TokenBudget(s, d)),
+    "q195_avg_yearly"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q195AvgYearly(s, d)),
+    "q196_band_compaction"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup.q196BandCompaction(s, d)),
+    "q197_domain_rollup"      -> ((s: SparkSession, d: String) =>
+      graft.operators.Curation.q197DomainRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -963,6 +969,84 @@ object SparkEntry {
        "(CASE WHEN capped_rank <= leftover % n_capped THEN 1 ELSE 0 END) " +
        "END AS BIGINT) AS alloc FROM h) " +
        "SELECT source, supply, alloc, alloc < supply AS is_capped FROM z"),
+    // q197: DuckDB builds the SAME deterministic URLs and string-parses
+    // them with anchored regexes (vs Spark's native parse_url) — the gate
+    // tests the two parsers + PSL longest-match against each other
+    "q197_domain_rollup" ->
+      ("WITH u AS (SELECT doc_id, source, lang, n_chars, text, " +
+       "(CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' || " +
+       "(CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' " +
+       "WHEN 2 THEN 'blog.' " +
+       "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) || '.' END) || " +
+       "(['alpha-news.com','beta-press.co.uk','gamma.org'," +
+       "'delta-mirror.co.uk','epsilon.net'])[(doc_id % 5) + 1] || " +
+       "(CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) || " +
+       "'/' || source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || " +
+       "(CASE WHEN doc_id % 2 = 0 THEN '?ref=' || source ELSE '' END) " +
+       "AS url FROM documents), " +
+       "p AS (SELECT *, " +
+       "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host, " +
+       "regexp_extract(url, '^([a-z]+)://', 1) AS scheme, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(len(list_filter(string_split(text, ' '), " +
+       "w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop " +
+       "FROM u), " +
+       "r AS (SELECT *, CASE " +
+       "WHEN ends_with(host, '.co.uk') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 6), '([^.]+)$', 1) " +
+       "|| '.co.uk' " +
+       "WHEN ends_with(host, '.com') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 4), '([^.]+)$', 1) " +
+       "|| '.com' " +
+       "WHEN ends_with(host, '.org') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 4), '([^.]+)$', 1) " +
+       "|| '.org' " +
+       "WHEN ends_with(host, '.net') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 4), '([^.]+)$', 1) " +
+       "|| '.net' END AS domain FROM p) " +
+       "SELECT domain, count(*) AS n_docs, " +
+       "count(DISTINCT host) AS n_hosts, " +
+       "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+       "CAST(sum(CASE WHEN n_tok < 20 THEN 1000000 ELSE 0 END) " +
+       "// count(*) AS BIGINT) AS short_ppm, " +
+       "CAST(sum(CASE WHEN n_stop*100 <= n_tok*5 THEN 1000000 ELSE 0 END) " +
+       "// count(*) AS BIGINT) AS nonenglish_ppm, " +
+       "CAST(sum(CASE WHEN scheme = 'http' THEN 1000000 ELSE 0 END) " +
+       "// count(*) AS BIGINT) AS http_ppm, " +
+       "round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS mean_words " +
+       "FROM r GROUP BY domain"),
+    // q196: DuckDB rebuilds the band table from documents (the shared
+    // minhash CTE chain), replays the tombstone rule and the batch/file
+    // arithmetic, and recomputes the live-pair probe — the engine's two
+    // pair counts (fragmented view vs compacted files) must BOTH equal it
+    "q196_band_compaction" ->
+      (minhashCtes + ", " +
+       "lv AS (SELECT doc_id, band, bucket FROM bd WHERE doc_id % 13 <> 0), " +
+       "lp AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM lv a " +
+       "JOIN lv b ON a.band = b.band AND a.bucket = b.bucket " +
+       "AND a.doc_id < b.doc_id), " +
+       "fb AS (SELECT CAST(sum(LEAST(4, c)) AS BIGINT) AS nf FROM " +
+       "(SELECT count(*) AS c FROM bd GROUP BY doc_id % 16)) " +
+       "SELECT (SELECT count(*) FROM bd) AS n_rows_frag, " +
+       "(SELECT count(*) FROM lv) AS n_rows_compacted, " +
+       "(SELECT count(DISTINCT doc_id) FROM bd WHERE doc_id % 13 = 0) " +
+       "AS n_docs_tombstoned, " +
+       "(SELECT nf FROM fb) AS n_files_frag, " +
+       "CAST(LEAST(4, (SELECT count(*) FROM lv)) AS BIGINT) " +
+       "AS n_files_compacted, " +
+       "(SELECT count(*) FROM lp) AS n_pairs_frag, " +
+       "(SELECT count(*) FROM lp) AS n_pairs_compacted"),
+    // q195: DuckDB executes the SAME correlated scalar subquery the
+    // engine hands to Catalyst — both planners decorrelate it; the gate
+    // pins that their decorrelations agree
+    "q195_avg_yearly" ->
+      ("SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) " +
+       "AS DOUBLE) / 7.0 AS avg_yearly, " +
+       "CAST(count(*) AS BIGINT) AS n_rows " +
+       "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+       "WHERE p.p_brand = 'Brand#9' AND p.p_size < 25 " +
+       "AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) " +
+       "FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"),
     // q193: ten per-table identity censuses, same hex60-mod checksums
     "q193_freeze_manifest" -> (Seq(
        ("region", "CAST(r_regionkey AS VARCHAR)"),

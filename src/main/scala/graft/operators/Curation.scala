@@ -581,4 +581,95 @@ object Curation {
         .as("alloc"))
       .withColumn("is_capped", col("alloc") < col("supply"))
   }
+
+  /** The public-suffix rules q197 resolves registered domains against —
+    * longest-match-wins, exactly the PSL contract (a real deployment
+    * swaps in the full Mozilla list; the mechanism is identical). */
+  private[graft] val publicSuffixes: Seq[String] =
+    Seq("co.uk", "com", "org", "net")
+
+  /** host → registered domain under [[publicSuffixes]], compiled to a
+    * row-local longest-suffix-first when() chain: this is how production
+    * pipelines ship the PSL (a few thousand rules folded into a
+    * trie/dispatch evaluated per row), NOT a join — the suffix table is
+    * rule metadata, and joining the corpus against it would shuffle 100 TB
+    * to answer a per-row question. Codegen-friendly: endswith + substring
+    * + one anchored regexp per rule, widest whole-stage span. Hosts
+    * matching no rule (or equal to a bare suffix) yield NULL — the PSL
+    * "unregistrable" answer. */
+  private[graft] def registeredDomain(host: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    publicSuffixes.sortBy(-_.length).foldRight(
+      lit(null).cast("string")) { (s, acc) =>
+      when(host.endsWith(s".$s"),
+        concat(
+          // last label of the host with ".suffix" stripped — the
+          // registrable label directly left of the public suffix
+          regexp_extract(
+            host.substr(lit(1), length(host) - lit(s.length + 1)),
+            "([^.]+)$", 1),
+          lit(s".$s"))).otherwise(acc)
+    }
+
+  /** q197: URL → REGISTERED-DOMAIN quality rollup — the Common-Crawl
+    * pipeline staple: every page carries a URL; curation decisions and
+    * drift monitoring (q124) aggregate per REGISTERED domain (the PSL
+    * unit one owner controls), not per raw host — `blog.x.co.uk` and
+    * `www.x.co.uk` are one publisher. The corpus tables carry no URL
+    * column, so the query first materializes a deterministic URL per
+    * document (scheme/subdomain/registrable-domain/port/path/query all
+    * derived from doc attributes — both engines build the SAME strings,
+    * so the gate tests the PARSERS, not the generator): Spark parses
+    * with the native `parse_url` expression, DuckDB string-parses with
+    * anchored regexes. Host → registered domain is the compiled-PSL
+    * when() chain ([[registeredDomain]]) with multi-label suffixes
+    * (co.uk) so "last two labels" shortcuts fail the gate.
+    *
+    * Rollup = q88's per-row rule family aggregated per domain: doc and
+    * distinct-host counts, char mass, short-doc and predicted-non-English
+    * ppm (integer cross-multiplied thresholds, integer ppm division —
+    * no float anywhere near a comparison), plaintext-http ppm, and mean
+    * doc length (exact-integer sum/count division, 4dp per the libm
+    * contract). Scale shape: one codegen'd projection over the documents
+    * scan (URL build + parse + PSL chain + rule bits are all row-local),
+    * then ONE map-side-combined shuffle on the ~|domains| key. */
+  def q197DomainRollup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("url", concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("http"))
+          .otherwise(lit("https")),
+        lit("://"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(""))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("www."))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("blog."))
+          .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(7)), lit("."))),
+        element_at(
+          array(lit("alpha-news.com"), lit("beta-press.co.uk"),
+            lit("gamma.org"), lit("delta-mirror.co.uk"), lit("epsilon.net")),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(":8080"))
+          .otherwise(lit("")),
+        concat(lit("/"), col("source"), lit("/"), col("lang"),
+          lit("/"), col("doc_id")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("?ref="), col("source"))).otherwise(lit(""))))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("scheme", expr("parse_url(url, 'PROTOCOL')"))
+      .withColumn("domain", registeredDomain(col("host")))
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_stop", stopwordCount(col("text")).cast("long"))
+    d.groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        expr("sum(CASE WHEN n_tok < 20 THEN 1000000L ELSE 0L END) DIV count(1)")
+          .as("short_ppm"),
+        expr("sum(CASE WHEN n_stop*100 <= n_tok*5 THEN 1000000L ELSE 0L END) " +
+          "DIV count(1)").as("nonenglish_ppm"),
+        expr("sum(CASE WHEN scheme = 'http' THEN 1000000L ELSE 0L END) " +
+          "DIV count(1)").as("http_ppm"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+          .as("mean_words"))
+  }
 }

@@ -1084,4 +1084,72 @@ object Dedup {
         count(lit(1)).as("n_words"))
       .withColumn("cfp", sketch60(col("chunk_text")))
   }
+
+  /** q196: BAND-TABLE COMPACTION — maintenance for the dedup INDEX itself.
+    * The persisted MinHash band table ([[stagedBandTable]]) is written
+    * once here, but in production it accrues per-batch fragment files
+    * (q74's incremental shape: every arriving batch appends its band
+    * rows) and a tombstone log (deleted / TTL-expired docs — same
+    * mechanism either way: a doc_id set to purge). Without maintenance
+    * the INDEX becomes the small-file problem q157 solves for tables —
+    * at 100 TB with daily batches, probe cost is dominated by opening
+    * thousands of fragment footers, and tombstoned docs keep surfacing
+    * as candidate pairs.
+    *
+    * The pass: read all fragments, anti-join the tombstone log (one
+    * broadcastable dim-sized join — the log is |deleted docs|, not
+    * corpus-sized), rewrite at the compacted file target sorted within
+    * files on (band, bucket) so bucket probes can row-group-skip (the
+    * q123 min/max layout lesson, applied to the index).
+    *
+    * Gate determinism mirrors q157: 16 batches (doc_id mod 16) at 4
+    * files each, compacted to LEAST(4, rows); tombstones are doc_id
+    * mod 13 = 0. The gate pins row preservation (fragment rows minus
+    * exactly the tombstoned docs' rows), both file counts, AND probe
+    * parity: candidate pairs computed from the compacted index equal
+    * pairs from the fragmented+tombstone-filtered view — a compaction
+    * that drops, duplicates, or reorders rows into wrong buckets fails
+    * loudly. (Pairs ride [[candidatePairsFromBands]] on both sides, so
+    * the parity check exercises the real probe path.) */
+  def q196BandCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q196_" +
+      java.util.UUID.randomUUID().toString
+    def nFiles(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          1L
+        else 0L
+      walk(new java.io.File(p))
+    }
+    val bt = stagedBandTable(spark, dir)
+    for (b <- 0 until 16)
+      bt.filter(pmod(col("doc_id"), lit(16)) === b)
+        .repartition(4).write.parquet(s"$scratch/frags/batch_$b")
+    bt.select(col("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(13)) === 0)
+      .write.parquet(s"$scratch/tombstones")
+    val frags = spark.read.parquet(
+      (0 until 16).map(b => s"$scratch/frags/batch_$b"): _*)
+    val tombs = spark.read.parquet(s"$scratch/tombstones")
+    val live = frags.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+    live.repartition(4)
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.parquet(s"$scratch/compacted")
+    val compacted = spark.read.parquet(s"$scratch/compacted")
+    val out = Seq((
+      frags.count(),
+      compacted.count(),
+      tombs.count(),
+      nFiles(s"$scratch/frags"),
+      nFiles(s"$scratch/compacted"),
+      candidatePairsFromBands(live).count(),
+      candidatePairsFromBands(compacted).count()
+    )).toDF("n_rows_frag", "n_rows_compacted", "n_docs_tombstoned",
+      "n_files_frag", "n_files_compacted", "n_pairs_frag",
+      "n_pairs_compacted")
+    graft.util.Fs.deleteRecursively(scratch)
+    out
+  }
 }

@@ -1457,6 +1457,39 @@ object Relational {
           .cast("bigint").as("id_checksum"))
   }
 
+  /** q195: CORRELATED SCALAR-SUBQUERY DECORRELATION — TPC-H Q17 shape:
+    * "lineitems ordered in a quantity below 20% of that part's own
+    * average". Written as the user writes it — a correlated scalar
+    * subquery in SQL text — because the POINT is the planner transform:
+    * Catalyst's RewriteCorrelatedScalarSubquery turns the per-row
+    * subquery into ONE aggregate over lineitem (grouped by l_partkey,
+    * map-side partial_avg) joined back to the outer scan. Executed
+    * naively, the subquery is O(|lineitem|) scans of lineitem — the
+    * classic warehouse killer; decorrelated it is two scans total, and
+    * the filtered part dim rides in as a broadcast. Plan-asserted in
+    * PlanSpec (partial_avg + no re-executed subquery in the physical
+    * plan). Numerics: l_quantity is integral (1..50) so avg = exact-sum /
+    * exact-count is the same IEEE double in both engines, and the final
+    * revenue sum rides DECIMAL(18,2) per the numeric contract.
+    * (ref equivalent: filter P3/P5 + aggregate A1 composed per-group;
+    * the reference has no planner, so the decorrelation itself is the
+    * Spark-first contribution.) */
+  def q195AvgYearly(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("graft_q195_lineitem")
+    t(spark, dir, "part").createOrReplaceTempView("graft_q195_part")
+    spark.sql("""
+      SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM graft_q195_lineitem l
+      JOIN graft_q195_part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#9' AND p.p_size < 25
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM graft_q195_lineitem l2
+                            WHERE l2.l_partkey = p.p_partkey)
+    """)
+  }
+
   /** The (lang, family) dimension as a real parquet table — staged once
     * with the same crash-safe lifecycle as the partitioned docs. Tiny by
     * construction; exists so q189's dim filter is a genuine DATA

@@ -386,6 +386,25 @@ class PlanSpec extends AnyFunSuite {
       s"q192 must exercise the shuffle-join path:\n$p")
   }
 
+  test("q195 Q17 shape: correlated scalar subquery decorrelates to one aggregate + join") {
+    val q = SparkEntry.queries("q195_avg_yearly")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // the per-part avg must be ONE grouped aggregate (map-side combined),
+    // joined back — never a per-outer-row re-execution of the subquery
+    assert(p.contains("partial_avg"),
+      s"q195's per-part avg must be a decorrelated grouped aggregate:\n$p")
+    assert(!p.contains("Subquery"),
+      s"q195 must not re-execute the scalar subquery per row:\n$p")
+    // the avg side and the filtered part dim are both dimension-sized —
+    // they must broadcast into the fact scan, and the quantity inequality
+    // rides the join condition (no cartesian fallback)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q195's dim/avg sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q195 must stay equi-join with the inequality as a condition:\n$p")
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct

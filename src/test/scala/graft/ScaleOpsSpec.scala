@@ -275,6 +275,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("registeredDomain: longest public suffix wins, unmatched hosts are NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      "blog.beta-press.co.uk",   // multi-label suffix beats the .uk tail
+      "beta-press.co.uk",        // bare registrable domain is itself
+      "s3.www.alpha-news.com",   // deep subdomain chain
+      "alpha-news.com",
+      "epsilon.net",
+      "localhost",               // no suffix → unregistrable (NULL)
+      "com")                     // a bare suffix has no registrable label
+      .toDF("host")
+      .select(graft.operators.Curation.registeredDomain(col("host"))
+        .as("dom"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(rows === Seq(
+      Some("beta-press.co.uk"), Some("beta-press.co.uk"),
+      Some("alpha-news.com"), Some("alpha-news.com"),
+      Some("epsilon.net"), None, None))
+  }
+
+  test("q196 band compaction: row preservation arithmetic and probe parity") {
+    // the gate pins exact values at sf0.01; this pins the structural
+    // invariants at the OTHER sf: every tombstoned doc removes exactly its
+    // 8 band rows, and the compacted index answers probes identically to
+    // the fragmented+filtered view
+    val r = SparkEntry.queries("q196_band_compaction")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val (frag, comp, tomb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(frag - 8 * tomb === comp,
+      s"compaction must drop exactly the tombstoned docs' rows: $r")
+    assert(r.getLong(5) === r.getLong(6),
+      s"probe parity: fragmented vs compacted pair counts differ: $r")
+    assert(r.getLong(3) > r.getLong(4),
+      s"compaction must reduce file count: $r")
+  }
+
   test("saltedSumCount equals direct groupBy aggregation") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toDouble))
