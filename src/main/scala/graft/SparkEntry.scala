@@ -614,16 +614,16 @@ object SparkEntry {
     "q42_cotrain" ->
       "SELECT * FROM (VALUES ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(366 AS BIGINT), CAST(6 AS BIGINT), 0.9838709677419355e0, 0.5e0, 0.5031808172253487e0, 0.5131155147082951e0, 0.5492957746478874e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q43_supervised_cv" ->
-      "SELECT * FROM (VALUES ('embeddings', 'supervised-DT', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.5e0, 0.5041348855881171e0, 0.4935828938280237e0, 0.5016677860572761e0, 0.5146933819064967e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+      "SELECT * FROM (VALUES ('embeddings', 'supervised-DT', 'na', 0.5e0, 0.0e0, CAST(1 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.5e0, 0.4997359619785249e0, 0.4845542190620226e0, 0.4918446127330119e0, 0.5168105440503348e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q44_cotrain_featsplit" ->
       "SELECT * FROM (VALUES ('embeddings', 'CTFS-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(117 AS BIGINT), CAST(255 AS BIGINT), CAST(372 AS BIGINT), CAST(0 AS BIGINT), 1.0e0, 0.5625e0, 0.5743821874235381e0, 0.5686314113982176e0, 0.5555555555555556e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     "q84_experiment_grid" ->
-      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.48199740762669824e0, 0.4573199842436975e0, 0.4903260444900236e0, 0.49316768283342016e0), ('embeddings', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(167 AS BIGINT), CAST(83 AS BIGINT), 0.6653386454183267e0, 0.5117856971403882e0, 0.49132549894957983e0, 0.49482983861997e0, 0.5272030651340995e0), ('embeddings_front', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(86 AS BIGINT), CAST(164 AS BIGINT), 0.3426294820717131e0, 0.5218111408042758e0, 0.5139788602941178e0, 0.5130815654618402e0, 0.4793843707405725e0), ('embeddings_front', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(249 AS BIGINT), CAST(1 AS BIGINT), 0.9920318725099602e0, 0.480021123041718e0, 0.4731037289915965e0, 0.49078230374854637e0, 0.46304347826086956e0), ('embeddings_front', 'supervised-LSVC', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4941431566145525e0, 0.4898019957983193e0, 0.5002299987333919e0, 0.46799677690582964e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(50 AS BIGINT), CAST(0 AS BIGINT), 0.9803921568627451e0, 0.5391676866585067e0, 0.5166269841269842e0, 0.5039863716215565e0, 0.37153846153846154e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+      "SELECT * FROM (VALUES ('embeddings', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.5063369125154022e0, 0.5092724527310925e0, 0.5225830303417676e0, 0.46713352007469655e0), ('embeddings', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(84 AS BIGINT), CAST(167 AS BIGINT), 0.3346613545816733e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5044566417564129e0, 0.5086158088235294e0, 0.527784760577494e0, 0.4884901307357088e0), ('embeddings', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.490286601270583e0, 0.48454280462184884e0, 0.4958855746631385e0, 0.36762778505897775e0), ('embeddings', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(250 AS BIGINT), CAST(0 AS BIGINT), 0.9960159362549801e0, 0.4838776783856875e0, 0.499015362394958e0, 0.5237654395202047e0, 0.5088054686594833e0), ('embeddings', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(167 AS BIGINT), CAST(83 AS BIGINT), 0.6653386454183267e0, 0.5117856971403882e0, 0.49132549894957983e0, 0.49482983861997e0, 0.5272030651340995e0), ('embeddings_front', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(2 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(86 AS BIGINT), CAST(164 AS BIGINT), 0.3426294820717131e0, 0.5162183354403034e0, 0.5424506302521006e0, 0.5418544317699298e0, 0.4682361804313024e0), ('embeddings_front', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(84 AS BIGINT), CAST(167 AS BIGINT), CAST(249 AS BIGINT), CAST(1 AS BIGINT), 0.9920318725099602e0, 0.4843577475156422e0, 0.4697828256302521e0, 0.4899873786372056e0, 0.4321263482280432e0), ('embeddings_front', 'supervised-LSVC', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4941431566145525e0, 0.4898019957983193e0, 0.5002299987333919e0, 0.46799677690582964e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(50 AS BIGINT), CAST(0 AS BIGINT), 0.9803921568627451e0, 0.5391676866585067e0, 0.5166269841269842e0, 0.5039863716215565e0, 0.37153846153846154e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     // q141: the full reference-shaped cross-product grid (40 cells) —
     // golden values regenerated by MlOracleGen, verified identical
     // under SPARK_GRAFT_CPUS=4 and =32
     "q141_full_grid" ->
-      "SELECT * FROM (VALUES ('embeddings_half', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('embeddings_half', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('embeddings_half', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('embeddings_half', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('embeddings_half', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+      "SELECT * FROM (VALUES ('embeddings_half', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.48294314381270903e0, 0.43913399921056473e0, 0.0e0), ('embeddings_half', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.48294314381270903e0, 0.43913399921056473e0, 0.0e0), ('embeddings_half', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5324947589098532e0, 0.498810006418702e0, 0.4400442468977802e0, 0.029411764705882353e0), ('embeddings_half', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5324947589098532e0, 0.498810006418702e0, 0.4400442468977802e0, 0.029411764705882353e0), ('embeddings_half', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('embeddings_half', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('embeddings_half', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('embeddings_half', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('embeddings_half', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('embeddings_half', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('embeddings_half', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('embeddings_half', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('embeddings_half', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
     // q143: bigram-LM perplexity terciles — bigrams via 1-based index
     // pairing (= the engine's zip_with-shifted-array pairs), interpolated
     // P = 0.9·c12/c1 + 0.1·c(w2)/N with identical double evaluation
@@ -2486,7 +2486,7 @@ object SparkEntry {
     // bit-identical under local[4] and local[32]) - the 3-dataset
     // full AllResults shape, 120 rows (3 datasets x q141's 40 cells)
     "q177_grid_datasets" ->
-      "SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('emb_res0', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5272870848957807e0, 0.4732160232170103e0, 0.0e0), ('emb_res0', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('emb_res0', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5280398322851153e0, 0.4812497888584845e0, 0.4166384984390781e0, 0.13227513227513227e0), ('emb_res0', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res1', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5280398322851153e0, 0.5194122640567262e0, 0.5455965289388884e0, 0.658887381275441e0), ('emb_res1', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5280398322851153e0, 0.5194122640567262e0, 0.5455965289388884e0, 0.658887381275441e0), ('emb_res1', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4876359596161354e0, 0.5329884839151722e0, 0.6311688311688312e0), ('emb_res1', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.4876359596161354e0, 0.5329884839151722e0, 0.6311688311688312e0), ('emb_res1', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('keel_csv', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5246838025295797e0, 0.49637246852764094e0, 0.46761743014922097e0, 0.1282051282051282e0), ('keel_csv', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5246838025295797e0, 0.49637246852764094e0, 0.46761743014922097e0, 0.1282051282051282e0), ('keel_csv', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5071399428804569e0, 0.3872536945812808e0, 0.42845811517325094e0, 0.25953488372093025e0), ('keel_csv', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5071399428804569e0, 0.3872536945812808e0, 0.42845811517325094e0, 0.25953488372093025e0), ('keel_csv', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
+      "SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.48294314381270903e0, 0.43913399921056473e0, 0.0e0), ('emb_res0', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.48294314381270903e0, 0.43913399921056473e0, 0.0e0), ('emb_res0', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5324947589098532e0, 0.498810006418702e0, 0.4400442468977802e0, 0.029411764705882353e0), ('emb_res0', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5324947589098532e0, 0.498810006418702e0, 0.4400442468977802e0, 0.029411764705882353e0), ('emb_res0', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res0', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.6401991614255764e0, 0.6229705077531165e0, 0.5825136102617645e0, 0.5373949579831933e0), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0), ('emb_res0', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5217475760954022e0, 0.4283752103006738e0, 0.0e0), ('emb_res0', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5235849056603774e0, 0.5003521840478362e0, 0.47492512549151567e0, 0.17142857142857143e0), ('emb_res0', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5176379176379176e0, 0.48166148462268876e0, 0.0e0), ('emb_res0', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0), ('emb_res0', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5632861635220126e0, 0.5362251275294754e0, 0.5309138437869831e0, 0.15384615384615385e0), ('emb_res0', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5002620545073375e0, 0.5043816087294348e0, 0.4319595837169585e0, 0.40645634629493765e0), ('emb_res1', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49030398322851154e0, 0.518259785006764e0, 0.5345657620145553e0, 0.47365967365967365e0), ('emb_res1', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49030398322851154e0, 0.518259785006764e0, 0.5345657620145553e0, 0.47365967365967365e0), ('emb_res1', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.497772536687631e0, 0.5252802039167264e0, 0.5596450819866625e0, 0.5703883495145632e0), ('emb_res1', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.497772536687631e0, 0.5252802039167264e0, 0.5596450819866625e0, 0.5703883495145632e0), ('emb_res1', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(7 AS BIGINT), CAST(56 AS BIGINT), CAST(7 AS BIGINT), CAST(56 AS BIGINT), 0.1111111111111111e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('emb_res1', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5022274633123689e0, 0.5124826362092916e0, 0.5787751223664647e0, 0.5254960529123107e0), ('emb_res1', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4982966457023061e0, 0.48927360340648063e0, 0.5459155352901148e0, 0.5163523513965147e0), ('emb_res1', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5469077568134172e0, 0.5606938252998375e0, 0.5746167397893003e0, 0.6738127544097694e0), ('emb_res1', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5305293501048218e0, 0.4785744441317197e0, 0.5204941399958796e0, 0.6118279569892473e0), ('emb_res1', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5563417190775681e0, 0.4942120697638524e0, 0.5271712749726338e0, 0.7145021645021645e0), ('emb_res1', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5374737945492662e0, 0.49692104809202575e0, 0.5310414542675002e0, 0.6916083916083916e0), ('emb_res1', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49724842767295596e0, 0.522205224117738e0, 0.6451703302585923e0, 0.5099639855942377e0), ('emb_res1', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.49030398322851154e0, 0.5136073104963548e0, 0.5782921940726107e0, 0.5386892177589852e0), ('keel_csv', 'ST-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'ST-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'ST-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'ST-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'ST-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'ST-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'ST-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-DT', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-DT', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'CT-RF', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5334557323541411e0, 0.531592775041051e0, 0.49352246345440315e0, 0.13157894736842105e0), ('keel_csv', 'CT-RF', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5334557323541411e0, 0.531592775041051e0, 0.49352246345440315e0, 0.13157894736842105e0), ('keel_csv', 'CT-RF', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4983680130558955e0, 0.4060686918445539e0, 0.4359297766437703e0, 0.22e0), ('keel_csv', 'CT-RF', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.4983680130558955e0, 0.4060686918445539e0, 0.4359297766437703e0, 0.22e0), ('keel_csv', 'CT-NB', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-NB', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'CT-LR', 'threshold', 0.1e0, 0.8e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'kBest', 0.1e0, 0.5e0, CAST(1 AS INTEGER), CAST(6 AS BIGINT), CAST(44 AS BIGINT), CAST(6 AS BIGINT), CAST(44 AS BIGINT), 0.12e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'CT-LR', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'CT-LR', 'kBest', 0.3e0, 0.5e0, CAST(1 AS INTEGER), CAST(16 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(35 AS BIGINT), 0.3137254901960784e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0), ('keel_csv', 'supervised-DT', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5130558955528355e0, 0.4838888888888889e0, 0.4235208652813537e0, 0.17365967365967366e0), ('keel_csv', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.4918486590038314e0, 0.4734924415491716e0, 0.3779840848806366e0), ('keel_csv', 'supervised-RF', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5099959200326397e0, 0.5263382594417078e0, 0.46424302596886735e0, 0.11904761904761904e0), ('keel_csv', 'supervised-RF', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4865361077111383e0, 0.3970114942528735e0, 0.4169419325725341e0, 0.16132723112128144e0), ('keel_csv', 'supervised-NB', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5450836393308853e0, 0.5201751505199781e0, 0.5142225688716568e0, 0.26666666666666666e0), ('keel_csv', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5275397796817626e0, 0.5281937602627258e0, 0.5185213759145764e0, 0.25806451612903225e0), ('keel_csv', 'supervised-LR', 'na', 0.1e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.4606283149734802e0, 0.43943897099069507e0, 0.42403781140595026e0, 0.40120663650075417e0), ('keel_csv', 'supervised-LR', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5567115463076295e0, 0.5226382047071702e0, 0.5188057068387166e0, 0.4879120879120879e0)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\")",
   )
 
   /** Shared oracle for q50 (batch session windows) and q106 (its

@@ -36,16 +36,30 @@ object Evaluation {
       UnLabeledFinal: Long, percentageLabeledFinal: Double,
       accuracy: Double, AUC: Double, PR: Double, F1score: Double)
 
-  /** Score `test` once and compute the four metrics in TWO jobs, not four:
+  /** Score `test` once and compute the four metrics in TWO jobs, not four+:
     * accuracy + F1(label 1) come from ONE confusion-matrix aggregation (a
     * ≤|classes|²-row collect — MulticlassClassificationEvaluator would run
-    * a full pass per metric), and ROC/PR AUC share ONE
-    * BinaryClassificationMetrics whose internal cumulative counts are
-    * persisted, so the score sort runs once (each
-    * BinaryClassificationEvaluator.evaluate re-sorts from scratch).
-    * numBins=1000 matches the evaluator default, so all four values are
-    * identical to the evaluator outputs (parity-tested in MlSpec at
-    * 1e-12). AUC/PR are rawPrediction-based so non-probabilistic models
+    * a full pass per metric), and ROC/PR AUC come from ONE
+    * top-k-ordered per-distinct-score aggregation finished on the driver
+    * ([[binaryAucPrLocal]]). The driver finish is the grid runner's
+    * biggest fixed cost killed: BinaryClassificationMetrics spends 5+
+    * driver-scheduled jobs per call (combineByKey, a RangePartitioner
+    * sample, the sort, a partition-count collect, cumulative-count
+    * staging, one aggregate per area) plus an internal persist/unpersist
+    * pair — ~0.2 s of pure job latency per fit+evaluate chain measured at
+    * sf0.1, ×240 chains in q177. The replacement runs ONE
+    * TakeOrderedAndProject job over the per-score counts and replays
+    * BCM's exact-regime math on ≤2000 collected rows.
+    *
+    * Scale guard: the driver finish is only valid (and only collected)
+    * when the fold has < 2000 DISTINCT scores — exactly the regime where
+    * BinaryClassificationMetrics(numBins=1000) does NO downsampling, so
+    * the two compute the same curve from the same points (parity
+    * property-tested in MlSpec, incl. ties/degenerate folds). At ≥2000
+    * distinct scores (a corpus-sized fold), the take(2000) probe — a
+    * bounded top-k, never a corpus collect — detects the regime and the
+    * computation falls back to the distributed BCM path unchanged.
+    * AUC/PR are rawPrediction-based so non-probabilistic models
     * (LinearSVC) evaluate too. Returns (accuracy, auc, pr, f1). */
   def evaluate4(model: Transformer, test: DataFrame)
       : (Double, Double, Double, Double) = {
@@ -68,6 +82,79 @@ object Evaluation {
     val f1 =
       if (2 * tp + fp + fn == 0) 0.0
       else 2.0 * tp / (2.0 * tp + fp + fn)
+    // per-distinct-score (positives, negatives), score descending — the
+    // same per-threshold counts BCM's combineByKey+sortByKey builds, as
+    // one codegen'd aggregation under a top-k cut (score = rawPrediction
+    // margin component 1, the value the old RDD path extracted)
+    import org.apache.spark.ml.functions.vector_to_array
+    val counts = predictions
+      .select(element_at(vector_to_array(col("rawPrediction")), 2).as("s"),
+        col("label"))
+      .groupBy(col("s")).agg(
+        sum(when(col("label") > 0.5, 1L).otherwise(0L)).as("p"),
+        sum(when(col("label") > 0.5, 0L).otherwise(1L)).as("ng"))
+      .orderBy(col("s").desc)
+      .take(2000)
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val (auc, pr) =
+      if (counts.length < 2000) binaryAucPrLocal(counts)
+      else binaryAucPrDistributed(predictions)
+    predictions.unpersist(blocking = false)
+    (acc, auc, pr, f1)
+  }
+
+  /** ROC-AUC and PR-AUC from per-distinct-score (positives, negatives)
+    * counts sorted score-DESCENDING — the exact math
+    * BinaryClassificationMetrics runs in its no-downsampling regime
+    * (numBins=1000, < 2000 distinct scores → grouping < 2): cumulative
+    * counts per threshold, ROC curve (0,0) ⊕ (fpr,tpr)* ⊕ (1,1), PR curve
+    * (0, first precision) ⊕ (recall, precision)*, trapezoid areas; the
+    * degenerate-denominator conventions (no positives → recall 0, no
+    * negatives → fpr 0, empty prediction → precision 1) mirror mllib's
+    * BinaryClassificationMetricComputers. Equality with BCM is pinned by
+    * a randomized parity property in MlSpec (ties, single-class folds,
+    * constant scores). */
+  private[graft] def binaryAucPrLocal(
+      counts: Seq[(Double, Long, Long)]): (Double, Double) = {
+    val totP = counts.map(_._2).sum.toDouble
+    val totN = counts.map(_._3).sum.toDouble
+    var cp = 0L; var cn = 0L
+    val cum = counts.map { case (_, p, ng) =>
+      cp += p; cn += ng; (cp, cn)
+    }
+    def tpr(c: (Long, Long)): Double =
+      if (totP == 0.0) 0.0 else c._1 / totP
+    def fpr(c: (Long, Long)): Double =
+      if (totN == 0.0) 0.0 else c._2 / totN
+    def precision(c: (Long, Long)): Double = {
+      val predPos = (c._1 + c._2).toDouble
+      if (predPos == 0.0) 1.0 else c._1 / predPos
+    }
+    def area(points: Iterator[(Double, Double)]): Double = {
+      var sum = 0.0
+      var prev: (Double, Double) = null
+      points.foreach { pt =>
+        if (prev != null)
+          sum += (pt._1 - prev._1) * (pt._2 + prev._2) / 2.0
+        prev = pt
+      }
+      sum
+    }
+    val auc = area(Iterator((0.0, 0.0)) ++
+      cum.iterator.map(c => (fpr(c), tpr(c))) ++ Iterator((1.0, 1.0)))
+    val prA =
+      if (cum.isEmpty) 0.0
+      else area(Iterator((0.0, precision(cum.head))) ++
+        cum.iterator.map(c => (tpr(c), precision(c))))
+    (auc, prA)
+  }
+
+  /** The distributed fallback for corpus-sized folds (≥2000 distinct
+    * scores): BinaryClassificationMetrics unchanged — including its
+    * numBins=1000 downsampling, which the local path deliberately never
+    * replicates (its bin boundaries depend on partitioning). */
+  private[graft] def binaryAucPrDistributed(predictions: DataFrame)
+      : (Double, Double) = {
     val scoreAndLabels = predictions
       .select(col("rawPrediction"), col("label")).rdd
       .map { r =>
@@ -78,9 +165,24 @@ object Evaluation {
     val auc = metrics.areaUnderROC()
     val pr = metrics.areaUnderPR()
     metrics.unpersist()
-    predictions.unpersist(blocking = false)
-    (acc, auc, pr, f1)
+    (auc, pr)
   }
+
+  /** Partition count for a CV input frame, a pure function of its ROW
+    * COUNT — never of core count or parent partitioning. Grid fold slices
+    * are small relative to the corpus (they feed driver-coordinated
+    * mllib fits), and every Spark job over a slice pays scheduling per
+    * task: at gate scale the frames are a few thousand rows spread over
+    * parquet-file-count partitions, and the grid's thousands of tiny
+    * per-fit jobs each carried 2-3 near-empty tasks through the
+    * single-threaded DAGScheduler — measured at sf0.1: the concurrent
+    * 40-cell grid runs 17.1 s on 2-partition slices vs 11.3 s on 1
+    * (GridProbe). 64 Ki rows per partition, capped at 2000 for a
+    * genuinely huge fold; CPU-independence keeps the seeded fold/mask
+    * lineage — and therefore the golden-pinned grid oracles —
+    * bit-identical across local[4]/local[32]. */
+  private[graft] def cvSlicePartitions(n: Long): Int =
+    math.max(1L, math.min(2000L, (n + 65535) / 65536)).toInt
 
   /** DF-native k-fold CV. `fitFn` fits on the train slice and returns the
     * fitted transformer plus an optional self-labeling summary.
@@ -93,7 +195,11 @@ object Evaluation {
       fitFn: DataFrame => (Transformer, Option[SemiSupervisedSummary]))
       : CvMetrics = {
     require(k >= 2, s"k-fold needs k>=2, got $k")
-    val folded = data.withColumn("__fold", (rand(seed) * k).cast("int"))
+    // one extra count to size the slice partitioning (cvSlicePartitions);
+    // the coalesce must sit BELOW the fold/mask rand lineage so the same
+    // rule in runGridShared yields the same folds (ExperimentsSpec parity)
+    val folded = data.coalesce(cvSlicePartitions(data.count()))
+      .withColumn("__fold", (rand(seed) * k).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     folded.count()
     try crossValidateSlices((0 until k).map { i =>

@@ -200,7 +200,13 @@ object Experiments {
       val slicesByKey: Map[(String, Double), Seq[(DataFrame, DataFrame)]] =
         cells.map(c => (c.dataName, c.percentageLabeled)).distinct
           .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (dataName, keys) =>
-            val folded = datasets(dataName)
+            val raw = datasets(dataName)
+            // slice partitioning sized to the frame (Evaluation
+            // .cvSlicePartitions): the grid's thousands of tiny fit jobs
+            // otherwise drag near-empty tasks through the DAGScheduler —
+            // same rule as crossValidate so the two paths stay fold-exact
+            val folded = raw
+              .coalesce(Evaluation.cvSlicePartitions(raw.count()))
               .withColumn("__fold", (rand(seed) * k).cast("int"))
               .persist(StorageLevel.MEMORY_AND_DISK)
             handles += folded

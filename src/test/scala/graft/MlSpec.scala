@@ -224,6 +224,39 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(pr - prE) < 1e-12, s"pr $pr vs evaluator $prE")
   }
 
+  test("binaryAucPrLocal equals BinaryClassificationMetrics across random/degenerate folds") {
+    // the driver-exact AUC/PR finish must replay BCM's no-downsampling
+    // math point for point: randomized folds (score ties, skewed classes)
+    // plus the degenerate shapes (single row, all-positive, all-negative,
+    // one constant score) — each compared against the real mllib BCM on
+    // the same pairs
+    val rnd = new scala.util.Random(77)
+    val cases: Seq[Seq[(Double, Double)]] =
+      (0 until 20).map { _ =>
+        val n = 1 + rnd.nextInt(200)
+        // coarse score quantization → plenty of exact ties
+        Seq.fill(n)((math.floor(rnd.nextDouble() * 17) / 17.0,
+          if (rnd.nextBoolean()) 1.0 else 0.0))
+      } ++ Seq(
+        Seq((0.7, 1.0)),                              // single row
+        Seq((0.2, 1.0), (0.9, 1.0), (0.5, 1.0)),      // all positive
+        Seq((0.2, 0.0), (0.9, 0.0)),                  // all negative
+        Seq((0.5, 1.0), (0.5, 0.0), (0.5, 1.0)))      // one constinct score
+    for ((pairs, i) <- cases.zipWithIndex) {
+      val counts = pairs.groupBy(_._1).toSeq
+        .map { case (s, g) =>
+          (s, g.count(_._2 > 0.5).toLong, g.count(_._2 <= 0.5).toLong)
+        }
+        .sortBy(-_._1)
+      val (aucL, prL) = graft.ml.Evaluation.binaryAucPrLocal(counts)
+      val m = new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(
+        spark.sparkContext.parallelize(pairs, 1 + (i % 3)), 1000)
+      val aucD = m.areaUnderROC(); val prD = m.areaUnderPR(); m.unpersist()
+      assert(math.abs(aucL - aucD) < 1e-13, s"case $i auc $aucL vs BCM $aucD")
+      assert(math.abs(prL - prD) < 1e-13, s"case $i pr $prL vs BCM $prD")
+    }
+  }
+
   test("evaluate4 parity holds for LinearSVC (rawPrediction is a signed margin)") {
     import org.apache.spark.ml.evaluation._
     // non-probabilistic model: rawPrediction(1) is an unbounded signed
