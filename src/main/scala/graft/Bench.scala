@@ -590,8 +590,14 @@ object Bench {
     // complete artifact → file (committed with the round); sbt's forked
     // run executes in the project base, so the relative path is the repo
     val detailPath = java.nio.file.Paths.get("BENCH_detail.json")
+    // provenance stamp (detail file only — the stdout line is size-bounded):
+    // readme_bands.py embeds it so a reader can tell WHICH run the README
+    // bands came from when they disagree with a driver artifact (r16: bands
+    // from the builder's 264 s run vs the driver's load-contaminated 344 s)
+    val stamp = "," + "\"generatedAt\":\"" +
+      java.time.Instant.now().toString + "\""
     java.nio.file.Files.writeString(detailPath,
-      line(qmap(results.map(r => (r._1, r._2))), stagedJson(200), "") + "\n")
+      line(qmap(results.map(r => (r._1, r._2))), stagedJson(200), stamp) + "\n")
     // stdout: same shape, `queries` cut to the 20 slowest first samples so
     // the line survives the harness's ~2 KB stdout tail
     val top20 = results.sortBy(-_._2).take(20).map(r => (r._1, r._2))

@@ -72,7 +72,9 @@ object GridProbe {
       // phase 1 clone: stage fold/mask slices exactly like runGridShared
       val (slices, stageSec) = t {
         val k = 2
-        val folded = frame()
+        val raw = frame()
+        val folded = raw
+          .coalesce(Evaluation.cvSlicePartitions(raw.count()))
           .withColumn("__fold", (rand(8L) * k).cast("int"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         folded.count()
