@@ -318,6 +318,8 @@ object SparkEntry {
       graft.operators.Dedup.q196BandCompaction(s, d)),
     "q197_domain_rollup"      -> ((s: SparkSession, d: String) =>
       graft.operators.Curation.q197DomainRollup(s, d)),
+    "q198_zorder_layout"      -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q198ZOrderLayout(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -969,6 +971,35 @@ object SparkEntry {
        "(CASE WHEN capped_rank <= leftover % n_capped THEN 1 ELSE 0 END) " +
        "END AS BIGINT) AS alloc FROM h) " +
        "SELECT source, supply, alloc, alloc < supply AS is_capped FROM z"),
+    // q198: DuckDB replays the integer scale/interleave-top-bits/bucket
+    // arithmetic and the min-stat skipping simulation over the original
+    // table; the engine's counts come from the WRITTEN z-layout, so the
+    // compare also pins the layout round-trip
+    "q198_zorder_layout" ->
+      ("WITH b AS (SELECT l_partkey AS x, l_suppkey AS y, " +
+       "CAST(l_quantity AS BIGINT) AS qty FROM lineitem), " +
+       "mm AS (SELECT min(x) AS minx, max(x) AS maxx, " +
+       "min(y) AS miny, max(y) AS maxy FROM b), " +
+       "s AS (SELECT qty, " +
+       "((x - minx) * 65535) // greatest(1, maxx - minx) AS x16, " +
+       "((y - miny) * 65535) // greatest(1, maxy - miny) AS y16 " +
+       "FROM b, mm), " +
+       "z AS (SELECT *, ((y16 >> 15) & 1)*4 + ((x16 >> 15) & 1)*2 + " +
+       "((y16 >> 14) & 1) AS zb, x16 >> 13 AS lb FROM s), " +
+       "zt AS (SELECT zb, min(x16) AS mnx, min(y16) AS mny FROM z GROUP BY zb), " +
+       "lt AS (SELECT lb, min(x16) AS mnx, min(y16) AS mny FROM z GROUP BY lb) " +
+       "SELECT 'partkey_narrow' AS box, " +
+       "(SELECT count(*) FROM z WHERE x16 <= 16383) AS n_rows, " +
+       "CAST((SELECT sum(qty) FROM z WHERE x16 <= 16383) AS BIGINT) AS sum_qty, " +
+       "(SELECT count(*) FROM zt WHERE mnx <= 16383) AS files_hit_zorder, " +
+       "(SELECT count(*) FROM lt WHERE mnx <= 16383) AS files_hit_linear, " +
+       "(SELECT count(*) FROM zt) AS n_buckets " +
+       "UNION ALL SELECT 'suppkey_narrow', " +
+       "(SELECT count(*) FROM z WHERE y16 <= 16383), " +
+       "CAST((SELECT sum(qty) FROM z WHERE y16 <= 16383) AS BIGINT), " +
+       "(SELECT count(*) FROM zt WHERE mny <= 16383), " +
+       "(SELECT count(*) FROM lt WHERE mny <= 16383), " +
+       "(SELECT count(*) FROM zt)"),
     // q197: DuckDB builds the SAME deterministic URLs and string-parses
     // them with anchored regexes (vs Spark's native parse_url) — the gate
     // tests the two parsers + PSL longest-match against each other

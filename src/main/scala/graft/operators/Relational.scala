@@ -1490,6 +1490,79 @@ object Relational {
     """)
   }
 
+  /** q198: Z-ORDER LAYOUT — the multi-dimensional data-skipping lever
+    * (the OPTIMIZE ZORDER staple): a table sorted on one column can prune
+    * files only for predicates on THAT column; interleaving the bits of
+    * two normalized dimensions ([[graft.functions.ZOrder]]) clusters rows
+    * that are close in BOTH, so per-file min/max stats skip files for 2-D
+    * box predicates. The op: scale (l_partkey, l_suppkey) to 16 bits,
+    * Morton-interleave, bucket by the top 3 curve bits (8 real parquet
+    * directories, rows sorted within files on the full z-value for
+    * row-group locality), then answer two box queries FROM THE WRITTEN
+    * LAYOUT and simulate file skipping from the written buckets' actual
+    * min/max stats against a plain partkey-sorted layout's stats.
+    *
+    * The gate pins both sides of the trade honestly: the suppkey-narrow
+    * box (where a partkey sort prunes nothing — every linear bucket
+    * spans all suppkeys) hits 2 of 8 z-buckets vs 8 of 8 linear, and the
+    * partkey-narrow box hits 2 linear vs 4 z-buckets — z-order trades
+    * the leading column's perfect clustering for usable clustering on
+    * every curve dimension. Row counts + DECIMAL-free integer quantity
+    * sums are answered from the round-tripped files, so a layout that
+    * drops or re-types rows fails the same row. All arithmetic integer
+    * (scale16's exact integer division, bit ops), so the DuckDB twin
+    * replays it bit for bit. At 100 TB this bucketing is
+    * repartitionByRange on z with sampled boundaries; fixed top-bit
+    * buckets keep the gate deterministic (the same reasoning as q157's
+    * LEAST'd file counts). */
+  def q198ZOrderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q198_" +
+      java.util.UUID.randomUUID().toString
+    val li = t(spark, dir, "lineitem").select(
+      col("l_partkey").as("x"), col("l_suppkey").as("y"),
+      col("l_quantity").cast("long").as("qty"))
+    val mm = li.agg(min(col("x")), max(col("x")),
+      min(col("y")), max(col("y"))).head
+    val (minx, maxx, miny, maxy) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val scaled = li
+      .withColumn("x16", ZOrder.scale16(col("x"), lit(minx), lit(maxx)))
+      .withColumn("y16", ZOrder.scale16(col("y"), lit(miny), lit(maxy)))
+      .withColumn("zval", ZOrder.interleave16(col("x16"), col("y16")))
+      .withColumn("zbucket", shiftright(col("zval"), 29))
+      .withColumn("lbucket", shiftright(col("x16"), 13))
+    scaled.repartition(col("zbucket"))
+      .sortWithinPartitions(col("zbucket"), col("zval"))
+      .write.partitionBy("zbucket").parquet(s"$scratch/z")
+    val back = spark.read.parquet(s"$scratch/z")
+    def bucketMins(df: DataFrame, bucket: String): Array[(Long, Long)] = df
+      .groupBy(col(bucket))
+      .agg(min(col("x16")).as("mnx"), min(col("y16")).as("mny"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val zStats = bucketMins(back, "zbucket") // from the WRITTEN layout
+    val lStats = bucketMins(scaled, "lbucket")
+    def boxRow(name: String, onX: Boolean): (String, Long, Long, Long, Long, Long) = {
+      val cut = 16383L
+      val pred = if (onX) col("x16") <= cut else col("y16") <= cut
+      val agg = back.filter(pred)
+        .agg(count(lit(1)), sum(col("qty"))).head
+      val hit = (s: Array[(Long, Long)]) =>
+        s.count(b => (if (onX) b._1 else b._2) <= cut).toLong
+      (name, agg.getLong(0), agg.getLong(1), hit(zStats), hit(lStats),
+        zStats.length.toLong)
+    }
+    val out = Seq(
+      boxRow("partkey_narrow", onX = true),
+      boxRow("suppkey_narrow", onX = false))
+      .toDF("box", "n_rows", "sum_qty", "files_hit_zorder",
+        "files_hit_linear", "n_buckets")
+      .localCheckpoint()
+    graft.util.Fs.deleteRecursively(scratch)
+    out
+  }
+
   /** The (lang, family) dimension as a real parquet table — staged once
     * with the same crash-safe lifecycle as the partitioned docs. Tiny by
     * construction; exists so q189's dim filter is a genuine DATA

@@ -290,7 +290,7 @@ object SemiSupervised {
       // multi-iteration convergence); each extra round is ~80 more fits
       maxIter = 1)
     Experiments.runGridShared(Map("embeddings_half" -> data), cells,
-      k = 2, seed = 8L, parallelism = 20)
+      k = 2, seed = 8L, parallelism = 32)
   }
 
   /** q177: the reference's AllResults ARTIFACT SHAPE gated end-to-end —
@@ -344,7 +344,7 @@ object SemiSupervised {
       criterionValues = Map("threshold" -> Seq(0.8), "kBest" -> Seq(0.5)),
       maxIter = 1))
     Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
-      parallelism = 20)
+      parallelism = 32)
   }
 
   /** Supervised baseline through k-fold CV (ref M3 + M10). */

@@ -311,6 +311,43 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"compaction must reduce file count: $r")
   }
 
+  test("ZOrder.interleave16 bit layout and scale16 exact integer scaling") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val r = Seq((0xFFFFL, 0L, 0L, 0L, 131L),
+                (0L, 0xFFFFL, 0L, 0L, 131L),
+                (0xFFFFL, 0xFFFFL, 0L, 0L, 131L),
+                (1L, 2L, 7L, 0L, 131L))
+      .toDF("x", "y", "sx", "smin", "smax")
+      .select(
+        ZOrder.interleave16(col("x"), col("y")).as("z"),
+        ZOrder.scale16(col("sx"), col("smin"), col("smax")).as("s"))
+      .collect()
+    // x occupies the even bits, y the odd bits
+    assert(r(0).getLong(0) === 0x55555555L, "x-only interleave")
+    assert(r(1).getLong(0) === 0xAAAAAAAAL.toLong, "y-only interleave")
+    assert(r(2).getLong(0) === 0xFFFFFFFFL, "full interleave")
+    assert(r(3).getLong(0) === 9L,
+      "x bit0 -> z bit0 (=1), y bit1 -> z bit3 (=8)")
+    // 7 of [0,131] -> 7*65535 DIV 131 = 3501 (exact integer division)
+    assert(r(3).getLong(1) === 7L * 65535L / 131L, "scale16 integer div")
+  }
+
+  test("q198 z-order skips where a linear sort cannot, and pays on the leading column") {
+    val rows = SparkEntry.queries("q198_zorder_layout")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (zS, lS, nb) = rows("suppkey_narrow")
+    // the point of z-order: a suppkey box prunes z-buckets but NO
+    // partkey-sorted bucket (every linear bucket spans all suppkeys)
+    assert(zS < lS && lS === nb,
+      s"suppkey-narrow box must skip z-buckets and no linear buckets: $rows")
+    val (zP, lP, _) = rows("partkey_narrow")
+    // the honest trade: the leading column's perfect clustering beats the
+    // curve on its own dimension
+    assert(lP <= zP, s"partkey-narrow box should favor the linear sort: $rows")
+  }
+
   test("saltedSumCount equals direct groupBy aggregation") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (if (i % 3 == 0) "hot" else s"k${i % 7}", i.toDouble))
