@@ -320,6 +320,8 @@ object SparkEntry {
       graft.operators.Curation.q197DomainRollup(s, d)),
     "q198_zorder_layout"      -> ((s: SparkSession, d: String) =>
       graft.operators.Relational.q198ZOrderLayout(s, d)),
+    "q199_grid_resume"        -> ((s: SparkSession, d: String) =>
+      graft.operators.SemiSupervised.qGridResume(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -971,6 +973,12 @@ object SparkEntry {
        "(CASE WHEN capped_rank <= leftover % n_capped THEN 1 ELSE 0 END) " +
        "END AS BIGINT) AS alloc FROM h) " +
        "SELECT source, supply, alloc, alloc < supply AS is_capped FROM z"),
+    // q199: golden-pinned like q84/q141/q177 (MlOracleGen, identical at
+    // CPUS=4/32) - the 6-cell resumable grid, 3 rows resumed from the
+    // manifest (was_resumed=TRUE, bit-identical to fresh fits; the ST-DT
+    // row's metrics equal q141's same cell)
+    "q199_grid_resume" ->
+      "SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0, TRUE), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0, TRUE), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0, TRUE), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0, FALSE), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0, FALSE), ('emb_res0', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0, FALSE)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\", \"was_resumed\")",
     // q198: DuckDB replays the integer scale/interleave-top-bits/bucket
     // arithmetic and the min-stat skipping simulation over the original
     // table; the engine's counts come from the WRITTEN z-layout, so the

@@ -239,6 +239,58 @@ object Experiments {
     } finally handles.foreach(_.unpersist(blocking = true))
   }
 
+  /** [[runGridShared]] with a per-cell RESULT MANIFEST — restartability
+    * for the reference's real workload shape: its full AllResults
+    * artifact is 2,288 grid rows (hours of model fits), and a lost
+    * driver without a manifest refits everything. Each completed cell's
+    * 15-column result row is published to `manifestRoot/cell_<i>` as
+    * parquet via write-to-staging + atomic rename (the
+    * [[graft.util.Staging]] crash-safety idiom: a cell killed mid-write
+    * leaves only an ignored staging dir, never a torn manifest entry);
+    * on start, cells with a published entry are NOT refit — their rows
+    * load from the manifest. Returns the full grid in grid order plus
+    * the per-row `was_resumed` flag. Resumed rows are bit-identical to
+    * fresh fits because every fit is seeded and fold/mask staging is a
+    * pure function of (frame, seed) — pinned by the q199 golden gate. */
+  def runGridResumable(datasets: Map[String, DataFrame], cells: Seq[Cell],
+      k: Int, seed: Long, parallelism: Int, manifestRoot: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = datasets.head._2.sparkSession
+    import spark.implicits._
+    def cellDir(i: Int) = new java.io.File(manifestRoot, s"cell_$i")
+    val done = cells.indices.filter(cellDir(_).isDirectory)
+    val doneRows: Map[Int, ExperimentResult] = done.map { i =>
+      i -> spark.read.parquet(cellDir(i).getPath)
+        .as[ExperimentResult].head()
+    }.toMap
+    val todo = cells.zipWithIndex.filterNot(c => doneRows.contains(c._2))
+    // fit ONLY the missing cells, through the same shared staging +
+    // bounded concurrent queue as the non-resumable path
+    val freshRows: Map[Int, ExperimentResult] =
+      if (todo.isEmpty) Map.empty
+      else {
+        val sub = runGridShared(datasets, todo.map(_._1), k, seed,
+          parallelism).as[ExperimentResult].collect()
+        todo.map(_._2).zip(sub).toMap
+      }
+    freshRows.foreach { case (i, row) =>
+      val staging = new java.io.File(manifestRoot,
+        s".staging_${java.util.UUID.randomUUID()}")
+      Evaluation.resultsDF(spark, Seq(row)).coalesce(1)
+        .write.mode("overwrite").parquet(staging.getPath)
+      if (!staging.renameTo(cellDir(i))) {
+        // a concurrent resume already published this cell — identical
+        // content by determinism, so losing the race is a no-op
+        graft.util.Fs.deleteRecursively(staging)
+      }
+    }
+    cells.indices
+      .map(i => (doneRows.contains(i), doneRows.getOrElse(i, freshRows(i))))
+      .toDF("was_resumed", "r")
+      .select(col("r.*") +: Seq(col("was_resumed")): _*)
+  }
+
   /** Cross-product grid builder (ref M7's nested tuples, flattened). */
   def grid(dataName: String, classifiers: Seq[String], algos: Seq[String],
       pcts: Seq[Double], criterionValues: Map[String, Seq[Double]],

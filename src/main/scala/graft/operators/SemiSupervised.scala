@@ -347,6 +347,48 @@ object SemiSupervised {
       parallelism = 32)
   }
 
+  /** q199: GRID RESUME — the restartability the reference's real workload
+    * demands: its full AllResults artifact is 2,288 grid rows (hours of
+    * fits), and a lost driver without a per-cell manifest refits all of
+    * them. The gate simulates the interruption inside one invocation: a
+    * first [[Experiments.runGridResumable]] pass completes only the first
+    * 3 of 6 cells (publishing each row to the manifest via
+    * staging+atomic-rename), a torn staging dir is planted (a cell killed
+    * mid-write), and the second pass must LOAD the 3 published rows
+    * (was_resumed=true), ignore the torn entry, and fit only the missing
+    * 3. Golden-pinned: resumed rows are bit-identical to fresh fits
+    * because fits are seeded and fold/mask staging is a pure function of
+    * (frame, seed) — the ST-DT cell's 15 metric columns here equal
+    * q141's same cell, cross-checkable in the two VALUES blocks. */
+  def qGridResume(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q199_" +
+      java.util.UUID.randomUUID().toString
+    new java.io.File(manifest).mkdirs()
+    def frame(): DataFrame = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 4 === 0)
+      .select(
+        array_to_vector(transform(slice(col("embedding"), 1, 32),
+          x => abs(x))).as("features"),
+        (col("label") % 2).cast("double").as("label"))
+    val cells = Experiments.grid("emb_res0",
+      classifiers = Seq("DT", "NB"),
+      algos = Seq("ST", "CT", "supervised"),
+      pcts = Seq(0.3),
+      criterionValues = Map("threshold" -> Seq(0.8)),
+      maxIter = 1)
+    val datasets = Map("emb_res0" -> frame())
+    // the "interrupted" first run: 3 of 6 cells publish their rows
+    Experiments.runGridResumable(datasets, cells.take(3), k = 2, seed = 8L,
+      parallelism = 8, manifest).count()
+    // a cell killed mid-publish leaves a staging dir with no rename —
+    // the resume must ignore it, not read a torn row
+    new java.io.File(manifest, ".staging_torn").mkdirs()
+    val out = Experiments.runGridResumable(datasets, cells, k = 2,
+      seed = 8L, parallelism = 8, manifest).localCheckpoint()
+    graft.util.Fs.deleteRecursively(manifest)
+    out
+  }
+
   /** Supervised baseline through k-fold CV (ref M3 + M10). */
   def qSupervisedCv(spark: SparkSession, dir: String): DataFrame = {
     val df = new UnlabeledTransformer()

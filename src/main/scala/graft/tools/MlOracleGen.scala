@@ -36,7 +36,8 @@ object MlOracleGen {
       "q40_selftrain_threshold", "q41_selftrain_kbest", "q42_cotrain",
       "q43_supervised_cv", "q44_cotrain_featsplit",
       "q84_experiment_grid", "q141_full_grid", "q149_bpe_encode",
-      "q155_token_ids", "q177_grid_datasets", "q182_tokenizer_coverage")
+      "q155_token_ids", "q177_grid_datasets", "q182_tokenizer_coverage",
+      "q199_grid_resume")
     for (q <- if (args.nonEmpty) all.filter(n => args.exists(n.contains))
               else all) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
@@ -49,6 +50,7 @@ object MlOracleGen {
             case DoubleType  => dlit(r.getDouble(i))
             case LongType    => s"CAST(${r.getLong(i)} AS BIGINT)"
             case IntegerType => s"CAST(${r.getInt(i)} AS INTEGER)"
+            case BooleanType => if (r.getBoolean(i)) "TRUE" else "FALSE"
             case other => sys.error(s"unhandled type $other in $q")
           }
         }.mkString("(", ", ", ")")

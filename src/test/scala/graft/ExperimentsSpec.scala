@@ -286,6 +286,32 @@ class ExperimentsSpec extends AnyFunSuite {
     }.toDF("features", "label")
   }
 
+  test("runGridResumable: resumed rows equal a fresh run, torn staging ignored, flags exact") {
+    val cells = Seq(
+      Experiments.Cell("d", "DT", "ST", "threshold", 0.3, 0.8, maxIter = 1),
+      Experiments.Cell("d", "NB", "ST", "threshold", 0.3, 0.8, maxIter = 1),
+      Experiments.Cell("d", "DT", "supervised", "na", 0.3, 0.0, maxIter = 1),
+      Experiments.Cell("d", "NB", "supervised", "na", 0.3, 0.0, maxIter = 1))
+    val data = Map("d" -> positiveBlobs)
+    val manifest = java.nio.file.Files
+      .createTempDirectory("graft_resume_spec").toString
+    // "interrupted" run completes 2 of 4 cells
+    Experiments.runGridResumable(data, cells.take(2), k = 2, seed = 8L,
+      parallelism = 4, manifest).count()
+    // a cell killed mid-publish: staging dir with no rename
+    new java.io.File(manifest, ".staging_torn").mkdirs()
+    val resumed = Experiments.runGridResumable(data, cells, k = 2,
+      seed = 8L, parallelism = 4, manifest).collect()
+    graft.util.Fs.deleteRecursively(manifest)
+    assert(resumed.map(_.getBoolean(15)).toSeq ===
+      Seq(true, true, false, false), "first two rows resume, last two fit")
+    // bit-identical to a run that never lost its driver
+    val fresh = Experiments.runGrid(data, cells, k = 2, seed = 8L,
+      parallelism = 4).collect()
+    assert(resumed.map(_.toSeq.take(15)).toSeq === fresh.map(_.toSeq).toSeq,
+      "resumed grid must equal the uninterrupted grid bit for bit")
+  }
+
   test("wisconsin-shaped grid reproduces the published best cell within 0.02") {
     val cells = Seq(
       Experiments.Cell("wisconsin", "RF", "ST", "threshold", 0.3, 0.6),
