@@ -322,6 +322,8 @@ object SparkEntry {
       graft.operators.Relational.q198ZOrderLayout(s, d)),
     "q199_grid_resume"        -> ((s: SparkSession, d: String) =>
       graft.operators.SemiSupervised.qGridResume(s, d)),
+    "q200_forget_flow"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Dedup.q200ForgetFlow(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -979,6 +981,38 @@ object SparkEntry {
     // row's metrics equal q141's same cell)
     "q199_grid_resume" ->
       "SELECT * FROM (VALUES ('emb_res0', 'ST-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0, TRUE), ('emb_res0', 'ST-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0, TRUE), ('emb_res0', 'CT-DT', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0, TRUE), ('emb_res0', 'CT-NB', 'threshold', 0.3e0, 0.8e0, CAST(1 AS INTEGER), CAST(20 AS BIGINT), CAST(43 AS BIGINT), CAST(20 AS BIGINT), CAST(43 AS BIGINT), 0.31746031746031744e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0, FALSE), ('emb_res0', 'supervised-DT', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5260744234800838e0, 0.4944740042566129e0, 0.4277701474686708e0, 0.38169934640522873e0, FALSE), ('emb_res0', 'supervised-NB', 'na', 0.3e0, 0.0e0, CAST(0 AS INTEGER), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0e0, 0.5538522012578616e0, 0.5187510557075774e0, 0.48264747804556296e0, 0.0e0, FALSE)) AS t(\"data\", \"classifier\", \"criterion\", \"percentageLabeled\", \"thresholdOrKBest\", \"iteration\", \"LabeledInitial\", \"UnLabeledInitial\", \"LabeledFinal\", \"UnLabeledFinal\", \"percentageLabeledFinal\", \"accuracy\", \"AUC\", \"PR\", \"F1score\", \"was_resumed\")",
+    // q200: DuckDB rebuilds band table + pairs + components from
+    // documents, replays the deletion rule, and recomputes BOTH
+    // clusterings (the suffix-2 cc chain over the purged graph); every
+    // n_deleted_refs_after is a real count over survivors, not an
+    // asserted zero
+    "q200_forget_flow" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+       ccCtes("") + ", " +
+       "dl AS (SELECT DISTINCT doc_id FROM bd WHERE doc_id % 29 = 0), " +
+       "bd2 AS (SELECT * FROM bd WHERE doc_id % 29 <> 0), " +
+       "pairs2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+       "FROM bd2 a JOIN bd2 b ON a.band = b.band AND a.bucket = b.bucket " +
+       "AND a.doc_id < b.doc_id), " + ccCtes("2") + " " +
+       "SELECT 'documents' AS artifact, " +
+       "(SELECT count(*) FROM documents) AS n_before, " +
+       "(SELECT count(*) FROM documents WHERE doc_id % 29 <> 0) AS n_after, " +
+       "(SELECT count(*) FROM documents WHERE doc_id % 29 <> 0 " +
+       "AND doc_id IN (SELECT doc_id FROM dl)) AS n_deleted_refs_after " +
+       "UNION ALL SELECT 'band_table', (SELECT count(*) FROM bd), " +
+       "(SELECT count(*) FROM bd2), " +
+       "(SELECT count(*) FROM bd2 WHERE doc_id IN (SELECT doc_id FROM dl)) " +
+       "UNION ALL SELECT 'candidate_pairs', (SELECT count(*) FROM pairs), " +
+       "(SELECT count(*) FROM pairs2), " +
+       "(SELECT count(*) FROM pairs2 WHERE doc_a IN (SELECT doc_id FROM dl) " +
+       "OR doc_b IN (SELECT doc_id FROM dl)) " +
+       "UNION ALL SELECT 'cluster_labels', (SELECT count(*) FROM lab), " +
+       "(SELECT count(*) FROM lab2), " +
+       "(SELECT count(*) FROM lab2 WHERE n IN (SELECT doc_id FROM dl) " +
+       "OR root IN (SELECT doc_id FROM dl)) " +
+       "UNION ALL SELECT 'clusters', " +
+       "(SELECT count(DISTINCT root) FROM lab), " +
+       "(SELECT count(DISTINCT root) FROM lab2), CAST(0 AS BIGINT)"),
     // q198: DuckDB replays the integer scale/interleave-top-bits/bucket
     // arithmetic and the min-stat skipping simulation over the original
     // table; the engine's counts come from the WRITTEN z-layout, so the
@@ -2581,10 +2615,16 @@ object SparkEntry {
     s"JOIN r${k - 1} r ON r.v = e.u JOIN deg dd ON dd.u = e.u " +
     s"GROUP BY e.v) s ON s.v = d.u)"
 
-  private def ccCtes: String =
-    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-    "reach(n, m) AS (SELECT a, a FROM edges UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n), " +
-    "lab AS (SELECT n, min(m) AS root FROM reach GROUP BY n)"
+  private def ccCtes: String = ccCtes("")
+
+  /** The connected-components CTE chain over `pairs<sfx>`, emitting
+    * `edges<sfx>/reach<sfx>/lab<sfx>` — the suffix lets one oracle run
+    * components over TWO graphs (q200 recomputes the clustering after a
+    * forget pass). */
+  private def ccCtes(sfx: String): String =
+    s"edges$sfx AS (SELECT doc_a AS a, doc_b AS b FROM pairs$sfx UNION SELECT doc_b, doc_a FROM pairs$sfx), " +
+    s"reach$sfx(n, m) AS (SELECT a, a FROM edges$sfx UNION SELECT e.b, r.m FROM reach$sfx r JOIN edges$sfx e ON e.a = r.n), " +
+    s"lab$sfx AS (SELECT n, min(m) AS root FROM reach$sfx GROUP BY n)"
 
   private def minhashCtes: String =
     "WITH docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0), " +

@@ -1085,6 +1085,59 @@ object Dedup {
       .withColumn("cfp", sketch60(col("chunk_text")))
   }
 
+  /** q200: RIGHT-TO-BE-FORGOTTEN PROPAGATION — the compliance pass a
+    * 100 TB corpus owes its deletion requests: removing a document from
+    * the source table is the EASY part; the doc also lives on in every
+    * derived artifact — the persisted band table keeps surfacing it as a
+    * candidate pair, and the component-labels table may use it as a
+    * cluster's canonical LABEL (so survivorship decisions keep citing a
+    * deleted doc). The pass: (1) key-only anti-join the deletion set out
+    * of the band table (the q196 tombstone mechanism — dim-sized join,
+    * corpus untouched); (2) re-derive candidate pairs from the purged
+    * index; (3) RECOMPUTE the component labels over the surviving graph —
+    * a relabel shortcut is not enough, because a deleted doc can be the
+    * BRIDGE between two subclusters (its removal must split them) and is
+    * often the min-id label itself. The gate pins before/after
+    * cardinalities of all four artifacts plus, for each, the count of
+    * surviving rows still referencing a deleted id — which must be ZERO,
+    * computed as a real query on both sides, not asserted. Deletion rule
+    * doc_id mod 29 = 0 (~3.4% of the corpus, enough to split real
+    * clusters at gate scale). */
+  def q200ForgetFlow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bt = stagedBandTable(spark, dir)
+    val del = bt.select(col("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(29)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.load(spark, dir, "documents")
+    val docsAfter = docs.join(del, Seq("doc_id"), "left_anti")
+    val btAfter = bt.join(del, Seq("doc_id"), "left_anti")
+    val pairsBefore = candidatePairsFromBands(bt)
+    val pairsAfter = candidatePairsFromBands(btAfter)
+    val labelsBefore = stagedComponentLabels(spark, dir)
+    val labelsAfter = connectedComponentsStars(pairsAfter)
+    def refs(df: DataFrame, cols: Seq[String]): Long = cols.map { c =>
+      df.join(del.select(col("doc_id").as(c)), Seq(c), "left_semi").count()
+    }.sum
+    val out = Seq(
+      ("documents", docs.count(), docsAfter.count(),
+        refs(docsAfter, Seq("doc_id"))),
+      ("band_table", bt.count(), btAfter.count(),
+        refs(btAfter, Seq("doc_id"))),
+      ("candidate_pairs", pairsBefore.count(), pairsAfter.count(),
+        refs(pairsAfter, Seq("doc_a", "doc_b"))),
+      ("cluster_labels", labelsBefore.count(), labelsAfter.count(),
+        refs(labelsAfter.select(col("node").as("doc_id"),
+          col("label").as("doc_b")), Seq("doc_id", "doc_b"))),
+      ("clusters",
+        labelsBefore.select(col("label")).distinct().count(),
+        labelsAfter.select(col("label")).distinct().count(), 0L)
+    ).toDF("artifact", "n_before", "n_after", "n_deleted_refs_after")
+      .localCheckpoint()
+    del.unpersist(blocking = true)
+    out
+  }
+
   /** q196: BAND-TABLE COMPACTION — maintenance for the dedup INDEX itself.
     * The persisted MinHash band table ([[stagedBandTable]]) is written
     * once here, but in production it accrues per-batch fragment files
