@@ -170,15 +170,15 @@ object Bench {
       // reader (loadKeelCsv) + featurization pipeline, exactly the frame
       // construction q177's keel_csv dataset does (r16 artifact: q177
       // first sample 106.6 s vs 53.7 retimed with neither branch warm)
+      val keelCsvDir = java.nio.file.Files.createTempDirectory("graft_warm_keel")
       val keelWarm = {
         import org.apache.spark.sql.functions.col
-        val csvDir = java.nio.file.Files.createTempDirectory("graft_warm_keel")
         val rows = "a1,a2,a3,clazz" +: (0 until 256).map(i =>
           s"${i % 7}.0,${i % 13}.0,${(i * 31) % 97}.0,c${i % 2}")
-        java.nio.file.Files.writeString(csvDir.resolve("warm.csv"),
+        java.nio.file.Files.writeString(keelCsvDir.resolve("warm.csv"),
           rows.mkString("\n"))
         val (raw, fcols, lcol) =
-          graft.sources.Ingestion.loadKeelCsv(spark, s"$csvDir/*.csv")
+          graft.sources.Ingestion.loadKeelCsv(spark, s"$keelCsvDir/*.csv")
         graft.ml.Featurization.pipeline(fcols.toSeq, Nil, lcol)
           .fit(raw).transform(raw).select(col("features"), col("label"))
       }
@@ -189,6 +189,9 @@ object Bench {
       Experiments.runGridShared(
         Map("warm" -> tiny, "warmKeel" -> keelWarm), cells ++ keelCells,
         k = 2, seed = 8L, parallelism = 20).count()
+      // safe to delete only now: the grid's slice staging read the CSV
+      // eagerly (persist+count), so nothing lazy still points at the dir
+      graft.util.Fs.deleteRecursively(keelCsvDir.toFile)
       // the FEATURE-SPLIT co-training branch (q44) is a separate codepath
       // from the grid's cross-teach CT — two column-sliced views, per-view
       // fits, the view-merge — and was the one estimator path left cold

@@ -178,9 +178,18 @@ object Evaluation {
     * single-threaded DAGScheduler — measured at sf0.1: the concurrent
     * 40-cell grid runs 17.1 s on 2-partition slices vs 11.3 s on 1
     * (GridProbe). 64 Ki rows per partition, capped at 2000 for a
-    * genuinely huge fold; CPU-independence keeps the seeded fold/mask
-    * lineage — and therefore the golden-pinned grid oracles —
-    * bit-identical across local[4]/local[32]. */
+    * genuinely huge fold.
+    *
+    * Determinism scope, stated precisely: in the coalesce(1) regime
+    * (≤ 65,536 rows — every gated frame; guarded in ExperimentsSpec) the
+    * fold/mask lineage is bit-identical across local[4]/local[32],
+    * because a single merged partition's row order is
+    * parallelism-invariant. ABOVE 64 Ki rows, coalesce(m>1) grouping
+    * follows the parent scan's split layout, which follows
+    * defaultParallelism — fold assignment then varies across core counts
+    * exactly as the raw rand(seed)-on-scan-partitions lineage always did
+    * (the pre-existing golden contract was already scoped to
+    * single-split sf0.01 reads, per MlOracleGen's scaladoc). */
   private[graft] def cvSlicePartitions(n: Long): Int =
     math.max(1L, math.min(2000L, (n + 65535) / 65536)).toInt
 

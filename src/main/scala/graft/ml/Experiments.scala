@@ -184,7 +184,20 @@ object Experiments {
     * the tail of one dataset's slowest fit against the next dataset's
     * start). */
   def runGridShared(datasets: Map[String, DataFrame], cells: Seq[Cell],
-      k: Int, seed: Long, parallelism: Int): DataFrame = {
+      k: Int, seed: Long, parallelism: Int): DataFrame =
+    runGridShared(datasets, cells, k, seed, parallelism, (_, _) => ())
+
+  /** As above, with a per-cell completion hook: `onResult(i, row)` fires
+    * from the cell's own worker thread the moment cell `cells(i)`
+    * finishes — BEFORE the grid barrier — so a caller can durably publish
+    * each result as it lands ([[runGridResumable]]'s manifest: with 2,288
+    * cells in flight, publishing after the barrier would mean a driver
+    * lost at cell 2,287 resumes from zero). The hook must be
+    * thread-safe; a hook failure fails that cell's future loudly rather
+    * than silently dropping the publication. */
+  def runGridShared(datasets: Map[String, DataFrame], cells: Seq[Cell],
+      k: Int, seed: Long, parallelism: Int,
+      onResult: (Int, ExperimentResult) => Unit): DataFrame = {
     import org.apache.spark.sql.functions.{col, rand}
     import org.apache.spark.storage.StorageLevel
     require(k >= 2, s"k-fold needs k>=2, got $k")
@@ -228,10 +241,12 @@ object Experiments {
           }.toMap
       // phase 2: one concurrent sweep over the whole grid
       Evaluation.resultsDF(datasets.head._2.sparkSession,
-        Par.mapBounded(cells, parallelism) { cell =>
-          toResult(cell, Evaluation.crossValidateSlices(
+        Par.mapBounded(cells.zipWithIndex, parallelism) { case (cell, i) =>
+          val row = toResult(cell, Evaluation.crossValidateSlices(
             slicesByKey((cell.dataName, cell.percentageLabeled)),
             fitOnMasked(cell)))
+          onResult(i, row)
+          row
         })
     // blocking: an async unpersist drains block deletions into whatever
     // runs NEXT in the JVM — the transient "Block rdd_N does not exist"
@@ -259,22 +274,23 @@ object Experiments {
     val spark = datasets.head._2.sparkSession
     import spark.implicits._
     def cellDir(i: Int) = new java.io.File(manifestRoot, s"cell_$i")
+    // sweep orphaned staging dirs from CRASHED publishes (written but
+    // never renamed) — age-gated so a concurrent resume's in-flight
+    // staging is left alone; anything older is dead by definition
+    Option(new java.io.File(manifestRoot).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(".staging_") &&
+        System.currentTimeMillis() - f.lastModified() > 3600000L)
+      .foreach(graft.util.Fs.deleteRecursively)
     val done = cells.indices.filter(cellDir(_).isDirectory)
     val doneRows: Map[Int, ExperimentResult] = done.map { i =>
       i -> spark.read.parquet(cellDir(i).getPath)
         .as[ExperimentResult].head()
     }.toMap
     val todo = cells.zipWithIndex.filterNot(c => doneRows.contains(c._2))
-    // fit ONLY the missing cells, through the same shared staging +
-    // bounded concurrent queue as the non-resumable path
-    val freshRows: Map[Int, ExperimentResult] =
-      if (todo.isEmpty) Map.empty
-      else {
-        val sub = runGridShared(datasets, todo.map(_._1), k, seed,
-          parallelism).as[ExperimentResult].collect()
-        todo.map(_._2).zip(sub).toMap
-      }
-    freshRows.foreach { case (i, row) =>
+    // publish each cell's row the moment IT completes (the onResult hook
+    // fires before the grid barrier): a driver lost at cell N of a
+    // 2,288-cell run resumes from N published rows, not from zero
+    def publish(i: Int, row: ExperimentResult): Unit = {
       val staging = new java.io.File(manifestRoot,
         s".staging_${java.util.UUID.randomUUID()}")
       Evaluation.resultsDF(spark, Seq(row)).coalesce(1)
@@ -285,6 +301,17 @@ object Experiments {
         graft.util.Fs.deleteRecursively(staging)
       }
     }
+    // fit ONLY the missing cells, through the same shared staging +
+    // bounded concurrent queue as the non-resumable path
+    val freshRows: Map[Int, ExperimentResult] =
+      if (todo.isEmpty) Map.empty
+      else {
+        val todoIdx = todo.map(_._2)
+        val sub = runGridShared(datasets, todo.map(_._1), k, seed,
+          parallelism, (j, row) => publish(todoIdx(j), row))
+          .as[ExperimentResult].collect()
+        todoIdx.zip(sub).toMap
+      }
     cells.indices
       .map(i => (doneRows.contains(i), doneRows.getOrElse(i, freshRows(i))))
       .toDF("was_resumed", "r")

@@ -286,6 +286,25 @@ class ExperimentsSpec extends AnyFunSuite {
     }.toDF("features", "label")
   }
 
+  test("gated grid frames stay inside cvSlicePartitions' coalesce(1) determinism regime") {
+    // the golden ML oracles are pinned bit-identical across
+    // local[4]/local[32]; that contract holds exactly while every gated
+    // CV input coalesces to ONE partition (row order then being
+    // parallelism-invariant). Every grid/CV query derives its frames
+    // from the embeddings table, so its row count bounds them all — if
+    // datagen ever pushes it past 64 Ki rows this fails loudly instead
+    // of the goldens silently diverging across core counts.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+    for (d <- dirs) {
+      val n = graft.sources.Tables.load(spark, d, "embeddings").count()
+      assert(graft.ml.Evaluation.cvSlicePartitions(n) === 1,
+        s"$d: embeddings has $n rows — gated CV frames left the " +
+          "coalesce(1) regime; regenerate goldens and re-verify the " +
+          "cross-CPU contract before trusting them")
+    }
+  }
+
   test("runGridResumable: resumed rows equal a fresh run, torn staging ignored, flags exact") {
     val cells = Seq(
       Experiments.Cell("d", "DT", "ST", "threshold", 0.3, 0.8, maxIter = 1),
