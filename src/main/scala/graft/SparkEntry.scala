@@ -324,6 +324,8 @@ object SparkEntry {
       graft.operators.SemiSupervised.qGridResume(s, d)),
     "q200_forget_flow"        -> ((s: SparkSession, d: String) =>
       graft.operators.Dedup.q200ForgetFlow(s, d)),
+    "q201_stream_domains"     -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamDomainRollup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1042,6 +1044,51 @@ object SparkEntry {
        "(SELECT count(*) FROM zt WHERE mny <= 16383), " +
        "(SELECT count(*) FROM lt WHERE mny <= 16383), " +
        "(SELECT count(*) FROM zt)"),
+    // q201: the streaming ingest monitor's batch twin — q197's rollup SQL
+    // restricted to the arriving (odd doc_id) half, minus the
+    // countDistinct column streaming can't merge incrementally
+    "q201_stream_domains" ->
+      ("WITH u AS (SELECT doc_id, source, lang, n_chars, text, " +
+       "(CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' || " +
+       "(CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.' " +
+       "WHEN 2 THEN 'blog.' " +
+       "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) || '.' END) || " +
+       "(['alpha-news.com','beta-press.co.uk','gamma.org'," +
+       "'delta-mirror.co.uk','epsilon.net'])[(doc_id % 5) + 1] || " +
+       "(CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) || " +
+       "'/' || source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || " +
+       "(CASE WHEN doc_id % 2 = 0 THEN '?ref=' || source ELSE '' END) " +
+       "AS url FROM documents WHERE doc_id % 2 = 1), " +
+       "p AS (SELECT *, " +
+       "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host, " +
+       "regexp_extract(url, '^([a-z]+)://', 1) AS scheme, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(len(list_filter(string_split(text, ' '), " +
+       "w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop " +
+       "FROM u), " +
+       "r AS (SELECT *, CASE " +
+       "WHEN ends_with(host, '.co.uk') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 6), '([^.]+)$', 1) " +
+       "|| '.co.uk' " +
+       "WHEN ends_with(host, '.com') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 4), '([^.]+)$', 1) " +
+       "|| '.com' " +
+       "WHEN ends_with(host, '.org') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 4), '([^.]+)$', 1) " +
+       "|| '.org' " +
+       "WHEN ends_with(host, '.net') THEN " +
+       "regexp_extract(substr(host, 1, len(host) - 4), '([^.]+)$', 1) " +
+       "|| '.net' END AS domain FROM p) " +
+       "SELECT domain, count(*) AS n_docs, " +
+       "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+       "CAST(sum(CASE WHEN n_tok < 20 THEN 1000000 ELSE 0 END) " +
+       "// count(*) AS BIGINT) AS short_ppm, " +
+       "CAST(sum(CASE WHEN n_stop*100 <= n_tok*5 THEN 1000000 ELSE 0 END) " +
+       "// count(*) AS BIGINT) AS nonenglish_ppm, " +
+       "CAST(sum(CASE WHEN scheme = 'http' THEN 1000000 ELSE 0 END) " +
+       "// count(*) AS BIGINT) AS http_ppm, " +
+       "round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS mean_words " +
+       "FROM r GROUP BY domain"),
     // q197: DuckDB builds the SAME deterministic URLs and string-parses
     // them with anchored regexes (vs Spark's native parse_url) — the gate
     // tests the two parsers + PSL longest-match against each other

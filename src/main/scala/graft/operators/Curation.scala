@@ -634,7 +634,27 @@ object Curation {
     * scan (URL build + parse + PSL chain + rule bits are all row-local),
     * then ONE map-side-combined shuffle on the ~|domains| key. */
   def q197DomainRollup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(spark, dir, "documents")
+    val d = domainSignals(Tables.load(spark, dir, "documents"))
+    d.groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        expr("sum(CASE WHEN n_tok < 20 THEN 1000000L ELSE 0L END) DIV count(1)")
+          .as("short_ppm"),
+        expr("sum(CASE WHEN n_stop*100 <= n_tok*5 THEN 1000000L ELSE 0L END) " +
+          "DIV count(1)").as("nonenglish_ppm"),
+        expr("sum(CASE WHEN scheme = 'http' THEN 1000000L ELSE 0L END) " +
+          "DIV count(1)").as("http_ppm"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+          .as("mean_words"))
+  }
+
+  /** q197's row-local signal projection (URL build + parse + PSL chain +
+    * rule counters), factored so the batch rollup and its streaming twin
+    * (q201) score with the SAME code — the q152/q156 sharing pattern. */
+  private[graft] def domainSignals(docs: DataFrame): DataFrame =
+    docs
       .withColumn("url", concat(
         when(pmod(col("doc_id"), lit(3)) === 0, lit("http"))
           .otherwise(lit("https")),
@@ -658,10 +678,18 @@ object Curation {
       .withColumn("domain", registeredDomain(col("host")))
       .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
       .withColumn("n_stop", stopwordCount(col("text")).cast("long"))
+
+  /** The per-domain rollup in its STREAMING-legal form: q197's aggregate
+    * minus `countDistinct(host)` — an exact distinct count is not an
+    * incrementally-mergeable aggregation (the streaming distinct-count
+    * job belongs to the q163 HLL-register monitor); everything kept is
+    * additive (counts, sums, and projections over them), so a
+    * complete-mode drain equals the batch rollup bit for bit regardless
+    * of how the stream was micro-batched. */
+  private[graft] def domainRollupStreaming(d: DataFrame): DataFrame =
     d.groupBy(col("domain"))
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("host")).as("n_hosts"),
         sum(col("n_chars").cast("long")).as("sum_chars"),
         expr("sum(CASE WHEN n_tok < 20 THEN 1000000L ELSE 0L END) DIV count(1)")
           .as("short_ppm"),
@@ -671,5 +699,4 @@ object Curation {
           "DIV count(1)").as("http_ppm"),
         round(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
           .as("mean_words"))
-  }
 }

@@ -523,6 +523,34 @@ object EventStreams {
         s"q156_stream_${System.nanoTime()}", OutputMode.Complete())
     }
 
+  /** q201: STREAMING DOMAIN-QUALITY MONITOR — q197's registered-domain
+    * rollup at INGEST time, the per-publisher dashboard a Common-Crawl
+    * pipeline watches as batches land (q156 is the per-source quality
+    * half; this is the per-DOMAIN half, after URL parse + PSL
+    * resolution). Scoring is the SAME row-local projection the batch
+    * report runs ([[graft.operators.Curation.domainSignals]] — shared
+    * code, the q152/q156 pattern), so the only stateful operator is the
+    * |domains|-row complete-mode rollup: state O(domains), never
+    * O(stream). The rollup is the streaming-legal variant (no exact
+    * countDistinct — not incrementally mergeable; the streaming
+    * distinct-count job is q163's HLL monitor), all kept aggregates
+    * additive, so the drain is batching-insensitive and the DuckDB
+    * oracle is the batch q197 SQL restricted to the arriving (odd
+    * doc_id) half, minus n_hosts. */
+  def qStreamDomainRollup(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        "documents.parquet") { tmp =>
+      val batch = spark.readStream
+        .schema(inferredSchema(spark, tmp))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .filter(col("doc_id") % 2 === 1)
+      val agg = graft.operators.Curation.domainRollupStreaming(
+        graft.operators.Curation.domainSignals(batch))
+      runToMemory(spark, agg,
+        s"q201_stream_${System.nanoTime()}", OutputMode.Complete())
+    }
+
   /** q163: STREAMING CARDINALITY MONITOR — q160's mergeable HLL registers
     * maintained as standing streaming state. This is the sketch/streaming
     * bridge that makes HLL the production distinct-count monitor: the
