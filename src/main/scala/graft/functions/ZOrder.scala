@@ -25,9 +25,11 @@ object ZOrder {
   def scale16(x: Column, minX: Column, maxX: Column): Column = {
     val num = (x - minX).cast("long") * lit(65535L)
     val den = greatest(lit(1L), (maxX - minX).cast("long"))
-    // exact integer division without DIV-as-expr: (n − n % d) is divisible
-    // by d, so the double division is exact and the cast loses nothing
-    ((num - num % den) / den).cast("long")
+    // true integral divide (Spark's `div`): a double-division detour is
+    // exact only while the numerator fits in 2^53, i.e. key ranges under
+    // ~1.4e11 — a silent off-by-one trap at exactly the scale this
+    // helper is sold for
+    call_function("div", num, den)
   }
 
   /** Interleave two 16-bit values into the 32-bit Morton code:

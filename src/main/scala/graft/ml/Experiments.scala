@@ -283,8 +283,23 @@ object Experiments {
       .foreach(graft.util.Fs.deleteRecursively)
     val done = cells.indices.filter(cellDir(_).isDirectory)
     val doneRows: Map[Int, ExperimentResult] = done.map { i =>
-      i -> spark.read.parquet(cellDir(i).getPath)
+      val row = spark.read.parquet(cellDir(i).getPath)
         .as[ExperimentResult].head()
+      // the manifest is keyed by INDEX — a grid edited between runs
+      // (cell inserted, reordered, retuned) would otherwise silently
+      // adopt the old grid's row as the new cell's result. The row
+      // carries its cell identity; a mismatch means the manifest belongs
+      // to a different grid and must fail loudly, not resume.
+      val c = cells(i)
+      val expected = (c.dataName, s"${c.algo}-${c.classifierName}",
+        c.criterion, c.percentageLabeled, c.thresholdOrKBest)
+      val got = (row.data, row.classifier, row.criterion,
+        row.percentageLabeled, row.thresholdOrKBest)
+      require(got == expected,
+        s"runGridResumable: manifest cell_$i was produced by a DIFFERENT " +
+          s"grid (manifest row $got vs current cell $expected) — the grid " +
+          "changed since the interrupted run; use a fresh manifestRoot")
+      i -> row
     }.toMap
     val todo = cells.zipWithIndex.filterNot(c => doneRows.contains(c._2))
     // publish each cell's row the moment IT completes (the onResult hook

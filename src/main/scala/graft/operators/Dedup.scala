@@ -1113,27 +1113,39 @@ object Dedup {
     val docsAfter = docs.join(del, Seq("doc_id"), "left_anti")
     val btAfter = bt.join(del, Seq("doc_id"), "left_anti")
     val pairsBefore = candidatePairsFromBands(bt)
+    // persisted: the band self-join + distinct feeds four actions below
+    // (count, the OR-ref audit's anti-joins, and the CC recompute's first
+    // checkpoint) — without the persist each re-runs the join
     val pairsAfter = candidatePairsFromBands(btAfter)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labelsBefore = stagedComponentLabels(spark, dir)
     val labelsAfter = connectedComponentsStars(pairsAfter)
-    def refs(df: DataFrame, cols: Seq[String]): Long = cols.map { c =>
-      df.join(del.select(col("doc_id").as(c)), Seq(c), "left_semi").count()
-    }.sum
+    // rows referencing a deleted id in ANY listed column, counted ONCE
+    // (the oracle's OR semantics): total minus rows clean in EVERY column
+    // — chained anti equi-joins, no OR-condition nested loop
+    def refs(df: DataFrame, total: Long, cols: Seq[String]): Long =
+      total - cols.foldLeft(df) { (d, c) =>
+        d.join(del.select(col("doc_id").as(c)), Seq(c), "left_anti")
+      }.count()
+    val (nDocsA, nBtA, nPairsA, nLabA) =
+      (docsAfter.count(), btAfter.count(), pairsAfter.count(),
+        labelsAfter.count())
     val out = Seq(
-      ("documents", docs.count(), docsAfter.count(),
-        refs(docsAfter, Seq("doc_id"))),
-      ("band_table", bt.count(), btAfter.count(),
-        refs(btAfter, Seq("doc_id"))),
-      ("candidate_pairs", pairsBefore.count(), pairsAfter.count(),
-        refs(pairsAfter, Seq("doc_a", "doc_b"))),
-      ("cluster_labels", labelsBefore.count(), labelsAfter.count(),
+      ("documents", docs.count(), nDocsA,
+        refs(docsAfter, nDocsA, Seq("doc_id"))),
+      ("band_table", bt.count(), nBtA,
+        refs(btAfter, nBtA, Seq("doc_id"))),
+      ("candidate_pairs", pairsBefore.count(), nPairsA,
+        refs(pairsAfter, nPairsA, Seq("doc_a", "doc_b"))),
+      ("cluster_labels", labelsBefore.count(), nLabA,
         refs(labelsAfter.select(col("node").as("doc_id"),
-          col("label").as("doc_b")), Seq("doc_id", "doc_b"))),
+          col("label").as("doc_b")), nLabA, Seq("doc_id", "doc_b"))),
       ("clusters",
         labelsBefore.select(col("label")).distinct().count(),
         labelsAfter.select(col("label")).distinct().count(), 0L)
     ).toDF("artifact", "n_before", "n_after", "n_deleted_refs_after")
       .localCheckpoint()
+    pairsAfter.unpersist(blocking = true)
     del.unpersist(blocking = true)
     out
   }

@@ -331,6 +331,28 @@ class ExperimentsSpec extends AnyFunSuite {
       "resumed grid must equal the uninterrupted grid bit for bit")
   }
 
+  test("runGridResumable refuses a manifest produced by a different grid") {
+    val cells = Seq(
+      Experiments.Cell("d", "DT", "supervised", "na", 0.3, 0.0, maxIter = 1),
+      Experiments.Cell("d", "NB", "supervised", "na", 0.3, 0.0, maxIter = 1))
+    val data = Map("d" -> positiveBlobs)
+    val manifest = java.nio.file.Files
+      .createTempDirectory("graft_resume_guard").toString
+    Experiments.runGridResumable(data, cells.take(1), k = 2, seed = 8L,
+      parallelism = 2, manifest).count()
+    // the grid is EDITED between runs: cell 0 now names a different
+    // classifier — adopting the manifest row would silently misattribute
+    // the old result, so the resume must fail loudly instead
+    val edited = Experiments.Cell("d", "RF", "supervised", "na", 0.3, 0.0,
+      maxIter = 1) +: cells.tail
+    val e = intercept[IllegalArgumentException] {
+      Experiments.runGridResumable(data, edited, k = 2, seed = 8L,
+        parallelism = 2, manifest).count()
+    }
+    graft.util.Fs.deleteRecursively(manifest)
+    assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
+  }
+
   test("wisconsin-shaped grid reproduces the published best cell within 0.02") {
     val cells = Seq(
       Experiments.Cell("wisconsin", "RF", "ST", "threshold", 0.3, 0.6),
