@@ -469,11 +469,32 @@ object Bench {
     // harness's ~2 KB stdout tail — on an idle run ~20-25 queries clear
     // 0.5 s, and anything pushed past rank 32 by load is itself ≥0.5 s and
     // sorted below 32 clearly-adjudicable slower entries)
+    // Per-retime JVM ledger + interleaved probes (r17 verdict): the driver
+    // artifact read q177 retimed at 84 s vs 36 s first while the builder's
+    // same-code run read 30.6 s — and the round-level jvm triple could see
+    // ~20 s of GC and ~700 codegen compiles land SOMEWHERE in the retime
+    // pass without naming whose sample they polluted. Each retime now
+    // carries its own (gcSec, cgEntries, heapMb) before/after deltas, and
+    // a 1-s calibMl probe runs every 8 retimes, so a contaminated retime
+    // is attributable from the artifact alone (detail file only — the
+    // stdout line stays inside the ~2 KB tail window).
+    val retimedJvm = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Long, Long, Long)] // gcΔ, cgΔ, heap0, heap1
+    val retimeCalib = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double)] // probe value AFTER this query's retime
+    var retimeIdx = 0
     val retimed = {
       val eligible = results.filter(_._3.isEmpty)
       (eligible.sortBy(-_._2).take(5) ++ eligible.filter(_._2 >= 0.5))
         .distinctBy(_._1).sortBy(-_._2).take(32)
-    }.map {
+    // ASCENDING execution order (selection above stays top-down): the old
+    // descending order put the two ML grids FIRST in the retime pass,
+    // i.e. directly downstream of the whole 201-query loop's cleanup
+    // backlog — maximum exposure for exactly the samples the steady-state
+    // claim rests on. Ascending lets ~30 sub-5 s retimes absorb and drain
+    // whatever the loop left behind, so the grids sample the calmest JVM
+    // of the pass.
+    }.sortBy(_._2).map {
       case (name, _, _) =>
         // JMH-style forced GC BEFORE each retimed sample (untimed): by the
         // retime pass the JVM carries 140+ queries of old-gen garbage and
@@ -496,6 +517,7 @@ object Bench {
         // the sample honest; wall-clock cost ≤ 32 × 1.2 s, untimed.
         Thread.sleep(1200)
         val fn = SparkEntry.queries(name)
+        val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
         def sample(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -518,7 +540,14 @@ object Bench {
               try sample()
               catch { case scala.util.control.NonFatal(_) => -1.0 }
           }
+        val gc1 = jvmGcHeap(); val cg1 = codegenCacheEntries()
+        retimedJvm += ((name, gc1._1 - gc0._1, cg1 - cg0, gc0._2, gc1._2))
         sweepScratch()
+        retimeIdx += 1
+        if (retimeIdx % 8 == 0) {
+          System.gc(); Thread.sleep(800)
+          retimeCalib += ((name, calibMlSecs()))
+        }
         (name, second)
     }
     // THIRD calib pair, timed AFTER the retime pass: the r13 artifact had
@@ -599,8 +628,21 @@ object Bench {
     // from the builder's 264 s run vs the driver's load-contaminated 344 s)
     val stamp = "," + "\"generatedAt\":\"" +
       java.time.Instant.now().toString + "\""
+    // per-retime JVM ledger + interleaved ML probes (detail only): lets a
+    // reader attribute retime-phase GC/codegen pollution to the SAMPLE it
+    // landed in instead of inferring from the round-level jvm triple
+    val retimedJvmJson = retimedJvm.map { case (n, gcd, cgd, h0, h1) =>
+      s""""${shortKey(n)}":{"gcSec":${sec(gcd)},"cgEntries":$cgd,""" +
+        s""""heapMb":[$h0,$h1]}"""
+    }.mkString("{", ",", "}")
+    val retimeCalibJson = retimeCalib.map { case (n, v) =>
+      s"""{"after":"${shortKey(n)}","calibMl":${sec(v)}}"""
+    }.mkString("[", ",", "]")
+    val retimeDetail =
+      s""","retimedJvm":$retimedJvmJson,"retimeCalib":$retimeCalibJson"""
     java.nio.file.Files.writeString(detailPath,
-      line(qmap(results.map(r => (r._1, r._2))), stagedJson(200), stamp) + "\n")
+      line(qmap(results.map(r => (r._1, r._2))), stagedJson(200),
+        retimeDetail + stamp) + "\n")
     // stdout: same shape, `queries` cut to the 20 slowest first samples so
     // the line survives the harness's ~2 KB stdout tail
     val top20 = results.sortBy(-_._2).take(20).map(r => (r._1, r._2))

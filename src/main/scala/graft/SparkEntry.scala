@@ -326,6 +326,12 @@ object SparkEntry {
       graft.operators.Dedup.q200ForgetFlow(s, d)),
     "q201_stream_domains"     -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamDomainRollup(s, d)),
+    "q202_byte_bpe"           -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.q202ByteBpe(s, d)),
+    "q203_quantile_sketch"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q203QuantileSketch(s, d)),
+    "q205_stream_quantiles"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamQuantiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1034,13 +1040,13 @@ object SparkEntry {
        "lt AS (SELECT lb, min(x16) AS mnx, min(y16) AS mny FROM z GROUP BY lb) " +
        "SELECT 'partkey_narrow' AS box, " +
        "(SELECT count(*) FROM z WHERE x16 <= 16383) AS n_rows, " +
-       "CAST((SELECT sum(qty) FROM z WHERE x16 <= 16383) AS BIGINT) AS sum_qty, " +
+       "CAST(coalesce((SELECT sum(qty) FROM z WHERE x16 <= 16383), 0) AS BIGINT) AS sum_qty, " +
        "(SELECT count(*) FROM zt WHERE mnx <= 16383) AS files_hit_zorder, " +
        "(SELECT count(*) FROM lt WHERE mnx <= 16383) AS files_hit_linear, " +
        "(SELECT count(*) FROM zt) AS n_buckets " +
        "UNION ALL SELECT 'suppkey_narrow', " +
        "(SELECT count(*) FROM z WHERE y16 <= 16383), " +
-       "CAST((SELECT sum(qty) FROM z WHERE y16 <= 16383) AS BIGINT), " +
+       "CAST(coalesce((SELECT sum(qty) FROM z WHERE y16 <= 16383), 0) AS BIGINT), " +
        "(SELECT count(*) FROM zt WHERE mny <= 16383), " +
        "(SELECT count(*) FROM lt WHERE mny <= 16383), " +
        "(SELECT count(*) FROM zt)"),
@@ -1089,6 +1095,57 @@ object SparkEntry {
        "// count(*) AS BIGINT) AS http_ppm, " +
        "round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS mean_words " +
        "FROM r GROUP BY domain"),
+    // q202: DuckDB replays the SAME doc_id-keyed text decoration and the
+    // SAME GPT-2-style pretokenization regex (Java and RE2 are both
+    // leftmost-first over this lookahead-free pattern), so n_pretokens /
+    // n_bytes (strlen = BYTES in DuckDB) pin the pretokenizer + UTF-8
+    // byte accounting for real; n_tokens/id_checksum are golden VALUES
+    // (Q202Gen) — the trained-merge replay has no tractable SQL twin;
+    // ScaleOpsSpec holds the independent driver-side parity recompute
+    "q202_byte_bpe" ->
+      ("WITH e AS (SELECT doc_id, source, text || CASE doc_id % 4 " +
+       "WHEN 0 THEN ' caf\u00e9 9' WHEN 1 THEN ' it''s ok!' " +
+       "WHEN 2 THEN ' we''ll win 42' " +
+       "ELSE ' na\u00efve, \u20ac5...' END AS t " +
+       "FROM documents), " +
+       "p AS (SELECT doc_id, source, unnest(regexp_extract_all(t, " +
+       "'''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| " +
+       "?[^\\s\\p{L}\\p{N}]+|\\s+')) AS tok FROM e), " +
+       "agg AS (SELECT source, count(DISTINCT doc_id) AS n_docs, " +
+       "count(*) AS n_pretokens, " +
+       "CAST(sum(strlen(tok)) AS BIGINT) AS n_bytes " +
+       "FROM p GROUP BY source) " +
+       "SELECT source, n_docs, n_pretokens, n_bytes, n_tokens, id_checksum " +
+       "FROM agg JOIN (VALUES " +
+       "('src7', CAST(6327 AS BIGINT), CAST(13487724 AS BIGINT)), ('src16', CAST(5592 AS BIGINT), CAST(10838325 AS BIGINT)), ('src4', CAST(5280 AS BIGINT), CAST(9215690 AS BIGINT)), ('src9', CAST(5584 AS BIGINT), CAST(9567028 AS BIGINT)), ('src14', CAST(5346 AS BIGINT), CAST(9905206 AS BIGINT)), ('src10', CAST(5291 AS BIGINT), CAST(9850413 AS BIGINT)), ('src2', CAST(5747 AS BIGINT), CAST(10940933 AS BIGINT)), ('src8', CAST(4709 AS BIGINT), CAST(7605745 AS BIGINT)), ('src17', CAST(5568 AS BIGINT), CAST(9405018 AS BIGINT)), ('src0', CAST(5842 AS BIGINT), CAST(10832102 AS BIGINT)), ('src12', CAST(5165 AS BIGINT), CAST(8751469 AS BIGINT)), ('src15', CAST(5487 AS BIGINT), CAST(11090698 AS BIGINT)), ('src18', CAST(5606 AS BIGINT), CAST(10596029 AS BIGINT)), ('src19', CAST(4902 AS BIGINT), CAST(9332673 AS BIGINT)), ('src1', CAST(6384 AS BIGINT), CAST(11890521 AS BIGINT)), ('src13', CAST(6257 AS BIGINT), CAST(11920779 AS BIGINT)), ('src3', CAST(5844 AS BIGINT), CAST(12432682 AS BIGINT)), ('src5', CAST(5397 AS BIGINT), CAST(9270842 AS BIGINT)), ('src6', CAST(5204 AS BIGINT), CAST(9474725 AS BIGINT)), ('src11', CAST(6414 AS BIGINT), CAST(13683591 AS BIGINT))" +
+       ") AS g(\"source\", n_tokens, id_checksum) USING (source)"),
+    // q203: DuckDB replays the WHOLE deterministic quantile-sketch
+    // cascade — hex60 per distinct cent value, the min-level pick over
+    // generate_series, the survivor filter, the cross-multiplied integer
+    // ceil ranks — plus the exact p50/p90 audit from the full census.
+    // Nothing is golden: the sketch is a pure function of the multiset.
+    "q203_quantile_sketch" ->
+      (QSketchCtes +
+       ", ex AS (SELECT event_type, v, c, " +
+       "sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum, " +
+       "sum(c) OVER (PARTITION BY event_type) AS n FROM cen), " +
+       "exq AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_total, " +
+       "min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS exact_p50, " +
+       "min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS exact_p90 " +
+       "FROM ex GROUP BY 1) " +
+       "SELECT event_type, n_total, level, n_sample, sample_vck, " +
+       "n_scaled, est_p50, est_p90, exact_p50, exact_p90 " +
+       "FROM exq JOIN sk USING (event_type)"),
+    // q205: the streaming twin shares q203's sketch contract verbatim
+    // (bit-identical state is the whole claim) minus the exact-quantile
+    // audit streaming can't legally produce; n_total is the additive
+    // ride-along count
+    "q205_stream_quantiles" ->
+      (QSketchCtes +
+       ", nt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_total " +
+       "FROM cen GROUP BY 1) " +
+       "SELECT event_type, n_total, level, n_sample, sample_vck, " +
+       "n_scaled, est_p50, est_p90 FROM nt JOIN sk USING (event_type)"),
     // q197: DuckDB builds the SAME deterministic URLs and string-parses
     // them with anchored regexes (vs Spark's native parse_url) — the gate
     // tests the two parsers + PSL longest-match against each other
@@ -2661,6 +2718,39 @@ object SparkEntry {
     s"LEFT JOIN (SELECT e.v AS v, SUM(r.r // dd.deg) AS s FROM e " +
     s"JOIN r${k - 1} r ON r.v = e.u JOIN deg dd ON dd.u = e.u " +
     s"GROUP BY e.v) s ON s.v = d.u)"
+
+  /** q203/q205 shared quantile-sketch replay: cent census → hex60 per
+    * distinct value → canonical min-level pick over generate_series →
+    * survivor registers → integer cross-multiplied estimator. Mirrors
+    * [[graft.functions.QuantileSketch]] step for step — the sketch is a
+    * pure function of the multiset, so nothing here is golden. */
+  private def QSketchCtes: String =
+    "WITH cen AS (SELECT event_type, " +
+    "CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c " +
+    "FROM events GROUP BY 1, 2), " +
+    s"hh AS (SELECT *, ${hex60Sql("CAST(v AS VARCHAR)")} AS hv FROM cen), " +
+    "c0 AS (SELECT * FROM hh WHERE hv % 4 = 0), " +
+    "lv AS (SELECT event_type, l, " +
+    "sum(CASE WHEN hv % (CAST(1 AS BIGINT) << l) = 0 THEN 1 ELSE 0 END) AS s " +
+    "FROM c0 CROSS JOIN (SELECT unnest(generate_series(2, 62)) AS l) g " +
+    "GROUP BY 1, 2), " +
+    "pick AS (SELECT event_type, min(l) AS lvl FROM lv WHERE s <= 48 " +
+    "GROUP BY 1), " +
+    "srv AS (SELECT c0.event_type, v, c, lvl FROM c0 " +
+    "JOIN pick USING (event_type) " +
+    "WHERE hv % (CAST(1 AS BIGINT) << lvl) = 0), " +
+    "sc AS (SELECT event_type, v, c, lvl, " +
+    "sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum, " +
+    "(CAST(1 AS BIGINT) << lvl) * " +
+    "sum(c) OVER (PARTITION BY event_type) AS nsc FROM srv), " +
+    "sk AS (SELECT event_type, CAST(max(lvl) AS BIGINT) AS level, " +
+    "count(*) AS n_sample, " +
+    "CAST(sum(v * c) % 1073741824 AS BIGINT) AS sample_vck, " +
+    "CAST(max(nsc) AS BIGINT) AS n_scaled, " +
+    "min(CASE WHEN (CAST(1 AS BIGINT) << lvl) * cum * 100 >= nsc * 50 " +
+    "THEN v END) AS est_p50, " +
+    "min(CASE WHEN (CAST(1 AS BIGINT) << lvl) * cum * 100 >= nsc * 90 " +
+    "THEN v END) AS est_p90 FROM sc GROUP BY 1)"
 
   private def ccCtes: String = ccCtes("")
 

@@ -282,6 +282,57 @@ object Experiments {
         System.currentTimeMillis() - f.lastModified() > 3600000L)
       .foreach(graft.util.Fs.deleteRecursively)
     val done = cells.indices.filter(cellDir(_).isDirectory)
+    // run-identity marker: the per-row guard below compares the 5 fields
+    // the manifest row carries, but k, seed, and maxIter shape the FIT
+    // (fold membership, self-labeling rounds) without appearing in the
+    // row — resuming with any of them changed would silently adopt stale
+    // rows as was_resumed=true. The marker stamps (k, seed) plus a
+    // full-identity digest per cell index (all Cell fields, maxIter
+    // included); a resume must match it for every already-published cell.
+    def cellDigest(c: Cell): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(c.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val markerFile = new java.io.File(manifestRoot, "_grid_identity")
+    val markerLines = s"k=$k seed=$seed" +:
+      cells.zipWithIndex.map { case (c, i) => s"$i ${cellDigest(c)}" }
+    val prior: scala.collection.immutable.Vector[String] =
+      if (!markerFile.isFile) scala.collection.immutable.Vector.empty
+      else {
+        val src = scala.io.Source.fromFile(markerFile, "UTF-8")
+        try src.getLines().toVector finally src.close()
+      }
+    if (prior.nonEmpty) {
+      require(prior.headOption.contains(markerLines.head),
+        s"runGridResumable: manifest at $manifestRoot was produced with " +
+          s"different run parameters (${prior.headOption.getOrElse("?")} " +
+          s"vs current ${markerLines.head}) — k/seed changes invalidate " +
+          "every published row; use a fresh manifestRoot")
+      val priorByIdx = prior.drop(1).map(_.split(" ", 2))
+        .collect { case Array(i, h) => i.toInt -> h }.toMap
+      done.foreach { i =>
+        priorByIdx.get(i).foreach { h =>
+          require(h == cellDigest(cells(i)),
+            s"runGridResumable: manifest cell_$i was produced by a " +
+              "DIFFERENT grid (full-identity digest mismatch — a field " +
+              "not stored in the row, e.g. maxIter, changed); use a " +
+              "fresh manifestRoot")
+        }
+      }
+    }
+    // (re)stamp when absent or when this run's grid extends coverage —
+    // staging+rename so a crash never leaves a torn marker
+    if (markerLines.size > prior.size) {
+      val tmp = new java.io.File(manifestRoot,
+        s".staging_marker_${java.util.UUID.randomUUID()}")
+      new java.io.File(manifestRoot).mkdirs()
+      java.nio.file.Files.write(tmp.toPath,
+        markerLines.mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(markerFile)) { // lost a race or extending:
+        java.nio.file.Files.move(tmp.toPath, markerFile.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     val doneRows: Map[Int, ExperimentResult] = done.map { i =>
       val row = spark.read.parquet(cellDir(i).getPath)
         .as[ExperimentResult].head()

@@ -1106,10 +1106,14 @@ object Dedup {
   def q200ForgetFlow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bt = stagedBandTable(spark, dir)
-    val del = bt.select(col("doc_id")).distinct()
+    val docs = Tables.load(spark, dir, "documents")
+    // deletion set comes from the SOURCE table, not the band table: a doc
+    // whose text yields no w-shingles has no band rows, and deriving the
+    // set from band-table doc_ids would silently skip deleting it from
+    // `documents` (the oracle deletes doc_id%29=0 from the source)
+    val del = docs.select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(29)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = Tables.load(spark, dir, "documents")
     val docsAfter = docs.join(del, Seq("doc_id"), "left_anti")
     val btAfter = bt.join(del, Seq("doc_id"), "left_anti")
     val pairsBefore = candidatePairsFromBands(bt)

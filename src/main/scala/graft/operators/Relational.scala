@@ -1546,8 +1546,10 @@ object Relational {
     def boxRow(name: String, onX: Boolean): (String, Long, Long, Long, Long, Long) = {
       val cut = 16383L
       val pred = if (onX) col("x16") <= cut else col("y16") <= cut
+      // coalesce: an empty box (possible after a datagen key-range
+      // reshape) sums to NULL — report 0, don't NPE on getLong
       val agg = back.filter(pred)
-        .agg(count(lit(1)), sum(col("qty"))).head
+        .agg(count(lit(1)), coalesce(sum(col("qty")), lit(0L))).head
       val hit = (s: Array[(Long, Long)]) =>
         s.count(b => (if (onX) b._1 else b._2) <= cut).toLong
       (name, agg.getLong(0), agg.getLong(1), hit(zStats), hit(lStats),

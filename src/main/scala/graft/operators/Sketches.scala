@@ -812,6 +812,54 @@ object Sketches {
             col("n_bits_set").cast("decimal(6,0)"))
   }
 
+  /** q203: MERGEABLE QUANTILE SKETCH — percentile monitoring at ingest,
+    * the sketch-family member q57's exact quantiles and q112's sortless
+    * ranks could not give a stream or a shard-merge: the
+    * [[graft.functions.QuantileSketch]] deterministic hash-leveled
+    * cascade (KLL with the compaction coin replaced by a portable-hash
+    * bit — see its scaladoc for why that makes the state a pure function
+    * of the multiset), aggregated per event type over the integer cent
+    * scaling of `value`. The gate pins the sketch REGISTERS (level,
+    * survivor count, value·count checksum, scaled total), the integer
+    * estimator read off them (est_p50/est_p90), and the EXACT p50/p90
+    * alongside as the error audit (q160's n_distinct discipline) — the
+    * DuckDB oracle replays the whole cascade: same hex60 hash, same
+    * min-level pick, same cross-multiplied ceil ranks. Scale: what
+    * crosses the exchange is a ≤cap-entry buffer per group, never the
+    * value census; the exact columns are the gate's audit luxury, not
+    * part of the sketch path (drop them and the plan is one
+    * partial-aggregated pass). */
+  def q203QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val sketch = ev.groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.sketch(col("v")).as("sk"))
+      .select(col("event_type"), col("sk.level").as("level"),
+        col("sk.n_sample").as("n_sample"),
+        col("sk.sample_vck").as("sample_vck"),
+        col("sk.n_scaled").as("n_scaled"),
+        col("sk.est_p50").as("est_p50"), col("sk.est_p90").as("est_p90"))
+    val census = ev.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("event_type"))
+    val exact = census
+      .select(col("event_type"), col("v"),
+        sum(col("c")).over(run).as("cum"),
+        sum(col("c")).over(all).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_total"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("v")))
+          .as("exact_p50"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("v")))
+          .as("exact_p90"))
+    exact.join(sketch, Seq("event_type"))
+      .select(col("event_type"), col("n_total"), col("level"),
+        col("n_sample"), col("sample_vck"), col("n_scaled"),
+        col("est_p50"), col("est_p90"), col("exact_p50"), col("exact_p90"))
+  }
+
   /** (b, rho) columns for the portable md5-hex HLL family: bucket = first
     * hash byte mod 64, rho = leading-zero count of the next 52 bits + 1,
     * all string/integer arithmetic (engine-deterministic — no libm, no

@@ -783,6 +783,118 @@ object TextAnalysis {
     out
   }
 
+  /** The q202 pretokenizer: GPT-2-style (radford2019 §2.2 / the tiktoken
+    * family) minus the `\s+(?!\S)` lookahead RE2 can't run — leftmost-
+    * first alternation over contraction suffixes, space-prefixed letter
+    * runs, space-prefixed digit runs, space-prefixed punctuation runs,
+    * and whitespace runs. The SAME literal drives the engine (Java regex)
+    * and the DuckDB oracle (RE2): both are leftmost-first here, and the
+    * q202 oracle replays the extraction so a semantic gap between the two
+    * engines fails the gate rather than hiding. */
+  private[graft] val Gpt2StylePretokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** q202: BYTE-LEVEL BPE WITH REGEX PRETOKENIZATION — the real tokenizer
+    * contract (GPT-2/Llama): q108→q149→q155 train and apply merges over
+    * whitespace-split words with a per-CHARACTER alphabet, which breaks
+    * the moment the corpus carries punctuation, contractions, or
+    * multi-byte UTF-8 (a "café"/"€5" has no char-level spelling a
+    * byte-level vocab file would produce). This closes the gap:
+    *   1. PRETOKENIZE with [[Gpt2StylePretokenRegex]] — contractions
+    *      split ("it's" → "it", "'s"), digits separate from letters,
+    *      punctuation runs group, spaces attach to the following word.
+    *   2. BYTE-LEVEL ALPHABET: each pretoken's initial symbols are its
+    *      UTF-8 BYTES (spelled as hex pairs — "café" starts as
+    *      63·61·66·C3·A9), so any string encodes with zero OOV and the
+    *      trained vocab is ≤256 base symbols + merges, exactly the
+    *      byte-level contract.
+    *   3. Train merges on the pretokenized dict (bounded collect, the
+    *      q149 Sennrich discipline), apply as ONE folded expression chain
+    *      over DISTINCT pretokens (memoized), emit frequency-ranked token
+    *      ids and the q155 order-sensitive checksum per doc.
+    * The corpus text is pure-ASCII single-spaced by construction, so the
+    * query decorates each doc with a deterministic doc_id-keyed suffix
+    * (contractions, digits, punctuation, 2- and 3-byte UTF-8) that the
+    * DuckDB oracle replays in SQL — the byte/regex machinery is exercised
+    * on every row, not on a fixture. Scale shape: one corpus shuffle for
+    * the dict, one for the token rollup; everything else is vocab-bounded.
+    * Output per source: docs, pretokens, bytes, tokens, id checksum —
+    * n_pretokens/n_bytes replayed EXACTLY by the oracle's own
+    * regexp_extract_all, n_tokens/id_checksum golden-pinned (trained-merge
+    * replay has no tractable SQL twin; ScaleOpsSpec holds the independent
+    * driver-side parity recompute, incl. the ASCII-reduction proof that
+    * this engine degenerates to q149's on a single-word ASCII corpus). */
+  def q202ByteBpe(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    byteBpeTokenIds(docs.select(col("source"), col("doc_id"),
+      // \u escapes, not literal chars: scalac runs with an ASCII
+      // default charset here (empty LANG) and a literal multibyte char
+      // in a string would decode into mojibake that silently diverges
+      // from the oracle's UTF-8 reading of the same SQL
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" caf\u00e9 9"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(" it's ok!"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" we'll win 42"))
+          .otherwise(lit(" na\u00efve, \u20ac5..."))).as("text")),
+      nMerges)
+  }
+
+  /** q202's engine over any (source, doc_id, text) frame. */
+  private[graft] def byteBpeTokenIds(docs: DataFrame, nMerges: Int,
+      vocabCap: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wordsPos = docs.select(col("source"), col("doc_id"),
+        posexplode(regexp_extract_all(col("text"),
+          lit(Gpt2StylePretokenRegex), lit(0))).as(Seq("wpos", "w")))
+    val wordFreq = wordsPos.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .persist(MEMORY_AND_DISK)
+    val dict = wordFreq.orderBy(col("f").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = trainMergesSyms(
+      dict.map { case (w, f) => (utf8HexSyms(w), f) }, nMerges)
+    val encoded = wordFreq
+      .select(col("w"), col("f"), foldedBytes(merges).as("syms"))
+      .persist(MEMORY_AND_DISK)
+    val idTable = encoded
+      .select(col("f"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("f")).as("sf"))
+      .withColumn("id",
+        (row_number().over(Window.orderBy(col("sf").desc, col("sym").asc))
+          - 1).cast("bigint"))
+      .select(col("sym"), col("id"))
+    val preAgg = wordsPos.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(octet_length(col("w"))).cast("bigint").as("n_bytes"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+    val out = wordsPos
+      .join(encoded.select(col("w"), col("syms")), Seq("w"))
+      .withColumn("base",
+        (sum(size(col("syms"))).over(wDoc) - size(col("syms"))).cast("bigint"))
+      .select(col("source"), col("doc_id"), col("base"),
+        posexplode(col("syms")).as(Seq("j", "sym")))
+      .join(broadcast(idTable), Seq("sym"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        pmod(sum((col("base") + col("j") + 1) * col("id")),
+          lit(1073741824L)).as("ck"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("ck")).as("id_checksum"))
+      .join(preAgg, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_pretokens"),
+        col("n_bytes"), col("n_tokens"), col("id_checksum"))
+      .localCheckpoint()
+    encoded.unpersist(false); wordFreq.unpersist(false)
+    out
+  }
+
+  /** A string's UTF-8 bytes as uppercase hex-pair symbols — the driver
+    * twin of [[foldedBytes]]'s initial alphabet. */
+  private[graft] def utf8HexSyms(w: String): Array[String] =
+    w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X")
+
   /** q182: TOKENIZER COVERAGE / OOV AUDIT — the number that decides
     * whether a trained BPE table TRANSFERS to a new corpus slice: train
     * the merge table on one slice (the English documents — the q153
@@ -874,9 +986,17 @@ object TextAnalysis {
     * of freq-weighted pair counting + argmax (count DESC, pair ASC — a
     * total order, so the table is engine-deterministic) + greedy merge. */
   private[graft] def trainMerges(dict: Array[(String, Long)],
+      nMerges: Int): Seq[(String, String)] =
+    trainMergesSyms(
+      dict.map { case (w, f) => (w.map(_.toString).toArray, f) }, nMerges)
+
+  /** [[trainMerges]] over PRE-SPLIT symbol arrays — the alphabet is the
+    * caller's choice (per-char for q149/q155, per-UTF-8-byte hex pairs
+    * for q202's byte-level tokenizer). Same argmax total order. */
+  private[graft] def trainMergesSyms(dict: Array[(Array[String], Long)],
       nMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
-    var vocab = dict.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    var vocab = dict
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
@@ -911,7 +1031,22 @@ object TextAnalysis {
       : org.apache.spark.sql.Column = {
     val symsInit: org.apache.spark.sql.Column =
       expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
-    merges.foldLeft(symsInit) { case (syms, (a, b)) => applyMerge(syms, a, b) }
+    merges.foldLeft(symsInit) { case (syms, (a, b)) =>
+      applyMerge(syms, a, b, length(col("w"))) }
+  }
+
+  /** [[foldedSyms]]'s BYTE-LEVEL twin (q202): the initial symbol array is
+    * the word's UTF-8 bytes as hex pairs ("63","61","66","C3","A9" for
+    * "café") — merged symbols concatenate pairs, so every symbol is an
+    * unambiguous byte-string spelling and the char-level fold machinery
+    * applies unchanged. Token-count upper bound = octet_length. */
+  private[graft] def foldedBytes(merges: Seq[(String, String)])
+      : org.apache.spark.sql.Column = {
+    val symsInit: org.apache.spark.sql.Column = expr(
+      "transform(sequence(1, octet_length(w)), " +
+        "i -> substr(hex(encode(w, 'UTF-8')), 2*i-1, 2))")
+    merges.foldLeft(symsInit) { case (syms, (a, b)) =>
+      applyMerge(syms, a, b, octet_length(col("w"))) }
   }
 
   /** One greedy left-to-right non-overlapping merge of (a, b) as a single
@@ -923,13 +1058,14 @@ object TextAnalysis {
     * exactly once — a size(fold) recomputation would duplicate the whole
     * nested chain and blow up exponentially over nMerges nests. */
   private def applyMerge(syms: org.apache.spark.sql.Column,
-      a: String, b: String): org.apache.spark.sql.Column =
+      a: String, b: String,
+      lenUpperBound: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     slice(
       aggregate(syms, array(lit(" ")), (acc, s) =>
         when(element_at(acc, size(acc)) === lit(a) && s === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(s)))),
-      lit(2), greatest(length(col("w")), lit(1)))
+      lit(2), greatest(lenUpperBound, lit(1)))
 
   /** q153: DSIR-STYLE IMPORTANCE WEIGHTS — data selection for language
     * models via importance resampling (Xie et al., "Data Selection for

@@ -584,6 +584,63 @@ object EventStreams {
               .as("sp")))
     }
 
+  /** q205: STREAMING QUANTILE MONITOR — q203's deterministic hash-leveled
+    * quantile sketch maintained as standing streaming state, the q163≡q160
+    * bridge for percentiles: exact per-group quantiles are not
+    * incrementally computable (the rank of every value moves with each
+    * arrival — the order-statistic analog of streaming COUNT DISTINCT),
+    * but the sketch BUFFER is a bona fide mergeable aggregate, so
+    * Structured Streaming carries it as O(groups × cap) state and merges
+    * micro-batch partials through the same `merge` the batch plan uses.
+    * Because that merge is a pure function of the data multiset (hash
+    * coins, not random coins — see [[graft.functions.QuantileSketch]]),
+    * the drained registers and estimator are BIT-IDENTICAL to batch
+    * q203, pinned by the shared-contract oracle (q203's SQL minus the
+    * exact p50/p90 audit columns streaming legally cannot produce — the
+    * q201 countDistinct discipline). n_total rides along as an additive
+    * count. Two staged files force a genuine cross-batch state merge. */
+  def qStreamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    // DISJOINT mtime-ordered halves (the q183 staging, not q163's
+    // duplicated file: HLL registers are max-idempotent so a replayed
+    // row is invisible there, but sketch counts are ADDITIVE — the
+    // staging must model ingest, where each event arrives once)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q205")
+    try {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      def stage(name: String, pred: org.apache.spark.sql.Column,
+          mtime: Long): Unit = {
+        val scratch = tmp.resolve(name + "_w").toString
+        ev.filter(pred).coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        val dst = tmp.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        graft.util.Fs.deleteRecursively(scratch)
+      }
+      val t0 = System.currentTimeMillis() - 120000L
+      stage("a.parquet", col("event_id") % 2 === 0, t0)
+      stage("b.parquet", col("event_id") % 2 === 1, t0 + 60000L)
+      val batch = spark.readStream
+        .schema(inferredSchema(spark, tmp.toString))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.toString)
+      val sk = batch.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          graft.functions.QuantileSketch.sketch(col("v")).as("sk"))
+      runToMemory(spark, sk,
+        s"q205_stream_${System.nanoTime()}", OutputMode.Complete())
+        .select(col("event_type"), col("n_total"),
+          col("sk.level").as("level"), col("sk.n_sample").as("n_sample"),
+          col("sk.sample_vck").as("sample_vck"),
+          col("sk.n_scaled").as("n_scaled"),
+          col("sk.est_p50").as("est_p50"), col("sk.est_p90").as("est_p90"))
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
+
   /** q183: STREAMING MIXTURE MATERIALIZATION — q150's epoch-weighted
     * shard manifest maintained under INCREMENTAL ingest, the q163≡q160
     * bridge for the mixture path: a pre-training data loader that shards

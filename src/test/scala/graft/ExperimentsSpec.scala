@@ -353,6 +353,41 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
   }
 
+  test("runGridResumable refuses resumes with changed k, seed, or maxIter") {
+    // none of these three appear in the 15-column manifest row, so the
+    // per-row guard alone would silently adopt stale rows — the
+    // _grid_identity marker must catch each of them
+    val cells = Seq(
+      Experiments.Cell("d", "DT", "ST", "threshold", 0.3, 0.8, maxIter = 1),
+      Experiments.Cell("d", "NB", "supervised", "na", 0.3, 0.0, maxIter = 1))
+    val data = Map("d" -> positiveBlobs)
+    val manifest = java.nio.file.Files
+      .createTempDirectory("graft_resume_identity").toString
+    Experiments.runGridResumable(data, cells.take(1), k = 2, seed = 8L,
+      parallelism = 2, manifest).count()
+    val k3 = intercept[IllegalArgumentException] {
+      Experiments.runGridResumable(data, cells, k = 3, seed = 8L,
+        parallelism = 2, manifest).count()
+    }
+    assert(k3.getMessage.contains("run parameters"), k3.getMessage)
+    val seed9 = intercept[IllegalArgumentException] {
+      Experiments.runGridResumable(data, cells, k = 2, seed = 9L,
+        parallelism = 2, manifest).count()
+    }
+    assert(seed9.getMessage.contains("run parameters"), seed9.getMessage)
+    val moreIter = cells.head.copy(maxIter = 2) +: cells.tail
+    val iter2 = intercept[IllegalArgumentException] {
+      Experiments.runGridResumable(data, moreIter, k = 2, seed = 8L,
+        parallelism = 2, manifest).count()
+    }
+    assert(iter2.getMessage.contains("digest mismatch"), iter2.getMessage)
+    // the unchanged grid still resumes cleanly through the marker
+    val ok = Experiments.runGridResumable(data, cells, k = 2, seed = 8L,
+      parallelism = 2, manifest).collect()
+    graft.util.Fs.deleteRecursively(manifest)
+    assert(ok.map(_.getBoolean(15)).toSeq === Seq(true, false))
+  }
+
   test("wisconsin-shaped grid reproduces the published best cell within 0.02") {
     val cells = Seq(
       Experiments.Cell("wisconsin", "RF", "ST", "threshold", 0.3, 0.6),

@@ -130,4 +130,50 @@ class PropertySpec extends AnyFunSuite {
     assert(expected.values.exists(identity) && expected.values.exists(!_),
       "degenerate property corpus: only one dup5 verdict produced")
   }
+
+  test("quantile sketch: merge is associative, commutative, and partitioning-independent (property)") {
+    import graft.functions.QuantileSketch.QuantileSketchAgg
+    // a TINY cap forces mid-stream escalations, the regime the gate data
+    // never reaches — determinism must hold through them, not around them
+    val agg = new QuantileSketchAgg(l0 = 1, cap = 12, k = 4)
+    def sketchOf(xs: Seq[Long]) =
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    def viaSplits(xs: Seq[Long], cuts: Seq[Int]) = {
+      val parts = (cuts.sorted :+ xs.length).distinct
+        .foldLeft((Vector.empty[Seq[Long]], 0)) { case ((acc, from), to) =>
+          (acc :+ xs.slice(from, to), to)
+        }._1.filter(_.nonEmpty)
+      if (parts.isEmpty) agg.finish(agg.zero)
+      else agg.finish(parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge))
+    }
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(8L)
+    val valuesGen = Gen.listOf(Gen.chooseNum(-50L, 200L))
+    for (i <- 1 to 300) {
+      val xs = valuesGen.pureApply(params, seed); seed = seed.next
+      val cuts = Gen.listOfN(3, Gen.chooseNum(0, math.max(xs.length, 1)))
+        .pureApply(params, seed); seed = seed.next
+      val direct = sketchOf(xs)
+      assert(viaSplits(xs, cuts) === direct, s"case $i: xs=$xs cuts=$cuts")
+      // commutativity + a right-leaning merge tree on a fixed 3-way split
+      val third = math.max(xs.length / 3, 1)
+      val (p1, rest) = xs.splitAt(third)
+      val (p2, p3) = rest.splitAt(third)
+      val bufs = Seq(p1, p2, p3).map(_.foldLeft(agg.zero)(agg.reduce))
+      val leftTree = agg.merge(agg.merge(bufs(0), bufs(1)), bufs(2))
+      assert(agg.finish(leftTree) === direct, s"case $i left tree")
+      // permuted order (buffers rebuilt: merge mutates its arguments)
+      val bufs2 = Seq(p3, p1, p2).map(_.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(bufs2.reduce(agg.merge)) === direct,
+        s"case $i permuted merge order")
+      // order-insensitivity of reduce itself
+      assert(sketchOf(xs.reverse) === direct, s"case $i reversed input")
+    }
+    // the generator must actually exercise the escalation path
+    val big = (1L to 400L)
+    val escalated = sketchOf(big)
+    assert(escalated.level > 1, "cap-12 sketch over 400 distincts never escalated")
+    assert(escalated.n_sample <= 4)
+  }
 }

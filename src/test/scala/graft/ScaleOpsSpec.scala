@@ -311,6 +311,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"compaction must reduce file count: $r")
   }
 
+  test("q196 oracle assumption: every ingest batch has far more than 4 band rows") {
+    // the DuckDB oracle models the fragment file count as
+    // sum(LEAST(4, c)) per batch — valid only while round-robin
+    // repartition(4) fills all 4 output files, i.e. while every
+    // doc_id%16 batch is comfortably larger than 4 rows (a band-table
+    // read partition with >=4 rows alone fills all 4 outputs). Guard it
+    // at every sf the gate or specs touch so a datagen reshape that
+    // shrinks batches fails HERE with a named cause, not as a gate flake.
+    import org.apache.spark.sql.functions.{col, pmod, lit, min, count}
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+         if new java.io.File(d).isDirectory) {
+      val minBatch = graft.operators.Dedup.stagedBandTable(spark, d)
+        .groupBy(pmod(col("doc_id"), lit(16)).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .agg(min(col("c"))).head.getLong(0)
+      assert(minBatch >= 256,
+        s"$d: smallest doc_id%16 band batch has $minBatch rows — the " +
+          "q196 oracle's LEAST(4, c) file-count model needs comfortably " +
+          ">4 rows per batch; switch the batch write to a deterministic " +
+          "partitioner before trusting the gate")
+    }
+  }
+
   test("ZOrder.interleave16 bit layout and scale16 exact integer scaling") {
     import spark.implicits._
     import graft.functions.ZOrder
@@ -1915,6 +1938,111 @@ class ScaleOpsSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got === expected)
     assert(expected.nonEmpty)
+  }
+
+  test("q202 byte BPE equals an independent driver-side pretokenize+train+encode") {
+    import scala.collection.mutable
+    val pat = java.util.regex.Pattern
+      .compile(graft.operators.TextAnalysis.Gpt2StylePretokenRegex)
+    def pretok(t: String): Vector[String] = {
+      val m = pat.matcher(t); val out = mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group(0)
+      out.toVector
+    }
+    def hexSyms(w: String): Vector[String] =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").toVector
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .collect().map { r =>
+        val d = r.getLong(1)
+        val suffix = (d % 4) match {
+          case 0 => " caf\u00e9 9"
+          case 1 => " it's ok!"
+          case 2 => " we'll win 42"
+          case _ => " na\u00efve, \u20ac5..."
+        }
+        (r.getString(0), d, pretok(r.getString(2) + suffix))
+      }
+    val freq = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, _, ws) => ws.foreach(w => freq(w) += 1) }
+    var vocab: Map[String, Vector[String]] =
+      freq.keysIterator.map(w => w -> hexSyms(w)).toMap
+    for (_ <- 1 to 20) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += freq(w)
+      if (counts.nonEmpty) {
+        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        vocab = vocab.map { case (w, syms) =>
+          val out = mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = a + b
+            else out += s
+          }
+          w -> out.toVector
+        }
+      }
+    }
+    val symFreq = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, syms) <- vocab; s <- syms) symFreq(s) += freq(w)
+    val id = symFreq.toSeq.sortBy { case (sym, f) => (-f, sym) }
+      .zipWithIndex.map { case ((sym, _), i) => sym -> i.toLong }.toMap
+    val perDoc = docs.map { case (src, d, ws) =>
+      val ids = ws.flatMap(w => vocab(w)).map(id)
+      val ck = ids.zipWithIndex.map { case (i, p) => (p + 1) * i }.sum
+      val nBytes = ws.map(_.getBytes("UTF-8").length.toLong).sum
+      (src, d, ws.size.toLong, nBytes, ids.size.toLong,
+        ((ck % 1073741824L) + 1073741824L) % 1073741824L)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.size.toLong, ds.map(_._3).sum, ds.map(_._4).sum,
+        ds.map(_._5).sum, ds.map(_._6).sum))
+    }
+    val got = SparkEntry.queries("q202_byte_bpe")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("q202 reduces to q149 on a single-word ASCII corpus (byte == char alphabet)") {
+    import spark.implicits._
+    // one ASCII word per doc: pretokens == words, UTF-8 bytes == chars,
+    // so the byte-level trainer/encoder must degenerate EXACTLY to the
+    // char-level q149 pipeline — token counts equal per source
+    val docs = Seq(
+      ("s1", 1L, "alpha"), ("s1", 2L, "alphabet"), ("s1", 3L, "beta"),
+      ("s2", 4L, "betamax"), ("s2", 5L, "alpha"), ("s2", 6L, "gamma"),
+      ("s2", 7L, "gamut")).toDF("source", "doc_id", "text")
+    val byteSide = graft.operators.TextAnalysis
+      .byteBpeTokenIds(docs, nMerges = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap // n_tokens
+    val charSide = graft.operators.TextAnalysis
+      .bpeEncode(docs.select(col("source"), col("text")), nMerges = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap // n_tokens
+    assert(byteSide === charSide)
+    assert(byteSide("s1") > 0)
+  }
+
+  test("q202 pretokenizer contract: contractions, digits, punctuation, multibyte") {
+    import spark.implicits._
+    // nMerges = 0 isolates the pretokenizer + byte alphabet: tokens ==
+    // bytes, and the pretoken/byte counts are hand-derivable.
+    // "it's café 42!" -> [it]["'s"][ café][ 42][!]
+    //   bytes: 2 + 2 + (1+3+2{é}) + 3 + 1 = 14
+    // "a €5... b" -> [a][ €]{1+3}[5][...][ b]
+    //   bytes: 1 + 4 + 1 + 3 + 2 = 11
+    val docs = Seq(
+      ("s1", 1L, "it's caf\u00e9 42!"),
+      ("s2", 2L, "a \u20ac5... b")).toDF("source", "doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .byteBpeTokenIds(docs, nMerges = 0).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "s1" -> ((5L, 14L, 14L)),
+      "s2" -> ((5L, 11L, 11L))))
   }
 
   test("q149 greedy merge fold: left-to-right non-overlapping, hand-pinned") {
