@@ -330,6 +330,8 @@ object SparkEntry {
       graft.operators.TextAnalysis.q202ByteBpe(s, d)),
     "q203_quantile_sketch"    -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q203QuantileSketch(s, d)),
+    "q204_merge_upsert"       -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q204MergeUpsert(s, d)),
     "q205_stream_quantiles"   -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamQuantiles(s, d)),
   )
@@ -1136,6 +1138,36 @@ object SparkEntry {
        "SELECT event_type, n_total, level, n_sample, sample_vck, " +
        "n_scaled, est_p50, est_p90, exact_p50, exact_p90 " +
        "FROM exq JOIN sk USING (event_type)"),
+    // q204: DuckDB replays the CDC derivation and the three-clause
+    // algebra over the ORIGINAL table; the engine's n_after /
+    // sum_chars_after are read back from the REWRITTEN partitioned
+    // layout, so the compare also pins the copy-on-write round-trip
+    "q204_merge_upsert" ->
+      ("WITH src AS (SELECT doc_id, lang, " +
+       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
+       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
+       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
+       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+       "b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1), " +
+       "cl AS (SELECT lang, " +
+       "CAST(sum(CASE WHEN op = 'upd' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated, " +
+       "CAST(sum(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted, " +
+       "CAST(sum(CASE WHEN op = 'ins' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted " +
+       "FROM src GROUP BY 1), " +
+       "surv AS (SELECT d.lang, " +
+       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END AS nc " +
+       "FROM documents d LEFT JOIN " +
+       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
+       "WHERE s.op IS NULL OR s.op = 'upd'), " +
+       "af0 AS (SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS s " +
+       "FROM surv GROUP BY 1) " +
+       "SELECT b.lang, b.lang IN ('en','de') AS is_touched, b.n_before, " +
+       "coalesce(cl.n_updated, 0) AS n_updated, " +
+       "coalesce(cl.n_deleted, 0) AS n_deleted, " +
+       "coalesce(cl.n_inserted, 0) AS n_inserted, " +
+       "af0.n + coalesce(cl.n_inserted, 0) AS n_after, " +
+       "af0.s + 42 * coalesce(cl.n_inserted, 0) AS sum_chars_after " +
+       "FROM b LEFT JOIN cl USING (lang) JOIN af0 USING (lang)"),
     // q205: the streaming twin shares q203's sketch contract verbatim
     // (bit-identical state is the whole claim) minus the exact-quantile
     // audit streaming can't legally produce; n_total is the additive

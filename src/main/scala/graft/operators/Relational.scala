@@ -1565,6 +1565,118 @@ object Relational {
     out
   }
 
+  /** q204: THREE-CLAUSE MERGE (upsert) AGAINST THE PARTITIONED WAREHOUSE —
+    * the general maintenance statement q178's CDC latest-wins only
+    * approximates: one CDC batch applied as
+    *   WHEN MATCHED AND op='del' THEN DELETE
+    *   WHEN MATCHED THEN UPDATE (n_chars += 1000, text gets a rev marker)
+    *   WHEN NOT MATCHED THEN INSERT
+    * in ONE pass, copy-on-write at PARTITION granularity: the CDC batch
+    * touches only two language partitions, so the merge (1) derives the
+    * touched-partition set from the source keys (bounded by |partitions|),
+    * (2) full-outer joins the source against the PRUNED target slice —
+    * the pruning is static partition elimination, plan-asserted in
+    * PlanSpec, and full-outer (not broadcast-left + anti) because MERGE's
+    * matched/unmatched split needs both sides' orphans in one pass —
+    * and (3) rewrites ONLY the touched directories via dynamic partition
+    * overwrite; untouched partitions' FILES are physically untouched
+    * (mtime/size-asserted in the spec). That is the Delta/Iceberg MERGE
+    * execution shape re-expressed over plain parquet — a real lakehouse
+    * table adds a transaction log, not different dataflow. At 100 TB the
+    * lever is (1)+(3): a CDC batch over k of n partitions shuffles and
+    * rewrites k/n of the table no matter how big n gets. The gate pins
+    * per-clause counts, the touched-partition set (is_touched), and the
+    * post-merge per-partition state read back from the rewritten layout;
+    * the DuckDB oracle replays the CDC derivation and the clause algebra
+    * over the original table. */
+  def q204MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q204_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    docs.write.partitionBy("lang").parquet(s"$scratch/wh")
+    val out = mergeCdcInto(spark, s"$scratch/wh", docs).localCheckpoint()
+    graft.util.Fs.deleteRecursively(scratch)
+    out
+  }
+
+  /** q204's merge engine over an existing lang-partitioned warehouse —
+    * factored out so the spec can bracket it with file listings. Returns
+    * the per-lang report (clause counts + post-merge state). */
+  private[graft] def mergeCdcInto(spark: SparkSession, wh: String,
+      docs: DataFrame,
+      planProbe: DataFrame => Unit = _ => ()): DataFrame = {
+    val src = docs
+      .filter(pmod(col("doc_id"), lit(5)) === 0 &&
+        col("lang").isin("en", "de"))
+      .select(col("doc_id"), col("lang").as("s_lang"),
+        when(pmod(col("doc_id"), lit(15)) === 0, lit("del"))
+          .otherwise(lit("upd")).as("op"))
+      .unionByName(docs
+        .filter(pmod(col("doc_id"), lit(17)) === 0 &&
+          col("lang").isin("en", "de"))
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("lang").as("s_lang"), lit("ins").as("op")))
+    // touched set: distinct source partition keys — |partitions|-bounded
+    val touched = src.select(col("s_lang")).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val target = spark.read.parquet(wh)
+    // pre-merge audit, MATERIALIZED before the overwrite (this frame and
+    // the warehouse files it reads would otherwise be re-resolved over
+    // the rewritten layout at action time)
+    val before = target.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before")).localCheckpoint()
+    val merged0 = target.filter(col("lang").isin(touched: _*))
+      .join(src, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("op") === "ins", concat(lit("inserted:"), col("doc_id")))
+          .when(col("op") === "upd", concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"),
+        when(col("op") === "ins", lit("cdc")).otherwise(col("source"))
+          .as("source"),
+        when(col("op") === "ins", lit(42L))
+          .when(col("op") === "upd", col("n_chars") + 1000L)
+          .otherwise(col("n_chars")).cast("bigint").as("n_chars"),
+        coalesce(col("lang"), col("s_lang")).as("lang"),
+        when(col("op") === "del", lit("deleted"))
+          .when(col("op") === "upd", lit("updated"))
+          .when(col("op") === "ins", lit("inserted"))
+          .otherwise(lit("unchanged")).as("clause"))
+    // the spec inspects the PRE-materialization plan here (the
+    // localCheckpoint below truncates lineage, hiding the pruned scan)
+    planProbe(merged0)
+    // materialize: the write below overwrites files this plan reads
+    val merged = merged0.localCheckpoint()
+    val prevMode = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.filter(col("clause") =!= "deleted").drop("clause")
+        .write.mode("overwrite").partitionBy("lang").parquet(wh)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val clauses = merged.groupBy(col("lang")).agg(
+      sum(when(col("clause") === "updated", 1L).otherwise(0L))
+        .as("n_updated"),
+      sum(when(col("clause") === "deleted", 1L).otherwise(0L))
+        .as("n_deleted"),
+      sum(when(col("clause") === "inserted", 1L).otherwise(0L))
+        .as("n_inserted"))
+    val after = spark.read.parquet(wh).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars_after"))
+    before
+      .join(clauses, Seq("lang"), "left_outer")
+      .join(after, Seq("lang"))
+      .select(col("lang"),
+        col("lang").isin(touched: _*).as("is_touched"),
+        col("n_before"),
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        col("n_after"), col("sum_chars_after"))
+  }
+
   /** The (lang, family) dimension as a real parquet table — staged once
     * with the same crash-safe lifecycle as the partitioned docs. Tiny by
     * construction; exists so q189's dim filter is a genuine DATA

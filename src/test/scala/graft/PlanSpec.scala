@@ -405,6 +405,32 @@ class PlanSpec extends AnyFunSuite {
       s"q195 must stay equi-join with the inequality as a condition:\n$p")
   }
 
+  test("q195 decorrelation survives without broadcast (the 100x fallback plan)") {
+    // at 100x the per-partkey avg is part-cardinality-sized and exceeds
+    // any broadcast threshold — the plan that must survive is the
+    // decorrelated aggregate feeding a shuffle join (AQE's SMJ/shuffled-
+    // hash), never a per-row subquery re-execution or a cartesian
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.queries("q195_avg_yearly")(spark, sf)
+      val rows = q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("partial_avg"),
+        s"q195 fallback lost the decorrelated grouped aggregate:\n$p")
+      assert(!p.contains("Subquery"),
+        s"q195 fallback re-executes the scalar subquery per row:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"threshold=-1 but a broadcast join survived (conf not applied):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"q195 fallback must be a shuffled equi-join:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"q195 fallback went cartesian:\n$p")
+      assert(rows.length === 1 && !rows.head.isNullAt(0))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("winnowed fingerprints plan has zero Exchange (q36 is shuffle-free)") {
     // winnowing is row-local: the WinnowedFingerprints Expression makes the
     // plan scan → project → generate with no window sort and no distinct
@@ -528,6 +554,51 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("[codegen id :"), s"q20 outside codegen:\n$p")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       s"q20 contains a UDF barrier:\n$p")
+  }
+
+  test("q204 merge rewrites ONLY touched partitions; merge scan is partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_q204_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    docs.write.partitionBy("lang").parquet(s"$scratch/wh")
+    def listing(lang: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(s"$scratch/wh/lang=$lang").listFiles())
+        .toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.lastModified(), f.length()))).toMap
+    val untouchedBefore = Seq("fr", "es", "zh").map(l => l -> listing(l))
+    val touchedBefore = Seq("en", "de").map(l => l -> listing(l)).toMap
+    // the pruned merge scan: the full-outer join's target side must carry
+    // a static partition filter on lang, not a full-table scan (probed
+    // BEFORE the localCheckpoint truncates the lineage)
+    var mergePlan = ""
+    val out = graft.operators.Relational
+      .mergeCdcInto(spark, s"$scratch/wh", docs,
+        planProbe = df => mergePlan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    assert(mergePlan.contains("PartitionFilters") &&
+      mergePlan.contains("lang"),
+      s"q204 merge scan not partition-pruned:\n$mergePlan")
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    // untouched partitions: byte-for-byte same files (name, mtime, size)
+    untouchedBefore.foreach { case (l, before) =>
+      assert(listing(l) === before, s"untouched partition lang=$l was rewritten")
+      assert(!rows(l).getBoolean(1), s"lang=$l flagged touched")
+      assert(rows(l).getLong(2) === rows(l).getLong(6),
+        s"untouched lang=$l changed cardinality: ${rows(l)}")
+    }
+    // touched partitions: physically rewritten, clause algebra holds
+    Seq("en", "de").foreach { l =>
+      assert(listing(l) !== touchedBefore(l),
+        s"touched partition lang=$l kept its old files")
+      val r = rows(l)
+      assert(r.getBoolean(1))
+      assert(r.getLong(2) - r.getLong(4) + r.getLong(5) === r.getLong(6),
+        s"n_before - n_deleted + n_inserted != n_after: $r")
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0 && r.getLong(5) > 0,
+        s"a clause fired zero times at spec scale: $r")
+    }
+    graft.util.Fs.deleteRecursively(scratch)
   }
 
   test("q147 staged partitioned layout prunes to the lang=en directory") {
