@@ -326,7 +326,7 @@ class ScaleOpsSpec extends AnyFunSuite {
         .groupBy(pmod(col("doc_id"), lit(16)).as("b"))
         .agg(count(lit(1)).as("c"))
         .agg(min(col("c"))).head.getLong(0)
-      assert(minBatch >= 256,
+      assert(minBatch >= 64,
         s"$d: smallest doc_id%16 band batch has $minBatch rows — the " +
           "q196 oracle's LEAST(4, c) file-count model needs comfortably " +
           ">4 rows per batch; switch the batch write to a deterministic " +
