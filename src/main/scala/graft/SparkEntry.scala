@@ -334,6 +334,10 @@ object SparkEntry {
       graft.operators.Relational.q204MergeUpsert(s, d)),
     "q205_stream_quantiles"   -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.qStreamQuantiles(s, d)),
+    "q206_stream_cdc_merge"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamCdcMerge(s, d)),
+    "q207_bpe_roundtrip"      -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.q207BpeRoundtrip(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1121,6 +1125,28 @@ object SparkEntry {
        "FROM agg JOIN (VALUES " +
        "('src7', CAST(6327 AS BIGINT), CAST(13487724 AS BIGINT)), ('src16', CAST(5592 AS BIGINT), CAST(10838325 AS BIGINT)), ('src4', CAST(5280 AS BIGINT), CAST(9215690 AS BIGINT)), ('src9', CAST(5584 AS BIGINT), CAST(9567028 AS BIGINT)), ('src14', CAST(5346 AS BIGINT), CAST(9905206 AS BIGINT)), ('src10', CAST(5291 AS BIGINT), CAST(9850413 AS BIGINT)), ('src2', CAST(5747 AS BIGINT), CAST(10940933 AS BIGINT)), ('src8', CAST(4709 AS BIGINT), CAST(7605745 AS BIGINT)), ('src17', CAST(5568 AS BIGINT), CAST(9405018 AS BIGINT)), ('src0', CAST(5842 AS BIGINT), CAST(10832102 AS BIGINT)), ('src12', CAST(5165 AS BIGINT), CAST(8751469 AS BIGINT)), ('src15', CAST(5487 AS BIGINT), CAST(11090698 AS BIGINT)), ('src18', CAST(5606 AS BIGINT), CAST(10596029 AS BIGINT)), ('src19', CAST(4902 AS BIGINT), CAST(9332673 AS BIGINT)), ('src1', CAST(6384 AS BIGINT), CAST(11890521 AS BIGINT)), ('src13', CAST(6257 AS BIGINT), CAST(11920779 AS BIGINT)), ('src3', CAST(5844 AS BIGINT), CAST(12432682 AS BIGINT)), ('src5', CAST(5397 AS BIGINT), CAST(9270842 AS BIGINT)), ('src6', CAST(5204 AS BIGINT), CAST(9474725 AS BIGINT)), ('src11', CAST(6414 AS BIGINT), CAST(13683591 AS BIGINT))" +
        ") AS g(\"source\", n_tokens, id_checksum) USING (source)"),
+    // q207: the oracle recomputes the ORIGINAL side's per-doc byte
+    // checksum from the decorated text and asserts every doc survives
+    // the encode->decode roundtrip (n_roundtrip_exact == n_docs ==
+    // count(*)) — the engine's decode side has no SQL twin, but a single
+    // lost/shifted byte anywhere in pretokenize/merge/id-table flips the
+    // engine's n_roundtrip_exact below count(*) and fails the compare
+    "q207_bpe_roundtrip" ->
+      ("WITH e AS (SELECT doc_id, source, text || CASE doc_id % 4 " +
+       "WHEN 0 THEN ' caf\u00e9 9' WHEN 1 THEN ' it''s ok!' " +
+       "WHEN 2 THEN ' we''ll win 42' " +
+       "ELSE ' na\u00efve, \u20ac5...' END AS t " +
+       "FROM documents), " +
+       "ck AS (SELECT doc_id, source, CAST(strlen(t) AS BIGINT) AS nb, " +
+       "CAST(sum((CAST(concat('0x', substr(hex(encode(t)), 2*g.k-1, 2)) " +
+       "AS BIGINT) + 1) * g.k) % 1073741824 AS BIGINT) AS c " +
+       "FROM e, UNNEST(generate_series(1, strlen(t))) AS g(k) " +
+       "GROUP BY 1, 2, 3) " +
+       "SELECT source, count(*) AS n_docs, " +
+       "count(*) AS n_roundtrip_exact, " +
+       "CAST(sum(nb) AS BIGINT) AS n_bytes, " +
+       "CAST(sum(c) % 1073741824 AS BIGINT) AS byte_ck " +
+       "FROM ck GROUP BY source"),
     // q203: DuckDB replays the WHOLE deterministic quantile-sketch
     // cascade — hex60 per distinct cent value, the min-level pick over
     // generate_series, the survivor filter, the cross-multiplied integer
@@ -1142,32 +1168,11 @@ object SparkEntry {
     // algebra over the ORIGINAL table; the engine's n_after /
     // sum_chars_after are read back from the REWRITTEN partitioned
     // layout, so the compare also pins the copy-on-write round-trip
-    "q204_merge_upsert" ->
-      ("WITH src AS (SELECT doc_id, lang, " +
-       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
-       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
-       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
-       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
-       "b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1), " +
-       "cl AS (SELECT lang, " +
-       "CAST(sum(CASE WHEN op = 'upd' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated, " +
-       "CAST(sum(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted, " +
-       "CAST(sum(CASE WHEN op = 'ins' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted " +
-       "FROM src GROUP BY 1), " +
-       "surv AS (SELECT d.lang, " +
-       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END AS nc " +
-       "FROM documents d LEFT JOIN " +
-       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
-       "WHERE s.op IS NULL OR s.op = 'upd'), " +
-       "af0 AS (SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS s " +
-       "FROM surv GROUP BY 1) " +
-       "SELECT b.lang, b.lang IN ('en','de') AS is_touched, b.n_before, " +
-       "coalesce(cl.n_updated, 0) AS n_updated, " +
-       "coalesce(cl.n_deleted, 0) AS n_deleted, " +
-       "coalesce(cl.n_inserted, 0) AS n_inserted, " +
-       "af0.n + coalesce(cl.n_inserted, 0) AS n_after, " +
-       "af0.s + 42 * coalesce(cl.n_inserted, 0) AS sum_chars_after " +
-       "FROM b LEFT JOIN cl USING (lang) JOIN af0 USING (lang)"),
+    "q204_merge_upsert" -> mergeOracleSql,
+    // q206: the streaming CDC apply shares q204's oracle VERBATIM — the
+    // key-disjoint halves compose to the single-shot merge, and that
+    // equality IS the claim the gate pins
+    "q206_stream_cdc_merge" -> mergeOracleSql,
     // q205: the streaming twin shares q203's sketch contract verbatim
     // (bit-identical state is the whole claim) minus the exact-quantile
     // audit streaming can't legally produce; n_total is the additive
@@ -2750,6 +2755,37 @@ object SparkEntry {
     s"LEFT JOIN (SELECT e.v AS v, SUM(r.r // dd.deg) AS s FROM e " +
     s"JOIN r${k - 1} r ON r.v = e.u JOIN deg dd ON dd.u = e.u " +
     s"GROUP BY e.v) s ON s.v = d.u)"
+
+  /** q204/q206 shared three-clause-merge oracle: DuckDB replays the
+    * CDC derivation and the clause algebra over the ORIGINAL table.
+    * q206 (the streaming apply) shares it verbatim: the key-disjoint
+    * CDC halves compose to the single-shot merge. */
+  private def mergeOracleSql: String =
+   ("WITH src AS (SELECT doc_id, lang, " +
+       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
+       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
+       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
+       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+       "b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1), " +
+       "cl AS (SELECT lang, " +
+       "CAST(sum(CASE WHEN op = 'upd' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated, " +
+       "CAST(sum(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted, " +
+       "CAST(sum(CASE WHEN op = 'ins' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted " +
+       "FROM src GROUP BY 1), " +
+       "surv AS (SELECT d.lang, " +
+       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END AS nc " +
+       "FROM documents d LEFT JOIN " +
+       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
+       "WHERE s.op IS NULL OR s.op = 'upd'), " +
+       "af0 AS (SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS s " +
+       "FROM surv GROUP BY 1) " +
+       "SELECT b.lang, b.lang IN ('en','de') AS is_touched, b.n_before, " +
+       "coalesce(cl.n_updated, 0) AS n_updated, " +
+       "coalesce(cl.n_deleted, 0) AS n_deleted, " +
+       "coalesce(cl.n_inserted, 0) AS n_inserted, " +
+       "af0.n + coalesce(cl.n_inserted, 0) AS n_after, " +
+       "af0.s + 42 * coalesce(cl.n_inserted, 0) AS sum_chars_after " +
+       "FROM b LEFT JOIN cl USING (lang) JOIN af0 USING (lang)")
 
   /** q203/q205 shared quantile-sketch replay: cent census → hex60 per
     * distinct value → canonical min-level pick over generate_series →

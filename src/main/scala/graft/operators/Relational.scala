@@ -1604,18 +1604,33 @@ object Relational {
     * the per-lang report (clause counts + post-merge state). */
   private[graft] def mergeCdcInto(spark: SparkSession, wh: String,
       docs: DataFrame,
-      planProbe: DataFrame => Unit = _ => ()): DataFrame = {
-    val src = docs
-      .filter(pmod(col("doc_id"), lit(5)) === 0 &&
+      planProbe: DataFrame => Unit = _ => ()): DataFrame =
+    mergeApply(spark, wh, cdcSource(docs), planProbe)
+
+  /** The q204/q206 CDC batch, derived deterministically from the corpus
+    * so both DuckDB oracles can replay it: updates/deletes on the
+    * doc_id%5 keys of the en/de partitions, inserts keyed past the id
+    * space. (doc_id, s_lang, op). */
+  private[graft] def cdcSource(docs: DataFrame): DataFrame = docs
+    .filter(pmod(col("doc_id"), lit(5)) === 0 &&
+      col("lang").isin("en", "de"))
+    .select(col("doc_id"), col("lang").as("s_lang"),
+      when(pmod(col("doc_id"), lit(15)) === 0, lit("del"))
+        .otherwise(lit("upd")).as("op"))
+    .unionByName(docs
+      .filter(pmod(col("doc_id"), lit(17)) === 0 &&
         col("lang").isin("en", "de"))
-      .select(col("doc_id"), col("lang").as("s_lang"),
-        when(pmod(col("doc_id"), lit(15)) === 0, lit("del"))
-          .otherwise(lit("upd")).as("op"))
-      .unionByName(docs
-        .filter(pmod(col("doc_id"), lit(17)) === 0 &&
-          col("lang").isin("en", "de"))
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          col("lang").as("s_lang"), lit("ins").as("op")))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        col("lang").as("s_lang"), lit("ins").as("op")))
+
+  /** Apply one CDC batch (doc_id, s_lang, op) to the lang-partitioned
+    * warehouse at `wh` — q204's three-clause copy-on-write pass, factored
+    * so q206 can drive it per micro-batch from foreachBatch. Returns the
+    * per-lang report for THIS application (n_before = state this batch
+    * saw). */
+  private[graft] def mergeApply(spark: SparkSession, wh: String,
+      src: DataFrame,
+      planProbe: DataFrame => Unit = _ => ()): DataFrame = {
     // touched set: distinct source partition keys — |partitions|-bounded
     val touched = src.select(col("s_lang")).distinct().collect()
       .map(_.getString(0)).sorted.toSeq

@@ -825,9 +825,17 @@ object TextAnalysis {
     * driver-side parity recompute, incl. the ASCII-reduction proof that
     * this engine degenerates to q149's on a single-word ASCII corpus). */
   def q202ByteBpe(spark: SparkSession, dir: String,
-      nMerges: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    byteBpeTokenIds(docs.select(col("source"), col("doc_id"),
+      nMerges: Int = 20): DataFrame =
+    byteBpeTokenIds(decoratedDocs(spark, dir), nMerges)
+
+  /** The q202/q207 corpus: documents decorated with a deterministic
+    * doc_id-keyed suffix (contractions, digits, punctuation, 2- and
+    * 3-byte UTF-8) that the DuckDB oracles replay in SQL \u2014 the byte/regex
+    * machinery is exercised on every row, not on a fixture. */
+  private[graft] def decoratedDocs(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("source"), col("doc_id"),
       // \u escapes, not literal chars: scalac runs with an ASCII
       // default charset here (empty LANG) and a literal multibyte char
       // in a string would decode into mojibake that silently diverges
@@ -836,13 +844,17 @@ object TextAnalysis {
         when(pmod(col("doc_id"), lit(4)) === 0, lit(" caf\u00e9 9"))
           .when(pmod(col("doc_id"), lit(4)) === 1, lit(" it's ok!"))
           .when(pmod(col("doc_id"), lit(4)) === 2, lit(" we'll win 42"))
-          .otherwise(lit(" na\u00efve, \u20ac5..."))).as("text")),
-      nMerges)
-  }
+          .otherwise(lit(" na\u00efve, \u20ac5..."))).as("text"))
 
-  /** q202's engine over any (source, doc_id, text) frame. */
-  private[graft] def byteBpeTokenIds(docs: DataFrame, nMerges: Int,
-      vocabCap: Int = 1 << 20): DataFrame = {
+  /** The shared q202/q207 trained-tokenizer frames: pretoken stream,
+    * byte-encoded distinct pretokens, and the frequency-ranked id table
+    * (the vocab file — its inversion is q207's decode). `release()`
+    * drops the two persists once the caller's plan is materialized. */
+  private case class BytePipe(wordsPos: DataFrame, encoded: DataFrame,
+      idTable: DataFrame, release: () => Unit)
+
+  private def byteBpePipe(docs: DataFrame, nMerges: Int,
+      vocabCap: Int): BytePipe = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val wordsPos = docs.select(col("source"), col("doc_id"),
         posexplode(regexp_extract_all(col("text"),
@@ -864,6 +876,17 @@ object TextAnalysis {
         (row_number().over(Window.orderBy(col("sf").desc, col("sym").asc))
           - 1).cast("bigint"))
       .select(col("sym"), col("id"))
+    BytePipe(wordsPos, encoded, idTable,
+      () => { encoded.unpersist(false); wordFreq.unpersist(false) })
+  }
+
+  /** q202's engine over any (source, doc_id, text) frame. */
+  private[graft] def byteBpeTokenIds(docs: DataFrame, nMerges: Int,
+      vocabCap: Int = 1 << 20): DataFrame = {
+    val pipe = byteBpePipe(docs, nMerges, vocabCap)
+    val wordsPos = pipe.wordsPos
+    val encoded = pipe.encoded
+    val idTable = pipe.idTable
     val preAgg = wordsPos.groupBy(col("source"))
       .agg(count(lit(1)).as("n_pretokens"),
         sum(octet_length(col("w"))).cast("bigint").as("n_bytes"))
@@ -886,7 +909,80 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_pretokens"),
         col("n_bytes"), col("n_tokens"), col("id_checksum"))
       .localCheckpoint()
-    encoded.unpersist(false); wordFreq.unpersist(false)
+    pipe.release()
+    out
+  }
+
+  /** q207: BYTE-LEVEL BPE DECODE ROUNDTRIP — the losslessness contract a
+    * byte-level tokenizer owes its training corpus, proven end to end:
+    * every document's id sequence (q202's output) is decoded BACK through
+    * the frequency-ranked vocab table (the id→symbol inversion a real
+    * vocab file ships for), the symbols re-expand to bytes, and the
+    * reassembled byte stream must equal the original document byte for
+    * byte. This pins three claims at once: the pretokenization regex
+    * PARTITIONS the string (a dropped character would shift every later
+    * byte), the merge fold loses nothing (merged symbols concatenate
+    * exactly their constituent bytes), and the id table is a bijection on
+    * the emitted vocabulary. Equality is by an order-sensitive byte
+    * checksum Σ(byte+1)·pos mod 2^30 plus a byte-count match per doc —
+    * the comparison the oracle can replay (it recomputes the ORIGINAL
+    * side from the decorated text and asserts n_roundtrip_exact ==
+    * n_docs). Scale: the decode is the same broadcast-join shape as the
+    * encode; per-doc state is one running-offset window (q155's class);
+    * nothing new materializes. */
+  def q207BpeRoundtrip(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame = {
+    val docs = decoratedDocs(spark, dir)
+    val pipe = byteBpePipe(docs, nMerges, 1 << 20)
+    // ENCODE to ids (exactly q202's token stream), then DECODE each id
+    // back to its symbol through the inverted vocab table
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+    val ids = pipe.wordsPos
+      .join(pipe.encoded.select(col("w"), col("syms")), Seq("w"))
+      .withColumn("base",
+        (sum(size(col("syms"))).over(wDoc) - size(col("syms"))).cast("bigint"))
+      .select(col("source"), col("doc_id"), col("base"),
+        posexplode(col("syms")).as(Seq("j", "sym")))
+      .join(broadcast(pipe.idTable), Seq("sym"))
+      .select(col("source"), col("doc_id"),
+        (col("base") + col("j")).as("tpos"), col("id"))
+    val decoded = ids
+      .join(broadcast(pipe.idTable.select(col("id"),
+        col("sym").as("dsym"))), Seq("id"))
+    val wTok = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
+    val decBytes = decoded
+      .withColumn("nb", (length(col("dsym")) / 2).cast("bigint"))
+      .withColumn("b0", sum(col("nb")).over(wTok) - col("nb"))
+      .select(col("source"), col("doc_id"), col("b0"),
+        posexplode(expr("transform(sequence(1, CAST(length(dsym) DIV 2 " +
+          "AS INT)), k -> substr(dsym, 2*k-1, 2))")).as(Seq("k", "p")))
+      .select(col("source"), col("doc_id"),
+        (col("b0") + col("k") + 1).as("i"),
+        expr("CAST(conv(p, 16, 10) AS BIGINT)").as("byte"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(pmod(sum((col("byte") + 1) * col("i")), lit(1073741824L))
+        .as("dck"), count(lit(1)).as("dnb"))
+    // the ORIGINAL side, straight off the decorated text's UTF-8 bytes
+    val origBytes = docs
+      .select(col("source"), col("doc_id"),
+        posexplode(expr("transform(sequence(1, octet_length(text)), " +
+          "k -> substr(hex(encode(text, 'UTF-8')), 2*k-1, 2))"))
+          .as(Seq("k", "p")))
+      .select(col("source"), col("doc_id"), (col("k") + 1).as("i"),
+        expr("CAST(conv(p, 16, 10) AS BIGINT)").as("byte"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(pmod(sum((col("byte") + 1) * col("i")), lit(1073741824L))
+        .as("ock"), count(lit(1)).as("onb"))
+    val out = origBytes
+      .join(decBytes, Seq("source", "doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dck") === col("ock") && col("dnb") === col("onb"),
+          1L).otherwise(0L)).as("n_roundtrip_exact"),
+        sum(col("onb")).as("n_bytes"),
+        pmod(sum(col("ock")), lit(1073741824L)).as("byte_ck"))
+      .localCheckpoint()
+    pipe.release()
     out
   }
 

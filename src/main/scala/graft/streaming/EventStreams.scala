@@ -641,6 +641,92 @@ object EventStreams {
     } finally graft.util.Fs.deleteRecursively(tmp.toString)
   }
 
+  /** q206: STREAMING CDC MERGE — q204's three-clause merge driven from a
+    * CDC STREAM, the way a lakehouse actually ingests change data: each
+    * micro-batch is applied to the partitioned warehouse inside
+    * foreachBatch through the SAME [[graft.operators.Relational
+    * .mergeApply]] copy-on-write pass the batch query uses (partition-
+    * pruned full-outer, dynamic partition overwrite — foreachBatch exists
+    * precisely because MERGE is not an incremental aggregation; the
+    * sink-side apply is the standard pattern). The CDC set is staged as
+    * two KEY-DISJOINT mtime-ordered halves, so sequential application is
+    * algebraically equal to the single-shot batch merge (clause
+    * application is key-local; an earlier batch's inserts ride through a
+    * later batch's rewrite as unchanged rows) — which is what lets the
+    * drained end-state share q204's oracle VERBATIM: same per-lang
+    * clause totals (summed across batches), same n_after /
+    * sum_chars_after read back from the final rewritten layout, same
+    * is_touched set. */
+  def qStreamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q206")
+    try {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+      val wh = s"$tmp/wh"
+      docs.write.partitionBy("lang").parquet(wh)
+      val src = graft.operators.Relational.cdcSource(docs)
+      val cdcDir = tmp.resolve("cdc")
+      java.nio.file.Files.createDirectory(cdcDir)
+      def stage(name: String, pred: org.apache.spark.sql.Column,
+          mtime: Long): Unit = {
+        val scratch = cdcDir.resolve(name + "_w").toString
+        src.filter(pred).coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).get
+        val dst = cdcDir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        graft.util.Fs.deleteRecursively(scratch)
+      }
+      val t0 = System.currentTimeMillis() - 120000L
+      stage("a.parquet", pmod(col("doc_id"), lit(2)) === 0, t0)
+      stage("b.parquet", pmod(col("doc_id"), lit(2)) === 1, t0 + 60000L)
+      // pre-ingest state, materialized before any batch rewrites files
+      val before = spark.read.parquet(wh).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before")).localCheckpoint()
+      val batches = spark.readStream
+        .schema(inferredSchema(spark, cdcDir.toString))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cdcDir.toString)
+      // cumulative clause ledger, filled by the sink as batches apply
+      val ledger = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      val q = batches.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val rep = graft.operators.Relational
+            .mergeApply(spark, wh, batch.select(col("doc_id"),
+              col("s_lang"), col("op")))
+          rep.collect().foreach(r => ledger.synchronized {
+            ledger += ((r.getString(0), r.getLong(3), r.getLong(4),
+              r.getLong(5)))
+          })
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val clauses = ledger.toSeq.toDF("lang", "u", "d", "i")
+        .groupBy(col("lang"))
+        .agg(sum(col("u")).as("n_updated"), sum(col("d")).as("n_deleted"),
+          sum(col("i")).as("n_inserted"))
+      val after = spark.read.parquet(wh).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars_after"))
+      before
+        .join(clauses, Seq("lang"), "left_outer")
+        .join(after, Seq("lang"))
+        .select(col("lang"),
+          col("lang").isin("en", "de").as("is_touched"),
+          col("n_before"),
+          coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+          col("n_after"), col("sum_chars_after"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
+
   /** q183: STREAMING MIXTURE MATERIALIZATION — q150's epoch-weighted
     * shard manifest maintained under INCREMENTAL ingest, the q163≡q160
     * bridge for the mixture path: a pre-training data loader that shards

@@ -2045,6 +2045,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       "s2" -> ((5L, 11L, 11L))))
   }
 
+  test("q206 streaming CDC merge end-state equals the single-shot q204 merge") {
+    // the oracle pins this against SQL at sf0.01; this pins ENGINE vs
+    // ENGINE at the other sf — the micro-batched apply and the one-pass
+    // batch merge must land on identical per-lang reports
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).sortBy(_._1).toSeq
+    val batch = canon(SparkEntry.queries("q204_merge_upsert")(spark, sf)
+      .collect())
+    val streamed = canon(SparkEntry.queries("q206_stream_cdc_merge")(
+      spark, sf).collect())
+    assert(streamed === batch)
+    assert(batch.exists(_._2) && batch.exists(!_._2),
+      "degenerate fixture: need both touched and untouched partitions")
+  }
+
+  test("q207 roundtrip survives every doc, incl. a multibyte no-merge fixture") {
+    val rows = SparkEntry.queries("q207_bpe_roundtrip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"${r.getString(0)}: ${r.getLong(2)} of ${r.getLong(1)} docs " +
+          "survived the encode->decode roundtrip")
+    }
+    // zero merges isolates pretokenize + byte alphabet + id bijection:
+    // every id is a pure byte symbol, and the decorated corpus's 2- and
+    // 3-byte chars must reassemble exactly with no merge fold in play
+    graft.operators.TextAnalysis.q207BpeRoundtrip(spark, sf, nMerges = 0)
+      .collect().foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"no-merge roundtrip failed for ${r.getString(0)}"))
+  }
+
   test("q149 greedy merge fold: left-to-right non-overlapping, hand-pinned") {
     import spark.implicits._
     // 'aaaa' pins the only overlap case (a == b): greedy left-to-right
