@@ -320,15 +320,25 @@ object Experiments {
         }
       }
     }
-    // (re)stamp when absent or when this run's grid extends coverage —
-    // staging+rename so a crash never leaves a torn marker
-    if (markerLines.size > prior.size) {
+    // (re)stamp whenever this run's identity differs from the stored one
+    // (absent, extended coverage, OR a not-yet-fit cell retuned — the
+    // validation above only pins DONE cells, so the marker must follow
+    // the current grid for the cells this run will fit; a same-size
+    // retune that skipped the restamp would leave stale digests that
+    // misjudge the NEXT resume in both directions). Indices beyond this
+    // run's grid keep their stored digests — a shorter prefix re-run
+    // must not amnesia the longer grid's identity. Staging+rename so a
+    // crash never leaves a torn marker.
+    val priorBeyond = prior.drop(1).map(_.split(" ", 2))
+      .collect { case Array(i, h) if i.toInt >= cells.size => s"$i $h" }
+    val stamped = markerLines ++ priorBeyond
+    if (stamped != prior) {
       val tmp = new java.io.File(manifestRoot,
         s".staging_marker_${java.util.UUID.randomUUID()}")
       new java.io.File(manifestRoot).mkdirs()
       java.nio.file.Files.write(tmp.toPath,
-        markerLines.mkString("\n").getBytes("UTF-8"))
-      if (!tmp.renameTo(markerFile)) { // lost a race or extending:
+        stamped.mkString("\n").getBytes("UTF-8"))
+      if (!tmp.renameTo(markerFile)) { // lost a race or restamping:
         java.nio.file.Files.move(tmp.toPath, markerFile.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }

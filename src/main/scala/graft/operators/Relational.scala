@@ -1593,10 +1593,10 @@ object Relational {
     val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q204_" +
       java.util.UUID.randomUUID().toString
     val docs = Tables.load(spark, dir, "documents")
-    docs.write.partitionBy("lang").parquet(s"$scratch/wh")
-    val out = mergeCdcInto(spark, s"$scratch/wh", docs).localCheckpoint()
-    graft.util.Fs.deleteRecursively(scratch)
-    out
+    try {
+      docs.write.partitionBy("lang").parquet(s"$scratch/wh")
+      mergeCdcInto(spark, s"$scratch/wh", docs).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
   }
 
   /** q204's merge engine over an existing lang-partitioned warehouse —
@@ -1670,6 +1670,18 @@ object Relational {
         .write.mode("overwrite").partitionBy("lang").parquet(wh)
     } finally
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // dynamic overwrite cannot express "partition became EMPTY": a batch
+    // whose deletes remove every surviving row of a touched partition
+    // writes zero rows there, so the overwrite rewrites nothing and the
+    // old files would resurrect every deleted row on the next read.
+    // Drop such partitions' directories explicitly — the COW delete a
+    // transaction log would have recorded. (Unreachable with q204/q206's
+    // committed CDC derivation; real for the general engine.)
+    val survivorsPerLang = merged.filter(col("clause") =!= "deleted")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    touched.filterNot(l => survivorsPerLang.getOrElse(l, 0L) > 0L)
+      .foreach(l => graft.util.Fs.deleteRecursively(s"$wh/lang=$l"))
     val clauses = merged.groupBy(col("lang")).agg(
       sum(when(col("clause") === "updated", 1L).otherwise(0L))
         .as("n_updated"),
@@ -1682,14 +1694,17 @@ object Relational {
         sum(col("n_chars").cast("bigint")).as("sum_chars_after"))
     before
       .join(clauses, Seq("lang"), "left_outer")
-      .join(after, Seq("lang"))
+      // left: a fully-emptied partition has no `after` rows but still
+      // owes its report row (n_after = 0)
+      .join(after, Seq("lang"), "left_outer")
       .select(col("lang"),
         col("lang").isin(touched: _*).as("is_touched"),
         col("n_before"),
         coalesce(col("n_updated"), lit(0L)).as("n_updated"),
         coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
         coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
-        col("n_after"), col("sum_chars_after"))
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("sum_chars_after"), lit(0L)).as("sum_chars_after"))
   }
 
   /** The (lang, family) dimension as a real parquet table — staged once

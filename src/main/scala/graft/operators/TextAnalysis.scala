@@ -880,27 +880,34 @@ object TextAnalysis {
       () => { encoded.unpersist(false); wordFreq.unpersist(false) })
   }
 
-  /** q202's engine over any (source, doc_id, text) frame. */
-  private[graft] def byteBpeTokenIds(docs: DataFrame, nMerges: Int,
-      vocabCap: Int = 1 << 20): DataFrame = {
-    val pipe = byteBpePipe(docs, nMerges, vocabCap)
-    val wordsPos = pipe.wordsPos
-    val encoded = pipe.encoded
-    val idTable = pipe.idTable
-    val preAgg = wordsPos.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_pretokens"),
-        sum(octet_length(col("w"))).cast("bigint").as("n_bytes"))
+  /** The per-doc token-id stream (source, doc_id, tpos, id) — ONE
+    * definition of the position convention (tpos = running symbol offset
+    * within the doc), consumed by both q202's accounting and q207's
+    * decode so the two can never silently diverge. */
+  private def tokenIdStream(pipe: BytePipe): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
-    val out = wordsPos
-      .join(encoded.select(col("w"), col("syms")), Seq("w"))
+    pipe.wordsPos
+      .join(pipe.encoded.select(col("w"), col("syms")), Seq("w"))
       .withColumn("base",
         (sum(size(col("syms"))).over(wDoc) - size(col("syms"))).cast("bigint"))
       .select(col("source"), col("doc_id"), col("base"),
         posexplode(col("syms")).as(Seq("j", "sym")))
-      .join(broadcast(idTable), Seq("sym"))
+      .join(broadcast(pipe.idTable), Seq("sym"))
+      .select(col("source"), col("doc_id"),
+        (col("base") + col("j")).as("tpos"), col("id"))
+  }
+
+  /** q202's engine over any (source, doc_id, text) frame. */
+  private[graft] def byteBpeTokenIds(docs: DataFrame, nMerges: Int,
+      vocabCap: Int = 1 << 20): DataFrame = {
+    val pipe = byteBpePipe(docs, nMerges, vocabCap)
+    val preAgg = pipe.wordsPos.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(octet_length(col("w"))).cast("bigint").as("n_bytes"))
+    val out = tokenIdStream(pipe)
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
-        pmod(sum((col("base") + col("j") + 1) * col("id")),
+        pmod(sum((col("tpos") + 1) * col("id")),
           lit(1073741824L)).as("ck"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
@@ -934,19 +941,9 @@ object TextAnalysis {
       nMerges: Int = 20): DataFrame = {
     val docs = decoratedDocs(spark, dir)
     val pipe = byteBpePipe(docs, nMerges, 1 << 20)
-    // ENCODE to ids (exactly q202's token stream), then DECODE each id
-    // back to its symbol through the inverted vocab table
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
-    val ids = pipe.wordsPos
-      .join(pipe.encoded.select(col("w"), col("syms")), Seq("w"))
-      .withColumn("base",
-        (sum(size(col("syms"))).over(wDoc) - size(col("syms"))).cast("bigint"))
-      .select(col("source"), col("doc_id"), col("base"),
-        posexplode(col("syms")).as(Seq("j", "sym")))
-      .join(broadcast(pipe.idTable), Seq("sym"))
-      .select(col("source"), col("doc_id"),
-        (col("base") + col("j")).as("tpos"), col("id"))
-    val decoded = ids
+    // ENCODE to ids (exactly q202's token stream — shared definition),
+    // then DECODE each id back to its symbol through the inverted vocab
+    val decoded = tokenIdStream(pipe)
       .join(broadcast(pipe.idTable.select(col("id"),
         col("sym").as("dsym"))), Seq("id"))
     val wTok = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
@@ -962,11 +959,15 @@ object TextAnalysis {
       .groupBy(col("source"), col("doc_id"))
       .agg(pmod(sum((col("byte") + 1) * col("i")), lit(1073741824L))
         .as("dck"), count(lit(1)).as("dnb"))
-    // the ORIGINAL side, straight off the decorated text's UTF-8 bytes
+    // the ORIGINAL side, straight off the decorated text's UTF-8 bytes.
+    // hex(encode(..)) is hoisted OUT of the lambda: Catalyst evaluates
+    // higher-order-function bodies per element, so an inline hex would
+    // re-hex the whole document once per byte — O(bytes^2) per doc
     val origBytes = docs
+      .withColumn("hx", expr("hex(encode(text, 'UTF-8'))"))
       .select(col("source"), col("doc_id"),
         posexplode(expr("transform(sequence(1, octet_length(text)), " +
-          "k -> substr(hex(encode(text, 'UTF-8')), 2*k-1, 2))"))
+          "k -> substr(hx, 2*k-1, 2))"))
           .as(Seq("k", "p")))
       .select(col("source"), col("doc_id"), (col("k") + 1).as("i"),
         expr("CAST(conv(p, 16, 10) AS BIGINT)").as("byte"))

@@ -108,6 +108,24 @@ object EventStreams {
     }
   }
 
+  /** Stage one filtered slice of `df` as a single mtime-stamped parquet
+    * FILE in `dir` — the micro-batch staging idiom every file-stream
+    * query here shares (mtime orders the batches; one file = one batch
+    * under maxFilesPerTrigger = 1). */
+  private def stageSingleFile(df: DataFrame, dir: java.nio.file.Path,
+      name: String, pred: org.apache.spark.sql.Column,
+      mtime: Long): Unit = {
+    val scratch = dir.resolve(name + "_w").toString
+    df.filter(pred).coalesce(1).write.parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+    val dst = dir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtime)
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
   /** Driver-contract query: stage the events table into a temp dir, run the
     * hourly-window stream to completion in COMPLETE mode, return every
     * window. Complete-mode emission over a drained static source equals the
@@ -610,17 +628,7 @@ object EventStreams {
         .select(col("event_id"), col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("v"))
       def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = {
-        val scratch = tmp.resolve(name + "_w").toString
-        ev.filter(pred).coalesce(1).write.parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".")).get
-        val dst = tmp.resolve(name)
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-        graft.util.Fs.deleteRecursively(scratch)
-      }
+          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
       stage("a.parquet", col("event_id") % 2 === 0, t0)
       stage("b.parquet", col("event_id") % 2 === 1, t0 + 60000L)
@@ -668,17 +676,7 @@ object EventStreams {
       val cdcDir = tmp.resolve("cdc")
       java.nio.file.Files.createDirectory(cdcDir)
       def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = {
-        val scratch = cdcDir.resolve(name + "_w").toString
-        src.filter(pred).coalesce(1).write.parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".")).get
-        val dst = cdcDir.resolve(name)
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-        graft.util.Fs.deleteRecursively(scratch)
-      }
+          mtime: Long): Unit = stageSingleFile(src, cdcDir, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
       stage("a.parquet", pmod(col("doc_id"), lit(2)) === 0, t0)
       stage("b.parquet", pmod(col("doc_id"), lit(2)) === 1, t0 + 60000L)
@@ -748,17 +746,7 @@ object EventStreams {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
         .select(col("source"), col("doc_id"), col("text"))
       def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = {
-        val scratch = tmp.resolve(name + "_w").toString
-        docs.filter(pred).coalesce(1).write.parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".")).get
-        val dst = tmp.resolve(name)
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-        graft.util.Fs.deleteRecursively(scratch)
-      }
+          mtime: Long): Unit = stageSingleFile(docs, tmp, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
       stage("a.parquet", col("doc_id") % 2 === 0, t0)
       stage("b.parquet", col("doc_id") % 2 === 1, t0 + 60000L)
@@ -795,17 +783,7 @@ object EventStreams {
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = {
-        val scratch = tmp.resolve(name + "_w").toString
-        ev.filter(pred).coalesce(1).write.parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".")).get
-        val dst = tmp.resolve(name)
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-        graft.util.Fs.deleteRecursively(scratch)
-      }
+          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
       stage("a.parquet", col("ts") >= cut && col("ts") < cut2, t0)
       stage("b.parquet", col("ts") >= cut2, t0 + 60000L)
@@ -870,17 +848,7 @@ object EventStreams {
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"))
       def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = {
-        val scratch = tmp.resolve(name + "_w").toString
-        ev.filter(pred).coalesce(1).write.parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".")).get
-        val dst = tmp.resolve(name)
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-        graft.util.Fs.deleteRecursively(scratch)
-      }
+          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val cut = "2024-01-30 12:00:00"
       val t0 = System.currentTimeMillis() - 180000L
       stage("a.parquet",
@@ -925,17 +893,7 @@ object EventStreams {
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("user_id"), col("ts"))
       def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = {
-        val scratch = tmp.resolve(name + "_w").toString
-        ev.filter(pred).coalesce(1).write.parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".")).get
-        val dst = tmp.resolve(name)
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
-        graft.util.Fs.deleteRecursively(scratch)
-      }
+          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val cut = "2024-01-30 12:00:00"
       val t0 = System.currentTimeMillis() - 120000L
       stage("a.parquet", col("ts") < cut, t0)

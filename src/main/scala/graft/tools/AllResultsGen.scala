@@ -87,6 +87,13 @@ object AllResultsGen {
     val resumed = rows.count(_.getBoolean(15))
     // order-independent checksum over the 15 REAL columns (was_resumed
     // excluded — it differs between a fresh and a resumed run by design)
+    // mod applied PER ADDITION: 2,288 values of up to 2^60-1 wrap a plain
+    // Long sum (mod 2^64) before a trailing mod could run. Because 2^61
+    // divides 2^64 the wrap never corrupts the residue — published
+    // checksums from the earlier trailing-mod build are value-identical
+    // (re-verified from both run manifests) — but a negative wrapped sum
+    // would have printed a negative "checksum" under Scala's
+    // sign-following %. acc < 2^61 and v < 2^60 keep acc+v < 2^62.
     val ck = rows.iterator.map { r =>
       val canon = (0 until 15).map { i =>
         val v = r.get(i)
@@ -100,7 +107,7 @@ object AllResultsGen {
       var acc = 0L
       for (i <- 0 until 8) acc = (acc << 8) | (h(i) & 0xffL)
       acc & ((1L << 60) - 1)
-    }.sum % (1L << 61)
+    }.foldLeft(0L)((a, v) => (a + v) % (1L << 61))
     res.drop("was_resumed").coalesce(1)
       .write.option("header", "true").mode("overwrite").csv(out)
     println(f"[allresults] cells=${cells.size} chains=${2 * cells.size} " +

@@ -384,8 +384,23 @@ class ExperimentsSpec extends AnyFunSuite {
     // the unchanged grid still resumes cleanly through the marker
     val ok = Experiments.runGridResumable(data, cells, k = 2, seed = 8L,
       parallelism = 2, manifest).collect()
-    graft.util.Fs.deleteRecursively(manifest)
     assert(ok.map(_.getBoolean(15)).toSeq === Seq(true, false))
+    // a shorter prefix re-run must keep the longer grid's stored
+    // digests (indices beyond its own grid), not amnesia them
+    Experiments.runGridResumable(data, cells.take(1), k = 2, seed = 8L,
+      parallelism = 2, manifest).count()
+    val marker = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(manifest, "_grid_identity"), "UTF-8")
+      try src.getLines().toVector finally src.close()
+    }
+    assert(marker.exists(_.startsWith("1 ")),
+      s"prefix re-run dropped the longer grid's cell-1 digest: $marker")
+    // ... and the full grid still resumes against the merged marker
+    val ok2 = Experiments.runGridResumable(data, cells, k = 2, seed = 8L,
+      parallelism = 2, manifest).collect()
+    graft.util.Fs.deleteRecursively(manifest)
+    assert(ok2.map(_.getBoolean(15)).toSeq === Seq(true, true))
   }
 
   test("wisconsin-shaped grid reproduces the published best cell within 0.02") {

@@ -601,6 +601,35 @@ class PlanSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(scratch)
   }
 
+  test("mergeApply drops a fully-emptied partition's directory (COW delete)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dynamic partition overwrite writes NOTHING for a partition whose
+    // merged output is empty — without the explicit directory drop, the
+    // old files would resurrect every deleted row on the next read
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_merge_empty").toString
+    Seq((1L, "a", "s", 10L, "xx"), (2L, "b", "s", 20L, "xx"),
+        (3L, "c", "s", 30L, "yy"))
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+      .write.partitionBy("lang").parquet(s"$scratch/wh")
+    val src = Seq((1L, "xx", "del"), (2L, "xx", "del"))
+      .toDF("doc_id", "s_lang", "op")
+    val out = graft.operators.Relational
+      .mergeApply(spark, s"$scratch/wh", src)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!new java.io.File(s"$scratch/wh/lang=xx").exists(),
+      "emptied partition directory survived the merge")
+    assert(out("xx").getBoolean(1) && out("xx").getLong(4) === 2L &&
+      out("xx").getLong(6) === 0L, s"xx report: ${out("xx")}")
+    assert(!out("yy").getBoolean(1) && out("yy").getLong(6) === 1L,
+      s"yy report: ${out("yy")}")
+    val back = spark.read.parquet(s"$scratch/wh").collect()
+    assert(back.length === 1 && back.head.getAs[Long]("doc_id") === 3L,
+      "deleted rows resurrected from the emptied partition")
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
   test("q147 staged partitioned layout prunes to the lang=en directory") {
     import org.apache.spark.sql.functions._
     val q = SparkEntry.queries("q147_partitioned_scan")(spark, sf)
