@@ -1631,15 +1631,34 @@ object Relational {
   private[graft] def mergeApply(spark: SparkSession, wh: String,
       src: DataFrame,
       planProbe: DataFrame => Unit = _ => ()): DataFrame = {
+    val before = mergeBeforeState(spark, wh)
+    val (touched, tallies) = mergeApplyCore(spark, wh, src, planProbe)
+    mergeReport(spark, wh, before, touched, tallies)
+  }
+
+  /** Per-lang pre-merge cardinality, MATERIALIZED before any overwrite
+    * (the frame and the warehouse files it reads would otherwise be
+    * re-resolved over the rewritten layout at action time). */
+  private[graft] def mergeBeforeState(spark: SparkSession,
+      wh: String): DataFrame =
+    spark.read.parquet(wh).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before")).localCheckpoint()
+
+  /** One CDC application's WRITE + TALLY core: derives the touched set,
+    * runs the pruned full-outer clause pass, rewrites the touched
+    * partitions (dropping fully-emptied ones), and returns the touched
+    * langs plus per-lang (updated, deleted, inserted) tallies from ONE
+    * aggregation over the checkpointed clause frame. Deliberately scans
+    * NO report state — q206 calls this once per micro-batch, and the
+    * before/after warehouse scans belong to the one report assembled at
+    * the end ([[mergeReport]]), not to every batch. */
+  private[graft] def mergeApplyCore(spark: SparkSession, wh: String,
+      src: DataFrame, planProbe: DataFrame => Unit = _ => ())
+      : (Seq[String], Seq[(String, Long, Long, Long)]) = {
     // touched set: distinct source partition keys — |partitions|-bounded
     val touched = src.select(col("s_lang")).distinct().collect()
       .map(_.getString(0)).sorted.toSeq
     val target = spark.read.parquet(wh)
-    // pre-merge audit, MATERIALIZED before the overwrite (this frame and
-    // the warehouse files it reads would otherwise be re-resolved over
-    // the rewritten layout at action time)
-    val before = target.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_before")).localCheckpoint()
     val merged0 = target.filter(col("lang").isin(touched: _*))
       .join(src, Seq("doc_id"), "full_outer")
       .select(
@@ -1670,6 +1689,21 @@ object Relational {
         .write.mode("overwrite").partitionBy("lang").parquet(wh)
     } finally
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // ONE aggregation yields clause tallies AND the survivor counts the
+    // emptied-partition drop needs (a separate survivor probe would be a
+    // second job over the same checkpointed frame, paid per q206 batch)
+    val tallyRows = merged.groupBy(col("lang")).agg(
+      sum(when(col("clause") === "updated", 1L).otherwise(0L))
+        .as("n_updated"),
+      sum(when(col("clause") === "deleted", 1L).otherwise(0L))
+        .as("n_deleted"),
+      sum(when(col("clause") === "inserted", 1L).otherwise(0L))
+        .as("n_inserted"),
+      sum(when(col("clause") =!= "deleted", 1L).otherwise(0L))
+        .as("n_survivors"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
     // dynamic overwrite cannot express "partition became EMPTY": a batch
     // whose deletes remove every surviving row of a touched partition
     // writes zero rows there, so the overwrite rewrites nothing and the
@@ -1677,18 +1711,23 @@ object Relational {
     // Drop such partitions' directories explicitly — the COW delete a
     // transaction log would have recorded. (Unreachable with q204/q206's
     // committed CDC derivation; real for the general engine.)
-    val survivorsPerLang = merged.filter(col("clause") =!= "deleted")
-      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    touched.filterNot(l => survivorsPerLang.getOrElse(l, 0L) > 0L)
+    touched
+      .filterNot(l => tallyRows.exists(t => t._1 == l && t._5 > 0L))
       .foreach(l => graft.util.Fs.deleteRecursively(s"$wh/lang=$l"))
-    val clauses = merged.groupBy(col("lang")).agg(
-      sum(when(col("clause") === "updated", 1L).otherwise(0L))
-        .as("n_updated"),
-      sum(when(col("clause") === "deleted", 1L).otherwise(0L))
-        .as("n_deleted"),
-      sum(when(col("clause") === "inserted", 1L).otherwise(0L))
-        .as("n_inserted"))
+    (touched, tallyRows.map(t => (t._1, t._2, t._3, t._4)).toSeq)
+  }
+
+  /** The per-lang merge report, assembled ONCE from the pre-merge state,
+    * the (possibly batch-accumulated) clause tallies, and a single read
+    * of the post-merge layout — shared verbatim by q204's one-shot apply
+    * and q206's end-of-stream rollup so the report shape (left joins,
+    * emptied-partition zero rows) cannot diverge between them. */
+  private[graft] def mergeReport(spark: SparkSession, wh: String,
+      before: DataFrame, touched: Seq[String],
+      tallies: Seq[(String, Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val clauses = tallies
+      .toDF("lang", "n_updated", "n_deleted", "n_inserted")
     val after = spark.read.parquet(wh).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_after"),
         sum(col("n_chars").cast("bigint")).as("sum_chars_after"))

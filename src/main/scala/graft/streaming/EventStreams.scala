@@ -681,46 +681,38 @@ object EventStreams {
       stage("a.parquet", pmod(col("doc_id"), lit(2)) === 0, t0)
       stage("b.parquet", pmod(col("doc_id"), lit(2)) === 1, t0 + 60000L)
       // pre-ingest state, materialized before any batch rewrites files
-      val before = spark.read.parquet(wh).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_before")).localCheckpoint()
+      val before = graft.operators.Relational.mergeBeforeState(spark, wh)
       val batches = spark.readStream
         .schema(inferredSchema(spark, cdcDir.toString))
         .option("maxFilesPerTrigger", "1")
         .parquet(cdcDir.toString)
-      // cumulative clause ledger, filled by the sink as batches apply
+      // cumulative clause ledger + touched-set union, filled by the sink
+      // as batches apply. Each batch runs ONLY the write+tally core —
+      // the before/after warehouse scans belong to the single report at
+      // the end, not to every micro-batch.
       val ledger = scala.collection.mutable.ArrayBuffer
         .empty[(String, Long, Long, Long)]
+      val touchedAll = scala.collection.mutable.SortedSet.empty[String]
       val q = batches.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>
-          val rep = graft.operators.Relational
-            .mergeApply(spark, wh, batch.select(col("doc_id"),
+          val (touched, tallies) = graft.operators.Relational
+            .mergeApplyCore(spark, wh, batch.select(col("doc_id"),
               col("s_lang"), col("op")))
-          rep.collect().foreach(r => ledger.synchronized {
-            ledger += ((r.getString(0), r.getLong(3), r.getLong(4),
-              r.getLong(5)))
-          })
+          ledger.synchronized {
+            touchedAll ++= touched
+            ledger ++= tallies
+          }
+          ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val clauses = ledger.toSeq.toDF("lang", "u", "d", "i")
-        .groupBy(col("lang"))
-        .agg(sum(col("u")).as("n_updated"), sum(col("d")).as("n_deleted"),
-          sum(col("i")).as("n_inserted"))
-      val after = spark.read.parquet(wh).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_after"),
-          sum(col("n_chars").cast("bigint")).as("sum_chars_after"))
-      before
-        .join(clauses, Seq("lang"), "left_outer")
-        .join(after, Seq("lang"))
-        .select(col("lang"),
-          col("lang").isin("en", "de").as("is_touched"),
-          col("n_before"),
-          coalesce(col("n_updated"), lit(0L)).as("n_updated"),
-          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
-          coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
-          col("n_after"), col("sum_chars_after"))
+      val summed = ledger.groupBy(_._1).map { case (lang, ts) =>
+        (lang, ts.map(_._2).sum, ts.map(_._3).sum, ts.map(_._4).sum)
+      }.toSeq
+      graft.operators.Relational
+        .mergeReport(spark, wh, before, touchedAll.toSeq, summed)
         .localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(tmp.toString)
   }
