@@ -338,6 +338,20 @@ object SparkEntry {
       graft.streaming.EventStreams.qStreamCdcMerge(s, d)),
     "q207_bpe_roundtrip"      -> ((s: SparkSession, d: String) =>
       graft.operators.TextAnalysis.q207BpeRoundtrip(s, d)),
+    "q208_kmv_sketch"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q208KmvSketch(s, d)),
+    "q209_kmv_setops"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q209KmvSetops(s, d)),
+    "q210_heavy_hitters"      -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q210HeavyHitters(s, d)),
+    "q211_mv_refresh"         -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q211MvRefresh(s, d)),
+    "q212_stream_kmv"         -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamKmv(s, d)),
+    "q213_sliding_hll"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q213SlidingHll(s, d)),
+    "q214_group_heavy"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q214GroupHeavyHitters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -368,6 +382,27 @@ object SparkEntry {
      "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
      "CAST(sum(hv % 1073741824) AS BIGINT) AS id_checksum " +
      "FROM h GROUP BY 1")
+
+  /** q208/q212 shared KMV replay: distinct (year, 52-bit md5 hash of
+    * custkey) → bottom-64 per year via a row_number window — the exact
+    * state the mergeable aggregator must reproduce regardless of
+    * partitioning, merge order, batching, or duplicate replays. */
+  private lazy val kmvCtes: String =
+    "WITH d AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y, " +
+    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) " +
+    "AS BIGINT) AS h FROM orders), " +
+    "r AS (SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) " +
+    "AS rn FROM d), " +
+    "s AS (SELECT y, h FROM r WHERE rn <= 64), " +
+    "st AS (SELECT y, CAST(count(*) AS BIGINT) AS k_filled, " +
+    "max(h) AS kth, CAST(sum(h) AS BIGINT) AS state_ck FROM s GROUP BY y)"
+
+  /** KMV estimator read off the pinned state: a part-full sketch IS the
+    * distinct set; a full one estimates (k−1)·2⁵²/kth. */
+  private lazy val kmvEstSql: String =
+    "round(CASE WHEN k_filled < 64 THEN CAST(k_filled AS DOUBLE) " +
+    "ELSE CAST(63.0 AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE) / " +
+    "CAST(kth AS DOUBLE) END, 4)"
 
   def oracleSql: Map[String, String] = Map(
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
@@ -1147,6 +1182,183 @@ object SparkEntry {
        "CAST(sum(nb) AS BIGINT) AS n_bytes, " +
        "CAST(sum(c) % 1073741824 AS BIGINT) AS byte_ck " +
        "FROM ck GROUP BY source"),
+    // q208: the KMV register state is integer-exact (md5-derived 52-bit
+    // hashes, window bottom-64); only kmv_est divides doubles — one
+    // division, identical expression tree, 4dp both sides. n_exact rides
+    // along as the error audit (q160's discipline).
+    "q208_kmv_sketch" ->
+      (kmvCtes +
+       ", n AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, " +
+       "count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1) " +
+       "SELECT n.y, n.n_exact, st.k_filled, st.kth, st.state_ck, " +
+       kmvEstSql + " AS kmv_est FROM n JOIN st USING (y)"),
+    // q209: theta-sketch set ops replayed candidate for candidate — θ =
+    // min of the two years' (kth | full-space), survivors strictly below
+    // θ, integer counts, one double division per estimate. Exact
+    // intersection/union ride along via the distinct-pair self-join.
+    "q209_kmv_setops" ->
+      (kmvCtes +
+       ", th AS (SELECT y, CASE WHEN k_filled < 64 THEN 4503599627370496 " +
+       "ELSE kth END AS theta FROM st), " +
+       "pr AS (SELECT a.y AS ya, b.y AS yb, " +
+       "least(a.theta, b.theta) AS theta FROM th a, th b WHERE a.y < b.y), " +
+       "ui AS (SELECT pr.ya, pr.yb, s.h FROM pr JOIN s " +
+       "ON (s.y = pr.ya OR s.y = pr.yb) AND s.h < pr.theta " +
+       "GROUP BY 1, 2, 3), " +
+       "nu AS (SELECT ya, yb, CAST(count(*) AS BIGINT) AS n_union " +
+       "FROM ui GROUP BY 1, 2), " +
+       "ni AS (SELECT pr.ya, pr.yb, CAST(count(*) AS BIGINT) AS n_inter " +
+       "FROM pr JOIN s a ON a.y = pr.ya AND a.h < pr.theta " +
+       "JOIN s b ON b.y = pr.yb AND b.h = a.h GROUP BY 1, 2), " +
+       "ndf AS (SELECT pr.ya, pr.yb, CAST(count(*) AS BIGINT) AS n_diff " +
+       "FROM pr JOIN s a ON a.y = pr.ya AND a.h < pr.theta " +
+       "LEFT JOIN s b ON b.y = pr.yb AND b.h = a.h " +
+       "WHERE b.h IS NULL GROUP BY 1, 2), " +
+       "ex AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y, " +
+       "o_custkey AS c FROM orders), " +
+       "ei AS (SELECT a.y AS ya, b.y AS yb, " +
+       "CAST(count(*) AS BIGINT) AS exact_inter FROM ex a " +
+       "JOIN ex b ON a.c = b.c AND a.y < b.y GROUP BY 1, 2), " +
+       "en AS (SELECT y, CAST(count(*) AS BIGINT) AS nd FROM ex " +
+       "GROUP BY 1) " +
+       "SELECT pr.ya, pr.yb, pr.theta, " +
+       "coalesce(ni.n_inter, 0) AS n_inter, nu.n_union, " +
+       "coalesce(ndf.n_diff, 0) AS n_diff, " +
+       "round(CAST(coalesce(ni.n_inter, 0) AS DOUBLE) * " +
+       "CAST(4503599627370496.0 AS DOUBLE) / " +
+       "CAST(pr.theta AS DOUBLE), 4) AS inter_est, " +
+       "round(CAST(nu.n_union AS DOUBLE) * " +
+       "CAST(4503599627370496.0 AS DOUBLE) / " +
+       "CAST(pr.theta AS DOUBLE), 4) AS union_est, " +
+       "round(CAST(coalesce(ndf.n_diff, 0) AS DOUBLE) * " +
+       "CAST(4503599627370496.0 AS DOUBLE) / " +
+       "CAST(pr.theta AS DOUBLE), 4) AS diff_est, " +
+       "coalesce(ei.exact_inter, 0) AS exact_inter, " +
+       "ena.nd + enb.nd - coalesce(ei.exact_inter, 0) AS exact_union, " +
+       "ena.nd - coalesce(ei.exact_inter, 0) AS exact_diff " +
+       "FROM pr LEFT JOIN ni ON ni.ya = pr.ya AND ni.yb = pr.yb " +
+       "JOIN nu ON nu.ya = pr.ya AND nu.yb = pr.yb " +
+       "LEFT JOIN ndf ON ndf.ya = pr.ya AND ndf.yb = pr.yb " +
+       "LEFT JOIN ei ON ei.ya = pr.ya AND ei.yb = pr.yb " +
+       "JOIN en ena ON ena.y = pr.ya JOIN en enb ON enb.y = pr.yb"),
+    // q210: the oracle is the full-census GROUP BY + HAVING the MG
+    // sketch path avoids at scale; the engine's two-pass recount must
+    // land on exactly this set (candidates ⊇ heavy hitters is the
+    // PropertySpec guarantee). Integer ppm — no double wobble.
+    "q210_heavy_hitters" ->
+      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w " +
+       "FROM documents), " +
+       "wf AS (SELECT w FROM w WHERE w <> ''), " +
+       "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wf), " +
+       "c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wf " +
+       "GROUP BY w) " +
+       "SELECT c.w, c.cnt, n.n AS n_total, " +
+       "CAST(c.cnt * 1000000 // n.n AS BIGINT) AS ppm " +
+       "FROM c, n WHERE c.cnt * 65 > n.n"),
+    // q211: the oracle is the FROM-SCRATCH REBUILD over all events —
+    // refresh ≡ recompute is the IVM correctness contract, and because
+    // the view's distinct state is q160's register family (order- and
+    // batching-blind max), the incremental path must land bit-identical.
+    "q211_mv_refresh" ->
+      ("WITH e AS (SELECT event_type, user_id, " +
+       "CAST(round(value * 100) AS BIGINT) AS cents, " +
+       "md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
+       "x AS (SELECT event_type, user_id, " +
+       "CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) % 64 AS b, " +
+       "substr(h, 3, 13) AS t FROM e), " +
+       "y AS (SELECT event_type, user_id, b, " +
+       "13 - length(ltrim(t, '0')) AS z, " +
+       "substr(t, 13 - length(ltrim(t, '0')) + 1, 1) AS c FROM x), " +
+       "r1 AS (SELECT event_type, user_id, b, CAST(4 * z + " +
+       "(CASE WHEN c = '1' THEN 3 WHEN c IN ('2','3') THEN 2 " +
+       "WHEN c IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1 AS BIGINT) " +
+       "AS rho FROM y), " +
+       "regs AS (SELECT event_type, b, max(rho) AS r FROM r1 " +
+       "GROUP BY event_type, b), " +
+       "agg AS (SELECT event_type, count(*) AS n_buckets, " +
+       "CAST(sum(r) AS BIGINT) AS register_sum, " +
+       "CAST(sum(r * (b + 1)) AS BIGINT) AS register_ck, " +
+       "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+       "CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * " +
+       "CAST(4096.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) " +
+       "/ CAST(sum(CAST(1 AS BIGINT) << " +
+       "CAST(53 - r AS INTEGER)) + (64 - count(*)) * 9007199254740992 " +
+       "AS DOUBLE) AS raw " +
+       "FROM regs GROUP BY event_type), " +
+       "cn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+       "CAST(sum(cents) AS BIGINT) AS sum_cents FROM e " +
+       "GROUP BY event_type) " +
+       "SELECT cn.event_type, cn.n_events, cn.sum_cents, agg.n_buckets, " +
+       "agg.register_sum, agg.register_ck, round(agg.raw, 4) AS hll_raw, " +
+       "round(CASE WHEN agg.raw <= CAST(160.0 AS DOUBLE) AND " +
+       "agg.n_buckets < 64 THEN CAST(64.0 AS DOUBLE) * " +
+       "ln(CAST(64.0 AS DOUBLE) / CAST(64 - agg.n_buckets AS DOUBLE)) " +
+       "ELSE agg.raw END, 4) AS hll_est " +
+       "FROM cn JOIN agg USING (event_type)"),
+    // q212: q208's contract minus the exact-distinct audit column
+    // streaming legally cannot produce (the q201/q205 discipline) — the
+    // drained KMV state must be bit-identical to batch.
+    "q212_stream_kmv" ->
+      (kmvCtes + " SELECT y, k_filled, kth, state_ck, " +
+       kmvEstSql + " AS kmv_est FROM st"),
+    // q213: the sliding-window register merge replayed day for day — the
+    // q160 md5 chain grouped by (type, day), a range join against the
+    // day grid, elementwise max, the same estimate arithmetic; exact
+    // sliding distincts ride along.
+    "q213_sliding_hll" ->
+      ("WITH e AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d, " +
+       "md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
+       "x AS (SELECT event_type, user_id, d, " +
+       "CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) % 64 AS b, " +
+       "substr(h, 3, 13) AS t FROM e), " +
+       "y AS (SELECT event_type, user_id, d, b, " +
+       "13 - length(ltrim(t, '0')) AS z, " +
+       "substr(t, 13 - length(ltrim(t, '0')) + 1, 1) AS c FROM x), " +
+       "r1 AS (SELECT event_type, user_id, d, b, CAST(4 * z + " +
+       "(CASE WHEN c = '1' THEN 3 WHEN c IN ('2','3') THEN 2 " +
+       "WHEN c IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1 AS BIGINT) " +
+       "AS rho FROM y), " +
+       "regs AS (SELECT event_type, d, b, max(rho) AS r FROM r1 " +
+       "GROUP BY 1, 2, 3), " +
+       "days AS (SELECT DISTINCT d AS wd FROM e), " +
+       "sl AS (SELECT regs.event_type, days.wd, regs.b, max(regs.r) AS r " +
+       "FROM regs JOIN days ON regs.d <= days.wd AND " +
+       "regs.d >= days.wd - 2 GROUP BY 1, 2, 3), " +
+       "agg AS (SELECT event_type, wd, count(*) AS n_buckets, " +
+       "CAST(sum(r) AS BIGINT) AS register_sum, " +
+       "CAST(sum(r * (b + 1)) AS BIGINT) AS register_ck, " +
+       "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+       "CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * " +
+       "CAST(4096.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) " +
+       "/ CAST(sum(CAST(1 AS BIGINT) << " +
+       "CAST(53 - r AS INTEGER)) + (64 - count(*)) * 9007199254740992 " +
+       "AS DOUBLE) AS raw " +
+       "FROM sl GROUP BY 1, 2), " +
+       "du AS (SELECT DISTINCT event_type, user_id, d FROM e), " +
+       "ex AS (SELECT du.event_type, days.wd, " +
+       "count(DISTINCT du.user_id) AS n_exact FROM du JOIN days " +
+       "ON du.d <= days.wd AND du.d >= days.wd - 2 GROUP BY 1, 2) " +
+       "SELECT agg.event_type, strftime(agg.wd, '%Y-%m-%d') AS day, " +
+       "ex.n_exact, agg.n_buckets, agg.register_sum, agg.register_ck, " +
+       "round(agg.raw, 4) AS hll_raw, " +
+       "round(CASE WHEN agg.raw <= CAST(160.0 AS DOUBLE) AND " +
+       "agg.n_buckets < 64 THEN CAST(64.0 AS DOUBLE) * " +
+       "ln(CAST(64.0 AS DOUBLE) / CAST(64 - agg.n_buckets AS DOUBLE)) " +
+       "ELSE agg.raw END, 4) AS hll_est " +
+       "FROM agg JOIN ex ON ex.event_type = agg.event_type AND " +
+       "ex.wd = agg.wd"),
+    // q214: q210's census oracle grouped by source.
+    "q214_group_heavy" ->
+      ("WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w " +
+       "FROM documents), " +
+       "wf AS (SELECT source, w FROM w WHERE w <> ''), " +
+       "n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM wf " +
+       "GROUP BY source), " +
+       "c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM wf " +
+       "GROUP BY 1, 2) " +
+       "SELECT c.source, c.w, c.cnt, n.n AS n_total, " +
+       "CAST(c.cnt * 1000000 // n.n AS BIGINT) AS ppm " +
+       "FROM c JOIN n USING (source) WHERE c.cnt * 33 > n.n"),
     // q203: DuckDB replays the WHOLE deterministic quantile-sketch
     // cascade — hex60 per distinct cent value, the min-level pick over
     // generate_series, the survivor filter, the cross-multiplied integer

@@ -949,4 +949,308 @@ object Sketches {
           "CAST(n_late AS DECIMAL(38,0))) AS BIGINT)").as("ks_ppm"))
       .withColumn("is_drift", col("ks_ppm") > 50000L)
   }
+
+  /** The portable 52-bit hash the KMV family sketches over: the first 13
+    * hex digits of md5(key-as-string) read as a BIGINT in [0, 2⁵²) —
+    * q160's md5 discipline, exact in BIGINT on both engines (DuckDB:
+    * `CAST(concat('0x', substr(md5(x), 1, 13)) AS BIGINT)`). 52 bits keep
+    * every downstream product/sum inside BIGINT (k·2⁵² « 2⁶³) and the
+    * normalized estimate exact in a double's 53-bit mantissa. */
+  private[graft] def hash52(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("long")
+
+  private val Kmv = 64
+  private val Pow52 = 4503599627370496L // 2^52
+
+  /** Per-year KMV sketches over the active-customer population: (year,
+    * sorted ≤k array of smallest hashes) via the mergeable typed
+    * aggregator. Shared by q208/q209; q212 re-derives the same state on a
+    * stream. */
+  private[graft] def kmvYearSketches(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        hash52(col("o_custkey")).as("h"))
+      .as[(Int, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.KmvAggregator(Kmv).toColumn.name("sk"))
+      .toDF("y", "sk")
+  }
+
+  /** q208: K-MINIMUM-VALUES DISTINCT SKETCH with oracle-checked STATE —
+    * the set-operation-capable member of the sketch family (HLL q160
+    * merges only by union; KMV sketches additionally intersect, q209).
+    * Domain: customers active per order year — the cross-period audience
+    * question every warehouse asks. The sketch is the k=64 smallest
+    * 52-bit hashes of the year's distinct custkeys, built by
+    * [[graft.functions.KmvAggregator]] (bounded sorted-array state,
+    * map-side combinable, duplicate- and order-blind). The gate pins the
+    * REGISTER STATE (fill count, kth hash, hash-sum checksum — all
+    * integer-exact) plus the estimator n̂ = (k−1)·2⁵²/kth (one double
+    * division, 4dp both sides; a part-full sketch IS the distinct set,
+    * so n̂ = fill), with the exact per-year distinct count riding along
+    * as the error audit (q160's discipline). DuckDB replays the state
+    * with a row_number window over the same md5-derived hashes.
+    * Scale: the exchange carries 64×8 bytes per year, never the custkey
+    * set; the exact column is the gate's audit luxury, not the sketch
+    * path. */
+  def q208KmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sk = kmvYearSketches(spark, dir)
+      .select(col("y"), size(col("sk")).cast("long").as("k_filled"),
+        element_at(col("sk"), -1).as("kth"),
+        expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("state_ck"))
+      .withColumn("kmv_est",
+        round(when(col("k_filled") < Kmv, col("k_filled").cast("double"))
+          .otherwise(lit((Kmv - 1).toDouble) * Pow52.toDouble /
+            col("kth").cast("double")), 4))
+    val exact = Tables.load(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(sk, Seq("y"))
+      .select(col("y").cast("long").as("y"), col("n_exact"),
+        col("k_filled"), col("kth"), col("state_ck"), col("kmv_est"))
+  }
+
+  /** q209: THETA-SKETCH SET OPERATIONS — the reason KMV earns its place
+    * next to HLL: intersection, union, and difference (A\B) CARDINALITY
+    * ESTIMATES between every pair of yearly audience sketches, without
+    * touching the key sets — the full set algebra HLL registers cannot
+    * answer. The theta method: θ = min of the two sketches' kth hashes
+    * (a part-full sketch's θ is the whole hash space 2⁵² — it saw
+    * everything), candidates = sketch entries strictly below θ, and
+    * n̂∩ = |S_A ∩ S_B ∩ {h<θ}|·2⁵²/θ, n̂∪ likewise over the deduped
+    * union. Everything up to the final division is integer-exact
+    * (array_intersect/array_union + a `filter` lambda over sorted
+    * ≤64-long arrays — codegen-friendly, no shuffle: 7 sketch rows
+    * self-joined). Exact |A∩B| and |A∪B| ride along as the error audit
+    * (a distinct-pair self-join — the O(n²-ish) pass the sketch path
+    * exists to avoid at 100 TB). */
+  def q209KmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val sk = kmvYearSketches(spark, dir)
+      .withColumn("theta_own",
+        when(size(col("sk")) < Kmv, lit(Pow52))
+          .otherwise(expr("sk[size(sk) - 1]")))
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.y") < col("b.y"))
+      .select(col("a.y").as("ya"), col("b.y").as("yb"),
+        least(col("a.theta_own"), col("b.theta_own")).as("theta"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .select(col("ya"), col("yb"), col("theta"),
+        expr("CAST(size(filter(array_intersect(ska, skb), " +
+          "x -> x < theta)) AS BIGINT)").as("n_inter"),
+        expr("CAST(size(filter(array_union(ska, skb), " +
+          "x -> x < theta)) AS BIGINT)").as("n_union"),
+        expr("CAST(size(filter(array_except(ska, skb), " +
+          "x -> x < theta)) AS BIGINT)").as("n_diff"))
+      .withColumn("inter_est", round(col("n_inter").cast("double") *
+        Pow52.toDouble / col("theta").cast("double"), 4))
+      .withColumn("union_est", round(col("n_union").cast("double") *
+        Pow52.toDouble / col("theta").cast("double"), 4))
+      .withColumn("diff_est", round(col("n_diff").cast("double") *
+        Pow52.toDouble / col("theta").cast("double"), 4))
+    val d = Tables.load(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_custkey").as("c"))
+      .distinct()
+    val nd = d.groupBy(col("y")).agg(count(lit(1)).as("nd"))
+    val exactInter = d.as("a").join(d.as("b"),
+        col("a.c") === col("b.c") && col("a.y") < col("b.y"))
+      .groupBy(col("a.y").as("ya"), col("b.y").as("yb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs.join(exactInter, Seq("ya", "yb"), "left")
+      .join(nd.select(col("y").as("ya"), col("nd").as("nda")), Seq("ya"))
+      .join(nd.select(col("y").as("yb"), col("nd").as("ndb")), Seq("yb"))
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select(col("ya").cast("long").as("ya"),
+        col("yb").cast("long").as("yb"), col("theta"), col("n_inter"),
+        col("n_union"), col("n_diff"), col("inter_est"), col("union_est"),
+        col("diff_est"), col("exact_inter"),
+        (col("nda") + col("ndb") - col("exact_inter")).as("exact_union"),
+        (col("nda") - col("exact_inter")).as("exact_diff"))
+  }
+
+  /** q210: DISTRIBUTED HEAVY HITTERS — the two-pass Misra–Gries
+    * algorithm, the frequent-items member the sketch family still
+    * lacked (HLL counts distincts, KLL ranks, CMS point-queries; MG
+    * answers "which items are frequent" with bounded state). Pass 1
+    * folds the token stream into ONE ≤c-entry summary via
+    * [[graft.functions.FrequentItemsAggregator]] (map-side combinable;
+    * the constant group key is deliberate — partials are merged once,
+    * and nothing in the plan is vocabulary-sized). Theory guarantees
+    * the summary's keys ⊇ every token with count > n/(c+1) for ANY
+    * merge order (the PropertySpec scalacheck pin), so pass 2 exactly
+    * recounts just those ≤c candidates with a broadcast semi-join and
+    * keeps the ones that clear the threshold — making the OUTPUT a
+    * deterministic pure function of the corpus even though the summary
+    * itself is merge-order-dependent. DuckDB's oracle is the plain
+    * census GROUP BY + HAVING the sketch path avoids shuffling at
+    * 100 TB. Share emitted as integer ppm (cross-multiplied, no double
+    * wobble). Tokenization = q26's split-on-space contract, empties
+    * dropped on both sides. */
+  def q210HeavyHitters(spark: SparkSession, dir: String,
+      c: Int = 64): DataFrame = {
+    import spark.implicits._
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val summary: Map[String, Long] = words.as[String]
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.FrequentItemsAggregator(c).toColumn
+        .name("mg"))
+      .collect().headOption.map(_._2).getOrElse(Map.empty)
+    // bounded by construction: ≤c candidate tokens cross the driver
+    val cands = spark.createDataset(summary.keys.toSeq).toDF("w")
+    val totals = words.agg(count(lit(1)).as("n"))
+    words.join(broadcast(cands), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * (c + 1) > col("n"))
+      .select(col("w"), col("cnt"), col("n").as("n_total"),
+        expr("cnt * 1000000 DIV n").as("ppm"))
+  }
+
+  /** q211: INCREMENTAL MATERIALIZED-VIEW REFRESH with mergeable distinct
+    * state — the maintenance pass that makes a 100 TB daily rollup
+    * affordable: the stored MV carries, per event type, the additive
+    * aggregates (count, exact cent sum) AND q160's 64 HLL registers as
+    * its distinct-user state, so a refresh folds ONLY the delta batch
+    * into the view — counts add, sums add, registers merge by
+    * elementwise max — and never rescans the base corpus. COUNT DISTINCT
+    * is precisely the aggregate naive IVM cannot maintain (it is not
+    * self-maintainable: deletes/re-arrivals need the key set); storing
+    * the sketch registers AS the view state is the standard resolution,
+    * and because register-max is order/batching-blind, the refreshed
+    * view is BIT-IDENTICAL to a from-scratch rebuild — which is exactly
+    * what the gate pins: the engine runs base-materialize (a real
+    * parquet round-trip) → delta partials → merge, the DuckDB oracle
+    * computes the full recompute, and every register/checksum/estimate
+    * must agree. Value sums ride as integer cents (double addition
+    * reorders; BIGINT doesn't). Delta = event_id ≡ 0 (mod 16), ~6% — the
+    * arriving batch. */
+  def q211MvRefresh(spark: SparkSession, dir: String,
+      deltaMod: Int = 16): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val isDelta = col("event_id") % deltaMod === 0
+    def counts(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    def regs(df: DataFrame): DataFrame =
+      hllBucketRho(df.select(col("event_type"), col("user_id")),
+          col("user_id"))
+        .groupBy(col("event_type"), col("b")).agg(max(col("rho")).as("r"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q211")
+    try {
+      // materialize the base view: a genuine parquet round-trip, so the
+      // refresh below provably starts from stored state, not lineage
+      counts(ev.filter(!isDelta)).write
+        .parquet(s"$tmp/mv_counts")
+      regs(ev.filter(!isDelta)).write.parquet(s"$tmp/mv_regs")
+      val delta = ev.filter(isDelta)
+      val mergedCounts = spark.read.parquet(s"$tmp/mv_counts")
+        .unionByName(counts(delta))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_cents")).as("sum_cents"))
+      val mergedRegs = spark.read.parquet(s"$tmp/mv_regs")
+        .unionByName(regs(delta))
+        .groupBy(col("event_type"), col("b")).agg(max(col("r")).as("r"))
+      val est = hllEstimates(mergedRegs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("r")).as("register_sum"),
+          sum(col("r") * (col("b") + 1)).as("register_ck"),
+          expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
+            .as("sp")))
+      // ≤ |event_type|×64 rows by here — materialize (localCheckpoint,
+      // the repo's roundtrip discipline) before the tmp dir vanishes
+      mergedCounts.join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_events"), col("sum_cents"),
+          col("n_buckets"), col("register_sum"), col("register_ck"),
+          col("hll_raw"), col("hll_est"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
+
+  /** q213: SLIDING-WINDOW DISTINCT via HLL REGISTER ALGEBRA — the rolling
+    * 28-day-MAU shape: distinct users per event type over every trailing
+    * 3-day window, computed WITHOUT ever holding a window's key set. The
+    * trick is that q160's registers are max-combinable across any
+    * dimension, including TIME: one bounded register table per (type,
+    * day, bucket) — |types|·|days|·64 rows regardless of corpus size —
+    * and a window's registers are the elementwise max of its days',
+    * materialized here as a range join of the register table against the
+    * day grid (both bounded by the calendar, so the fan-out is windowDays
+    * × the register table, never the event stream; the daily registers
+    * are built once and EVERY window reads them — the standing monitoring
+    * layout, where the naive per-window COUNT DISTINCT rescans the raw
+    * stream |window| times and shuffles user_id sets). Registers, their
+    * checksums, and the estimate are pinned by the replaying oracle;
+    * exact sliding distincts ride along as the error audit (q160's
+    * discipline — the exact column is the luxury the register path
+    * exists to avoid at 100 TB). */
+  def q213SlidingHll(spark: SparkSession, dir: String,
+      windowDays: Int = 3): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+    val regs = hllBucketRho(ev, col("user_id"))
+      .groupBy(col("event_type"), col("d"), col("b"))
+      .agg(max(col("rho")).as("r"))
+    val days = ev.select(col("d")).distinct().select(col("d").as("wd"))
+    val inWindow = col("d") <= col("wd") &&
+      col("d") >= date_sub(col("wd"), windowDays - 1)
+    val agg = regs.join(broadcast(days), inWindow)
+      .groupBy(col("event_type"), col("wd"), col("b"))
+      .agg(max(col("r")).as("r"))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("r")).as("register_sum"),
+        sum(col("r") * (col("b") + 1)).as("register_ck"),
+        expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
+          .as("sp"))
+      .withColumn("day", date_format(col("wd"), "yyyy-MM-dd"))
+    val exact = ev.distinct()
+      .join(broadcast(days), inWindow)
+      .groupBy(col("event_type"),
+        date_format(col("wd"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    hllEstimates(agg, keep = Seq("day"))
+      .join(exact, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_exact"),
+        col("n_buckets"), col("register_sum"), col("register_ck"),
+        col("hll_raw"), col("hll_est"))
+  }
+
+  /** q214: GROUPED HEAVY HITTERS — q210's two-pass Misra–Gries run PER
+    * SOURCE (the per-domain hot-token profile boilerplate detection
+    * feeds on): one typed aggregation keyed by source carries a ≤c-entry
+    * summary per group across the exchange — state O(|sources|·c), never
+    * vocabulary-sized — then the ≤|sources|·c candidates are exactly
+    * recounted through one broadcast semi-join on (source, word) and
+    * thresholded per source. Same determinism argument as q210 (the MG
+    * guarantee is per-stream, so it holds per group under any
+    * partitioning); same census oracle, now grouped. */
+  def q214GroupHeavyHitters(spark: SparkSession, dir: String,
+      c: Int = 32): DataFrame = {
+    import spark.implicits._
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val summaries = words.as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.FrequentItemsAggregator(c).toColumn
+        .name("mg"))
+      .toDF("source", "mg")
+      .select(col("source"), explode(map_keys(col("mg"))).as("w"))
+    // bounded by construction: ≤ |sources|·c candidate rows
+    val totals = words.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    words.join(broadcast(summaries), Seq("source", "w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("source"))
+      .filter(col("cnt") * (c + 1) > col("n"))
+      .select(col("source"), col("w"), col("cnt"), col("n").as("n_total"),
+        expr("cnt * 1000000 DIV n").as("ppm"))
+  }
 }

@@ -965,4 +965,48 @@ object EventStreams {
       }
     }
   }
+
+  /** q212: STREAMING KMV AUDIENCE MONITOR — q208's bottom-k distinct
+    * sketch maintained as standing streaming state, the third member of
+    * the q163≡q160 / q205≡q203 bridge family: exact COUNT DISTINCT is
+    * unsupported in streaming aggregation (state would be the key set),
+    * but the KMV buffer is a bona fide mergeable typed aggregate —
+    * Structured Streaming carries one ≤k-long sorted array per year and
+    * folds each micro-batch through the SAME
+    * [[graft.functions.KmvAggregator]] merge the batch plan uses.
+    * Because the state is "the k smallest distinct hashes" — a
+    * set-function of the multiset — replayed rows and batch boundaries
+    * are invisible, so the drained registers are BIT-IDENTICAL to batch
+    * q208's, pinned by the shared-contract oracle (q208's SQL minus the
+    * exact-distinct audit column streaming legally cannot produce — the
+    * q201/q205 discipline). Staging: the orders file twice (q163's
+    * duplicated-file staging — KMV, like register-max, must shrug off
+    * at-least-once delivery). */
+  def qStreamKmv(spark: SparkSession, dir: String): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/orders.parquet"),
+        "orders_a.parquet", "orders_b.parquet") { tmp =>
+      import spark.implicits._
+      val k = 64
+      val batch = spark.readStream
+        .schema(inferredSchema(spark, tmp))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .select(year(col("o_orderdate")).as("y"),
+          graft.operators.Sketches.hash52(col("o_custkey")).as("h"))
+      val sk = batch.as[(Int, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.KmvAggregator(k).toColumn.name("sk"))
+        .toDF("y", "sk")
+      runToMemory(spark, sk,
+        s"q212_stream_${System.nanoTime()}", OutputMode.Complete())
+        .select(col("y").cast("long").as("y"),
+          size(col("sk")).cast("long").as("k_filled"),
+          element_at(col("sk"), -1).as("kth"),
+          expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("state_ck"))
+        .withColumn("kmv_est",
+          round(when(col("k_filled") < k, col("k_filled").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * 4503599627370496.0 /
+              col("kth").cast("double")), 4))
+    }
 }

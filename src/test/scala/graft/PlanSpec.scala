@@ -671,4 +671,25 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"),
       s"q162 wedge join degraded to a nested loop:\n$p")
   }
+
+  test("q208 KMV: typed aggregator partial-aggregates map-side") {
+    // the whole point of the mergeable sketch is that the exchange
+    // carries one <=k-long array per group, not the custkey set — the
+    // plan must show a partial (map-side) aggregation below the shuffle
+    val p = formatted("q208_kmv_sketch")
+    assert(p.toLowerCase.contains("partial"),
+      s"q208 sketch aggregation lost its map-side partial:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"q208 typed aggregation missing from the plan:\n$p")
+  }
+
+  test("q210 heavy hitters: the exact recount broadcasts the candidate set") {
+    // pass 2 must semi-join the <=c candidates as a broadcast — a
+    // shuffled join here would move the full token stream by key
+    val p = formatted("q210_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q210 recount join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q210 recount fell back to sort-merge:\n$p")
+  }
 }
