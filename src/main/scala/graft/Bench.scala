@@ -78,6 +78,35 @@ object Bench {
     (gcMs / 1000.0, heap)
   }
 
+  /** Host CPU ticks from /proc/stat: (busy, idle+iowait, steal). Steal is
+    * the adjudication channel the JVM triple cannot see — on shared
+    * infrastructure the hypervisor can throttle this guest mid-run
+    * (measured 9-10% average steal after a host migration, spiking far
+    * higher under burst), inflating wall-clock samples while every
+    * in-JVM probe (gcSec, cgEntries, calib) reads clean. Recording
+    * per-phase steal percentages makes a throttled run name itself from
+    * the artifact alone instead of leaving first-vs-retime anomalies to
+    * host forensics (the r17 verdict's 'unadjudicable retime' class). */
+  private def hostCpuTicks(): Option[(Long, Long, Long)] =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      val busy = f(0) + f(1) + f(2) + f(5) + f(6)
+      Some((busy, f(3) + f(4), if (f.length > 7) f(7) else 0L))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Steal percentage of total host ticks between two snapshots, -1 when
+    * /proc/stat is unavailable (non-Linux). */
+  private def stealPct(a: Option[(Long, Long, Long)],
+      b: Option[(Long, Long, Long)]): Double = (a, b) match {
+    case (Some((b0, i0, s0)), Some((b1, i1, s1))) =>
+      val tot = (b1 - b0) + (i1 - i0) + (s1 - s0)
+      if (tot <= 0) 0.0 else (s1 - s0) * 100.0 / tot
+    case _ => -1.0
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -102,6 +131,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val hostStart = hostCpuTicks()
     val spark = graft.util.DriverSession.build(cpus)
     // ERROR, not WARN: the driver keeps only the last ~2 KB of stdout, and
     // benign WARN lines (localCheckpoint lineage notes etc.) landing after
@@ -414,6 +444,7 @@ object Bench {
     val codePre = jvmCodeMb()
     val gcPre = jvmGcHeap()
     val cpPre = cachedPlanEntries(spark)
+    val hostPre = hostCpuTicks()
     // the LOOP START gets the same courtesy as every retimed sample: the
     // calib fits above (3 DT fits + 3 range-sums, plus whatever the warm
     // phases enqueued on the ContextCleaner) drain their async cleanup
@@ -451,6 +482,7 @@ object Bench {
       (name, elapsed, err)
     }
     calmJvm()
+    val hostPost = hostCpuTicks()
     val calibPost = calibSecs()
     val calibMlPost = calibMlSecs()
     val cgPost = codegenCacheEntries()
@@ -479,7 +511,7 @@ object Bench {
     // is attributable from the artifact alone (detail file only — the
     // stdout line stays inside the ~2 KB tail window).
     val retimedJvm = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Long, Long, Long)] // gcΔ, cgΔ, heap0, heap1
+      .empty[(String, Double, Long, Long, Long, Double)] // gcΔ, cgΔ, heap0, heap1, stealPct
     val retimeCalib = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double)] // probe value AFTER this query's retime
     var retimeIdx = 0
@@ -518,6 +550,7 @@ object Bench {
         Thread.sleep(1200)
         val fn = SparkEntry.queries(name)
         val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
+        val host0 = hostCpuTicks()
         def sample(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -541,7 +574,8 @@ object Bench {
               catch { case scala.util.control.NonFatal(_) => -1.0 }
           }
         val gc1 = jvmGcHeap(); val cg1 = codegenCacheEntries()
-        retimedJvm += ((name, gc1._1 - gc0._1, cg1 - cg0, gc0._2, gc1._2))
+        retimedJvm += ((name, gc1._1 - gc0._1, cg1 - cg0, gc0._2, gc1._2,
+          stealPct(host0, hostCpuTicks())))
         sweepScratch()
         retimeIdx += 1
         if (retimeIdx % 8 == 0) {
@@ -557,6 +591,7 @@ object Bench {
     // retime pass, late-run contention/JVM degradation is adjudicable
     // from the artifact alone.
     calmJvm()
+    val hostPostRetime = hostCpuTicks()
     val calibPostRetime = calibSecs()
     val calibMlPostRetime = calibMlSecs()
     val cgPostRetime = codegenCacheEntries()
@@ -610,7 +645,13 @@ object Bench {
       s""""metaMb":[${codePre._2},${codePost._2},${codePostRetime._2}],""" +
       s""""gcSec":[${sec(gcPre._1)},${sec(gcPost._1)},${sec(gcPostRetime._1)}],""" +
       s""""cachedPlans":[$cpPre,$cpPost,$cpPostRetime],""" +
-      s""""heapMb":[${gcPre._2},${gcPost._2},${gcPostRetime._2}]}"""
+      s""""heapMb":[${gcPre._2},${gcPost._2},${gcPostRetime._2}],""" +
+      // host steal % per phase [prewarm, first pass, retime]: hypervisor
+      // throttling inflates wall-clock while every in-JVM probe reads
+      // clean — this is the channel that adjudicates it (-1 = no /proc)
+      s""""stealPct":[${sec(stealPct(hostStart, hostPre))},""" +
+      s"""${sec(stealPct(hostPre, hostPost))},""" +
+      s"""${sec(stealPct(hostPost, hostPostRetime))}]}"""
     // value = SECOND sample only; the first sample is queries[qNN] by
     // construction (emitting the pair would double the field's footprint
     // in the size-bounded stdout line for zero information)
@@ -631,9 +672,9 @@ object Bench {
     // per-retime JVM ledger + interleaved ML probes (detail only): lets a
     // reader attribute retime-phase GC/codegen pollution to the SAMPLE it
     // landed in instead of inferring from the round-level jvm triple
-    val retimedJvmJson = retimedJvm.map { case (n, gcd, cgd, h0, h1) =>
+    val retimedJvmJson = retimedJvm.map { case (n, gcd, cgd, h0, h1, st) =>
       s""""${shortKey(n)}":{"gcSec":${sec(gcd)},"cgEntries":$cgd,""" +
-        s""""heapMb":[$h0,$h1]}"""
+        s""""heapMb":[$h0,$h1],"stealPct":${sec(st)}}"""
     }.mkString("{", ",", "}")
     val retimeCalibJson = retimeCalib.map { case (n, v) =>
       s"""{"after":"${shortKey(n)}","calibMl":${sec(v)}}"""

@@ -352,6 +352,10 @@ object SparkEntry {
       graft.operators.Sketches.q213SlidingHll(s, d)),
     "q214_group_heavy"        -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q214GroupHeavyHitters(s, d)),
+    "q215_stream_heavy"       -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamHeavyHitters(s, d)),
+    "q216_unicode_audit"      -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.q216UnicodeAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -403,6 +407,21 @@ object SparkEntry {
     "round(CASE WHEN k_filled < 64 THEN CAST(k_filled AS DOUBLE) " +
     "ELSE CAST(63.0 AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE) / " +
     "CAST(kth AS DOUBLE) END, 4)"
+
+  /** q210/q215 shared census oracle: the full GROUP BY + HAVING the MG
+    * sketch path avoids shuffling at scale. The streaming twin shares it
+    * verbatim — its post-drain exact recount must land on the same set
+    * (the MG coverage guarantee holds across micro-batch merge trees). */
+  private lazy val heavyHittersSql: String =
+    "WITH w AS (SELECT unnest(string_split(text, ' ')) AS w " +
+    "FROM documents), " +
+    "wf AS (SELECT w FROM w WHERE w <> ''), " +
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wf), " +
+    "c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wf " +
+    "GROUP BY w) " +
+    "SELECT c.w, c.cnt, n.n AS n_total, " +
+    "CAST(c.cnt * 1000000 // n.n AS BIGINT) AS ppm " +
+    "FROM c, n WHERE c.cnt * 65 > n.n"
 
   def oracleSql: Map[String, String] = Map(
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
@@ -1241,20 +1260,31 @@ object SparkEntry {
        "LEFT JOIN ndf ON ndf.ya = pr.ya AND ndf.yb = pr.yb " +
        "LEFT JOIN ei ON ei.ya = pr.ya AND ei.yb = pr.yb " +
        "JOIN en ena ON ena.y = pr.ya JOIN en enb ON enb.y = pr.yb"),
-    // q210: the oracle is the full-census GROUP BY + HAVING the MG
-    // sketch path avoids at scale; the engine's two-pass recount must
-    // land on exactly this set (candidates ⊇ heavy hitters is the
-    // PropertySpec guarantee). Integer ppm — no double wobble.
-    "q210_heavy_hitters" ->
-      ("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w " +
-       "FROM documents), " +
-       "wf AS (SELECT w FROM w WHERE w <> ''), " +
-       "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wf), " +
-       "c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wf " +
-       "GROUP BY w) " +
-       "SELECT c.w, c.cnt, n.n AS n_total, " +
-       "CAST(c.cnt * 1000000 // n.n AS BIGINT) AS ppm " +
-       "FROM c, n WHERE c.cnt * 65 > n.n"),
+    // q210: the engine's two-pass recount must land on exactly the
+    // census set (candidates ⊇ heavy hitters is the SketchSetOpsSpec
+    // guarantee). Integer ppm — no double wobble. q215 = the streaming
+    // candidate phase draining into the same recount, same contract.
+    "q210_heavy_hitters" -> heavyHittersSql,
+    "q215_stream_heavy" -> heavyHittersSql,
+    // q216: DuckDB's native nfc_normalize replays the Catalyst
+    // expression; probe suffixes built from chr() so no raw control
+    // bytes ride the SQL text.
+    "q216_unicode_audit" ->
+      ("WITH t AS (SELECT source, text || CASE CAST(doc_id % 4 AS " +
+       "INTEGER) WHEN 0 THEN ' cafe' || chr(769) || ' 27' " +
+       "WHEN 1 THEN ' ok' WHEN 2 THEN ' bad' || chr(7) || 'ctl' " +
+       "ELSE ' ' || chr(65533) || 'lost' END AS t FROM documents), " +
+       "n AS (SELECT source, t, nfc_normalize(t) AS nfc FROM t) " +
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(CASE WHEN t <> nfc THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_non_nfc, " +
+       "CAST(sum(CASE WHEN regexp_matches(t, " +
+       "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_ctrl, " +
+       "CAST(sum(CASE WHEN contains(t, chr(65533)) THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_repl, " +
+       "CAST(sum(strlen(t) - strlen(nfc)) AS BIGINT) " +
+       "AS nfc_delta_bytes FROM n GROUP BY source"),
     // q211: the oracle is the FROM-SCRATCH REBUILD over all events —
     // refresh ≡ recompute is the IVM correctness contract, and because
     // the view's distinct state is q160's register family (order- and

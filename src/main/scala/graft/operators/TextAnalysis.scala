@@ -1304,4 +1304,44 @@ object TextAnalysis {
             col("sx").cast("double") * col("sx").cast("double")), 4)
           .as("zipf_slope"))
   }
+
+  /** q216: UNICODE HYGIENE AUDIT — the normalization-and-mojibake census
+    * a multilingual corpus needs before ANY digest-keyed operator runs:
+    * an NFD "é" (e + U+0301) and an NFC "é" (U+00E9) are different byte
+    * strings, so exact dedup, MinHash shingles, and fingerprints all
+    * silently treat canonically-equal texts as distinct; control bytes
+    * and U+FFFD replacement characters are the standard mojibake tells.
+    * Per source: docs whose text is not NFC (via
+    * [[graft.functions.NfcNormalize]], the engine's codegen'd Catalyst
+    * expression — no UDF barrier in a full-corpus projection), docs
+    * carrying C0 control bytes (tab/newline/CR excluded), docs carrying
+    * U+FFFD, and the total byte shrinkage NFC composition would buy.
+    * The fixture corpus is ASCII, so (the q207 gauntlet discipline) each
+    * doc is suffixed with a deterministic doc_id-keyed probe — an NFD
+    * sequence, a clean tail, a BEL byte, a replacement char — making
+    * every counter exercise real cases while both engines see the same
+    * bytes; DuckDB replays with its native nfc_normalize. One scan, one
+    * |sources|-row rollup; the NFC fast path (isNormalized) allocates
+    * nothing on already-clean text, which is what makes the audit
+    * affordable as a standing ingest gate at 100 TB. */
+  def q216UnicodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    val probe = when(col("doc_id") % 4 === 0, lit(" cafe\u0301 27"))
+      .when(col("doc_id") % 4 === 1, lit(" ok"))
+      .when(col("doc_id") % 4 === 2, lit(" bad\u0007ctl"))
+      .otherwise(lit(" \ufffdlost"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), concat(col("text"), probe).as("t"))
+      .withColumn("nfc", expr("nfc_normalize(t)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("t") =!= col("nfc"), 1L).otherwise(0L))
+          .as("n_non_nfc"),
+        sum(when(col("t").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1L)
+          .otherwise(0L)).as("n_ctrl"),
+        sum(when(col("t").contains("\ufffd"), 1L).otherwise(0L))
+          .as("n_repl"),
+        sum((octet_length(col("t")) - octet_length(col("nfc")))
+          .cast("long")).as("nfc_delta_bytes"))
+  }
 }

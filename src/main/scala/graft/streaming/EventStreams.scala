@@ -1009,4 +1009,58 @@ object EventStreams {
             .otherwise(lit((k - 1).toDouble) * 4503599627370496.0 /
               col("kth").cast("double")), 4))
     }
+
+  /** q215: STREAMING HEAVY HITTERS — q210's two-pass Misra–Gries with
+    * the CANDIDATE phase run as standing streaming state: the ≤c-entry
+    * summary is a mergeable typed aggregate, so Structured Streaming
+    * folds each arriving micro-batch through the same Agarwal-et-al
+    * merge the batch plan uses, with state O(c) on an unbounded token
+    * feed (the frequent-items analog of the q163/q205/q212 bridge —
+    * exact streaming top-k would need the vocabulary as state). The
+    * drained summary is merge-order-dependent, but the MG coverage
+    * guarantee (candidates ⊇ every item above n/(c+1)) holds for ANY
+    * merge tree INCLUDING micro-batch sequencing — so the post-drain
+    * exact recount over the settled corpus lands on exactly the batch
+    * q210 output, and the query shares q210's census oracle VERBATIM
+    * (the q206 discipline: the stream drives, the end state answers to
+    * the batch contract). Staged as two doc-disjoint mtime-ordered
+    * halves — MG counters are ADDITIVE, so the staging must model
+    * ingest (q205's rationale), not q163's duplicated file. */
+  def qStreamHeavyHitters(spark: SparkSession, dir: String,
+      c: Int = 64): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q215")
+    try {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t0 = System.currentTimeMillis() - 120000L
+      stageSingleFile(docs, tmp, "a.parquet", col("doc_id") % 2 === 0, t0)
+      stageSingleFile(docs, tmp, "b.parquet", col("doc_id") % 2 === 1,
+        t0 + 60000L)
+      val words = spark.readStream
+        .schema(inferredSchema(spark, tmp.toString))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp.toString)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val mg = words.as[String].groupByKey(_ => 0)
+        .agg(new graft.functions.FrequentItemsAggregator(c).toColumn
+          .name("mg"))
+        .toDF("k", "mg")
+      val cands = runToMemory(spark, mg,
+          s"q215_stream_${System.nanoTime()}", OutputMode.Complete())
+        .select(explode(map_keys(col("mg"))).as("w"))
+      // exact recount over the settled corpus — q210's pass 2
+      val staticWords = graft.sources.Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val totals = staticWords.agg(count(lit(1)).as("n"))
+      staticWords.join(broadcast(cands), Seq("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("cnt") * (c + 1) > col("n"))
+        .select(col("w"), col("cnt"), col("n").as("n_total"),
+          expr("cnt * 1000000 DIV n").as("ppm"))
+    } finally graft.util.Fs.deleteRecursively(tmp.toString)
+  }
 }

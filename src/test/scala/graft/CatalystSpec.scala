@@ -54,6 +54,40 @@ class CatalystSpec extends AnyFunSuite {
     assert(n === 2)
   }
 
+  test("nfc_normalize: composition, identity fast path, null, codegen parity") {
+    import spark.implicits._
+    graft.functions.NfcNormalize.register(spark)
+    val df = Seq(
+      (1L, "cafe\u0301"),        // NFD -> composes to U+00E9
+      (2L, "caf\u00e9"),          // already NFC -> identity
+      (3L, "plain ascii"),
+      (4L, "bad\u0007ctl \ufffd"), // control + replacement survive untouched
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .withColumn("n", expr("nfc_normalize(s)"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(2) === "caf\u00e9")
+    assert(rows(1).getString(2) === "caf\u00e9")
+    assert(rows(2).getString(2) === "plain ascii")
+    assert(rows(3).getString(2) === "bad\u0007ctl \ufffd")
+    assert(rows(4).isNullAt(2))
+    // codegen path: the expression inside a filter must agree
+    assert(df.filter(expr("nfc_normalize(s) = s")).count() === 3)
+  }
+
+  test("q216 probe arithmetic: one of each defect class per doc_id quartet") {
+    val out = graft.operators.TextAnalysis.q216UnicodeAudit(spark, sf)
+    val tot = out.agg(sum("n_docs"), sum("n_non_nfc"), sum("n_ctrl"),
+      sum("n_repl"), sum("nfc_delta_bytes")).head
+    val n = tot.getLong(0)
+    // doc_ids are uniform over mod-4 classes: each defect count is the
+    // size of its class, and NFC composition saves exactly 1 byte per
+    // NFD doc (e+U+0301 = 3 bytes -> U+00E9 = 2)
+    assert(tot.getLong(1) === tot.getLong(4), "delta bytes = 1 per NFD doc")
+    assert(tot.getLong(1) + tot.getLong(2) + tot.getLong(3) <= n)
+    assert(tot.getLong(1) > 0 && tot.getLong(2) > 0 && tot.getLong(3) > 0)
+  }
+
   test("BagOps.exceptAllById equals exceptAll on uid-tagged frames") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity")

@@ -181,6 +181,14 @@ class SketchSetOpsSpec extends AnyFunSuite {
       "fixture must exercise several sources")
   }
 
+  test("q215 streaming candidates + recount equals batch q210 (sf0.001)") {
+    val batch = graft.operators.Sketches.q210HeavyHitters(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val stream = graft.streaming.EventStreams.qStreamHeavyHitters(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(stream === batch)
+  }
+
   test("q210: two-pass output equals the full-census heavy hitters (sf0.001)") {
     val got = graft.operators.Sketches.q210HeavyHitters(spark, sf)
       .select("w", "cnt").collect().map(r => (r.getString(0), r.getLong(1)))
