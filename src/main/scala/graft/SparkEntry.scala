@@ -356,6 +356,8 @@ object SparkEntry {
       graft.streaming.EventStreams.qStreamHeavyHitters(s, d)),
     "q216_unicode_audit"      -> ((s: SparkSession, d: String) =>
       graft.operators.TextAnalysis.q216UnicodeAudit(s, d)),
+    "q217_churn_kmv"          -> ((s: SparkSession, d: String) =>
+      graft.operators.Sketches.q217ChurnKmv(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1331,6 +1333,69 @@ object SparkEntry {
     "q212_stream_kmv" ->
       (kmvCtes + " SELECT y, k_filled, kth, state_ck, " +
        kmvEstSql + " AS kmv_est FROM st"),
+    // q217: per-day bottom-16 sketches replayed with a row_number window,
+    // consecutive-day theta set ops (retained/churned/new strictly below
+    // θ), integer candidate counts, one double division per estimate;
+    // exact retention algebra rides along from the distinct self-join.
+    "q217_churn_kmv" ->
+      ("WITH s0 AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, " +
+       "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
+       "AS BIGINT) AS h FROM events), " +
+       "r AS (SELECT event_type, d, h, row_number() OVER " +
+       "(PARTITION BY event_type, d ORDER BY h) AS rn FROM s0), " +
+       "s AS (SELECT event_type, d, h FROM r WHERE rn <= 16), " +
+       "th AS (SELECT event_type, d, CASE WHEN count(*) < 16 " +
+       "THEN 4503599627370496 ELSE max(h) END AS theta FROM s " +
+       "GROUP BY 1, 2), " +
+       "pr AS (SELECT a.event_type, a.d, least(a.theta, b.theta) AS theta " +
+       "FROM th a JOIN th b ON a.event_type = b.event_type " +
+       "AND b.d = a.d + 1), " +
+       "ni AS (SELECT pr.event_type, pr.d, CAST(count(*) AS BIGINT) " +
+       "AS n_ret FROM pr JOIN s a ON a.event_type = pr.event_type " +
+       "AND a.d = pr.d AND a.h < pr.theta JOIN s b " +
+       "ON b.event_type = pr.event_type AND b.d = pr.d + 1 " +
+       "AND b.h = a.h GROUP BY 1, 2), " +
+       "nc AS (SELECT pr.event_type, pr.d, CAST(count(*) AS BIGINT) " +
+       "AS n_churn FROM pr JOIN s a ON a.event_type = pr.event_type " +
+       "AND a.d = pr.d AND a.h < pr.theta LEFT JOIN s b " +
+       "ON b.event_type = pr.event_type AND b.d = pr.d + 1 " +
+       "AND b.h = a.h WHERE b.h IS NULL GROUP BY 1, 2), " +
+       "nn AS (SELECT pr.event_type, pr.d, CAST(count(*) AS BIGINT) " +
+       "AS n_new FROM pr JOIN s b ON b.event_type = pr.event_type " +
+       "AND b.d = pr.d + 1 AND b.h < pr.theta LEFT JOIN s a " +
+       "ON a.event_type = pr.event_type AND a.d = pr.d " +
+       "AND a.h = b.h WHERE a.h IS NULL GROUP BY 1, 2), " +
+       "du AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, " +
+       "user_id FROM events), " +
+       "nd AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS nd " +
+       "FROM du GROUP BY 1, 2), " +
+       "er AS (SELECT a.event_type, a.d, CAST(count(*) AS BIGINT) " +
+       "AS exact_ret FROM du a JOIN du b ON a.event_type = b.event_type " +
+       "AND a.user_id = b.user_id AND b.d = a.d + 1 GROUP BY 1, 2) " +
+       "SELECT pr.event_type, strftime(pr.d, '%Y-%m-%d') AS day, " +
+       "pr.theta, coalesce(ni.n_ret, 0) AS n_ret, " +
+       "coalesce(nc.n_churn, 0) AS n_churn, " +
+       "coalesce(nn.n_new, 0) AS n_new, " +
+       "round(CAST(coalesce(ni.n_ret, 0) AS DOUBLE) * " +
+       "CAST(4503599627370496.0 AS DOUBLE) / CAST(pr.theta AS DOUBLE), " +
+       "4) AS ret_est, " +
+       "round(CAST(coalesce(nc.n_churn, 0) AS DOUBLE) * " +
+       "CAST(4503599627370496.0 AS DOUBLE) / CAST(pr.theta AS DOUBLE), " +
+       "4) AS churn_est, " +
+       "round(CAST(coalesce(nn.n_new, 0) AS DOUBLE) * " +
+       "CAST(4503599627370496.0 AS DOUBLE) / CAST(pr.theta AS DOUBLE), " +
+       "4) AS new_est, " +
+       "coalesce(er.exact_ret, 0) AS exact_ret, " +
+       "nda.nd - coalesce(er.exact_ret, 0) AS exact_churn, " +
+       "ndb.nd - coalesce(er.exact_ret, 0) AS exact_new " +
+       "FROM pr LEFT JOIN ni ON ni.event_type = pr.event_type " +
+       "AND ni.d = pr.d " +
+       "LEFT JOIN nc ON nc.event_type = pr.event_type AND nc.d = pr.d " +
+       "LEFT JOIN nn ON nn.event_type = pr.event_type AND nn.d = pr.d " +
+       "LEFT JOIN er ON er.event_type = pr.event_type AND er.d = pr.d " +
+       "JOIN nd nda ON nda.event_type = pr.event_type AND nda.d = pr.d " +
+       "JOIN nd ndb ON ndb.event_type = pr.event_type " +
+       "AND ndb.d = pr.d + 1"),
     // q213: the sliding-window register merge replayed day for day — the
     // q160 md5 chain grouped by (type, day), a range join against the
     // day grid, elementwise max, the same estimate arithmetic; exact

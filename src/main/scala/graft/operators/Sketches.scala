@@ -1223,6 +1223,82 @@ object Sketches {
         col("hll_raw"), col("hll_est"))
   }
 
+  /** q217: AUDIENCE CHURN VIA THETA-SKETCH DIFFERENCES — the rolling
+    * retention question (who stayed / churned / arrived between
+    * consecutive days, per event type) answered entirely from per-day
+    * KMV sketches: one bounded (type, day) sketch table — |types|·|days|
+    * rows of ≤k hashes, built in one pass, the standing layout — and
+    * every day-over-day transition reads three theta-sketch set
+    * operations off it (retained = A∩B, churned = A\B, new = B\A, all
+    * strictly below θ = min of the two sketches' own θs; a part-full
+    * sketch IS its set, so small days degrade to exact — the sf0.001
+    * fixture pins that regime, sf0.01 pins the estimator regime).
+    * Exact counts ride along from the distinct-pair self-join the
+    * sketch path avoids at 100 TB (q160's audit discipline). k=16 keeps
+    * the per-day sketch genuinely smaller than the ~53-user fixture
+    * audiences so the gate exercises estimation, not exactness. */
+  def q217ChurnKmv(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("user_id"))
+    val sk = ev.select(col("event_type"), col("d").cast("string").as("ds"),
+        hash52(col("user_id")).as("h"))
+      .as[(String, String, Long)]
+      .groupByKey(r => (r._1, r._2)).mapValues(_._3)
+      .agg(new graft.functions.KmvAggregator(k).toColumn.name("sk"))
+      .map { case ((t, d), s) => (t, d, s) }
+      .toDF("event_type", "ds", "sk")
+      .withColumn("d", col("ds").cast("date"))
+      .withColumn("theta_own", when(size(col("sk")) < k, lit(Pow52))
+        .otherwise(element_at(col("sk"), -1)))
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") === col("b.event_type") &&
+        col("b.d") === date_add(col("a.d"), 1))
+      .select(col("a.event_type").as("event_type"),
+        date_format(col("a.d"), "yyyy-MM-dd").as("day"),
+        least(col("a.theta_own"), col("b.theta_own")).as("theta"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .select(col("event_type"), col("day"), col("theta"),
+        expr("CAST(size(filter(array_intersect(ska, skb), " +
+          "x -> x < theta)) AS BIGINT)").as("n_ret"),
+        expr("CAST(size(filter(array_except(ska, skb), " +
+          "x -> x < theta)) AS BIGINT)").as("n_churn"),
+        expr("CAST(size(filter(array_except(skb, ska), " +
+          "x -> x < theta)) AS BIGINT)").as("n_new"))
+      .withColumn("ret_est", round(col("n_ret").cast("double") *
+        Pow52.toDouble / col("theta").cast("double"), 4))
+      .withColumn("churn_est", round(col("n_churn").cast("double") *
+        Pow52.toDouble / col("theta").cast("double"), 4))
+      .withColumn("new_est", round(col("n_new").cast("double") *
+        Pow52.toDouble / col("theta").cast("double"), 4))
+    val du = ev.distinct()
+    val nd = du.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("nd"))
+    val ret = du.as("a").join(du.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("a.user_id") === col("b.user_id") &&
+        col("b.d") === date_add(col("a.d"), 1))
+      .groupBy(col("a.event_type").as("event_type"),
+        date_format(col("a.d"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("exact_ret"))
+    pairs
+      .join(ret, Seq("event_type", "day"), "left")
+      .withColumn("exact_ret", coalesce(col("exact_ret"), lit(0L)))
+      .join(nd.select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("nd").as("nda")), Seq("event_type", "day"))
+      .join(nd.select(col("event_type"),
+        date_format(date_sub(col("d"), 1), "yyyy-MM-dd").as("day"),
+        col("nd").as("ndb")), Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("theta"),
+        col("n_ret"), col("n_churn"), col("n_new"),
+        col("ret_est"), col("churn_est"), col("new_est"),
+        col("exact_ret"),
+        (col("nda") - col("exact_ret")).as("exact_churn"),
+        (col("ndb") - col("exact_ret")).as("exact_new"))
+  }
+
   /** q214: GROUPED HEAVY HITTERS — q210's two-pass Misra–Gries run PER
     * SOURCE (the per-domain hot-token profile boilerplate detection
     * feeds on): one typed aggregation keyed by source carries a ≤c-entry

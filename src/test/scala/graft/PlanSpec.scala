@@ -683,6 +683,18 @@ class PlanSpec extends AnyFunSuite {
       s"q208 typed aggregation missing from the plan:\n$p")
   }
 
+  test("q213 sliding HLL: the day-grid range join broadcasts; registers partial-agg") {
+    // the window fan-out must ride a broadcast of the ~30-row day grid —
+    // a shuffled join here would exchange the register table per window —
+    // and the register build itself must partial-aggregate map-side
+    val p = formatted("q213_sliding_hll")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q213 day-grid join not broadcast:\n$p")
+    assert(p.toLowerCase.contains("partial_max") ||
+      p.toLowerCase.contains("partial"),
+      s"q213 register rollup lost its map-side partial:\n$p")
+  }
+
   test("q210 heavy hitters: the exact recount broadcasts the candidate set") {
     // pass 2 must semi-join the <=c candidates as a broadcast — a
     // shuffled join here would move the full token stream by key

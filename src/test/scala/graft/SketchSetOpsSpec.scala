@@ -150,6 +150,23 @@ class SketchSetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q217: exact-regime transitions ARE the retention algebra (sf0.001)") {
+    // at sf0.001 the per-day audiences (~5 users) are far below k=16, so
+    // every sketch is its own set, theta is the whole hash space, and the
+    // sketch counts must EQUAL the exact retention algebra row for row —
+    // the degenerate-regime contract that makes small groups safe
+    val rows = graft.operators.Sketches.q217ChurnKmv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val full = 4503599627370496L
+    val exactRegime = rows.filter(_.getAs[Long]("theta") == full)
+    assert(exactRegime.nonEmpty, "fixture must exercise the exact regime")
+    exactRegime.foreach { r =>
+      assert(r.getAs[Long]("n_ret") === r.getAs[Long]("exact_ret"))
+      assert(r.getAs[Long]("n_churn") === r.getAs[Long]("exact_churn"))
+      assert(r.getAs[Long]("n_new") === r.getAs[Long]("exact_new"))
+    }
+  }
+
   test("q213: an everything-window at the last day collapses to q160's registers") {
     // windowDays >= calendar span makes the trailing window at the final
     // day cover the whole corpus — its registers must equal the global
