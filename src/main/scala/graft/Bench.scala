@@ -550,11 +550,17 @@ object Bench {
         Thread.sleep(1200)
         val fn = SparkEntry.queries(name)
         val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
-        val host0 = hostCpuTicks()
+        // steal window wraps the KEPT sample only (set inside sample(), so
+        // a retry re-snapshots): averaging across a discarded first attempt
+        // would dilute a one-sample burst below the readme_bands 5% flag
+        var hostS0 = hostCpuTicks(); var hostS1 = hostCpuTicks()
         def sample(): Double = {
+          hostS0 = hostCpuTicks()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          hostS1 = hostCpuTicks()
+          dt
         }
         // retry ONCE on failure: the retime is a measurement, and the one
         // failure class ever observed here is a transient block-cleanup
@@ -575,7 +581,7 @@ object Bench {
           }
         val gc1 = jvmGcHeap(); val cg1 = codegenCacheEntries()
         retimedJvm += ((name, gc1._1 - gc0._1, cg1 - cg0, gc0._2, gc1._2,
-          stealPct(host0, hostCpuTicks())))
+          stealPct(hostS0, hostS1)))
         sweepScratch()
         retimeIdx += 1
         if (retimeIdx % 8 == 0) {

@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * on merge order. That recount is what makes q210 oracle-checkable:
   * the theory guarantees candidates ⊇ true heavy hitters for ANY
   * partitioning/merge order (pinned by a scalacheck property in
-  * PropertySpec), and the exact recount then matches DuckDB's plain
+  * SketchSetOpsSpec), and the exact recount then matches DuckDB's plain
   * GROUP BY + HAVING.
   *
   * merge() is the Agarwal et al. (PODS'12, "Mergeable Summaries")

@@ -963,6 +963,68 @@ object Sketches {
   private val Kmv = 64
   private val Pow52 = 4503599627370496L // 2^52
 
+  /** θ of one sketch: the whole hash space when part-full (a part-full
+    * sketch IS its set — it saw everything), else its kth-smallest hash. */
+  private[graft] def thetaOwn(sk: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    when(size(sk) < k, lit(Pow52)).otherwise(element_at(sk, -1))
+
+  /** Theta-sketch estimate: candidates-below-θ over the normalized θ —
+    * ONE double division, 4dp, the exact expression every oracle
+    * replays. Shared by q209/q217 so an estimator change cannot diverge
+    * the family. */
+  private[graft] def kmvEst(n: org.apache.spark.sql.Column,
+      theta: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(n.cast("double") * Pow52.toDouble / theta.cast("double"), 4)
+
+  /** (y, k_filled, kth, state_ck, kmv_est) off a (y, sk) sketch frame —
+    * shared by batch q208 and the q212 streaming twin: bit-identity is
+    * the twin's whole contract, so both MUST read the state through the
+    * same expressions. */
+  private[graft] def kmvStateColumns(df: DataFrame): DataFrame =
+    df.select(col("y").cast("long").as("y"),
+        size(col("sk")).cast("long").as("k_filled"),
+        element_at(col("sk"), -1).as("kth"),
+        expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("state_ck"))
+      .withColumn("kmv_est",
+        round(when(col("k_filled") < Kmv, col("k_filled").cast("double"))
+          .otherwise(lit((Kmv - 1).toDouble) * Pow52.toDouble /
+            col("kth").cast("double")), 4))
+
+  /** Input-count typed aggregator: rides next to another typed aggregate
+    * in the SAME groupByKey job (q210/q215 use it to carry the corpus
+    * total through the summary pass instead of paying a separate scan). */
+  private[graft] class CountAggregator[T]
+      extends org.apache.spark.sql.expressions.Aggregator[T, Long, Long]
+      with Serializable {
+    def zero: Long = 0L
+    def reduce(b: Long, a: T): Long = b + 1
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(r: Long): Long = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** The exact-recount half of the two-pass heavy-hitter algorithm:
+    * broadcast the ≤c candidates, recount them exactly over one corpus
+    * scan, keep the ones clearing n/(c+1). Shared verbatim by batch q210
+    * and the q215 streaming twin (one oracle, one contract). */
+  private[graft] def heavyHitterRecount(spark: SparkSession, dir: String,
+      cands: Seq[String], nTotal: Long, c: Int): DataFrame = {
+    import spark.implicits._
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    words.join(broadcast(spark.createDataset(cands).toDF("w")), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (c + 1) > nTotal)
+      .select(col("w"), col("cnt"), lit(nTotal).as("n_total"))
+      .withColumn("ppm", expr("cnt * 1000000 DIV n_total"))
+  }
+
   /** Per-year KMV sketches over the active-customer population: (year,
     * sorted ≤k array of smallest hashes) via the mergeable typed
     * aggregator. Shared by q208/q209; q212 re-derives the same state on a
@@ -997,21 +1059,13 @@ object Sketches {
     * set; the exact column is the gate's audit luxury, not the sketch
     * path. */
   def q208KmvSketch(spark: SparkSession, dir: String): DataFrame = {
-    val sk = kmvYearSketches(spark, dir)
-      .select(col("y"), size(col("sk")).cast("long").as("k_filled"),
-        element_at(col("sk"), -1).as("kth"),
-        expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x)")
-          .as("state_ck"))
-      .withColumn("kmv_est",
-        round(when(col("k_filled") < Kmv, col("k_filled").cast("double"))
-          .otherwise(lit((Kmv - 1).toDouble) * Pow52.toDouble /
-            col("kth").cast("double")), 4))
+    val sk = kmvStateColumns(kmvYearSketches(spark, dir))
     val exact = Tables.load(spark, dir, "orders")
-      .groupBy(year(col("o_orderdate")).as("y"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
       .agg(countDistinct(col("o_custkey")).as("n_exact"))
     exact.join(sk, Seq("y"))
-      .select(col("y").cast("long").as("y"), col("n_exact"),
-        col("k_filled"), col("kth"), col("state_ck"), col("kmv_est"))
+      .select(col("y"), col("n_exact"), col("k_filled"), col("kth"),
+        col("state_ck"), col("kmv_est"))
   }
 
   /** q209: THETA-SKETCH SET OPERATIONS — the reason KMV earns its place
@@ -1030,9 +1084,7 @@ object Sketches {
     * exists to avoid at 100 TB). */
   def q209KmvSetops(spark: SparkSession, dir: String): DataFrame = {
     val sk = kmvYearSketches(spark, dir)
-      .withColumn("theta_own",
-        when(size(col("sk")) < Kmv, lit(Pow52))
-          .otherwise(expr("sk[size(sk) - 1]")))
+      .withColumn("theta_own", thetaOwn(col("sk"), Kmv))
     val pairs = sk.as("a")
       .join(sk.as("b"), col("a.y") < col("b.y"))
       .select(col("a.y").as("ya"), col("b.y").as("yb"),
@@ -1045,12 +1097,9 @@ object Sketches {
           "x -> x < theta)) AS BIGINT)").as("n_union"),
         expr("CAST(size(filter(array_except(ska, skb), " +
           "x -> x < theta)) AS BIGINT)").as("n_diff"))
-      .withColumn("inter_est", round(col("n_inter").cast("double") *
-        Pow52.toDouble / col("theta").cast("double"), 4))
-      .withColumn("union_est", round(col("n_union").cast("double") *
-        Pow52.toDouble / col("theta").cast("double"), 4))
-      .withColumn("diff_est", round(col("n_diff").cast("double") *
-        Pow52.toDouble / col("theta").cast("double"), 4))
+      .withColumn("inter_est", kmvEst(col("n_inter"), col("theta")))
+      .withColumn("union_est", kmvEst(col("n_union"), col("theta")))
+      .withColumn("diff_est", kmvEst(col("n_diff"), col("theta")))
     val d = Tables.load(spark, dir, "orders")
       .select(year(col("o_orderdate")).as("y"), col("o_custkey").as("c"))
       .distinct()
@@ -1080,7 +1129,7 @@ object Sketches {
     * the constant group key is deliberate — partials are merged once,
     * and nothing in the plan is vocabulary-sized). Theory guarantees
     * the summary's keys ⊇ every token with count > n/(c+1) for ANY
-    * merge order (the PropertySpec scalacheck pin), so pass 2 exactly
+    * merge order (the SketchSetOpsSpec scalacheck pin), so pass 2 exactly
     * recounts just those ≤c candidates with a broadcast semi-join and
     * keeps the ones that clear the threshold — making the OUTPUT a
     * deterministic pure function of the corpus even though the summary
@@ -1095,20 +1144,18 @@ object Sketches {
     val words = Tables.load(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    val summary: Map[String, Long] = words.as[String]
+    // pass 1: the corpus total rides the summary job as a second typed
+    // aggregate — genuinely TWO corpus scans end to end, not three
+    val pass1 = words.as[String]
       .groupByKey(_ => 0)
       .agg(new graft.functions.FrequentItemsAggregator(c).toColumn
-        .name("mg"))
-      .collect().headOption.map(_._2).getOrElse(Map.empty)
+          .name("mg"),
+        new CountAggregator[String].toColumn.name("n"))
+      .collect().headOption
     // bounded by construction: ≤c candidate tokens cross the driver
-    val cands = spark.createDataset(summary.keys.toSeq).toDF("w")
-    val totals = words.agg(count(lit(1)).as("n"))
-    words.join(broadcast(cands), Seq("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(totals))
-      .filter(col("cnt") * (c + 1) > col("n"))
-      .select(col("w"), col("cnt"), col("n").as("n_total"),
-        expr("cnt * 1000000 DIV n").as("ppm"))
+    val cands = pass1.map(_._2.keys.toSeq).getOrElse(Seq.empty)
+    val nTotal = pass1.map(_._3).getOrElse(0L)
+    heavyHitterRecount(spark, dir, cands, nTotal, c)
   }
 
   /** q211: INCREMENTAL MATERIALIZED-VIEW REFRESH with mergeable distinct
@@ -1250,8 +1297,7 @@ object Sketches {
       .map { case ((t, d), s) => (t, d, s) }
       .toDF("event_type", "ds", "sk")
       .withColumn("d", col("ds").cast("date"))
-      .withColumn("theta_own", when(size(col("sk")) < k, lit(Pow52))
-        .otherwise(element_at(col("sk"), -1)))
+      .withColumn("theta_own", thetaOwn(col("sk"), k))
     val pairs = sk.as("a")
       .join(sk.as("b"), col("a.event_type") === col("b.event_type") &&
         col("b.d") === date_add(col("a.d"), 1))
@@ -1266,12 +1312,9 @@ object Sketches {
           "x -> x < theta)) AS BIGINT)").as("n_churn"),
         expr("CAST(size(filter(array_except(skb, ska), " +
           "x -> x < theta)) AS BIGINT)").as("n_new"))
-      .withColumn("ret_est", round(col("n_ret").cast("double") *
-        Pow52.toDouble / col("theta").cast("double"), 4))
-      .withColumn("churn_est", round(col("n_churn").cast("double") *
-        Pow52.toDouble / col("theta").cast("double"), 4))
-      .withColumn("new_est", round(col("n_new").cast("double") *
-        Pow52.toDouble / col("theta").cast("double"), 4))
+      .withColumn("ret_est", kmvEst(col("n_ret"), col("theta")))
+      .withColumn("churn_est", kmvEst(col("n_churn"), col("theta")))
+      .withColumn("new_est", kmvEst(col("n_new"), col("theta")))
     val du = ev.distinct()
     val nd = du.groupBy(col("event_type"), col("d"))
       .agg(count(lit(1)).as("nd"))

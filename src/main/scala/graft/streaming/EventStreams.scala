@@ -997,17 +997,11 @@ object EventStreams {
         .groupByKey(_._1).mapValues(_._2)
         .agg(new graft.functions.KmvAggregator(k).toColumn.name("sk"))
         .toDF("y", "sk")
-      runToMemory(spark, sk,
-        s"q212_stream_${System.nanoTime()}", OutputMode.Complete())
-        .select(col("y").cast("long").as("y"),
-          size(col("sk")).cast("long").as("k_filled"),
-          element_at(col("sk"), -1).as("kth"),
-          expr("aggregate(sk, CAST(0 AS BIGINT), (a, x) -> a + x)")
-            .as("state_ck"))
-        .withColumn("kmv_est",
-          round(when(col("k_filled") < k, col("k_filled").cast("double"))
-            .otherwise(lit((k - 1).toDouble) * 4503599627370496.0 /
-              col("kth").cast("double")), 4))
+      // state read through the SAME expressions as batch q208 —
+      // bit-identity is the twin's contract
+      graft.operators.Sketches.kmvStateColumns(
+        runToMemory(spark, sk,
+          s"q212_stream_${System.nanoTime()}", OutputMode.Complete()))
     }
 
   /** q215: STREAMING HEAVY HITTERS — q210's two-pass Misra–Gries with
@@ -1043,24 +1037,23 @@ object EventStreams {
         .parquet(tmp.toString)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
+      // the corpus total rides the streaming summary as a second typed
+      // aggregate (additive, so the drained value is the full-feed count)
       val mg = words.as[String].groupByKey(_ => 0)
         .agg(new graft.functions.FrequentItemsAggregator(c).toColumn
-          .name("mg"))
-        .toDF("k", "mg")
-      val cands = runToMemory(spark, mg,
+            .name("mg"),
+          new graft.operators.Sketches.CountAggregator[String].toColumn
+            .name("n"))
+        .toDF("k", "mg", "n")
+      val drained = runToMemory(spark, mg,
           s"q215_stream_${System.nanoTime()}", OutputMode.Complete())
-        .select(explode(map_keys(col("mg"))).as("w"))
-      // exact recount over the settled corpus — q210's pass 2
-      val staticWords = graft.sources.Tables.load(spark, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-      val totals = staticWords.agg(count(lit(1)).as("n"))
-      staticWords.join(broadcast(cands), Seq("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(totals))
-        .filter(col("cnt") * (c + 1) > col("n"))
-        .select(col("w"), col("cnt"), col("n").as("n_total"),
-          expr("cnt * 1000000 DIV n").as("ppm"))
+        .collect().headOption
+      val cands = drained.map(_.getMap[String, Long](1).keys.toSeq)
+        .getOrElse(Seq.empty)
+      val nTotal = drained.map(_.getLong(2)).getOrElse(0L)
+      // exact recount over the settled corpus — q210's pass 2, shared code
+      graft.operators.Sketches.heavyHitterRecount(spark, dir, cands,
+        nTotal, c)
     } finally graft.util.Fs.deleteRecursively(tmp.toString)
   }
 }
