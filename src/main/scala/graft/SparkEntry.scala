@@ -358,6 +358,12 @@ object SparkEntry {
       graft.operators.TextAnalysis.q216UnicodeAudit(s, d)),
     "q217_churn_kmv"          -> ((s: SparkSession, d: String) =>
       graft.operators.Sketches.q217ChurnKmv(s, d)),
+    "q218_stream_weighted"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.qStreamWeightedSample(s, d)),
+    "q219_time_travel"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q219TimeTravel(s, d)),
+    "q220_bpe_dist_train"     -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.q220BpeDistTrain(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -424,6 +430,19 @@ object SparkEntry {
     "SELECT c.w, c.cnt, n.n AS n_total, " +
     "CAST(c.cnt * 1000000 // n.n AS BIGINT) AS ppm " +
     "FROM c, n WHERE c.cnt * 65 > n.n"
+
+  /** q175/q218 shared A-ES oracle: identical key tree (u from the hex60
+    * family, one ln, one division), 4dp micro-scaled with a doc_id
+    * tie-break so the bottom-k cut is engine-deterministic. The q218
+    * streaming twin shares it verbatim — its standing bottom-k state is
+    * a set-function of the multiset, so the drained sample must equal
+    * the batch TakeOrderedAndProject bit for bit. */
+  private lazy val aesSampleSql: String =
+    "SELECT doc_id, round(-ln((CAST(" +
+    s"${hex60Sql("concat('aes:', doc_id)")} % 1152921504606846976 " +
+    "AS DOUBLE) + 1.0) / 1.152921504606846976e18) / " +
+    "CAST(n_chars AS DOUBLE) * 1000000.0, 4) AS key_micro " +
+    "FROM documents ORDER BY key_micro ASC, doc_id ASC LIMIT 20"
 
   def oracleSql: Map[String, String] = Map(
     // ---- sketch-family oracles (hex60 hash, see scaladoc above) ----
@@ -1852,15 +1871,37 @@ object SparkEntry {
        "AS n_null_lang, " +
        "CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) " +
        "AS BIGINT) AS n_langs FROM documents"),
-    // q175: identical A-ES key tree (u from the hex60 family, one ln,
-    // one division), 4dp micro-scaled with a doc_id tie-break so the
-    // bottom-k cut is engine-deterministic
-    "q175_weighted_sample" ->
-      ("SELECT doc_id, round(-ln((CAST(" +
-       s"${hex60Sql("concat('aes:', doc_id)")} % 1152921504606846976 " +
-       "AS DOUBLE) + 1.0) / 1.152921504606846976e18) / " +
-       "CAST(n_chars AS DOUBLE) * 1000000.0, 4) AS key_micro " +
-       "FROM documents ORDER BY key_micro ASC, doc_id ASC LIMIT 20"),
+    // q175/q218: the shared A-ES key-tree oracle (see aesSampleSql)
+    "q175_weighted_sample" -> aesSampleSql,
+    "q218_stream_weighted" -> aesSampleSql,
+    // q219: v0 replays from the original table, v1 from the q204 CDC
+    // algebra — the compare pins BOTH that as-of-0 still equals the
+    // pre-merge state after the merge committed (time travel) and that
+    // as-of-1 equals the merged post-image, through on-disk manifests
+    "q219_time_travel" ->
+      ("WITH src AS (SELECT doc_id, lang, " +
+       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
+       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
+       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
+       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+       "v0 AS (SELECT CAST(0 AS BIGINT) AS version, lang, " +
+       "CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+       "FROM documents GROUP BY 2), " +
+       "surv AS (SELECT d.lang, " +
+       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END " +
+       "AS nc FROM documents d LEFT JOIN " +
+       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
+       "WHERE s.op IS NULL OR s.op = 'upd'), " +
+       "af0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(sum(nc) AS BIGINT) AS s FROM surv GROUP BY 1), " +
+       "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src " +
+       "WHERE op = 'ins' GROUP BY 1), " +
+       "v1 AS (SELECT CAST(1 AS BIGINT) AS version, af0.lang, " +
+       "af0.n + coalesce(ins.n, 0) AS n_docs, " +
+       "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars " +
+       "FROM af0 LEFT JOIN ins USING (lang)) " +
+       "SELECT * FROM v0 UNION ALL SELECT * FROM v1"),
     // q176: identical hash-sign matrix, identical left-to-right folds
     // (the q158 contract), only the final ratio rounded
     "q176_jl_projection" ->
@@ -1981,8 +2022,11 @@ object SparkEntry {
     // q149: golden VALUES regenerated by MlOracleGen (the 20-round merge
     // replay has no tractable SQL twin; ScaleOpsSpec holds the
     // independent driver-side parity implementation)
-    "q149_bpe_encode" ->
-      "SELECT * FROM (VALUES ('src2', CAST(1407 AS BIGINT), CAST(6307 AS BIGINT), CAST(4594 AS BIGINT), CAST(1372877 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(5166 AS BIGINT), CAST(3767 AS BIGINT), CAST(1371383 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(6129 AS BIGINT), CAST(4388 AS BIGINT), CAST(1396763 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(6539 AS BIGINT), CAST(4768 AS BIGINT), CAST(1371434 AS BIGINT)), ('src7', CAST(1507 AS BIGINT), CAST(6719 AS BIGINT), CAST(4834 AS BIGINT), CAST(1389946 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(5680 AS BIGINT), CAST(4101 AS BIGINT), CAST(1385028 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(5827 AS BIGINT), CAST(4202 AS BIGINT), CAST(1386720 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(6158 AS BIGINT), CAST(4414 AS BIGINT), CAST(1395106 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(6217 AS BIGINT), CAST(4519 AS BIGINT), CAST(1375746 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(5184 AS BIGINT), CAST(3734 AS BIGINT), CAST(1388323 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(7055 AS BIGINT), CAST(5051 AS BIGINT), CAST(1396753 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(5829 AS BIGINT), CAST(4203 AS BIGINT), CAST(1386866 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(6135 AS BIGINT), CAST(4441 AS BIGINT), CAST(1381445 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(6934 AS BIGINT), CAST(5007 AS BIGINT), CAST(1384861 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(5923 AS BIGINT), CAST(4335 AS BIGINT), CAST(1366320 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(6261 AS BIGINT), CAST(4532 AS BIGINT), CAST(1381509 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(5950 AS BIGINT), CAST(4300 AS BIGINT), CAST(1383720 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(5723 AS BIGINT), CAST(4130 AS BIGINT), CAST(1385714 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(5883 AS BIGINT), CAST(4254 AS BIGINT), CAST(1382933 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(6890 AS BIGINT), CAST(4985 AS BIGINT), CAST(1382146 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_chars\", \"n_tokens\", \"chars_per_token_ppm\")",
+    // q149/q220 share the golden BPE accounting (bpeGoldenSql):
+    // the distributed trainer must land bit-identical to the
+    // capped-dict fast path when the cap is not binding
+    "q149_bpe_encode" -> bpeGoldenSql,
+    "q220_bpe_dist_train" -> bpeGoldenSql,
     // q151: BM25 with the score expression written token-for-token as in
     // the engine (same double tree, IEEE-identical except ln 1-ulp,
     // absorbed by the 4dp round); ties break on doc_id so the LIMIT cut
@@ -3067,6 +3111,11 @@ object SparkEntry {
     * CDC derivation and the clause algebra over the ORIGINAL table.
     * q206 (the streaming apply) shares it verbatim: the key-disjoint
     * CDC halves compose to the single-shot merge. */
+  /** q149/q220 shared golden BPE accounting (sf0.01; pinned from
+    * the independent pure-Scala recompute in ScaleOpsSpec). */
+  private lazy val bpeGoldenSql: String =
+    "SELECT * FROM (VALUES ('src2', CAST(1407 AS BIGINT), CAST(6307 AS BIGINT), CAST(4594 AS BIGINT), CAST(1372877 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(5166 AS BIGINT), CAST(3767 AS BIGINT), CAST(1371383 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(6129 AS BIGINT), CAST(4388 AS BIGINT), CAST(1396763 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(6539 AS BIGINT), CAST(4768 AS BIGINT), CAST(1371434 AS BIGINT)), ('src7', CAST(1507 AS BIGINT), CAST(6719 AS BIGINT), CAST(4834 AS BIGINT), CAST(1389946 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(5680 AS BIGINT), CAST(4101 AS BIGINT), CAST(1385028 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(5827 AS BIGINT), CAST(4202 AS BIGINT), CAST(1386720 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(6158 AS BIGINT), CAST(4414 AS BIGINT), CAST(1395106 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(6217 AS BIGINT), CAST(4519 AS BIGINT), CAST(1375746 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(5184 AS BIGINT), CAST(3734 AS BIGINT), CAST(1388323 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(7055 AS BIGINT), CAST(5051 AS BIGINT), CAST(1396753 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(5829 AS BIGINT), CAST(4203 AS BIGINT), CAST(1386866 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(6135 AS BIGINT), CAST(4441 AS BIGINT), CAST(1381445 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(6934 AS BIGINT), CAST(5007 AS BIGINT), CAST(1384861 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(5923 AS BIGINT), CAST(4335 AS BIGINT), CAST(1366320 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(6261 AS BIGINT), CAST(4532 AS BIGINT), CAST(1381509 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(5950 AS BIGINT), CAST(4300 AS BIGINT), CAST(1383720 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(5723 AS BIGINT), CAST(4130 AS BIGINT), CAST(1385714 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(5883 AS BIGINT), CAST(4254 AS BIGINT), CAST(1382933 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(6890 AS BIGINT), CAST(4985 AS BIGINT), CAST(1382146 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_chars\", \"n_tokens\", \"chars_per_token_ppm\")"
+
   private def mergeOracleSql: String =
    ("WITH src AS (SELECT doc_id, lang, " +
        "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +

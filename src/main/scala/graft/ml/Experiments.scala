@@ -17,6 +17,12 @@ import Evaluation.{crossValidate, CvMetrics, ExperimentResult}
   */
 object Experiments {
 
+  /** The concurrent-cell bound the LAST [[runGridShared]] phase 2
+    * actually ran with (== the caller's `parallelism` unless the
+    * steal-keyed throttle cap engaged) — observability for the bench
+    * artifact; -1 until a grid has run in this JVM. */
+  @volatile var lastGridParallelism: Int = -1
+
   /** One grid cell. `thresholdOrKBest` is the threshold for
     * criterion="threshold", the kBest fraction for criterion="kBest",
     * ignored for algo="supervised" (reference convention). */
@@ -209,7 +215,10 @@ object Experiments {
     }
     val handles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      // phase 1: materialize every (dataset, fold, pct) masked slice once
+      // phase 1: materialize every (dataset, fold, pct) masked slice once.
+      // The staging window (a few parallel scans + persists) doubles as
+      // the host-load sample phase 2's concurrency cap reads (below).
+      val hostT0 = graft.util.HostLoad.cpuTicks()
       val slicesByKey: Map[(String, Double), Seq[(DataFrame, DataFrame)]] =
         cells.map(c => (c.dataName, c.percentageLabeled)).distinct
           .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (dataName, keys) =>
@@ -239,9 +248,29 @@ object Experiments {
               }
             }
           }.toMap
-      // phase 2: one concurrent sweep over the whole grid
+      val hostT1 = graft.util.HostLoad.cpuTicks()
+      // phase 2: one concurrent sweep over the whole grid. The in-flight
+      // bound adapts to the host's EFFECTIVE parallelism (r18 lesson: on
+      // a hypervisor-throttled host, 32 concurrent fit chains sized for
+      // 32 real cores complete slower, so more of their live sets overlap
+      // — heap pressure and GC grow SUPERLINEARLY with the throttle while
+      // each chain's own cost is flat). Phase 1's staging window doubles
+      // as the load sample: steal measured across it scales the cap so
+      // live chains per EFFECTIVE core stay constant — grid cost then
+      // degrades linearly under throttling. An unthrottled host (steal
+      // <= 5%) keeps the caller's bound exactly; floor 8 keeps the
+      // scheduler fed even under extreme steal readings.
+      val stagingSteal = graft.util.HostLoad.stealPct(hostT0, hostT1)
+      val effectivePar =
+        if (stagingSteal > 5.0)
+          math.max(8, (parallelism * (100.0 - stagingSteal) / 100.0).toInt)
+        else parallelism
+      Experiments.lastGridParallelism = effectivePar
+      if (effectivePar < parallelism)
+        System.err.println(f"[grid] host steal $stagingSteal%.1f%% during " +
+          f"staging: capping concurrent cells $parallelism -> $effectivePar")
       Evaluation.resultsDF(datasets.head._2.sparkSession,
-        Par.mapBounded(cells.zipWithIndex, parallelism) { case (cell, i) =>
+        Par.mapBounded(cells.zipWithIndex, effectivePar) { case (cell, i) =>
           val row = toResult(cell, Evaluation.crossValidateSlices(
             slicesByKey((cell.dataName, cell.percentageLabeled)),
             fitOnMasked(cell)))

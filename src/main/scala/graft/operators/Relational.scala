@@ -1644,22 +1644,15 @@ object Relational {
     spark.read.parquet(wh).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_before")).localCheckpoint()
 
-  /** One CDC application's WRITE + TALLY core: derives the touched set,
-    * runs the pruned full-outer clause pass, rewrites the touched
-    * partitions (dropping fully-emptied ones), and returns the touched
-    * langs plus per-lang (updated, deleted, inserted) tallies from ONE
-    * aggregation over the checkpointed clause frame. Deliberately scans
-    * NO report state — q206 calls this once per micro-batch, and the
-    * before/after warehouse scans belong to the one report assembled at
-    * the end ([[mergeReport]]), not to every batch. */
-  private[graft] def mergeApplyCore(spark: SparkSession, wh: String,
-      src: DataFrame, planProbe: DataFrame => Unit = _ => ())
-      : (Seq[String], Seq[(String, Long, Long, Long)]) = {
-    // touched set: distinct source partition keys — |partitions|-bounded
-    val touched = src.select(col("s_lang")).distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
-    val target = spark.read.parquet(wh)
-    val merged0 = target.filter(col("lang").isin(touched: _*))
+  /** The three-clause MERGE projection — full-outer over the (already
+    * partition-pruned) target slice, then the DELETE/UPDATE/INSERT
+    * algebra plus a `clause` tag per row. Shared verbatim by q204/q206's
+    * copy-on-write overwrite apply and q219's VERSIONED (file-retaining)
+    * commit, so the two write disciplines cannot diverge on what a merge
+    * MEANS — only on how the post-image reaches disk. */
+  private[graft] def mergeClauseFrame(prunedTarget: DataFrame,
+      src: DataFrame): DataFrame =
+    prunedTarget
       .join(src, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
@@ -1676,6 +1669,24 @@ object Relational {
           .when(col("op") === "upd", lit("updated"))
           .when(col("op") === "ins", lit("inserted"))
           .otherwise(lit("unchanged")).as("clause"))
+
+  /** One CDC application's WRITE + TALLY core: derives the touched set,
+    * runs the pruned full-outer clause pass, rewrites the touched
+    * partitions (dropping fully-emptied ones), and returns the touched
+    * langs plus per-lang (updated, deleted, inserted) tallies from ONE
+    * aggregation over the checkpointed clause frame. Deliberately scans
+    * NO report state — q206 calls this once per micro-batch, and the
+    * before/after warehouse scans belong to the one report assembled at
+    * the end ([[mergeReport]]), not to every batch. */
+  private[graft] def mergeApplyCore(spark: SparkSession, wh: String,
+      src: DataFrame, planProbe: DataFrame => Unit = _ => ())
+      : (Seq[String], Seq[(String, Long, Long, Long)]) = {
+    // touched set: distinct source partition keys — |partitions|-bounded
+    val touched = src.select(col("s_lang")).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val target = spark.read.parquet(wh)
+    val merged0 =
+      mergeClauseFrame(target.filter(col("lang").isin(touched: _*)), src)
     // the spec inspects the PRE-materialization plan here (the
     // localCheckpoint below truncates lineage, hiding the pruned scan)
     planProbe(merged0)
@@ -1744,6 +1755,136 @@ object Relational {
         coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("sum_chars_after"), lit(0L)).as("sum_chars_after"))
+  }
+
+  /** VERSIONED reads over a lang-partitioned parquet warehouse — the
+    * time-travel primitive q204's copy-on-write merge lacks (its dynamic
+    * partition overwrite physically REPLACES touched files, so history
+    * is gone the moment the merge commits). Here a commit is a MANIFEST:
+    * the sorted list of data files that constitute version N, written
+    * crash-safe (staging + atomic rename, the [[graft.util.Staging]]
+    * idiom). A mutating commit writes its post-image as NEW files
+    * (append — parquet task files are UUID-named, so nothing collides)
+    * and the next manifest references new files for touched partitions,
+    * the PRIOR manifest's files for untouched ones; old files stay on
+    * disk, referenced only by older manifests. Read-as-of-N is then just
+    * "read exactly manifest N's files" (with basePath so the partition
+    * column survives an explicit file-list read). That is the
+    * Iceberg/Delta snapshot mechanism re-expressed over plain parquet —
+    * a real table format adds a transaction log and compaction, not
+    * different dataflow; at 100 TB the manifest is itself a table and
+    * the file list comes from the commit protocol, not this gate-scale
+    * directory walk (the walk is bounded by |files of the scratch
+    * store|, never by rows). */
+  private[graft] final class VersionedWarehouse(
+      spark: SparkSession, val wh: String) {
+    // the store is DRIVER-LOCAL scratch (listing + manifests go through
+    // java.io); every Spark read/write below addresses it with an
+    // explicit file:// scheme so a non-local default Hadoop FS cannot
+    // split the store across filesystems (the q211 lesson)
+    private def whUri = s"file://$wh"
+    private def manifestDir = new java.io.File(wh, "_manifests")
+
+    /** Relative paths of every data file currently in the store, sorted
+      * (partition dirs only — _manifests and _SUCCESS are metadata). */
+    private[graft] def listDataFiles(): Seq[String] = {
+      val root = new java.io.File(wh).toPath
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      Option(new java.io.File(wh).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .flatMap(walk)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => root.relativize(f.toPath).toString)
+        .sorted
+    }
+
+    /** Commit version `v` with exactly `files` (relative paths):
+      * staging + atomic rename so a crash never leaves a torn manifest. */
+    private[graft] def commit(v: Int, files: Seq[String]): Unit = {
+      manifestDir.mkdirs()
+      val tmp = new java.io.File(manifestDir,
+        s".staging_${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp.toPath,
+        files.sorted.mkString("\n").getBytes("UTF-8"))
+      val dst = new java.io.File(manifestDir, s"v$v")
+      if (!tmp.renameTo(dst))
+        throw new IllegalStateException(
+          s"version $v already committed at $dst")
+    }
+
+    private[graft] def manifest(v: Int): Seq[String] = {
+      val f = new java.io.File(manifestDir, s"v$v")
+      require(f.isFile, s"no manifest for version $v at $f")
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+    }
+
+    /** Read the warehouse AS OF version `v` — exactly that manifest's
+      * files; basePath keeps the lang partition column on an explicit
+      * file-list read. */
+    def asOf(v: Int): DataFrame =
+      spark.read.option("basePath", whUri)
+        .parquet(manifest(v).map(rel => s"$whUri/$rel"): _*)
+
+    /** Apply one CDC batch as version `v` WITHOUT destroying history:
+      * same clause algebra as q204 ([[mergeClauseFrame]], shared code),
+      * but the post-image of the touched partitions lands as NEW files
+      * and version v-1's files are left untouched on disk. Returns the
+      * touched partition set. */
+    def commitMerge(v: Int, src: DataFrame): Seq[String] = {
+      val touched = src.select(col("s_lang")).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      val prior = manifest(v - 1)
+      val before = listDataFiles().toSet
+      val pruned = asOf(v - 1).filter(col("lang").isin(touched: _*))
+      mergeClauseFrame(pruned, src)
+        .filter(col("clause") =!= "deleted").drop("clause")
+        .write.mode("append").partitionBy("lang").parquet(whUri)
+      val newFiles = listDataFiles().filterNot(before)
+      commit(v, prior.filterNot(f =>
+        touched.exists(l => f.startsWith(s"lang=$l/"))) ++ newFiles)
+      touched
+    }
+  }
+
+  /** q219: WAREHOUSE TIME TRAVEL — the versioned-read primitive a
+    * reproducible training pipeline needs on top of q193's freeze
+    * manifests: "query the warehouse AS OF manifest N", with N=0 still
+    * answering bit-exactly AFTER a merge has changed the table. The
+    * gate builds a scratch lang-partitioned store (v0), applies the
+    * q204 CDC batch as a VERSIONED commit (v1 — same clause algebra,
+    * shared [[mergeClauseFrame]]; history-retaining file-level COW
+    * instead of q204's destructive overwrite), then reads BOTH versions
+    * through their manifests and aggregates per (version, lang). The
+    * DuckDB oracle replays v0 from the original table and v1 from the
+    * CDC algebra — so the compare pins that as-of-0 still equals the
+    * pre-merge state (time travel) AND that as-of-1 equals the merged
+    * post-image (the commit), through real on-disk manifests.
+    * Scale shape: one partitioned write per version touching only its
+    * changed partitions; reads prune to the manifest's file list before
+    * any row is touched — the same k/n-partitions lever as q204, plus
+    * history for free because retained files are never rewritten. */
+  def q219TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q219_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      // v0: the initial partitioned store + its manifest
+      docs.write.partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commit(0, vw.listDataFiles())
+      vw.commitMerge(1, cdcSource(docs))
+      // ≤ 2·|langs| rows by here; materialize before the scratch dies
+      Seq(0, 1).map { v =>
+        vw.asOf(v).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("bigint")).as("sum_chars"))
+          .select(lit(v.toLong).as("version"), col("lang"),
+            col("n_docs"), col("sum_chars"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
   }
 
   /** The (lang, family) dimension as a real parquet table — staged once

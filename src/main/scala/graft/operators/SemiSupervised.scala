@@ -310,7 +310,11 @@ object SemiSupervised {
     * and 1 — provably row-disjoint, so per-dataset metrics must differ)
     * plus the CSV-ingested Keel frame (q84's staged fixture, through the
     * real reader + featurization pipeline). */
-  def qGridDatasets(spark: SparkSession, dir: String): DataFrame = {
+  /** q177's dataset axis, by name — factored so the bench's tranche
+    * probes ([[qGridDatasetsTranche]]) run EXACTLY the frames the
+    * monolithic query grids over. */
+  private def gridDatasetFrame(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     // stride 4 (q141's frame size): the 120 cells are OVERHEAD-dominated
     // (240 fit+evaluate chains at ~0.2 s fixed cost each — measured:
     // shrinking rows 4× saved almost nothing and made 10%-labeled folds
@@ -322,16 +326,24 @@ object SemiSupervised {
         array_to_vector(transform(slice(col("embedding"), 1, 32),
           x => abs(x))).as("features"),
         (col("label") % 2).cast("double").as("label"))
-    def keelCsvFrame(): DataFrame = {
-      val (raw, featureCols, labelIn) = graft.sources.Ingestion
-        .loadKeelCsv(spark, s"${stageKeelCsv(spark, dir)}/*.csv")
-      graft.ml.Featurization.pipeline(featureCols.toSeq, Nil, labelIn)
-        .fit(raw).transform(raw).select(col("features"), col("label"))
+    name match {
+      case "emb_res0" => frame(0)
+      case "emb_res1" => frame(1)
+      case "keel_csv" =>
+        val (raw, featureCols, labelIn) = graft.sources.Ingestion
+          .loadKeelCsv(spark, s"${stageKeelCsv(spark, dir)}/*.csv")
+        graft.ml.Featurization.pipeline(featureCols.toSeq, Nil, labelIn)
+          .fit(raw).transform(raw).select(col("features"), col("label"))
+      case other => throw new IllegalArgumentException(
+        s"unknown grid dataset '$other'")
     }
+  }
+
+  def qGridDatasets(spark: SparkSession, dir: String): DataFrame = {
     val datasets = Map(
-      "emb_res0" -> frame(0),
-      "emb_res1" -> frame(1),
-      "keel_csv" -> keelCsvFrame())
+      "emb_res0" -> gridDatasetFrame(spark, dir, "emb_res0"),
+      "emb_res1" -> gridDatasetFrame(spark, dir, "emb_res1"),
+      "keel_csv" -> gridDatasetFrame(spark, dir, "keel_csv"))
     // q141's EXACT 40-cell cross-product, replicated per dataset: the
     // reference's AllResults artifact is full-roster × both label
     // fractions over EVERY dataset, and 3 × 40 = 120 cells is the
@@ -345,6 +357,30 @@ object SemiSupervised {
       maxIter = 1))
     Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
       parallelism = 32)
+  }
+
+  /** ONE of q177's three 40-cell dataset tranches, as its own
+    * separately-timed grid run — the bench's adjudication probe for the
+    * monolithic q177 (r18: a 570 s driver-host first sample vs a 74 s
+    * builder-host sample, same code, with no way to name WHICH portion
+    * of the 120-cell run absorbed the pollution). Same frame, same
+    * 40-cell product, same runner; the only difference from the
+    * monolith is that the three datasets no longer interleave in one
+    * work queue, so Σ(tranches) upper-bounds the monolith's steady
+    * state. NOT a gate query — no oracle entry; the bench times it
+    * between calib probes and stamps each tranche's own JVM/host
+    * deltas. */
+  def qGridDatasetsTranche(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val cells = Experiments.grid(name,
+      classifiers = Seq("DT", "RF", "NB", "LR"),
+      algos = Seq("ST", "CT", "supervised"),
+      pcts = Seq(0.1, 0.3),
+      criterionValues = Map("threshold" -> Seq(0.8), "kBest" -> Seq(0.5)),
+      maxIter = 1)
+    Experiments.runGridShared(
+      Map(name -> gridDatasetFrame(spark, dir, name)), cells,
+      k = 2, seed = 8L, parallelism = 32)
   }
 
   /** q199: GRID RESUME — the restartability the reference's real workload

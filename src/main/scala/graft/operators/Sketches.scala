@@ -694,17 +694,26 @@ object Sketches {
     * tie-break on BOTH sides so the cut is engine-deterministic (q31's
     * ranking contract). */
   def q175WeightedSample(spark: SparkSession, dir: String,
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    aesKeys(Tables.load(spark, dir, "documents"))
+      .orderBy(col("key_micro").asc, col("doc_id").asc)
+      .limit(k)
+
+  /** The A-ES key projection (doc_id, key_micro) over any (doc_id,
+    * n_chars) frame — factored so the q218 STREAMING twin computes its
+    * standing bottom-k state through the IDENTICAL expression tree as
+    * batch q175's TakeOrderedAndProject (bit-identity is the twin's
+    * contract; the key is a pure hash function of the row, so replays
+    * carry identical pairs). */
+  private[graft] def aesKeys(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.sketch60
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("n_chars").cast("double").as("w"),
         ((pmod(sketch60(concat(lit("aes:"), col("doc_id"))),
           lit(1152921504606846976L)).cast("double") + 1.0) /
           1.152921504606846976e18).as("u"))
       .select(col("doc_id"),
         round(-log(col("u")) / col("w") * 1000000.0, 4).as("key_micro"))
-      .orderBy(col("key_micro").asc, col("doc_id").asc)
-      .limit(k)
   }
 
   /** q167: THE PRE-TRAINING DATA PATH, END TO END, AS ONE PLAN — quality
@@ -1190,19 +1199,26 @@ object Sketches {
           col("user_id"))
         .groupBy(col("event_type"), col("b")).agg(max(col("rho")).as("r"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q211")
+    // explicit file: scheme — the staging dir is DRIVER-LOCAL (java.nio),
+    // so on a deployment whose default Hadoop FS is not the local disk a
+    // schemeless path would write the parquet to the default FS while the
+    // finally-block deletes the local dir: a silent leak and a broken
+    // roundtrip. Addressing reads and writes through file:// pins both
+    // sides of the roundtrip to the filesystem the cleanup sweeps.
+    val tmpUri = s"file://$tmp"
     try {
       // materialize the base view: a genuine parquet round-trip, so the
       // refresh below provably starts from stored state, not lineage
       counts(ev.filter(!isDelta)).write
-        .parquet(s"$tmp/mv_counts")
-      regs(ev.filter(!isDelta)).write.parquet(s"$tmp/mv_regs")
+        .parquet(s"$tmpUri/mv_counts")
+      regs(ev.filter(!isDelta)).write.parquet(s"$tmpUri/mv_regs")
       val delta = ev.filter(isDelta)
-      val mergedCounts = spark.read.parquet(s"$tmp/mv_counts")
+      val mergedCounts = spark.read.parquet(s"$tmpUri/mv_counts")
         .unionByName(counts(delta))
         .groupBy(col("event_type"))
         .agg(sum(col("n_events")).as("n_events"),
           sum(col("sum_cents")).as("sum_cents"))
-      val mergedRegs = spark.read.parquet(s"$tmp/mv_regs")
+      val mergedRegs = spark.read.parquet(s"$tmpUri/mv_regs")
         .unionByName(regs(delta))
         .groupBy(col("event_type"), col("b")).agg(max(col("r")).as("r"))
       val est = hllEstimates(mergedRegs.groupBy(col("event_type"))

@@ -688,22 +688,60 @@ object TextAnalysis {
       nMerges: Int = 20): DataFrame =
     bpeEncode(Tables.load(spark, dir, "documents"), nMerges)
 
+  /** q220: q149's accounting with the CAP-FREE distributed trainer —
+    * see [[bpeEncodeDistributed]]; shares q149's golden oracle verbatim
+    * (bit-identical output is the parity claim). */
+  def q220BpeDistTrain(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame =
+    bpeEncodeDistributed(Tables.load(spark, dir, "documents"), nMerges)
+
   /** q149's engine over any (source, text) frame — the spec's parity and
-    * greedy-overlap fixtures drive this directly. */
+    * greedy-overlap fixtures drive this directly. Training uses the
+    * capped-dict driver fold (the small-corpus fast path); see
+    * [[bpeEncodeDistributed]] for the cap-free trainer. */
   def bpeEncode(docs: DataFrame, nMerges: Int,
-      vocabCap: Int = 1 << 20): DataFrame = {
+      vocabCap: Int = 1 << 20): DataFrame =
+    bpeEncodeWith(docs, wordFreq => {
+      val dict = wordFreq.orderBy(col("f").desc, col("w").asc)
+        .limit(vocabCap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      trainMerges(dict, nMerges)
+    })
+
+  /** q220: [[bpeEncode]] with VOCABULARY-SCALE training — the driver
+    * fold's 2²⁰-row dict cap is the one design boundary the capped path
+    * keeps on the books (at 100 TB multilingual scale the distinct-word
+    * set exceeds ANY driver cap), so the trainer here runs each merge
+    * round as a DISTRIBUTED pair count over the full word-frequency
+    * frame (the q108 machinery iterated): fold the merges learned so
+    * far into the symbol arrays, explode adjacent pairs, one map-side-
+    * combined |pairs|-key aggregation, and take the argmax under the
+    * SAME total order as the driver trainer (count DESC, pair ASC).
+    * Exactly ONE row crosses the driver per round — no vocabulary-sized
+    * structure ever does, which is the scale contract the capped path
+    * cannot make. When the cap is not binding the two trainers are
+    * bit-identical (same argmax order ⇒ same merge list ⇒ same encode;
+    * parity-asserted in ScaleOpsSpec, and q220 shares q149's golden
+    * oracle verbatim), and when it IS binding only this path is
+    * correct (pinned by the spec's tiny-cap divergence fixture). */
+  def bpeEncodeDistributed(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeEncodeWith(docs, trainMergesDistributed(_, nMerges))
+
+  /** The shared encode/rollup body: one corpus shuffle builds the
+    * (word, freq) frame, `trainer` learns the merge list from it, and
+    * the encode applies the folded merge chain over DISTINCT words
+    * (memoized by construction) before the per-source rollup join. */
+  private def bpeEncodeWith(docs: DataFrame,
+      trainer: DataFrame => Seq[(String, String)]): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val words = docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
-    // one corpus shuffle; persisted because the dict collect and the
+    // one corpus shuffle; persisted because the trainer and the
     // distinct-word encode both read it
     val wordFreq = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
       .persist(MEMORY_AND_DISK)
-    val dict = wordFreq.orderBy(col("f").desc, col("w").asc)
-      .limit(vocabCap)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val merges = trainMerges(dict, nMerges)
+    val merges = trainer(wordFreq)
     val encoded = wordFreq.select(col("w"),
       length(col("w")).cast("bigint").as("n_chr"),
       size(foldedSyms(merges)).cast("bigint").as("n_tok"))
@@ -1116,6 +1154,44 @@ object TextAnalysis {
           (out.toArray, f)
         }
       }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Cap-free DISTRIBUTED BPE merge learning over the full (w, f)
+    * word-frequency frame — [[trainMerges]]' scale twin (q220). Each
+    * round re-derives the current symbol arrays by folding the merges
+    * learned so far ([[foldedSyms]] — a fresh expression over the
+    * persisted frame, so no InMemoryRelation nesting accumulates across
+    * rounds, the failure mode that killed the looped-DataFrame draft),
+    * explodes adjacent pairs with their word frequencies, and takes the
+    * argmax of one map-side-combined aggregation under the driver
+    * trainer's exact total order (count DESC, a ASC, b ASC). Exactly
+    * one (a, b, count) row crosses the driver per round; the plan never
+    * holds a vocabulary-sized structure anywhere but the executors.
+    * Cost: nMerges jobs over the persisted word frame, each one scan +
+    * one |pairs|-key exchange — the honest price of training where no
+    * driver cap is sound. */
+  private[graft] def trainMergesDistributed(wordFreq: DataFrame,
+      nMerges: Int): Seq[(String, String)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = wordFreq
+        .select(col("f"), foldedSyms(merges.toSeq).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else merges += ((top(0).getString(0), top(0).getString(1)))
       round += 1
     }
     merges.toSeq

@@ -1056,4 +1056,44 @@ object EventStreams {
         nTotal, c)
     } finally graft.util.Fs.deleteRecursively(tmp.toString)
   }
+
+  /** q218: STREAMING WEIGHTED SAMPLING — batch q175's Efraimidis–
+    * Spirakis A-ES sample maintained as standing streaming state, the
+    * fourth member of the q163≡q160 / q205≡q203 / q212≡q208 bridge
+    * family: a length-weighted without-replacement sample over an
+    * unbounded document feed, with state = the k smallest (key_micro,
+    * doc_id) pairs — exactly a KMV-shaped bottom-k, because A-ES's
+    * whole reduction IS "weighted sampling = bottom-k of −ln(u)/w".
+    * Each micro-batch folds through [[graft.functions
+    * .AesBottomKAggregator]]; keys come from [[graft.operators.Sketches
+    * .aesKeys]], the IDENTICAL expression tree batch q175 sorts by, and
+    * the state is a set-function of the multiset (the key is a pure
+    * hash of the row), so replayed rows and batch boundaries are
+    * invisible — the drained sample is BIT-IDENTICAL to batch q175's
+    * TakeOrderedAndProject (parity-asserted in SketchSetOpsSpec) and
+    * the query shares q175's oracle VERBATIM. Staging: the documents
+    * file twice (q163's duplicated-file staging — a bottom-k of pure
+    * row functions must shrug off at-least-once delivery). */
+  def qStreamWeightedSample(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame =
+    withStagedDir(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        "docs_a.parquet", "docs_b.parquet") { tmp =>
+      import spark.implicits._
+      val keys = graft.operators.Sketches.aesKeys(
+        spark.readStream
+          .schema(inferredSchema(spark, tmp))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(tmp))
+      val sk = keys.select(col("key_micro"), col("doc_id"))
+        .as[(Double, Long)]
+        .groupByKey(_ => 0)
+        .agg(new graft.functions.AesBottomKAggregator(k).toColumn
+          .name("sample"))
+        .toDF("g", "sample")
+      runToMemory(spark, sk, s"q218_stream_${System.nanoTime()}",
+          OutputMode.Complete())
+        .select(explode(col("sample")).as("p"))
+        .select(col("p._2").as("doc_id"), col("p._1").as("key_micro"))
+        .orderBy(col("key_micro").asc, col("doc_id").asc)
+    }
 }

@@ -601,6 +601,61 @@ class PlanSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(scratch)
   }
 
+  test("q219 time travel: post-merge as-of-0 equals the frozen pre-merge state") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_q219_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    docs.write.partitionBy("lang").parquet(s"file://$scratch/wh")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/wh")
+    vw.commit(0, vw.listDataFiles())
+    val cols = Seq("doc_id", "source", "n_chars", "lang").map(col)
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(cols: _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    val preMerge = snap(docs)
+    val v0Listing = vw.listDataFiles().map { rel =>
+      val f = new java.io.File(s"$scratch/wh", rel)
+      rel -> ((f.lastModified(), f.length()))
+    }.toMap
+    val touched = vw.commitMerge(1, graft.operators.Relational
+      .cdcSource(docs))
+    assert(touched === Seq("de", "en"))
+    // v0's files are PHYSICALLY untouched (name, mtime, size) — history
+    // retention is what distinguishes the versioned commit from q204's
+    // destructive dynamic-partition overwrite
+    v0Listing.foreach { case (rel, sig) =>
+      val f = new java.io.File(s"$scratch/wh", rel)
+      assert(f.isFile && (f.lastModified(), f.length()) === sig,
+        s"v0 file $rel was rewritten or removed by the merge commit")
+    }
+    // the time-travel contract: an as-of-0 read AFTER the merge equals
+    // the pre-merge table bit for bit
+    assert(snap(vw.asOf(0)) === preMerge)
+    // and as-of-1 reflects the merge: a deleted key is gone, an
+    // inserted key is present, an updated key carries +1000 chars
+    val v1 = vw.asOf(1).select(cols: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val delKey = preMerge.collectFirst { case s
+      if s.head.asInstanceOf[Long] % 15 == 0 &&
+        Seq("en", "de").contains(s(3)) => s.head.asInstanceOf[Long] }.get
+    assert(!v1.contains(delKey), s"deleted doc $delKey survives in v1")
+    val updSeq = preMerge.find { s =>
+      val id = s.head.asInstanceOf[Long]
+      id % 5 == 0 && id % 15 != 0 && Seq("en", "de").contains(s(3))
+    }.get
+    val updKey = updSeq.head.asInstanceOf[Long]
+    assert(v1(updKey).getLong(2) ===
+      updSeq(2).asInstanceOf[Number].longValue() + 1000L)
+    val insKey = preMerge.collectFirst { case s
+      if s.head.asInstanceOf[Long] % 17 == 0 &&
+        Seq("en", "de").contains(s(3)) =>
+        s.head.asInstanceOf[Long] + 1000000L }.get
+    assert(v1.contains(insKey) && v1(insKey).getLong(2) === 42L)
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
   test("mergeApply drops a fully-emptied partition's directory (COW delete)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

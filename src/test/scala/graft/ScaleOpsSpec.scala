@@ -1893,6 +1893,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("q220 distributed BPE trainer is bit-identical to the capped driver fold (and cap-free)") {
+    import org.apache.spark.sql.functions.{count => cnt, _}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text"))
+    val wordFreq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(cnt(lit(1)).as("f"))
+      .persist()
+    try {
+      val dict = wordFreq.orderBy(col("f").desc, col("w").asc)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val driver = graft.operators.TextAnalysis.trainMerges(dict, 20)
+      val dist = graft.operators.TextAnalysis
+        .trainMergesDistributed(wordFreq, 20)
+      // same argmax total order => same merge list, round for round
+      assert(dist === driver)
+      // CAP-FREE: a driver dict capped to 25 words trains on a mutilated
+      // pair census and diverges; the distributed trainer has no cap to
+      // bind — it must still equal the UNCAPPED driver fold
+      val capped = graft.operators.TextAnalysis
+        .trainMerges(dict.take(25), 20)
+      assert(capped !== driver,
+        "fixture too small: the 25-word cap did not bind, pick a smaller cap")
+      assert(dist === driver)
+      // end-to-end: q220's accounting equals q149's bit for bit (the
+      // shared-golden-oracle claim the gate makes)
+      val q149 = SparkEntry.queries("q149_bpe_encode")(spark, sf)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val q220 = SparkEntry.queries("q220_bpe_dist_train")(spark, sf)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(q220 === q149)
+    } finally wordFreq.unpersist()
+  }
+
   test("q155 token ids equal an independent driver-side encode (ids + order-sensitive checksums)") {
     import scala.collection.mutable
     val docs = graft.sources.Tables.load(spark, sf, "documents")

@@ -74,7 +74,8 @@ class SketchSetOpsSpec extends AnyFunSuite {
       val parts = xs.zipWithIndex.groupBy { case (v, j) => (j * 13 + i) % nParts }
         .values.map(_.map(_._1)).toVector
       val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
-      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      // finish() converts the mutable buffer to the immutable output map
+      val merged = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
       assert(merged.size <= c, "summary must stay bounded")
       val heavy = truth.filter { case (_, cnt) => cnt * (c + 1) > n }.keySet
       assert(heavy.subsetOf(merged.keySet),
@@ -121,6 +122,43 @@ class SketchSetOpsSpec extends AnyFunSuite {
     val stream = graft.streaming.EventStreams.qStreamKmv(spark, sf)
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     assert(stream === batch)
+  }
+
+  // ---- A-ES bottom-k kernel (q218's state) ----
+
+  test("A-ES bottom-k: reduce+merge over any partitioning equals direct sort (property)") {
+    val agg = new graft.functions.AesBottomKAggregator(6)
+    var seed = org.scalacheck.rng.Seed(29L)
+    // small key domain → frequent key ties, exercising the id tie-break;
+    // duplicated (key, id) pairs model at-least-once replay
+    val pairGen = for {
+      k <- Gen.chooseNum(0, 9)
+      id <- Gen.chooseNum(0L, 30L)
+    } yield (k.toDouble / 4.0, id)
+    val streamGen = Gen.listOf(pairGen)
+    for (i <- 1 to 300) {
+      val xs = streamGen.pureApply(params, seed); seed = seed.next
+      val nParts = 1 + (i % 5)
+      val parts = xs.zipWithIndex.groupBy { case (_, j) =>
+        (j * 13 + i) % nParts
+      }.values.map(_.map(_._1)).toVector
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val m1 = partials.foldLeft(agg.zero)(agg.merge)
+      val m2 = partials.reverse.foldLeft(agg.zero)(agg.merge)
+      val expect = xs.distinct.sortBy(p => (p._1, p._2)).take(6).toVector
+      assert(m1.toVector === expect, s"xs=$xs parts=$parts")
+      assert(m2.toVector === expect, "merge must be order-insensitive")
+    }
+  }
+
+  test("q218 streaming A-ES sample is bit-identical to batch q175 (sf0.001)") {
+    val batch = graft.operators.Sketches.q175WeightedSample(spark, sf)
+      .collect().map(_.toSeq)
+    val stream = graft.streaming.EventStreams
+      .qStreamWeightedSample(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream === batch)
+    assert(batch.length === 20)
   }
 
   test("q211: refreshed view is invariant to the delta split (IVM contract)") {

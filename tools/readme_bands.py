@@ -78,6 +78,23 @@ lines = [
     "hypervisor-throttled: read its timings as lower-bounded, not as a "
     "regression; cross-round comparisons are only meaningful between "
     "artifacts whose steal columns agree.",
+    "CPU-capping rule (r19): steal is zero when the hypervisor caps "
+    "bandwidth instead of preempting (the r18 q177 class: 570 s first "
+    "sample, steal 3.9%, gc clean). Every grid-class first sample and "
+    "every retime carries `spinPre` — an all-thread fixed pure-CPU "
+    "probe timed just before the sample — and `jvm.spinSec` holds "
+    "[reference, post-first-pass, post-retime]. A sample whose "
+    "spinPre exceeds ~1.3x the reference ran CPU-capped: read it as "
+    "lower-bounded. First samples >= 2 s carry their own "
+    "gcSec/cgEntries/heapMb/steal deltas in `firstJvm` (the first "
+    "pass is adjudicable per query, not just per phase).",
+    "q177 tranche rule (r19): `q177Tranches` times the three 40-cell "
+    "dataset tranches separately, each with its own calm + "
+    "spin/steal/gc stamps and a following 1-s ML probe. The tranche "
+    "sum UPPER-bounds the monolithic q177 steady state (tranches "
+    "forfeit the cross-dataset interleave), so q177-first >> "
+    "tranche-sum names the first sample as polluted, and a single "
+    "inflated tranche names the polluted window.",
 ]
 # apply the rule to THIS artifact: name any polluted retimes so the
 # reader doesn't have to re-derive the arithmetic from the JSON
@@ -85,6 +102,7 @@ rjvm = d.get("retimedJvm", {})
 rcal = d.get("retimeCalib", [])
 ml_post = calib_ml[1] if len(calib_ml) > 1 else None
 flagged = []
+spin_ref = (jvm.get("spinSec") or [None])[0]
 for name, st in rjvm.items():
     second = rt.get(name)
     if second is None or second <= 0:
@@ -95,6 +113,22 @@ for name, st in rjvm.items():
     if st.get("stealPct", 0.0) > 5.0:
         flagged.append(f"{name} (host steal {st['stealPct']:.1f}% during "
                        f"a {second:.1f} s sample)")
+    if spin_ref and st.get("spinPre", 0.0) > 1.3 * spin_ref:
+        flagged.append(f"{name} (spin probe {st['spinPre']:.2f} s vs "
+                       f"{spin_ref:.2f} s reference — CPU-capped window)")
+# same spin rule over the FIRST-pass ledger
+for name, st in d.get("firstJvm", {}).items():
+    sp = st.get("spinPre")
+    if spin_ref and sp and sp > 1.3 * spin_ref:
+        flagged.append(f"{name} first sample (spin probe {sp:.2f} s vs "
+                       f"{spin_ref:.2f} s reference — CPU-capped window)")
+    fs = st.get("sec", 0.0)
+    if fs > 0 and st.get("gcSec", 0.0) > 0.25 * fs:
+        flagged.append(f"{name} first sample (gc {st['gcSec']:.1f} s in "
+                       f"{fs:.1f} s)")
+    if st.get("stealPct", 0.0) > 5.0:
+        flagged.append(f"{name} first sample (host steal "
+                       f"{st['stealPct']:.1f}%)")
 if ml_post:
     hot = [p for p in rcal if p.get("calibMl", 0) > 1.3 * ml_post]
     for p in hot:
@@ -115,7 +149,19 @@ if jvm:
             f"Cumulative GC s {jvm['gcSec']} (the retime phase forces a "
             f"full GC before each sample — most of the tail is that), "
             f"used heap MB {jvm.get('heapMb')}, CacheManager entries "
-            f"{jvm.get('cachedPlans')}.")
+            f"{jvm.get('cachedPlans')}"
+            + (f", spin probe s {triple(jvm['spinSec'])}"
+               if jvm.get("spinSec") else "") + ".")
+tr = d.get("q177Tranches", [])
+if tr:
+    t_sum = sum(t.get("sec", 0.0) for t in tr)
+    parts = "; ".join(
+        f"{t['tranche']} {t['sec']:.1f} s (spin {t.get('spinPre', -1):.2f}, "
+        f"steal {t.get('stealPct', -1):.1f}%, gc {t.get('gcSec', 0):.1f} s, "
+        f"probe-after {t.get('calibMlAfter', -1):.2f} s)" for t in tr)
+    lines.append(
+        f"q177 tranches (sum {t_sum:.1f} s, an upper bound of the "
+        f"monolith's steady state): {parts}.")
 block = ("<!-- BENCH_BANDS_BEGIN: generated by tools/readme_bands.py from "
          "BENCH_detail.json - do not hand-edit -->\n"
          + "\n".join(lines) +
