@@ -472,9 +472,11 @@ object Bench {
     // the query's own steal window, and for grid-class the pre-sample
     // all-thread spin probe — the CPU-capping channel steal cannot see).
     val firstJvm = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Double, Long, Long, Long, Double, Double)]
-    // (name, elapsed, gcΔ, cgΔ, heap0, heap1, steal, spinPre — spinPre
-    // is -1 for non-grid-class queries, where no pre-sample probe ran)
+      .empty[(String, Double, Double, Long, Long, Long, Double, Double, Int)]
+    // (name, elapsed, gcΔ, cgΔ, heap0, heap1, steal, spinPre, gridPar —
+    // spinPre is -1 for non-grid-class queries (no pre-sample probe ran);
+    // gridPar is the steal-capped concurrent-cell bound the query's
+    // runGridShared actually used, -1 for non-grid queries)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val isGrid = gridClass(name)
       val spinPre = if (isGrid) { calmJvm(); spinSecs() } else -1.0
@@ -489,7 +491,8 @@ object Bench {
       val gc1 = jvmGcHeap(); val cg1 = codegenCacheEntries()
       if (isGrid || elapsed >= 2.0)
         firstJvm += ((name, elapsed, gc1._1 - gc0._1, cg1 - cg0,
-          gc0._2, gc1._2, stealPct(host0, host1), spinPre))
+          gc0._2, gc1._2, stealPct(host0, host1), spinPre,
+          if (isGrid) graft.ml.Experiments.lastGridParallelism else -1))
       // Between timed queries, drop per-query scratch blocks (persisted /
       // localCheckpoint'd frames whose queries have fully materialized).
       // Without this they linger until a GC cycle notices the dropped
@@ -680,7 +683,8 @@ object Bench {
       val probe = calibMlSecs()
       err.foreach(m => System.err.println(s"[bench] tranche $tn FAILED: $m"))
       (tn, dt, gc1._1 - gc0._1, cg1 - cg0, gc0._2, gc1._2,
-        stealPct(h0, h1), spinT, probe)
+        stealPct(h0, h1), spinT, probe,
+        graft.ml.Experiments.lastGridParallelism)
     }
     calibMlDf.unpersist(false)
     // The harness keeps only the LAST ~2000 chars of stdout: 140 per-query
@@ -772,19 +776,20 @@ object Bench {
     // (+ the pre-sample spin for grid-class) — the r18 gap that made the
     // 570 s q177 first sample unadjudicable
     val firstJvmJson = firstJvm.map {
-      case (n, el, gcd, cgd, h0, h1, st, sp) =>
+      case (n, el, gcd, cgd, h0, h1, st, sp, gp) =>
         s""""${shortKey(n)}":{"sec":${sec(el)},"gcSec":${sec(gcd)},""" +
           s""""cgEntries":$cgd,"heapMb":[$h0,$h1],""" +
           s""""stealPct":${sec(st)}""" +
-          (if (sp >= 0) s""","spinPre":${sec(sp)}""" else "") + "}"
+          (if (sp >= 0) s""","spinPre":${sec(sp)}""" else "") +
+          (if (gp >= 0) s""","gridPar":$gp""" else "") + "}"
     }.mkString("{", ",", "}")
     // q177 tranche sub-phases (detail; compact secs triple on stdout)
     val tranchesJson = tranches.map {
-      case (tn, dt, gcd, cgd, h0, h1, st, sp, probe) =>
+      case (tn, dt, gcd, cgd, h0, h1, st, sp, probe, gp) =>
         s"""{"tranche":"$tn","sec":${sec(dt)},"gcSec":${sec(gcd)},""" +
           s""""cgEntries":$cgd,"heapMb":[$h0,$h1],""" +
           s""""stealPct":${sec(st)},"spinPre":${sec(sp)},""" +
-          s""""calibMlAfter":${sec(probe)}}"""
+          s""""calibMlAfter":${sec(probe)},"gridPar":$gp}"""
     }.mkString("[", ",", "]")
     val retimeDetail =
       s""","retimedJvm":$retimedJvmJson,"retimeCalib":$retimeCalibJson""" +

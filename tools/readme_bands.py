@@ -134,9 +134,17 @@ if ml_post:
     for p in hot:
         flagged.append(f"probe after {p['after']} read "
                        f"{p['calibMl']:.2f} vs {ml_post:.2f} post")
+# on a persistently-throttled host nearly every sample carries a flag;
+# cap the inline list so the README stays readable — the full per-sample
+# stamps live in BENCH_detail.json
+MAX_FLAGS = 12
+shown = flagged[:MAX_FLAGS]
+more = len(flagged) - len(shown)
 lines.append(
-    "Retimes flagged by that rule in this artifact: "
-    + ("; ".join(flagged) if flagged else "none") + ".")
+    "Samples flagged by those rules in this artifact ("
+    f"{len(flagged)} total; full stamps in BENCH_detail.json): "
+    + ("; ".join(shown) if shown else "none")
+    + (f"; … +{more} more" if more > 0 else "") + ".")
 if jvm:
     lines.append(
         f"JVM state at the same three points: codegen-cache entries "
