@@ -364,6 +364,10 @@ object SparkEntry {
       graft.operators.Relational.q219TimeTravel(s, d)),
     "q220_bpe_dist_train"     -> ((s: SparkSession, d: String) =>
       graft.operators.TextAnalysis.q220BpeDistTrain(s, d)),
+    "q221_expire_snapshots"   -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q221ExpireSnapshots(s, d)),
+    "q222_change_feed"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q222ChangeFeed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1902,6 +1906,54 @@ object SparkEntry {
        "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars " +
        "FROM af0 LEFT JOIN ins USING (lang)) " +
        "SELECT * FROM v0 UNION ALL SELECT * FROM v1"),
+    // q221: the v1 aggregates replay from the CDC algebra; both file
+    // counts are pure functions of the touched set (one file per lang
+    // per commit by construction) — n_files = 1 everywhere, n_removed =
+    // 1 exactly for the touched langs whose v0 file lost its last
+    // manifest reference
+    "q221_expire_snapshots" ->
+      ("WITH src AS (SELECT doc_id, lang, " +
+       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
+       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
+       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
+       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+       "surv AS (SELECT d.lang, " +
+       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END " +
+       "AS nc FROM documents d LEFT JOIN " +
+       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
+       "WHERE s.op IS NULL OR s.op = 'upd'), " +
+       "af0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(sum(nc) AS BIGINT) AS s FROM surv GROUP BY 1), " +
+       "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src " +
+       "WHERE op = 'ins' GROUP BY 1) " +
+       "SELECT af0.lang, af0.n + coalesce(ins.n, 0) AS n_docs, " +
+       "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars, " +
+       "CAST(1 AS BIGINT) AS n_files, " +
+       "CAST(CASE WHEN af0.lang IN ('en','de') THEN 1 ELSE 0 END " +
+       "AS BIGINT) AS n_removed " +
+       "FROM af0 LEFT JOIN ins USING (lang)"),
+    // q222: per-clause counts + net char deltas replay directly from
+    // the CDC derivation (update = +1000 each, insert = +42 each,
+    // delete = -the deleted docs' original chars)
+    "q222_change_feed" ->
+      ("WITH src AS (SELECT doc_id, lang, " +
+       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
+       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
+       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
+       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+       "del AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_rows, " +
+       "-CAST(sum(d.n_chars) AS BIGINT) AS delta_chars " +
+       "FROM documents d JOIN src s USING (doc_id) WHERE s.op = 'del' " +
+       "GROUP BY 1), " +
+       "upd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, " +
+       "CAST(1000 * count(*) AS BIGINT) AS delta_chars FROM src " +
+       "WHERE op = 'upd' GROUP BY 1), " +
+       "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, " +
+       "CAST(42 * count(*) AS BIGINT) AS delta_chars FROM src " +
+       "WHERE op = 'ins' GROUP BY 1) " +
+       "SELECT lang, 'delete' AS op, n_rows, delta_chars FROM del " +
+       "UNION ALL SELECT lang, 'update', n_rows, delta_chars FROM upd " +
+       "UNION ALL SELECT lang, 'insert', n_rows, delta_chars FROM ins"),
     // q176: identical hash-sign matrix, identical left-to-right folds
     // (the q158 contract), only the final ratio rounded
     "q176_jl_projection" ->

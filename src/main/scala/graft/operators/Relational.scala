@@ -1841,12 +1841,47 @@ object Relational {
       val pruned = asOf(v - 1).filter(col("lang").isin(touched: _*))
       mergeClauseFrame(pruned, src)
         .filter(col("clause") =!= "deleted").drop("clause")
+        // one file per touched partition per commit (hash-partition by
+        // lang: each lang's post-image lands in exactly one task) — the
+        // Delta-style delta-commit layout, which also makes the commit's
+        // file count a pure function of the CDC batch (q221's expiration
+        // accounting reads it). A production store sizes output files by
+        // bytes; a CDC batch's per-partition delta is the small side.
+        .repartition(math.max(touched.size, 1), col("lang"))
         .write.mode("append").partitionBy("lang").parquet(whUri)
       val newFiles = listDataFiles().filterNot(before)
       commit(v, prior.filterNot(f =>
         touched.exists(l => f.startsWith(s"lang=$l/"))) ++ newFiles)
       touched
     }
+
+    /** SNAPSHOT EXPIRATION (vacuum) — the maintenance half of time
+      * travel: drop every version NOT in `retain`, then delete the data
+      * files no retained manifest references. Reference-counted at FILE
+      * granularity, so a file shared by a retained and an expired
+      * version survives (untouched partitions' files are exactly that
+      * class). Deletion order is manifests-first: a crash mid-expire
+      * leaves orphaned DATA files (rewept next expire), never a live
+      * manifest pointing at deleted data. Returns the removed data
+      * files, sorted. */
+    def expire(retain: Seq[Int]): Seq[String] = {
+      require(retain.nonEmpty, "expire: must retain at least one version")
+      val referenced = retain.flatMap(manifest).toSet
+      val removable = listDataFiles().filterNot(referenced).sorted
+      Option(manifestDir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("v") &&
+          !retain.contains(f.getName.drop(1).toInt))
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
+      removable.foreach { rel =>
+        java.nio.file.Files.delete(
+          new java.io.File(wh, rel).toPath)
+      }
+      removable
+    }
+
+    /** Whether version `v` is still readable (its manifest survives). */
+    def hasVersion(v: Int): Boolean =
+      new java.io.File(manifestDir, s"v$v").isFile
   }
 
   /** q219: WAREHOUSE TIME TRAVEL — the versioned-read primitive a
@@ -1884,6 +1919,109 @@ object Relational {
           .select(lit(v.toLong).as("version"), col("lang"),
             col("n_docs"), col("sum_chars"))
       }.reduce(_.unionByName(_)).localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  /** q221: SNAPSHOT EXPIRATION (vacuum) — time travel's maintenance
+    * half: history retention is only viable if old versions can be
+    * EXPIRED, deleting exactly the data files no retained manifest
+    * references (Iceberg expire_snapshots / Delta VACUUM). The gate
+    * builds the q219 store (v0, then a versioned merge as v1 — one file
+    * per lang per commit, so every file count below is a pure function
+    * of the CDC batch), expires v0, and reports per lang: the LIVE
+    * version's aggregates read back AFTER the deletion (expiration must
+    * not perturb the retained version — the reference-counted file
+    * survival claim), the surviving file count, and how many files the
+    * expiration removed. Untouched partitions' v0 files are REFERENCED
+    * by v1 and must survive; touched partitions' v0 files are
+    * unreferenced and must go. The DuckDB oracle replays the v1
+    * aggregates from the CDC algebra and both file counts from the
+    * touched-set derivation — nothing golden. Crash-safety: manifests
+    * delete before data files, so an interrupted expire leaves orphans
+    * (reswept later), never a readable version with missing data. */
+  def q221ExpireSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q221_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      val nLangs = docs.select(col("lang")).distinct().count().toInt
+      // one file per lang in v0 (each lang's rows land in one task)
+      docs.repartition(nLangs, col("lang"))
+        .write.partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commit(0, vw.listDataFiles())
+      vw.commitMerge(1, cdcSource(docs))
+      val removed = vw.expire(retain = Seq(1))
+      def langOf(rel: String): String =
+        rel.substring(rel.indexOf('=') + 1, rel.indexOf('/'))
+      val removedPerLang = removed.groupBy(langOf).view.mapValues(_.size.toLong)
+      val filesPerLang = vw.listDataFiles().groupBy(langOf)
+        .view.mapValues(_.size.toLong)
+      import spark.implicits._
+      val fileStats = filesPerLang.keys.toSeq.sorted
+        .map(l => (l, filesPerLang(l), removedPerLang.getOrElse(l, 0L)))
+        .toDF("lang", "n_files", "n_removed")
+      vw.asOf(1).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .join(fileStats, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("n_files"), col("n_removed"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  /** q222: CHANGE DATA FEED BETWEEN VERSIONS — "what changed from
+    * version 0 to version 1", as a query (Delta's table_changes /
+    * Iceberg's changelog scan): per (lang, op ∈ insert/update/delete)
+    * row counts and the net character delta. Computed as a SNAPSHOT
+    * DIFF — the standard fallback when the format records no row-level
+    * commit log — but manifest-pruned first: partitions whose FILE
+    * LISTS are identical across the two manifests provably cannot
+    * differ, so both sides scan only the changed partitions (here 2 of
+    * 5; at 100 TB this is the whole game — the diff join touches k/n of
+    * the table, and the pruning decision reads metadata only). The
+    * remaining work is one doc_id-keyed full-outer join over the
+    * changed slice. Oracle: DuckDB replays the per-clause counts and
+    * deltas from the CDC algebra over the original table. */
+  def q222ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q222_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      docs.write.partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commit(0, vw.listDataFiles())
+      vw.commitMerge(1, cdcSource(docs))
+      // metadata-only pruning: a partition with the SAME file set in
+      // both manifests cannot contribute to the diff
+      def byLang(files: Seq[String]): Map[String, Set[String]] =
+        files.groupBy(f =>
+          f.substring(f.indexOf('=') + 1, f.indexOf('/')))
+          .view.mapValues(_.toSet).toMap
+      val (m0, m1) = (byLang(vw.manifest(0)), byLang(vw.manifest(1)))
+      val changed = (m0.keySet ++ m1.keySet)
+        .filter(l => m0.get(l) != m1.get(l)).toSeq.sorted
+      val a = vw.asOf(0).filter(col("lang").isin(changed: _*))
+        .select(col("doc_id"), col("n_chars").as("c0"),
+          col("lang").as("l0"))
+      val b = vw.asOf(1).filter(col("lang").isin(changed: _*))
+        .select(col("doc_id"), col("n_chars").as("c1"),
+          col("lang").as("l1"))
+      // <= 3·|changed| rows out; materialize before the scratch dies
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("l1"), col("l0")).as("lang"),
+          when(col("l0").isNull, lit("insert"))
+            .when(col("l1").isNull, lit("delete"))
+            .when(col("c0") =!= col("c1"), lit("update"))
+            .otherwise(lit("none")).as("op"),
+          (coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L)))
+            .as("delta"))
+        .filter(col("op") =!= "none")
+        .groupBy(col("lang"), col("op"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("delta")).cast("bigint").as("delta_chars"))
+        .localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(scratch)
   }
 

@@ -656,6 +656,45 @@ class PlanSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(scratch)
   }
 
+  test("q221 expire: retained version intact, shared files survive, unreferenced files go") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_q221_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    docs.repartition(5, col("lang"))
+      .write.partitionBy("lang").parquet(s"file://$scratch/wh")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/wh")
+    vw.commit(0, vw.listDataFiles())
+    val touched = vw.commitMerge(1, graft.operators.Relational
+      .cdcSource(docs))
+    val v0Files = vw.manifest(0)
+    val v1Files = vw.manifest(1).toSet
+    val preExpire = vw.asOf(1).select(col("doc_id"), col("n_chars"),
+        col("lang")).collect().map(_.toSeq).toSeq
+      .sortBy(_.head.asInstanceOf[Long])
+    val removed = vw.expire(retain = Seq(1))
+    // exactly the v0 files v1 no longer references were removed —
+    // reference-counted survival, not wholesale version deletion
+    assert(removed.toSet === v0Files.filterNot(v1Files).toSet)
+    assert(removed.nonEmpty &&
+      removed.forall(f => touched.exists(l => f.startsWith(s"lang=$l/"))))
+    removed.foreach(f =>
+      assert(!new java.io.File(s"$scratch/wh", f).exists(), s"$f survives"))
+    // shared (untouched-partition) files survive on disk and in v1
+    v1Files.foreach(f =>
+      assert(new java.io.File(s"$scratch/wh", f).isFile, s"$f deleted"))
+    // the retained version reads bit-identically after the vacuum
+    val postExpire = vw.asOf(1).select(col("doc_id"), col("n_chars"),
+        col("lang")).collect().map(_.toSeq).toSeq
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(postExpire === preExpire)
+    // the expired version is gone as a VERSION, not just as files
+    assert(!vw.hasVersion(0) && vw.hasVersion(1))
+    intercept[IllegalArgumentException](vw.asOf(0))
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
   test("mergeApply drops a fully-emptied partition's directory (COW delete)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
