@@ -479,6 +479,11 @@ object Bench {
     // runGridShared actually used, -1 for non-grid queries)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val isGrid = gridClass(name)
+      // reset the grid-concurrency observable so a grid-CLASS query that
+      // never runs runGridShared (q39's Par.mapAll roster, q44's single
+      // fit) stamps -1 instead of inheriting the PREVIOUS grid's bound
+      // (r19 artifact showed q39/q44 carrying q199's gridPar=8)
+      if (isGrid) graft.ml.Experiments.lastGridParallelism = -1
       val spinPre = if (isGrid) { calmJvm(); spinSecs() } else -1.0
       val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
       val host0 = hostCpuTicks()

@@ -1883,24 +1883,12 @@ object SparkEntry {
     // pre-merge state after the merge committed (time travel) and that
     // as-of-1 equals the merged post-image, through on-disk manifests
     "q219_time_travel" ->
-      ("WITH src AS (SELECT doc_id, lang, " +
-       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
-       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
-       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
-       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+      (s"WITH $cdcSrcCte, " +
        "v0 AS (SELECT CAST(0 AS BIGINT) AS version, lang, " +
        "CAST(count(*) AS BIGINT) AS n_docs, " +
        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
        "FROM documents GROUP BY 2), " +
-       "surv AS (SELECT d.lang, " +
-       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END " +
-       "AS nc FROM documents d LEFT JOIN " +
-       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
-       "WHERE s.op IS NULL OR s.op = 'upd'), " +
-       "af0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
-       "CAST(sum(nc) AS BIGINT) AS s FROM surv GROUP BY 1), " +
-       "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src " +
-       "WHERE op = 'ins' GROUP BY 1), " +
+       s"$cdcSurvAf0Ctes, $cdcInsCte, " +
        "v1 AS (SELECT CAST(1 AS BIGINT) AS version, af0.lang, " +
        "af0.n + coalesce(ins.n, 0) AS n_docs, " +
        "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars " +
@@ -1912,20 +1900,7 @@ object SparkEntry {
     // 1 exactly for the touched langs whose v0 file lost its last
     // manifest reference
     "q221_expire_snapshots" ->
-      ("WITH src AS (SELECT doc_id, lang, " +
-       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
-       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
-       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
-       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
-       "surv AS (SELECT d.lang, " +
-       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END " +
-       "AS nc FROM documents d LEFT JOIN " +
-       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
-       "WHERE s.op IS NULL OR s.op = 'upd'), " +
-       "af0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
-       "CAST(sum(nc) AS BIGINT) AS s FROM surv GROUP BY 1), " +
-       "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src " +
-       "WHERE op = 'ins' GROUP BY 1) " +
+      (s"WITH $cdcSrcCte, $cdcSurvAf0Ctes, $cdcInsCte " +
        "SELECT af0.lang, af0.n + coalesce(ins.n, 0) AS n_docs, " +
        "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars, " +
        "CAST(1 AS BIGINT) AS n_files, " +
@@ -1936,11 +1911,7 @@ object SparkEntry {
     // the CDC derivation (update = +1000 each, insert = +42 each,
     // delete = -the deleted docs' original chars)
     "q222_change_feed" ->
-      ("WITH src AS (SELECT doc_id, lang, " +
-       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
-       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
-       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
-       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+      (s"WITH $cdcSrcCte, " +
        "del AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_rows, " +
        "-CAST(sum(d.n_chars) AS BIGINT) AS delta_chars " +
        "FROM documents d JOIN src s USING (doc_id) WHERE s.op = 'del' " +
@@ -3168,25 +3139,42 @@ object SparkEntry {
   private lazy val bpeGoldenSql: String =
     "SELECT * FROM (VALUES ('src2', CAST(1407 AS BIGINT), CAST(6307 AS BIGINT), CAST(4594 AS BIGINT), CAST(1372877 AS BIGINT)), ('src8', CAST(1136 AS BIGINT), CAST(5166 AS BIGINT), CAST(3767 AS BIGINT), CAST(1371383 AS BIGINT)), ('src17', CAST(1373 AS BIGINT), CAST(6129 AS BIGINT), CAST(4388 AS BIGINT), CAST(1396763 AS BIGINT)), ('src0', CAST(1435 AS BIGINT), CAST(6539 AS BIGINT), CAST(4768 AS BIGINT), CAST(1371434 AS BIGINT)), ('src7', CAST(1507 AS BIGINT), CAST(6719 AS BIGINT), CAST(4834 AS BIGINT), CAST(1389946 AS BIGINT)), ('src12', CAST(1272 AS BIGINT), CAST(5680 AS BIGINT), CAST(4101 AS BIGINT), CAST(1385028 AS BIGINT)), ('src15', CAST(1298 AS BIGINT), CAST(5827 AS BIGINT), CAST(4202 AS BIGINT), CAST(1386720 AS BIGINT)), ('src16', CAST(1351 AS BIGINT), CAST(6158 AS BIGINT), CAST(4414 AS BIGINT), CAST(1395106 AS BIGINT)), ('src18', CAST(1364 AS BIGINT), CAST(6217 AS BIGINT), CAST(4519 AS BIGINT), CAST(1375746 AS BIGINT)), ('src19', CAST(1147 AS BIGINT), CAST(5184 AS BIGINT), CAST(3734 AS BIGINT), CAST(1388323 AS BIGINT)), ('src1', CAST(1540 AS BIGINT), CAST(7055 AS BIGINT), CAST(5051 AS BIGINT), CAST(1396753 AS BIGINT)), ('src4', CAST(1294 AS BIGINT), CAST(5829 AS BIGINT), CAST(4203 AS BIGINT), CAST(1386866 AS BIGINT)), ('src9', CAST(1366 AS BIGINT), CAST(6135 AS BIGINT), CAST(4441 AS BIGINT), CAST(1381445 AS BIGINT)), ('src13', CAST(1553 AS BIGINT), CAST(6934 AS BIGINT), CAST(5007 AS BIGINT), CAST(1384861 AS BIGINT)), ('src14', CAST(1318 AS BIGINT), CAST(5923 AS BIGINT), CAST(4335 AS BIGINT), CAST(1366320 AS BIGINT)), ('src3', CAST(1384 AS BIGINT), CAST(6261 AS BIGINT), CAST(4532 AS BIGINT), CAST(1381509 AS BIGINT)), ('src5', CAST(1329 AS BIGINT), CAST(5950 AS BIGINT), CAST(4300 AS BIGINT), CAST(1383720 AS BIGINT)), ('src6', CAST(1266 AS BIGINT), CAST(5723 AS BIGINT), CAST(4130 AS BIGINT), CAST(1385714 AS BIGINT)), ('src10', CAST(1303 AS BIGINT), CAST(5883 AS BIGINT), CAST(4254 AS BIGINT), CAST(1382933 AS BIGINT)), ('src11', CAST(1522 AS BIGINT), CAST(6890 AS BIGINT), CAST(4985 AS BIGINT), CAST(1382146 AS BIGINT))) AS t(\"source\", \"n_words\", \"n_chars\", \"n_tokens\", \"chars_per_token_ppm\")"
 
+  /** The q204-family CDC batch as SQL CTEs — the single source of
+    * truth four oracles compose (q204/q206 merge, q219 time travel,
+    * q221 expiration, q222 change feed), mirroring
+    * [[graft.operators.Relational.cdcSource]]. A modulus or lang-set
+    * change edits ONE string. */
+  private lazy val cdcSrcCte: String =
+    "src AS (SELECT doc_id, lang, " +
+    "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
+    "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
+    "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
+    "WHERE doc_id % 17 = 0 AND lang IN ('en','de'))"
+
+  /** Post-merge survivors (updates applied, deletes gone) and their
+    * per-lang rollup — the clause algebra's shared middle. */
+  private lazy val cdcSurvAf0Ctes: String =
+    "surv AS (SELECT d.lang, " +
+    "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END " +
+    "AS nc FROM documents d LEFT JOIN " +
+    "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
+    "WHERE s.op IS NULL OR s.op = 'upd'), " +
+    "af0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, " +
+    "CAST(sum(nc) AS BIGINT) AS s FROM surv GROUP BY 1)"
+
+  private lazy val cdcInsCte: String =
+    "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src " +
+    "WHERE op = 'ins' GROUP BY 1)"
+
   private def mergeOracleSql: String =
-   ("WITH src AS (SELECT doc_id, lang, " +
-       "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
-       "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
-       "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
-       "WHERE doc_id % 17 = 0 AND lang IN ('en','de')), " +
+   (s"WITH $cdcSrcCte, " +
        "b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1), " +
        "cl AS (SELECT lang, " +
        "CAST(sum(CASE WHEN op = 'upd' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated, " +
        "CAST(sum(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted, " +
        "CAST(sum(CASE WHEN op = 'ins' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted " +
        "FROM src GROUP BY 1), " +
-       "surv AS (SELECT d.lang, " +
-       "CASE WHEN s.op = 'upd' THEN d.n_chars + 1000 ELSE d.n_chars END AS nc " +
-       "FROM documents d LEFT JOIN " +
-       "(SELECT doc_id, op FROM src WHERE op <> 'ins') s USING (doc_id) " +
-       "WHERE s.op IS NULL OR s.op = 'upd'), " +
-       "af0 AS (SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS s " +
-       "FROM surv GROUP BY 1) " +
+       s"$cdcSurvAf0Ctes " +
        "SELECT b.lang, b.lang IN ('en','de') AS is_touched, b.n_before, " +
        "coalesce(cl.n_updated, 0) AS n_updated, " +
        "coalesce(cl.n_deleted, 0) AS n_deleted, " +

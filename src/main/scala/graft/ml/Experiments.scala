@@ -261,9 +261,13 @@ object Experiments {
       // <= 5%) keeps the caller's bound exactly; floor 8 keeps the
       // scheduler fed even under extreme steal readings.
       val stagingSteal = graft.util.HostLoad.stealPct(hostT0, hostT1)
+      // min against the caller's bound: the cap may only LOWER
+      // concurrency — a caller that asked for 2 chains (runGrid's
+      // default; small test JVMs) must never be raised to the floor of 8
       val effectivePar =
         if (stagingSteal > 5.0)
-          math.max(8, (parallelism * (100.0 - stagingSteal) / 100.0).toInt)
+          math.min(parallelism,
+            math.max(8, (parallelism * (100.0 - stagingSteal) / 100.0).toInt))
         else parallelism
       Experiments.lastGridParallelism = effectivePar
       if (effectivePar < parallelism)

@@ -1809,9 +1809,17 @@ object Relational {
       java.nio.file.Files.write(tmp.toPath,
         files.sorted.mkString("\n").getBytes("UTF-8"))
       val dst = new java.io.File(manifestDir, s"v$v")
-      if (!tmp.renameTo(dst))
-        throw new IllegalStateException(
-          s"version $v already committed at $dst")
+      // Files.move WITHOUT REPLACE_EXISTING: a duplicate commit must
+      // FAIL, not clobber — File.renameTo silently replaces an existing
+      // target on POSIX, which would let a re-driven job rewrite
+      // version history with no error
+      try java.nio.file.Files.move(tmp.toPath, dst.toPath)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp.toPath)
+          throw new IllegalStateException(
+            s"version $v already committed at $dst", e)
+      }
     }
 
     private[graft] def manifest(v: Int): Seq[String] = {
@@ -1958,14 +1966,25 @@ object Relational {
       val filesPerLang = vw.listDataFiles().groupBy(langOf)
         .view.mapValues(_.size.toLong)
       import spark.implicits._
-      val fileStats = filesPerLang.keys.toSeq.sorted
-        .map(l => (l, filesPerLang(l), removedPerLang.getOrElse(l, 0L)))
-        .toDF("lang", "n_files", "n_removed")
-      vw.asOf(1).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("bigint")).as("sum_chars"))
-        .join(fileStats, Seq("lang"))
-        .select(col("lang"), col("n_docs"), col("sum_chars"),
+      // keyed by the UNION of surviving and removed langs: a CDC batch
+      // that empties a lang entirely leaves it with removed files but no
+      // surviving ones — its n_removed row must not vanish from the
+      // report (latent with cdcSource, real for the general mechanism)
+      val fileStats =
+        (filesPerLang.keySet ++ removedPerLang.keySet).toSeq.sorted
+          .map(l => (l, filesPerLang.getOrElse(l, 0L),
+            removedPerLang.getOrElse(l, 0L)))
+          .toDF("lang", "n_files", "n_removed")
+      // left from fileStats for the same reason: an emptied lang has no
+      // asOf(1) rows but still owes its report row (n_docs = 0)
+      fileStats
+        .join(vw.asOf(1).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("bigint")).as("sum_chars")),
+          Seq("lang"), "left_outer")
+        .select(col("lang"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"),
           col("n_files"), col("n_removed"))
         .localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(scratch)

@@ -1102,9 +1102,27 @@ object TextAnalysis {
     * non-overlapping pass per merge, same semantics bit for bit (parity
     * pinned by the q149/q182 specs). Used where the input is already a
     * bounded driver-side dictionary. */
+  /** A word's symbols as CODE POINTS (one String per code point) — the
+    * alphabet Spark's `substr(w, i, 1)` in [[foldedSyms]] actually
+    * produces. A UTF-16 `w.map(_.toString)` split would shear astral
+    * characters into surrogate halves and silently diverge the driver
+    * trainer from the distributed one on non-BMP text. */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Unsigned UTF-8 byte order — Spark's UTF8String binary comparison,
+    * used for the argmax tie-break so [[trainMergesSyms]] and the
+    * distributed trainer agree on ties even outside ASCII (Scala's
+    * String order is UTF-16 code-unit order, which disagrees for
+    * [U+E000, U+FFFF] vs supplementary symbols). Identical to Scala
+    * order on ASCII, so the pinned goldens are unchanged. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+
   private[graft] def encodeDriver(w: String,
       merges: Seq[(String, String)]): Vector[String] = {
-    var syms = w.map(_.toString).toVector
+    var syms = codePointSyms(w).toVector
     for ((a, b) <- merges) {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       for (s <- syms) {
@@ -1123,7 +1141,7 @@ object TextAnalysis {
   private[graft] def trainMerges(dict: Array[(String, Long)],
       nMerges: Int): Seq[(String, String)] =
     trainMergesSyms(
-      dict.map { case (w, f) => (w.map(_.toString).toArray, f) }, nMerges)
+      dict.map { case (w, f) => (codePointSyms(w), f) }, nMerges)
 
   /** [[trainMerges]] over PRE-SPLIT symbol arrays — the alphabet is the
     * caller's choice (per-char for q149/q155, per-UTF-8-byte hex pairs
@@ -1142,7 +1160,17 @@ object TextAnalysis {
         counts((syms(i), syms(i + 1))) += f
       if (counts.isEmpty) exhausted = true
       else {
-        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        // argmax under (count DESC, a ASC, b ASC) with the UTF-8 byte
+        // order Spark sorts strings by — the exact total order the
+        // distributed trainer's orderBy uses, so the two are
+        // bit-identical round for round
+        val (a, b) = counts.toSeq.reduceLeft[((String, String), Long)] {
+          case (best @ ((bx, by), bc), cur @ ((cx, cy), cc)) =>
+            if (cc > bc) cur
+            else if (cc == bc &&
+              (utf8Lt(cx, bx) || (cx == bx && utf8Lt(cy, by)))) cur
+            else best
+        }._1
         merges += ((a, b))
         vocab = vocab.map { case (syms, f) =>
           val out = mutable.ArrayBuffer.empty[String]
