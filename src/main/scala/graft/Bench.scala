@@ -442,6 +442,43 @@ object Bench {
     // spin stamp is read as a ratio against this (spin/spinRef > ~1.3 on a
     // clean-steal clean-gc sample = the host capped CPU during that window)
     val spinRef = (0 until 3).map(_ => spinSecs()).min
+    // PINNED spin reference (r19 verdict #1): a run-start reference is
+    // SELF-relative — a run that begins on an already-capped host (r19
+    // driver: 0.333 s vs 0.155 s clean, identical code) inflates the
+    // denominator and every spinPre/spinRef ratio under-flags, letting a
+    // 12.6× retime excursion stamp clean. The best-ever probe persists in
+    // SPIN_REF.json (repo root, committed with the round); ratios are read
+    // against the PIN, and a run whose own reference exceeds 1.3× the pin
+    // stamps a run-level hostCapped verdict — no excursion inside a capped
+    // run can read clean. The pin only ever LOWERS (min across artifacts)
+    // and is keyed to the probe's thread count: a different-width host
+    // starts its own lineage rather than comparing against the wrong
+    // hardware.
+    val spinRefPath = java.nio.file.Paths.get("SPIN_REF.json")
+    val storedSpinRef: Option[Double] =
+      try {
+        val s = java.nio.file.Files.readString(spinRefPath)
+        val refRe = """"spinRefSec"\s*:\s*([0-9.]+)""".r
+        val cpuRe = """"spinThreads"\s*:\s*(\d+)""".r
+        for {
+          r <- refRe.findFirstMatchIn(s).map(_.group(1).toDouble)
+          c <- cpuRe.findFirstMatchIn(s).map(_.group(1).toInt)
+          if c == spinThreads
+        } yield r
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val spinRefPinned = storedSpinRef.fold(spinRef)(math.min(_, spinRef))
+    val hostCapped = spinRef / spinRefPinned > 1.3
+    if (storedSpinRef.forall(spinRef < _))
+      // Double.toString is locale-independent (the f-interpolator is not)
+      try java.nio.file.Files.writeString(spinRefPath,
+        s"""{"spinRefSec":$spinRef,"spinThreads":$spinThreads,""" +
+          s""""updatedAt":"${java.time.Instant.now()}"}""" + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not persist SPIN_REF.json: $e") }
+    if (hostCapped)
+      System.err.println(s"[bench] HOST CAPPED: run spin reference " +
+        s"$spinRef s is ${spinRef / spinRefPinned}x the pinned " +
+        s"$spinRefPinned s — every timing in this run is a lower bound")
     val cgPre = codegenCacheEntries()
     val codePre = jvmCodeMb()
     val gcPre = jvmGcHeap()
@@ -464,6 +501,16 @@ object Bench {
     val gridClass = Set("q39_supervised_roster", "q44_cotrain_featsplit",
       "q84_experiment_grid", "q141_full_grid", "q177_grid_datasets",
       "q199_grid_resume")
+    // drain the per-invocation grid-concurrency ledger: every
+    // runGridShared that ran since the last drain appended its
+    // effective bound (a query like q199 runs TWO resumable passes —
+    // the old last-writer global could only name one of them)
+    def drainGridPars(): Seq[Int] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var v = graft.ml.Experiments.gridParLog.poll()
+      while (v != null) { b += v.intValue(); v = graft.ml.Experiments.gridParLog.poll() }
+      b.toSeq
+    }
     // per-query FIRST-PASS JVM/host ledger (r18 verdict: the first pass —
     // the number the gate reads — had only phase-level aggregates, so a
     // 570 s q177 sample with 60.8 s pass-wide GC was unattributable).
@@ -472,18 +519,19 @@ object Bench {
     // the query's own steal window, and for grid-class the pre-sample
     // all-thread spin probe — the CPU-capping channel steal cannot see).
     val firstJvm = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Double, Long, Long, Long, Double, Double, Int)]
-    // (name, elapsed, gcΔ, cgΔ, heap0, heap1, steal, spinPre, gridPar —
+      .empty[(String, Double, Double, Long, Long, Long, Double, Double, Seq[Int])]
+    // (name, elapsed, gcΔ, cgΔ, heap0, heap1, steal, spinPre, gridPars —
     // spinPre is -1 for non-grid-class queries (no pre-sample probe ran);
-    // gridPar is the steal-capped concurrent-cell bound the query's
-    // runGridShared actually used, -1 for non-grid queries)
+    // gridPars holds the steal-capped concurrent-cell bound of EVERY
+    // runGridShared invocation inside the sample (empty for non-grid
+    // queries and for grid-class queries that never enter the runner)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val isGrid = gridClass(name)
-      // reset the grid-concurrency observable so a grid-CLASS query that
+      // drain the grid-concurrency ledger so a grid-CLASS query that
       // never runs runGridShared (q39's Par.mapAll roster, q44's single
-      // fit) stamps -1 instead of inheriting the PREVIOUS grid's bound
-      // (r19 artifact showed q39/q44 carrying q199's gridPar=8)
-      if (isGrid) graft.ml.Experiments.lastGridParallelism = -1
+      // fit) stamps empty instead of inheriting the PREVIOUS grid's
+      // bound (r19 artifact showed q39/q44 carrying q199's gridPar=8)
+      if (isGrid) drainGridPars()
       val spinPre = if (isGrid) { calmJvm(); spinSecs() } else -1.0
       val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
       val host0 = hostCpuTicks()
@@ -497,7 +545,7 @@ object Bench {
       if (isGrid || elapsed >= 2.0)
         firstJvm += ((name, elapsed, gc1._1 - gc0._1, cg1 - cg0,
           gc0._2, gc1._2, stealPct(host0, host1), spinPre,
-          if (isGrid) graft.ml.Experiments.lastGridParallelism else -1))
+          if (isGrid) drainGridPars() else Nil))
       // Between timed queries, drop per-query scratch blocks (persisted /
       // localCheckpoint'd frames whose queries have fully materialized).
       // Without this they linger until a GC cycle notices the dropped
@@ -554,6 +602,34 @@ object Bench {
     // gcΔ, cgΔ, heap0, heap1, stealPct, spinPre (pre-sample spin probe)
     val retimeCalib = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double)] // probe value AFTER this query's retime
+    // GRID-CLASS RETIME TRANCHES (r19 verdict #2): q141/q177's RETIMES
+    // were the last monolithic grid samples left — exactly where r19's
+    // unexplained 216 s / 122 s excursions lived. Their retime now runs
+    // as separately-timed tranches (q177: the three dataset grids;
+    // q141: the four per-classifier 10-cell grids), each bracketed by
+    // its own calm + spin/steal/gc stamps and followed by a 1-s ML
+    // calib probe — a polluted grid retime names its polluted tranche
+    // from the artifact alone, symmetric with the first pass. The
+    // recorded retime value is Σ(tranches): an upper bound of the
+    // monolith's steady state (tranches forfeit the shared work queue
+    // and amortized staging), so retimedΣ ≈ first clears the query and
+    // retimedΣ << first names the first sample as polluted.
+    val gridTranches: Map[String, Seq[String]] = Map(
+      "q177_grid_datasets" -> Seq("emb_res0", "emb_res1", "keel_csv"),
+      "q141_full_grid" -> Seq("DT", "RF", "NB", "LR"))
+    def runTranche(q: String, tn: String): org.apache.spark.sql.DataFrame =
+      q match {
+        case "q177_grid_datasets" =>
+          graft.operators.SemiSupervised.qGridDatasetsTranche(spark, sfDir, tn)
+        case "q141_full_grid" =>
+          graft.operators.SemiSupervised.qFullGridTranche(spark, sfDir, tn)
+        case other => throw new IllegalArgumentException(other)
+      }
+    // (query, tranche, sec, gcΔ, cgΔ, heap0, heap1, steal, spinPre,
+    // calibMlAfter, gridPar)
+    val gridTrancheStamps = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String, Double, Double, Long, Long, Long, Double, Double,
+        Double, Int)]
     var retimeIdx = 0
     val retimed = {
       val eligible = results.filter(_._3.isEmpty)
@@ -567,6 +643,44 @@ object Bench {
     // whatever the loop left behind, so the grids sample the calmest JVM
     // of the pass.
     }.sortBy(_._2).map {
+      case (name, _, _) if gridTranches.contains(name) =>
+        val stamps = gridTranches(name).map { tn =>
+          // same courtesies as every retimed sample, per tranche
+          System.gc(); Thread.sleep(1200)
+          val spinT = spinSecs()
+          drainGridPars()
+          val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
+          val h0 = hostCpuTicks()
+          val t0 = System.nanoTime()
+          val err = try { runTranche(name, tn).count(); None }
+            catch { case scala.util.control.NonFatal(e) =>
+              Some(s"${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(120)}") }
+          val dt = (System.nanoTime() - t0) / 1e9
+          val h1 = hostCpuTicks()
+          val gc1 = jvmGcHeap(); val cg1 = codegenCacheEntries()
+          val pars = drainGridPars()
+          sweepScratch()
+          System.gc(); Thread.sleep(800)
+          val probe = calibMlSecs()
+          err.foreach(m => System.err.println(
+            s"[bench] retime tranche $name/$tn FAILED: $m"))
+          (tn, if (err.isDefined) -1.0 else dt, gc1._1 - gc0._1, cg1 - cg0,
+            gc0._2, gc1._2, stealPct(h0, h1), spinT, probe,
+            if (pars.isEmpty) -1 else pars.min)
+        }
+        gridTrancheStamps ++= stamps.map(s => (name, s._1, s._2, s._3,
+          s._4, s._5, s._6, s._7, s._8, s._9, s._10))
+        // aggregate ledger row so the per-retime view stays complete:
+        // gc/cg summed across tranches, spinPre = first tranche's probe,
+        // steal = worst tranche (the flag-relevant bound)
+        retimedJvm += ((name, stamps.map(_._3).sum,
+          stamps.map(_._4).sum, stamps.head._5, stamps.last._6,
+          if (stamps.exists(_._2 < 0)) -1.0 else stamps.map(_._7).max,
+          stamps.head._8))
+        retimeIdx += 1
+        (name,
+          if (stamps.exists(_._2 < 0)) -1.0 else stamps.map(_._2).sum)
       case (name, _, _) =>
         // JMH-style forced GC BEFORE each retimed sample (untimed): by the
         // retime pass the JVM carries 140+ queries of old-gen garbage and
@@ -655,42 +769,9 @@ object Bench {
     val codePostRetime = jvmCodeMb()
     val gcPostRetime = jvmGcHeap()
     val cpPostRetime = cachedPlanEntries(spark)
-    // q177 TRANCHE PHASE (r18 verdict #1): q177 is one runGridShared over
-    // three datasets x the full 40-cell product; when its monolithic
-    // sample inflates unattributably (570 s driver / 74 s builder, same
-    // code, clean probes), nothing inside the artifact can say WHICH
-    // portion — or which time window — was polluted. Run the three
-    // 40-cell dataset tranches as separately-timed sub-phases, each
-    // bracketed by its own calm + spin/steal/gc stamps and followed by a
-    // 1-s ML calib probe: a throttled window now lands in a NAMED
-    // tranche between two probes instead of somewhere inside 570 s.
-    // The tranche sum is an upper bound of the single-invocation steady
-    // state (the monolith interleaves all three datasets in one work
-    // queue; the tranches forfeit that overlap) — so trancheSum ~ q177
-    // retimed clears the query, and trancheSum << q177 first names the
-    // first sample as polluted, from the artifact alone.
-    val tranches = Seq("emb_res0", "emb_res1", "keel_csv").map { tn =>
-      calmJvm()
-      val spinT = spinSecs()
-      val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
-      val h0 = hostCpuTicks()
-      val t0 = System.nanoTime()
-      val err = try {
-        graft.operators.SemiSupervised.qGridDatasetsTranche(spark, sfDir, tn)
-          .count(); None
-      } catch { case scala.util.control.NonFatal(e) =>
-        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val h1 = hostCpuTicks()
-      val gc1 = jvmGcHeap(); val cg1 = codegenCacheEntries()
-      sweepScratch()
-      System.gc(); Thread.sleep(800)
-      val probe = calibMlSecs()
-      err.foreach(m => System.err.println(s"[bench] tranche $tn FAILED: $m"))
-      (tn, dt, gc1._1 - gc0._1, cg1 - cg0, gc0._2, gc1._2,
-        stealPct(h0, h1), spinT, probe,
-        graft.ml.Experiments.lastGridParallelism)
-    }
+    // (the standalone q177 tranche phase is gone: the grid-class RETIME
+    // pass above runs the same tranches with the same stamps — one set
+    // of tranche timings, now symmetric across q141 and q177)
     calibMlDf.unpersist(false)
     // The harness keeps only the LAST ~2000 chars of stdout: 140 per-query
     // keys overflow that window and the line gets decapitated (r13 lost 28
@@ -748,7 +829,15 @@ object Bench {
       // all-thread spin probe [reference, post-first-pass, post-retime]:
       // the CPU-capping channel — wall-clock inflation with clean steal
       s""""spinSec":[${sec(spinRef)},${sec(spinPost)},""" +
-      s"""${sec(spinPostRetime)}]}"""
+      s"""${sec(spinPostRetime)}],""" +
+      // pinned best-ever spin reference (SPIN_REF.json lineage) + the
+      // run-level capping verdict: hostCapped means THIS run's own
+      // reference was already >1.3x the pin — every ratio computed
+      // against spinSec[0] inside such a run under-flags, and every
+      // timing is a lower bound (r19: a capped run let a 12.6x retime
+      // excursion stamp clean)
+      s""""spinRefPinned":${sec(spinRefPinned)},""" +
+      s""""hostCapped":$hostCapped}"""
     // value = SECOND sample only; the first sample is queries[qNN] by
     // construction (emitting the pair would double the field's footprint
     // in the size-bounded stdout line for zero information)
@@ -786,30 +875,40 @@ object Bench {
           s""""cgEntries":$cgd,"heapMb":[$h0,$h1],""" +
           s""""stealPct":${sec(st)}""" +
           (if (sp >= 0) s""","spinPre":${sec(sp)}""" else "") +
-          (if (gp >= 0) s""","gridPar":$gp""" else "") + "}"
+          // gridPar = the binding (lowest) bound; gridParAll names every
+          // runGridShared invocation inside the sample when there were
+          // several (q199's two resumable passes)
+          (if (gp.nonEmpty) s""","gridPar":${gp.min}""" +
+            (if (gp.size > 1)
+              s""","gridParAll":[${gp.mkString(",")}]""" else "")
+          else "") + "}"
     }.mkString("{", ",", "}")
-    // q177 tranche sub-phases (detail; compact secs triple on stdout)
-    val tranchesJson = tranches.map {
-      case (tn, dt, gcd, cgd, h0, h1, st, sp, probe, gp) =>
-        s"""{"tranche":"$tn","sec":${sec(dt)},"gcSec":${sec(gcd)},""" +
-          s""""cgEntries":$cgd,"heapMb":[$h0,$h1],""" +
+    // grid-class retime tranches (detail; compact sec arrays on stdout)
+    val tranchesJson = gridTrancheStamps.map {
+      case (q, tn, dt, gcd, cgd, h0, h1, st, sp, probe, gp) =>
+        s"""{"query":"${shortKey(q)}","tranche":"$tn","sec":${sec(dt)},""" +
+          s""""gcSec":${sec(gcd)},"cgEntries":$cgd,"heapMb":[$h0,$h1],""" +
           s""""stealPct":${sec(st)},"spinPre":${sec(sp)},""" +
           s""""calibMlAfter":${sec(probe)},"gridPar":$gp}"""
     }.mkString("[", ",", "]")
     val retimeDetail =
       s""","retimedJvm":$retimedJvmJson,"retimeCalib":$retimeCalibJson""" +
-        s""","firstJvm":$firstJvmJson,"q177Tranches":$tranchesJson"""
+        s""","firstJvm":$firstJvmJson,"gridTranches":$tranchesJson"""
     java.nio.file.Files.writeString(detailPath,
       line(qmap(results.map(r => (r._1, r._2))), stagedJson(200),
         retimeDetail + stamp) + "\n")
     // stdout: same shape, `queries` cut to the 20 slowest first samples so
     // the line survives the harness's ~2 KB stdout tail
     val top20 = results.sortBy(-_._2).take(20).map(r => (r._1, r._2))
-    // compact tranche triple on the size-bounded stdout line (emb_res0,
-    // emb_res1, keel_csv order); full stamps live in the detail file
-    val trancheSecs = tranches.map(t => sec(t._2)).mkString("[", ",", "]")
+    // compact per-query tranche arrays on the size-bounded stdout line
+    // (q177: emb_res0/emb_res1/keel_csv; q141: DT/RF/NB/LR — declaration
+    // order); full stamps live in the detail file
+    def trancheSecs(q: String): String = gridTrancheStamps
+      .filter(_._1 == q).map(t => sec(t._3)).mkString("[", ",", "]")
     println(line(qmap(top20), stagedJson(28),
-      s""","q177T":$trancheSecs,"detail":"${detailPath.toAbsolutePath}""""))
+      s""","q177T":${trancheSecs("q177_grid_datasets")}""" +
+        s""","q141T":${trancheSecs("q141_full_grid")}""" +
+        s""","detail":"${detailPath.toAbsolutePath}""""))
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

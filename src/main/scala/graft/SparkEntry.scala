@@ -368,6 +368,14 @@ object SparkEntry {
       graft.operators.Relational.q221ExpireSnapshots(s, d)),
     "q222_change_feed"        -> ((s: SparkSession, d: String) =>
       graft.operators.Relational.q222ChangeFeed(s, d)),
+    "q223_mor_deletes"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q223MorDeletionVectors(s, d)),
+    "q224_optimize_compact"   -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q224OptimizeCompact(s, d)),
+    "q225_cdf_refresh"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q225CdfRefresh(s, d)),
+    "q226_zone_maps"          -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q226ZoneMaps(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1904,7 +1912,7 @@ object SparkEntry {
        "SELECT af0.lang, af0.n + coalesce(ins.n, 0) AS n_docs, " +
        "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars, " +
        "CAST(1 AS BIGINT) AS n_files, " +
-       "CAST(CASE WHEN af0.lang IN ('en','de') THEN 1 ELSE 0 END " +
+       s"CAST(CASE WHEN af0.lang IN $cdcLangsSql THEN 1 ELSE 0 END " +
        "AS BIGINT) AS n_removed " +
        "FROM af0 LEFT JOIN ins USING (lang)"),
     // q222: per-clause counts + net char deltas replay directly from
@@ -1925,6 +1933,66 @@ object SparkEntry {
        "SELECT lang, 'delete' AS op, n_rows, delta_chars FROM del " +
        "UNION ALL SELECT lang, 'update', n_rows, delta_chars FROM upd " +
        "UNION ALL SELECT lang, 'insert', n_rows, delta_chars FROM ins"),
+    // q223: the MOR read must equal the COW post-image (same CDC
+    // algebra), and the file ledger is a pure function of the commits:
+    // touched langs carry v0's file + v1's append (2), untouched 1;
+    // one DV sidecar per mutating commit; the delete commit wrote ZERO
+    // data files — the merge-on-read contract itself
+    "q223_mor_deletes" ->
+      (s"WITH $cdcSrcCte, $cdcSurvAf0Ctes, $cdcInsCte " +
+       "SELECT af0.lang, af0.n + coalesce(ins.n, 0) AS n_docs, " +
+       "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars, " +
+       s"CAST(CASE WHEN af0.lang IN $cdcLangsSql THEN 2 ELSE 1 END " +
+       "AS BIGINT) AS n_files, " +
+       "CAST(2 AS BIGINT) AS n_dv_files, " +
+       "CAST(0 AS BIGINT) AS n_del_data_files " +
+       "FROM af0 LEFT JOIN ins USING (lang)"),
+    // q224: aggregates replay the CDC post-image (read through the
+    // compacted manifest AFTER the vacuum); file counts replay the
+    // 64-row sorted roll — v0 has ceil(n/64) files per lang, the CDC
+    // commit leaves touched langs with 1 delta file, OPTIMIZE leaves 1
+    // compacted file everywhere, and expire removes everything the
+    // compacted manifest no longer references
+    "q224_optimize_compact" ->
+      (s"WITH $cdcSrcCte, $cdcSurvAf0Ctes, $cdcInsCte, " +
+       "nb AS (SELECT lang, CAST(ceil(count(*) / 64.0) AS BIGINT) " +
+       "AS v0f FROM documents GROUP BY 1) " +
+       "SELECT af0.lang, af0.n + coalesce(ins.n, 0) AS n_docs, " +
+       "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars, " +
+       s"CAST(CASE WHEN af0.lang IN $cdcLangsSql THEN 1 ELSE nb.v0f END " +
+       "AS BIGINT) AS n_files_v1, " +
+       "CAST(1 AS BIGINT) AS n_files_v2, " +
+       s"CAST(nb.v0f + CASE WHEN af0.lang IN $cdcLangsSql THEN 1 ELSE 0 " +
+       "END AS BIGINT) AS n_removed " +
+       "FROM af0 LEFT JOIN ins USING (lang) JOIN nb USING (lang)"),
+    // q225: the refresh is pinned against the FROM-SCRATCH v1 rollup —
+    // maintained state ≡ recomputed state, the IVM invariant
+    "q225_cdf_refresh" ->
+      (s"WITH $cdcSrcCte, $cdcSurvAf0Ctes, $cdcInsCte " +
+       "SELECT af0.lang, af0.n + coalesce(ins.n, 0) AS n_docs, " +
+       "af0.s + 42 * coalesce(ins.n, 0) AS sum_chars " +
+       "FROM af0 LEFT JOIN ins USING (lang)"),
+    // q226: DuckDB replays the sorted 64-row roll (row_number \\ 64 =
+    // the file a row landed in), each file's min/max doc_id, and the
+    // same interval-overlap skip decision the manifest stats drive —
+    // the zone-map prune is a pure function of the data, nothing golden
+    "q226_zone_maps" ->
+      ("WITH rk AS (SELECT lang, doc_id, n_chars, " +
+       "(row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) " +
+       "// 64 AS fid FROM documents), " +
+       "fs AS (SELECT lang, fid, min(doc_id) AS lo, max(doc_id) AS hi " +
+       "FROM rk GROUP BY 1, 2), " +
+       "fc AS (SELECT lang, " +
+       "CAST(sum(CASE WHEN lo > 260 OR hi < 120 THEN 0 ELSE 1 END) " +
+       "AS BIGINT) AS n_scanned, " +
+       "CAST(sum(CASE WHEN lo > 260 OR hi < 120 THEN 1 ELSE 0 END) " +
+       "AS BIGINT) AS n_skipped FROM fs GROUP BY 1), " +
+       "ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents " +
+       "WHERE doc_id BETWEEN 120 AND 260 GROUP BY 1) " +
+       "SELECT fc.lang, coalesce(ag.n_docs, 0) AS n_docs, " +
+       "coalesce(ag.sum_chars, 0) AS sum_chars, fc.n_scanned, " +
+       "fc.n_skipped FROM fc LEFT JOIN ag USING (lang)"),
     // q176: identical hash-sign matrix, identical left-to-right folds
     // (the q158 contract), only the final ratio rounded
     "q176_jl_projection" ->
@@ -3144,12 +3212,19 @@ object SparkEntry {
     * q221 expiration, q222 change feed), mirroring
     * [[graft.operators.Relational.cdcSource]]. A modulus or lang-set
     * change edits ONE string. */
+  /** The CDC batch's touched-partition set as a SQL IN-list — ONE
+    * constant shared by [[cdcSrcCte]] and every per-lang CASE the
+    * warehouse-wing oracles key on it (q204 is_touched, q221 n_removed,
+    * q223/q224 file counts), so a lang-set change edits exactly one
+    * string. Mirrors [[graft.operators.Relational.cdcSource]]. */
+  private val cdcLangsSql: String = "('en','de')"
+
   private lazy val cdcSrcCte: String =
     "src AS (SELECT doc_id, lang, " +
     "CASE WHEN doc_id % 15 = 0 THEN 'del' ELSE 'upd' END AS op " +
-    "FROM documents WHERE doc_id % 5 = 0 AND lang IN ('en','de') " +
+    s"FROM documents WHERE doc_id % 5 = 0 AND lang IN $cdcLangsSql " +
     "UNION ALL SELECT doc_id + 1000000, lang, 'ins' FROM documents " +
-    "WHERE doc_id % 17 = 0 AND lang IN ('en','de'))"
+    s"WHERE doc_id % 17 = 0 AND lang IN $cdcLangsSql)"
 
   /** Post-merge survivors (updates applied, deletes gone) and their
     * per-lang rollup — the clause algebra's shared middle. */
@@ -3175,7 +3250,7 @@ object SparkEntry {
        "CAST(sum(CASE WHEN op = 'ins' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted " +
        "FROM src GROUP BY 1), " +
        s"$cdcSurvAf0Ctes " +
-       "SELECT b.lang, b.lang IN ('en','de') AS is_touched, b.n_before, " +
+       s"SELECT b.lang, b.lang IN $cdcLangsSql AS is_touched, b.n_before, " +
        "coalesce(cl.n_updated, 0) AS n_updated, " +
        "coalesce(cl.n_deleted, 0) AS n_deleted, " +
        "coalesce(cl.n_inserted, 0) AS n_inserted, " +

@@ -17,11 +17,14 @@ import Evaluation.{crossValidate, CvMetrics, ExperimentResult}
   */
 object Experiments {
 
-  /** The concurrent-cell bound the LAST [[runGridShared]] phase 2
-    * actually ran with (== the caller's `parallelism` unless the
-    * steal-keyed throttle cap engaged) — observability for the bench
-    * artifact; -1 until a grid has run in this JVM. */
-  @volatile var lastGridParallelism: Int = -1
+  /** PER-INVOCATION ledger of the concurrent-cell bound each
+    * [[runGridShared]] phase 2 actually ran with (== the caller's
+    * `parallelism` unless the steal-keyed throttle cap engaged) —
+    * observability for the bench artifact. A single last-writer global
+    * misattributed nested/sequential grid runs within one query (q199's
+    * two resumable passes) to whichever finished last; the bench drains
+    * the queue around each sample instead. */
+  val gridParLog = new java.util.concurrent.ConcurrentLinkedQueue[Integer]
 
   /** One grid cell. `thresholdOrKBest` is the threshold for
     * criterion="threshold", the kBest fraction for criterion="kBest",
@@ -269,7 +272,7 @@ object Experiments {
           math.min(parallelism,
             math.max(8, (parallelism * (100.0 - stagingSteal) / 100.0).toInt))
         else parallelism
-      Experiments.lastGridParallelism = effectivePar
+      Experiments.gridParLog.add(effectivePar)
       if (effectivePar < parallelism)
         System.err.println(f"[grid] host steal $stagingSteal%.1f%% during " +
           f"staging: capping concurrent cells $parallelism -> $effectivePar")

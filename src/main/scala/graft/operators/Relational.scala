@@ -1776,6 +1776,31 @@ object Relational {
     * the file list comes from the commit protocol, not this gate-scale
     * directory walk (the walk is bounded by |files of the scratch
     * store|, never by rows). */
+  /** One manifest line of a [[VersionedWarehouse]] version: a file the
+    * version references. `kind` "d" = data file, "x" = deletion-vector
+    * sidecar (doc_id keys). `seq` = the version that ADDED the file —
+    * a DV applies only to data files with strictly smaller seq
+    * (Iceberg's data-sequence-number rule for equality deletes).
+    * `stats` = optional per-file zone map (minDoc, maxDoc, minChars,
+    * maxChars) recorded at commit time for metadata-only file skipping.
+    * Serialized as TSV; a bare path parses as a legacy data line. */
+  private[graft] final case class ManifestEntry(seq: Int, kind: String,
+      path: String, stats: Option[(Long, Long, Long, Long)] = None) {
+    def serialize: String =
+      s"$seq\t$kind\t$path" + stats.fold("") { s =>
+        s"\t${s._1}\t${s._2}\t${s._3}\t${s._4}" }
+  }
+  private[graft] object ManifestEntry {
+    def parse(line: String): ManifestEntry = line.split('\t') match {
+      case Array(p) => ManifestEntry(0, "d", p)
+      case Array(s, k, p) => ManifestEntry(s.toInt, k, p)
+      case Array(s, k, p, a, b, c, d) => ManifestEntry(s.toInt, k, p,
+        Some((a.toLong, b.toLong, c.toLong, d.toLong)))
+      case _ => throw new IllegalArgumentException(
+        s"unparseable manifest line: $line")
+    }
+  }
+
   private[graft] final class VersionedWarehouse(
       spark: SparkSession, val wh: String) {
     // the store is DRIVER-LOCAL scratch (listing + manifests go through
@@ -1785,29 +1810,47 @@ object Relational {
     private def whUri = s"file://$wh"
     private def manifestDir = new java.io.File(wh, "_manifests")
 
-    /** Relative paths of every data file currently in the store, sorted
-      * (partition dirs only — _manifests and _SUCCESS are metadata). */
-    private[graft] def listDataFiles(): Seq[String] = {
+    private def walkParquet(dir: java.io.File): Seq[String] = {
       val root = new java.io.File(wh).toPath
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      Option(new java.io.File(wh).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.contains("="))
-        .flatMap(walk)
-        .filter(_.getName.endsWith(".parquet"))
+      walk(dir).filter(_.getName.endsWith(".parquet"))
         .map(f => root.relativize(f.toPath).toString)
         .sorted
     }
 
-    /** Commit version `v` with exactly `files` (relative paths):
-      * staging + atomic rename so a crash never leaves a torn manifest. */
-    private[graft] def commit(v: Int, files: Seq[String]): Unit = {
+    /** Relative paths of every data file currently in the store, sorted
+      * (partition dirs only — _manifests, _deletes and _SUCCESS are
+      * metadata). */
+    private[graft] def listDataFiles(): Seq[String] =
+      Option(new java.io.File(wh).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.contains("="))
+        .flatMap(walkParquet).sorted
+
+    /** Relative paths of every deletion-vector sidecar on disk. */
+    private[graft] def listDeleteFiles(): Seq[String] = {
+      val d = new java.io.File(wh, "_deletes")
+      if (d.isDirectory) walkParquet(d) else Nil
+    }
+
+    /** Commit version `v` with exactly `files` as its data files
+      * (relative paths, all stamped seq=v): staging + atomic rename so
+      * a crash never leaves a torn manifest. */
+    private[graft] def commit(v: Int, files: Seq[String]): Unit =
+      commitEntries(v, files.map(ManifestEntry(v, "d", _)))
+
+    /** Commit version `v` from full manifest entries (retained files
+      * keep their original seq — the Iceberg data-sequence-number rule
+      * the deletion-vector read path depends on). */
+    private[graft] def commitEntries(v: Int,
+        entries: Seq[ManifestEntry]): Unit = {
       manifestDir.mkdirs()
       val tmp = new java.io.File(manifestDir,
         s".staging_${java.util.UUID.randomUUID()}")
       java.nio.file.Files.write(tmp.toPath,
-        files.sorted.mkString("\n").getBytes("UTF-8"))
+        entries.sortBy(e => (e.kind, e.path)).map(_.serialize)
+          .mkString("\n").getBytes("UTF-8"))
       val dst = new java.io.File(manifestDir, s"v$v")
       // Files.move WITHOUT REPLACE_EXISTING: a duplicate commit must
       // FAIL, not clobber — File.renameTo silently replaces an existing
@@ -1822,29 +1865,96 @@ object Relational {
       }
     }
 
-    private[graft] def manifest(v: Int): Seq[String] = {
+    private[graft] def manifestEntries(v: Int): Seq[ManifestEntry] = {
       val f = new java.io.File(manifestDir, s"v$v")
       require(f.isFile, s"no manifest for version $v at $f")
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .split("\n").toSeq.filter(_.nonEmpty)
+        .split("\n").toSeq.filter(_.nonEmpty).map(ManifestEntry.parse)
+    }
+
+    /** Version `v`'s DATA file paths (the pre-DV manifest surface —
+      * q219/q221/q222 reason in these terms). */
+    private[graft] def manifest(v: Int): Seq[String] =
+      manifestEntries(v).filter(_.kind == "d").map(_.path)
+
+    /** Every path (data + deletion vectors) version `v` references —
+      * the reference-counting surface [[expire]] must protect. */
+    private def referencedPaths(v: Int): Seq[String] =
+      manifestEntries(v).map(_.path)
+
+    /** Read a set of data entries with every applicable deletion vector
+      * applied: a DV with sequence number s masks doc_ids ONLY in data
+      * files with seq < s (Iceberg's sequence-number rule for equality
+      * deletes — without it, the post-image row a MOR update APPENDS
+      * for the same doc_id would be masked by its own commit's DV).
+      * Data entries group by seq — |versions|-bounded, never |rows| —
+      * and each group anti-joins the union of its applicable DV keys. */
+    private def readEntries(data: Seq[ManifestEntry],
+        dvs: Seq[ManifestEntry]): DataFrame = {
+      def read(paths: Seq[String]): DataFrame =
+        spark.read.option("basePath", whUri)
+          .parquet(paths.map(rel => s"$whUri/$rel"): _*)
+      if (dvs.isEmpty) read(data.map(_.path))
+      else data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, grp) =>
+        val applicable = dvs.filter(_.seq > seq)
+        if (applicable.isEmpty) read(grp.map(_.path))
+        else read(grp.map(_.path)).join(
+          spark.read.parquet(applicable.map(e => s"$whUri/${e.path}"): _*)
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      }.reduce(_.unionByName(_))
     }
 
     /** Read the warehouse AS OF version `v` — exactly that manifest's
-      * files; basePath keeps the lang partition column on an explicit
+      * files (deletion vectors applied at scan time as an anti-join);
+      * basePath keeps the lang partition column on an explicit
       * file-list read. */
-    def asOf(v: Int): DataFrame =
-      spark.read.option("basePath", whUri)
-        .parquet(manifest(v).map(rel => s"$whUri/$rel"): _*)
+    def asOf(v: Int): DataFrame = {
+      val es = manifestEntries(v)
+      readEntries(es.filter(_.kind == "d"), es.filter(_.kind == "x"))
+    }
+
+    /** ZONE-MAP-pruned as-of read: drop every data file whose recorded
+      * (minDoc, maxDoc) interval cannot intersect [idLo, idHi] BEFORE
+      * any row is touched, then apply the row-level predicate to the
+      * survivors. Files committed without stats are never skipped.
+      * Returns (frame, per-file skip decisions) — the decisions are the
+      * |files|-bounded metadata the report and the spec pin. */
+    def asOfWhere(v: Int, idLo: Long, idHi: Long)
+        : (DataFrame, Seq[(ManifestEntry, Boolean)]) = {
+      val es = manifestEntries(v)
+      val decisions = es.filter(_.kind == "d").map { e =>
+        val skip = e.stats.exists(s => s._1 > idHi || s._2 < idLo)
+        (e, skip)
+      }
+      val df = readEntries(decisions.collect { case (e, false) => e },
+        es.filter(_.kind == "x"))
+        .filter(col("doc_id").between(idLo, idHi))
+      (df, decisions)
+    }
+
+    /** The files a write this commit just appended, derived from a
+      * before/after listing RESTRICTED to the touched partitions — a
+      * concurrent writer's file in an untouched partition can no longer
+      * be silently adopted into this commit's manifest. The store is
+      * SINGLE-WRITER by design (driver-local scratch; a real table
+      * format takes the file list from the write's own task-commit
+      * output instead of any directory diff). */
+    private def appendedFiles(before: Set[String],
+        touched: Seq[String]): Seq[String] =
+      listDataFiles().filterNot(before)
+        .filter(f => touched.exists(l => f.startsWith(s"lang=$l/")))
 
     /** Apply one CDC batch as version `v` WITHOUT destroying history:
       * same clause algebra as q204 ([[mergeClauseFrame]], shared code),
       * but the post-image of the touched partitions lands as NEW files
-      * and version v-1's files are left untouched on disk. Returns the
-      * touched partition set. */
+      * and version v-1's files are left untouched on disk. Retained
+      * entries keep their original seq and stats. Returns the touched
+      * partition set. */
     def commitMerge(v: Int, src: DataFrame): Seq[String] = {
       val touched = src.select(col("s_lang")).distinct().collect()
         .map(_.getString(0)).sorted.toSeq
-      val prior = manifest(v - 1)
+      val prior = manifestEntries(v - 1)
       val before = listDataFiles().toSet
       val pruned = asOf(v - 1).filter(col("lang").isin(touched: _*))
       mergeClauseFrame(pruned, src)
@@ -1857,10 +1967,170 @@ object Relational {
         // bytes; a CDC batch's per-partition delta is the small side.
         .repartition(math.max(touched.size, 1), col("lang"))
         .write.mode("append").partitionBy("lang").parquet(whUri)
-      val newFiles = listDataFiles().filterNot(before)
-      commit(v, prior.filterNot(f =>
-        touched.exists(l => f.startsWith(s"lang=$l/"))) ++ newFiles)
+      commitEntries(v, prior.filterNot(e => e.kind == "d" &&
+        touched.exists(l => e.path.startsWith(s"lang=$l/"))) ++
+        appendedFiles(before, touched).map(ManifestEntry(v, "d", _)))
       touched
+    }
+
+    /** Write a deletion-vector sidecar for version `v`: the doc_id keys
+      * whose pre-`v` rows are dead. One tiny parquet under _deletes —
+      * the whole point of merge-on-read is that the delete writes NO
+      * data files and rewrites NOTHING. Returns its relative paths. */
+    private def writeDeleteVector(v: Int, keys: DataFrame): Seq[String] = {
+      val before = listDeleteFiles().toSet
+      keys.select(col("doc_id")).coalesce(1)
+        .write.parquet(s"$whUri/_deletes/v$v")
+      listDeleteFiles().filterNot(before)
+    }
+
+    /** MERGE-ON-READ upsert as version `v` (Delta deletion vectors /
+      * Iceberg equality deletes, re-expressed): instead of rewriting
+      * touched partitions (COW, [[commitMerge]]), the commit APPENDS
+      * only the inserted/updated post-image rows as new data files
+      * (seq=v) and writes a DV sidecar masking the replaced/deleted
+      * keys' OLD rows — every pre-existing data file is physically
+      * untouched. The clause algebra is [[mergeClauseFrame]] VERBATIM,
+      * so MOR and COW cannot diverge on what the merge means; the read
+      * path ([[asOf]]) applies the DV as an anti-join under the
+      * seq-number rule. At 100 TB this is the frequent-small-delete
+      * discipline: commit cost scales with the CDC batch, never with
+      * partition size. Returns the touched partition set. */
+    def commitMorMerge(v: Int, src: DataFrame): Seq[String] = {
+      val touched = src.select(col("s_lang")).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      val prior = manifestEntries(v - 1)
+      val before = listDataFiles().toSet
+      val pruned = asOf(v - 1).filter(col("lang").isin(touched: _*))
+      // materialize ONCE: the append below must not re-run the join,
+      // and the DV derives from the same clause pass
+      val clause = mergeClauseFrame(pruned, src).localCheckpoint()
+      clause.filter(col("clause").isin("inserted", "updated"))
+        .drop("clause")
+        .repartition(math.max(touched.size, 1), col("lang"))
+        .write.mode("append").partitionBy("lang").parquet(whUri)
+      val dv = writeDeleteVector(v, clause
+        .filter(col("clause").isin("deleted", "updated")))
+      commitEntries(v, prior ++
+        appendedFiles(before, touched).map(ManifestEntry(v, "d", _)) ++
+        dv.map(ManifestEntry(v, "x", _)))
+      touched
+    }
+
+    /** Pure MOR DELETE as version `v`: writes ONLY a deletion-vector
+      * sidecar — zero data files, nothing rewritten (the contract q223
+      * pins with a file-count check). `keys` is a doc_id frame. */
+    def commitMorDelete(v: Int, keys: DataFrame): Unit =
+      commitEntries(v, manifestEntries(v - 1) ++
+        writeDeleteVector(v, keys).map(ManifestEntry(v, "x", _)))
+
+    /** OPTIMIZE (small-file compaction) AS A VERSIONED COMMIT: rewrite
+      * version v-1's live rows — deletion vectors applied, so
+      * compaction also MATERIALIZES pending deletes — into one file per
+      * partition, committed as version `v` referencing only the
+      * compacted files. Data is bit-identical across the swap; prior
+      * versions stay readable until [[expire]]d, at which point exactly
+      * the pre-compaction files go (the q224 composition). Partition
+      * set comes from the MANIFEST paths — metadata, no data scan.
+      * Returns the compacted files' relative paths. */
+    def optimize(v: Int): Seq[String] = {
+      val langs = manifest(v - 1)
+        .map(p => p.substring(0, p.indexOf('/'))).distinct.sorted
+      val before = listDataFiles().toSet
+      asOf(v - 1)
+        .repartition(math.max(langs.size, 1), col("lang"))
+        .write.mode("append").partitionBy("lang").parquet(whUri)
+      val compacted = listDataFiles().filterNot(before)
+      commitEntries(v, compacted.map(ManifestEntry(v, "d", _)))
+      compacted
+    }
+
+    /** Per-file zone-map stats for `rels`, computed in ONE Spark job
+      * (group by input_file_name). Gate-scale convenience — a real
+      * format takes these from each write task's commit message, never
+      * from a post-hoc scan. */
+    private[graft] def fileStats(rels: Seq[String])
+        : Map[String, (Long, Long, Long, Long)] =
+      spark.read.option("basePath", whUri)
+        .parquet(rels.map(r => s"$whUri/$r"): _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+          min(col("n_chars").cast("bigint")).as("clo"),
+          max(col("n_chars").cast("bigint")).as("chi"))
+        .collect().map { r =>
+          val full = r.getString(0)
+          val rel = full.substring(full.indexOf(wh) + wh.length + 1)
+          rel -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        }.toMap
+
+    /** Commit version `v` with per-file zone maps recorded in the
+      * manifest — the stats [[asOfWhere]] prunes by. */
+    private[graft] def commitWithStats(v: Int, files: Seq[String]): Unit = {
+      val stats = fileStats(files)
+      commitEntries(v, files.map(f => ManifestEntry(v, "d", f, stats.get(f))))
+    }
+
+    /** Partitions whose DATA FILE LISTS differ between versions `v0`
+      * and `v1` — decided on manifest metadata only; identical file
+      * sets provably cannot differ. (DV-bearing manifests diff on the
+      * DV set too: a delete-only commit changes no data files but its
+      * masked partitions still differ.) */
+    private[graft] def changedPartitions(v0: Int, v1: Int): Seq[String] = {
+      def byLang(v: Int): Map[String, Set[String]] =
+        manifestEntries(v).filter(_.kind == "d").map(_.path)
+          .groupBy(p => p.substring(p.indexOf('=') + 1, p.indexOf('/')))
+          .view.mapValues(_.toSet).toMap
+      def dvs(v: Int): Set[String] =
+        manifestEntries(v).filter(_.kind == "x").map(_.path).toSet
+      val (m0, m1) = (byLang(v0), byLang(v1))
+      val dataChanged = (m0.keySet ++ m1.keySet)
+        .filter(l => m0.get(l) != m1.get(l))
+      // a DV delta can mask rows in any partition its keys touch; at
+      // gate scale the conservative answer (all partitions) is exact
+      // enough — the gate's MOR chains never feed the change feed
+      val all = if (dvs(v0) != dvs(v1)) m0.keySet ++ m1.keySet
+        else dataChanged
+      all.toSeq.sorted
+    }
+
+    /** ROW-LEVEL CHANGE FEED between two versions — a snapshot diff
+      * (the standard fallback when the format records no commit log),
+      * manifest-pruned to [[changedPartitions]] first so both sides
+      * scan k/n of the table, then ONE doc_id-keyed full-outer join.
+      * Emits (doc_id, lang, op ∈ insert/update/delete, c0, c1) — the
+      * delta stream q222 aggregates and q225's incremental view refresh
+      * consumes. */
+    private[graft] def changeFeed(v0: Int, v1: Int): DataFrame = {
+      val changed = changedPartitions(v0, v1)
+      // identical manifests → provably empty feed, no scan at all
+      if (changed.isEmpty)
+        return spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("lang"), lit("").as("op"),
+          col("id").as("c0"), col("id").as("c1"))
+      // the prune happens at the MANIFEST, not as a Catalyst partition
+      // filter over the full file list: the scan is CONSTRUCTED from
+      // only the changed partitions' files, so even the file index
+      // never touches an unchanged partition (inputFiles-asserted)
+      def side(v: Int): DataFrame = {
+        val es = manifestEntries(v)
+        readEntries(es.filter(e => e.kind == "d" &&
+          changed.exists(l => e.path.startsWith(s"lang=$l/"))),
+          es.filter(_.kind == "x"))
+      }
+      val a = side(v0)
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("c0"),
+          col("lang").as("l0"))
+      val b = side(v1)
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("c1"),
+          col("lang").as("l1"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), coalesce(col("l1"), col("l0")).as("lang"),
+          when(col("l0").isNull, lit("insert"))
+            .when(col("l1").isNull, lit("delete"))
+            .when(col("c0") =!= col("c1"), lit("update"))
+            .otherwise(lit("none")).as("op"),
+          col("c0"), col("c1"))
+        .filter(col("op") =!= "none")
     }
 
     /** SNAPSHOT EXPIRATION (vacuum) — the maintenance half of time
@@ -1874,12 +2144,23 @@ object Relational {
       * files, sorted. */
     def expire(retain: Seq[Int]): Seq[String] = {
       require(retain.nonEmpty, "expire: must retain at least one version")
-      val referenced = retain.flatMap(manifest).toSet
-      val removable = listDataFiles().filterNot(referenced).sorted
-      Option(manifestDir.listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("v") &&
-          !retain.contains(f.getName.drop(1).toInt))
-        .foreach(f => java.nio.file.Files.delete(f.toPath))
+      // refcount over EVERYTHING versions reference: data files AND
+      // deletion-vector sidecars (an expired version's DV goes with it
+      // unless a retained manifest still points at it)
+      val referenced = retain.flatMap(referencedPaths).toSet
+      val removable =
+        (listDataFiles() ++ listDeleteFiles()).filterNot(referenced).sorted
+      Option(manifestDir.listFiles()).toSeq.flatten.foreach { f =>
+        // only v<digits> names ARE versions — a stray v-prefixed file
+        // must not abort the sweep with a NumberFormatException; a
+        // crashed commit's leftover .staging_* manifest is the one
+        // orphan class nothing else resweeps, so expire collects it
+        if (f.getName.matches("v\\d+")) {
+          if (!retain.contains(f.getName.drop(1).toInt))
+            java.nio.file.Files.delete(f.toPath)
+        } else if (f.getName.startsWith(".staging_"))
+          java.nio.file.Files.delete(f.toPath)
+      }
       removable.foreach { rel =>
         java.nio.file.Files.delete(
           new java.io.File(wh, rel).toPath)
@@ -2012,34 +2293,211 @@ object Relational {
       val vw = new VersionedWarehouse(spark, s"$scratch/wh")
       vw.commit(0, vw.listDataFiles())
       vw.commitMerge(1, cdcSource(docs))
-      // metadata-only pruning: a partition with the SAME file set in
-      // both manifests cannot contribute to the diff
-      def byLang(files: Seq[String]): Map[String, Set[String]] =
-        files.groupBy(f =>
-          f.substring(f.indexOf('=') + 1, f.indexOf('/')))
-          .view.mapValues(_.toSet).toMap
-      val (m0, m1) = (byLang(vw.manifest(0)), byLang(vw.manifest(1)))
-      val changed = (m0.keySet ++ m1.keySet)
-        .filter(l => m0.get(l) != m1.get(l)).toSeq.sorted
-      val a = vw.asOf(0).filter(col("lang").isin(changed: _*))
-        .select(col("doc_id"), col("n_chars").as("c0"),
-          col("lang").as("l0"))
-      val b = vw.asOf(1).filter(col("lang").isin(changed: _*))
-        .select(col("doc_id"), col("n_chars").as("c1"),
-          col("lang").as("l1"))
-      // <= 3·|changed| rows out; materialize before the scratch dies
-      a.join(b, Seq("doc_id"), "full_outer")
-        .select(coalesce(col("l1"), col("l0")).as("lang"),
-          when(col("l0").isNull, lit("insert"))
-            .when(col("l1").isNull, lit("delete"))
-            .when(col("c0") =!= col("c1"), lit("update"))
-            .otherwise(lit("none")).as("op"),
+      // <= 3·|changed langs| rows out; materialize before the scratch
+      // dies. The row-level diff (manifest-pruned to the changed
+      // partitions, one doc_id-keyed full-outer join) is
+      // [[VersionedWarehouse.changeFeed]] — shared with q225, whose
+      // incremental view refresh consumes the same delta stream.
+      vw.changeFeed(0, 1)
+        .select(col("lang"), col("op"),
           (coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L)))
             .as("delta"))
-        .filter(col("op") =!= "none")
         .groupBy(col("lang"), col("op"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("delta")).cast("bigint").as("delta_chars"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  /** q223: MERGE-ON-READ DELETION VECTORS — the other half of every
+    * modern table format next to q204/q219's copy-on-write: a mutation
+    * that rewrites NOTHING. The gate builds the versioned store (v0,
+    * one file per lang), applies the CDC batch's upsert half as a MOR
+    * commit (v1: only the inserted/updated post-image rows APPEND as
+    * new files; a deletion-vector sidecar masks the replaced keys' old
+    * rows), then the delete half as a PURE-DV commit (v2: zero data
+    * files written — the contract the n_del_data_files column pins).
+    * The read path applies the DVs as anti-joins at scan time under the
+    * sequence-number rule, so asOf(2) must be bit-equal to the COW
+    * post-image of the same batch — the shared [[mergeClauseFrame]]
+    * truth, which the CDC-algebra oracle replays. n_files pins that v2
+    * references 2 data files for touched langs (v0's + v1's append) and
+    * 1 for untouched; n_dv_files pins one sidecar per mutating commit.
+    * At 100 TB: commit cost scales with the CDC batch, never with
+    * partition size — the frequent-delete regime COW cannot afford. */
+  def q223MorDeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q223_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      val nLangs = docs.select(col("lang")).distinct().count().toInt
+      docs.repartition(nLangs, col("lang"))
+        .write.partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commit(0, vw.listDataFiles())
+      val src = cdcSource(docs)
+      vw.commitMorMerge(1, src.filter(col("op") =!= "del"))
+      val dataBefore = vw.listDataFiles().size
+      vw.commitMorDelete(2,
+        src.filter(col("op") === "del").select(col("doc_id")))
+      val delWrote = vw.listDataFiles().size - dataBefore
+      val entries = vw.manifestEntries(2)
+      val nDv = entries.count(_.kind == "x").toLong
+      import spark.implicits._
+      val files = entries.filter(_.kind == "d").map(_.path)
+        .groupBy(p => p.substring(p.indexOf('=') + 1, p.indexOf('/')))
+        .view.mapValues(_.size.toLong).toSeq
+        .toDF("lang", "n_files")
+      vw.asOf(2).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .join(files, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("n_files"), lit(nDv).as("n_dv_files"),
+          lit(delWrote.toLong).as("n_del_data_files"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  /** q224: OPTIMIZE AS A VERSIONED COMMIT — the maintenance op the
+    * q219 wing was missing (q157's compaction exists only for the plain
+    * store): compact version v1's small files into one file per
+    * partition, committed as v2 through a MANIFEST SWAP — data
+    * bit-identical, old versions still readable — then compose with
+    * q221's expire so exactly the pre-compaction files go. The gate
+    * lays v0 out deliberately small-filed (sorted write rolled every 64
+    * rows, so per-lang file counts are ceil(n/64) — a pure function the
+    * oracle replays), merges the CDC batch as v1, optimizes as v2, and
+    * reports per lang: the post-image aggregates read through v2 AFTER
+    * expire(retain=v2), the v1/v2 file counts, and how many files the
+    * expire removed (all of v0 + v1's delta files — everything the
+    * compacted manifest no longer references). */
+  def q224OptimizeCompact(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q224_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      val nLangs = docs.select(col("lang")).distinct().count().toInt
+      // deterministic small-file layout: one task per lang, rows sorted
+      // so the 64-row roll yields ceil(n_lang/64) files with consecutive
+      // doc_id runs (the same layout q226's zone maps prune)
+      docs.repartition(nLangs, col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .write.option("maxRecordsPerFile", 64)
+        .partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commit(0, vw.listDataFiles())
+      vw.commitMerge(1, cdcSource(docs))
+      vw.optimize(2)
+      def perLang(paths: Seq[String]): Map[String, Long] = paths
+        .groupBy(p => p.substring(p.indexOf('=') + 1, p.indexOf('/')))
+        .view.mapValues(_.size.toLong).toMap
+      val v1Files = perLang(vw.manifest(1))
+      val v2Files = perLang(vw.manifest(2))
+      val removed = perLang(vw.expire(retain = Seq(2)))
+      import spark.implicits._
+      val fileStats = (v1Files.keySet ++ v2Files.keySet ++ removed.keySet)
+        .toSeq.sorted
+        .map(l => (l, v1Files.getOrElse(l, 0L), v2Files.getOrElse(l, 0L),
+          removed.getOrElse(l, 0L)))
+        .toDF("lang", "n_files_v1", "n_files_v2", "n_removed")
+      // the aggregates read through the COMPACTED manifest after the
+      // vacuum — pinning both the swap's bit-equality and that expire
+      // did not perturb the retained version
+      fileStats.join(vw.asOf(2).groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("bigint")).as("sum_chars")),
+        Seq("lang"), "left_outer")
+        .select(col("lang"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"),
+          col("n_files_v1"), col("n_files_v2"), col("n_removed"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  /** q225: CHANGE-FEED-DRIVEN INCREMENTAL REFRESH — the composition
+    * q222 (change data feed) and q166/q211 (additive view maintenance)
+    * exist to serve: bring a standing per-lang rollup current from v0
+    * to v1 by consuming the CDF's row deltas — insert +new, delete
+    * -old, update (new-old) — WITHOUT rescanning v1. The CDF is
+    * manifest-pruned to the changed partitions (metadata decision), so
+    * the refresh touches k/n of the table: at 100 TB the difference
+    * between touching the day's commits and recomputing the corpus
+    * rollup. The merge is [[mergeAdditiveState]] (shared with q166);
+    * the oracle replays the from-scratch v1 rollup from the CDC
+    * algebra, pinning maintained-state ≡ recomputed-state — the
+    * invariant every incremental-view pipeline must hold. */
+  def q225CdfRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q225_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      docs.write.partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commit(0, vw.listDataFiles())
+      vw.commitMerge(1, cdcSource(docs))
+      // the standing view state (in production: precomputed, on disk)
+      val state = vw.asOf(0).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      // one |changed-rows| aggregation of the CDF — never a v1 scan
+      val delta = vw.changeFeed(0, 1).groupBy(col("lang"))
+        .agg(sum(when(col("op") === "insert", 1L)
+            .when(col("op") === "delete", -1L).otherwise(0L)).as("n_docs"),
+          sum(coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L)))
+            .cast("bigint").as("sum_chars"))
+      mergeAdditiveState(state, delta,
+        keys = Seq("lang"), measures = Seq("n_docs", "sum_chars"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  /** q226: MANIFEST ZONE MAPS — per-file (min,max) stats recorded at
+    * commit time let an as-of read SKIP files inside a partition on
+    * metadata alone (Iceberg manifest stats / Delta file stats; the
+    * within-partition lever partition pruning doesn't have). The gate
+    * writes each lang's rows doc_id-sorted and rolled every 64 rows —
+    * so files hold consecutive doc_id runs and the file layout is a
+    * pure function of the data (ceil(n_lang/64) files, split at the
+    * 64th sorted id) — commits with stats, then answers a doc_id range
+    * query through [[VersionedWarehouse.asOfWhere]]. The report pins,
+    * per lang, the aggregates of the surviving rows AND the
+    * scanned/skipped file counts; the DuckDB oracle replays the roll
+    * (row_number \ 64 buckets), the per-bucket min/max, and the same
+    * interval-overlap skip decision — nothing golden. */
+  def q226ZoneMaps(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q226_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    val (idLo, idHi) = (120L, 260L)
+    try {
+      val nLangs = docs.select(col("lang")).distinct().count().toInt
+      docs.repartition(nLangs, col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .write.option("maxRecordsPerFile", 64)
+        .partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commitWithStats(0, vw.listDataFiles())
+      val (pruned, decisions) = vw.asOfWhere(0, idLo, idHi)
+      def langOf(e: ManifestEntry): String = e.path
+        .substring(e.path.indexOf('=') + 1, e.path.indexOf('/'))
+      import spark.implicits._
+      val fileCounts = decisions.groupBy { case (e, _) => langOf(e) }
+        .view.mapValues(ds => (ds.count(!_._2).toLong,
+          ds.count(_._2).toLong)).toSeq
+        .map { case (l, (sc, sk)) => (l, sc, sk) }
+        .toDF("lang", "n_scanned", "n_skipped")
+      // left from the file ledger: a lang whose every row falls outside
+      // the range still owes its (scanned, skipped) report row
+      fileCounts.join(pruned.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("bigint")).as("sum_chars")),
+        Seq("lang"), "left_outer")
+        .select(col("lang"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"),
+          col("n_scanned"), col("n_skipped"))
         .localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(scratch)
   }

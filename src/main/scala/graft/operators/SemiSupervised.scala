@@ -273,13 +273,18 @@ object SemiSupervised {
     * half/64-dim frame — it would double the whole bench) and the
     * cross-product itself, not data volume, is what this query gates.
     * Features abs()'d for multinomial NB. */
-  def qFullGrid(spark: SparkSession, dir: String): DataFrame = {
-    val data = Tables.load(spark, dir, "embeddings")
+  /** q141's dataset frame, factored so the bench's per-classifier
+    * tranche probes ([[qFullGridTranche]]) grid EXACTLY the frame the
+    * monolithic query does. */
+  private def fullGridFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") % 4 === 0)
       .select(
         array_to_vector(transform(slice(col("embedding"), 1, 32),
           x => abs(x))).as("features"),
         (col("label") % 2).cast("double").as("label"))
+
+  def qFullGrid(spark: SparkSession, dir: String): DataFrame = {
     val cells = Experiments.grid("embeddings_half",
       classifiers = Seq("DT", "RF", "NB", "LR"),
       algos = Seq("ST", "CT", "supervised"),
@@ -289,7 +294,32 @@ object SemiSupervised {
       // reaching every runner branch, not iteration depth (q40-q42 pin
       // multi-iteration convergence); each extra round is ~80 more fits
       maxIter = 1)
-    Experiments.runGridShared(Map("embeddings_half" -> data), cells,
+    Experiments.runGridShared(
+      Map("embeddings_half" -> fullGridFrame(spark, dir)), cells,
+      k = 2, seed = 8L, parallelism = 32)
+  }
+
+  /** ONE of q141's four per-classifier tranches (10 of the 40 cells:
+    * {ST, CT, supervised} × criteria × label fractions for a single
+    * base classifier), as its own separately-timed grid run — the
+    * retime-pass adjudication probe for the monolithic q141, symmetric
+    * with q177's dataset tranches ([[qGridDatasetsTranche]]): a
+    * throttled window during a grid-class RETIME now lands in a named
+    * tranche between two probes instead of somewhere inside a
+    * monolithic sample (r19's unexplained 216 s / 122 s retime
+    * excursions). Σ(tranches) upper-bounds the monolith's steady state
+    * (the four classifiers no longer share one work queue or one
+    * fold/mask staging pass). NOT a gate query — no oracle entry. */
+  def qFullGridTranche(spark: SparkSession, dir: String,
+      classifier: String): DataFrame = {
+    val cells = Experiments.grid("embeddings_half",
+      classifiers = Seq(classifier),
+      algos = Seq("ST", "CT", "supervised"),
+      pcts = Seq(0.1, 0.3),
+      criterionValues = Map("threshold" -> Seq(0.8), "kBest" -> Seq(0.5)),
+      maxIter = 1)
+    Experiments.runGridShared(
+      Map("embeddings_half" -> fullGridFrame(spark, dir)), cells,
       k = 2, seed = 8L, parallelism = 32)
   }
 

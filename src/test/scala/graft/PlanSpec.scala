@@ -798,4 +798,206 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"q210 recount fell back to sort-merge:\n$p")
   }
+
+  // --- q223 merge-on-read deletion vectors ---------------------------------
+
+  private def fileSigs(wh: String,
+      vw: graft.operators.Relational.VersionedWarehouse)
+      : Map[String, (Long, Long)] =
+    vw.listDataFiles().map { rel =>
+      val f = new java.io.File(wh, rel)
+      rel -> ((f.lastModified(), f.length()))
+    }.toMap
+
+  test("q223 MOR: delete commit writes zero data files, nothing is ever rewritten, read equals COW") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_q223_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    // two identical stores: one mutated MOR, one COW — same CDC batch
+    docs.write.partitionBy("lang").parquet(s"file://$scratch/mor")
+    docs.write.partitionBy("lang").parquet(s"file://$scratch/cow")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/mor")
+    vw.commit(0, vw.listDataFiles())
+    val v0Sigs = fileSigs(s"$scratch/mor", vw)
+    val src = graft.operators.Relational.cdcSource(docs)
+    vw.commitMorMerge(1, src.filter(col("op") =!= "del"))
+    val v1Sigs = fileSigs(s"$scratch/mor", vw)
+    val dataBeforeDelete = vw.listDataFiles()
+    vw.commitMorDelete(2, src.filter(col("op") === "del")
+      .select(col("doc_id")))
+    // the MOR contract, file layer: the delete commit wrote ZERO data
+    // files, and NO pre-existing file (v0's or v1's appends) was ever
+    // rewritten — mutation cost is the CDC batch, never partition size
+    assert(vw.listDataFiles() === dataBeforeDelete,
+      "MOR delete commit wrote or removed data files")
+    (v0Sigs ++ v1Sigs).foreach { case (rel, sig) =>
+      val f = new java.io.File(s"$scratch/mor", rel)
+      assert(f.isFile && (f.lastModified(), f.length()) === sig,
+        s"MOR rewrote pre-existing file $rel")
+    }
+    // one DV sidecar per mutating commit, applied as an anti-join
+    assert(vw.manifestEntries(2).count(_.kind == "x") === 2)
+    val p = vw.asOf(2).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftAnti"),
+      s"q223 read path lost its DV anti-join:\n$p")
+    // the read layer: asOf(2) bit-equals the COW post-image of the SAME
+    // batch (shared mergeClauseFrame truth)
+    graft.operators.Relational.mergeApply(spark, s"$scratch/cow", src)
+      .collect()
+    val cols = Seq("doc_id", "text", "source", "n_chars", "lang").map(col)
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(cols: _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    assert(snap(vw.asOf(2)) ===
+      snap(spark.read.parquet(s"file://$scratch/cow")),
+      "MOR read diverged from the COW post-image")
+    // time travel still works under MOR: asOf(0) is the pre-merge table
+    assert(snap(vw.asOf(0)) === snap(docs))
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  test("q224 optimize: manifest swap is bit-identical, expire removes exactly the pre-compaction files") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_q224_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val nLangs = docs.select(col("lang")).distinct().count().toInt
+    docs.repartition(nLangs, col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write.option("maxRecordsPerFile", 64)
+      .partitionBy("lang").parquet(s"file://$scratch/wh")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/wh")
+    vw.commit(0, vw.listDataFiles())
+    vw.commitMerge(1, graft.operators.Relational.cdcSource(docs))
+    def snap(v: Int): Seq[Seq[Any]] =
+      vw.asOf(v).select(col("doc_id"), col("n_chars"), col("lang"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val v1 = snap(1)
+    val compacted = vw.optimize(2)
+    // one compacted file per partition, data bit-identical across the swap
+    assert(vw.manifest(2).toSet === compacted.toSet)
+    assert(compacted.groupBy(_.takeWhile(_ != '/')).values
+      .forall(_.size == 1), s"optimize left >1 file in a partition: $compacted")
+    assert(snap(2) === v1, "OPTIMIZE changed the data")
+    // pre-compaction versions stay readable until expired
+    assert(snap(1) === v1 && vw.hasVersion(0))
+    val preFiles = vw.listDataFiles().toSet
+    val removed = vw.expire(retain = Seq(2))
+    // exactly the files the compacted manifest no longer references go
+    assert(removed.toSet === (preFiles -- compacted))
+    assert(vw.listDataFiles().toSet === compacted.toSet)
+    assert(snap(2) === v1, "expire perturbed the retained compacted version")
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  test("q225 refresh: change feed scans only the changed partitions' files") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_q225_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    docs.write.partitionBy("lang").parquet(s"file://$scratch/wh")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/wh")
+    vw.commit(0, vw.listDataFiles())
+    vw.commitMerge(1, graft.operators.Relational.cdcSource(docs))
+    assert(vw.changedPartitions(0, 1) === Seq("de", "en"))
+    val cf = vw.changeFeed(0, 1)
+    // the manifest prune is physical: the diff's scan set contains NO
+    // file of an unchanged partition — the k/n lever the 100 TB refresh
+    // story rests on
+    val scanned = cf.inputFiles.toSeq
+    assert(scanned.nonEmpty)
+    scanned.foreach(f => assert(
+      f.contains("lang=de/") || f.contains("lang=en/"),
+      s"change feed scanned an unchanged partition's file: $f"))
+    // maintained state == from-scratch v1 rollup (the IVM invariant),
+    // via the gate query itself against a recompute
+    val refreshed = SparkEntry.queries("q225_cdf_refresh")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val scratch2 = vw.asOf(1).groupBy(col("lang"))
+      .agg(count(lit(1)), sum(col("n_chars").cast("bigint")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(refreshed === scratch2,
+      s"refresh diverged from recompute: $refreshed vs $scratch2")
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  test("q226 zone maps: a selective as-of read lists fewer files than the manifest") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_q226_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val nLangs = docs.select(col("lang")).distinct().count().toInt
+    docs.repartition(nLangs, col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write.option("maxRecordsPerFile", 64)
+      .partitionBy("lang").parquet(s"file://$scratch/wh")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/wh")
+    vw.commitWithStats(0, vw.listDataFiles())
+    val total = vw.manifest(0).size
+    val (pruned, decisions) = vw.asOfWhere(0, 120L, 260L)
+    val skipped = decisions.count(_._2)
+    val scannedN = decisions.count(!_._2)
+    assert(skipped > 0, "zone maps skipped nothing on a selective range")
+    assert(scannedN < total && scannedN + skipped === total)
+    // the physical scan set is exactly the non-skipped files
+    assert(pruned.inputFiles.length === scannedN,
+      s"scan lists ${pruned.inputFiles.length} files, expected $scannedN")
+    // pruning is sound: the zone-mapped read equals the full-scan filter
+    val expect = vw.asOf(0).filter(col("doc_id").between(120L, 260L))
+      .agg(count(lit(1)), sum(col("n_chars").cast("bigint"))).head
+    val got = pruned
+      .agg(count(lit(1)), sum(col("n_chars").cast("bigint"))).head
+    assert(got === expect, s"zone-map prune dropped rows: $got vs $expect")
+    // a file committed WITHOUT stats is never skipped
+    vw.commit(1, vw.listDataFiles())
+    val (_, d1) = vw.asOfWhere(1, 120L, 260L)
+    assert(d1.forall(!_._2), "a stats-less file was skipped")
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  test("expire survives stray manifest names and sweeps stale staging files") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_expire_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .limit(20).localCheckpoint()
+    docs.write.partitionBy("lang").parquet(s"file://$scratch/wh")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/wh")
+    vw.commit(0, vw.listDataFiles())
+    val mdir = new java.io.File(s"$scratch/wh", "_manifests")
+    // a stray v-prefixed non-version file (vNOTES) and a crashed
+    // commit's leftover staging manifest — neither may abort the sweep
+    java.nio.file.Files.writeString(
+      new java.io.File(mdir, "vNOTES").toPath, "not a version")
+    java.nio.file.Files.writeString(
+      new java.io.File(mdir, ".staging_dead").toPath, "torn")
+    val removed = vw.expire(retain = Seq(0))
+    assert(removed.isEmpty)
+    assert(new java.io.File(mdir, "vNOTES").isFile,
+      "expire deleted a non-version file it does not own")
+    assert(!new java.io.File(mdir, ".staging_dead").exists(),
+      "expire left a stale staging manifest (the unsweepable orphan class)")
+    assert(vw.hasVersion(0))
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  test("manifest entries: legacy bare paths parse, stats roundtrip") {
+    import graft.operators.Relational.ManifestEntry
+    val legacy = ManifestEntry.parse("lang=en/part-0.parquet")
+    assert(legacy === ManifestEntry(0, "d", "lang=en/part-0.parquet"))
+    val full = ManifestEntry(3, "x", "_deletes/v3/k.parquet",
+      Some((1L, 9L, 10L, 99L)))
+    assert(ManifestEntry.parse(full.serialize) === full)
+    assert(ManifestEntry.parse(ManifestEntry(2, "d", "p").serialize) ===
+      ManifestEntry(2, "d", "p"))
+  }
 }

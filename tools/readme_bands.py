@@ -88,13 +88,30 @@ lines = [
     "lower-bounded. First samples >= 2 s carry their own "
     "gcSec/cgEntries/heapMb/steal deltas in `firstJvm` (the first "
     "pass is adjudicable per query, not just per phase).",
-    "q177 tranche rule (r19): `q177Tranches` times the three 40-cell "
-    "dataset tranches separately, each with its own calm + "
-    "spin/steal/gc stamps and a following 1-s ML probe. The tranche "
-    "sum UPPER-bounds the monolithic q177 steady state (tranches "
-    "forfeit the cross-dataset interleave), so q177-first >> "
-    "tranche-sum names the first sample as polluted, and a single "
-    "inflated tranche names the polluted window.",
+    "Pinned-reference rule (r20): spin ratios are read against "
+    "`jvm.spinRefPinned` — the best-ever probe persisted in "
+    "SPIN_REF.json — NOT against the run's own `spinSec[0]`: a run "
+    "that STARTS capped inflates its own reference and every "
+    "self-relative ratio under-flags (the r19 driver artifact let a "
+    "12.6x retime excursion stamp clean this way). A run whose "
+    "`jvm.hostCapped` is true executed on a capped host end to end: "
+    "every timing in it is a lower bound and it must not seed "
+    "cross-round comparisons.",
+    "Grid-tranche rule (r20): `gridTranches` times q177's three "
+    "dataset tranches AND q141's four per-classifier tranches as the "
+    "two queries' RETIME samples, each with its own calm + "
+    "spin/steal/gc stamps and a following 1-s ML probe; the recorded "
+    "retime is the tranche sum, an UPPER bound of the monolith's "
+    "steady state (tranches forfeit the shared work queue), so "
+    "first >> tranche-sum names the first sample as polluted, and a "
+    "single inflated tranche names the polluted window.",
+    "Grid-concurrency rule (r20): grid-class samples carry `gridPar` "
+    "(the lowest steal-capped concurrent-cell bound any runGridShared "
+    "inside the sample actually used; `gridParAll` lists every "
+    "invocation when there were several). Cross-round grid timings "
+    "are only fixed-configuration comparable when both artifacts' "
+    "gridPar stamps AGREE — a capped grid (gridPar < 32) ran a "
+    "different schedule, mirroring the steal-column rule.",
 ]
 # apply the rule to THIS artifact: name any polluted retimes so the
 # reader doesn't have to re-derive the arithmetic from the JSON
@@ -102,7 +119,14 @@ rjvm = d.get("retimedJvm", {})
 rcal = d.get("retimeCalib", [])
 ml_post = calib_ml[1] if len(calib_ml) > 1 else None
 flagged = []
-spin_ref = (jvm.get("spinSec") or [None])[0]
+# ratio denominator: the PINNED reference when present (a capped run's
+# own spinSec[0] under-flags — the r19 lesson), else the run's own
+spin_ref = jvm.get("spinRefPinned") or (jvm.get("spinSec") or [None])[0]
+if jvm.get("hostCapped"):
+    flagged.append(
+        f"RUN-LEVEL: hostCapped=true (run spin reference "
+        f"{(jvm.get('spinSec') or [0])[0]:.3f} s vs pinned "
+        f"{jvm.get('spinRefPinned'):.3f} s) — every timing is a lower bound")
 for name, st in rjvm.items():
     second = rt.get(name)
     if second is None or second <= 0:
@@ -160,16 +184,17 @@ if jvm:
             f"{jvm.get('cachedPlans')}"
             + (f", spin probe s {triple(jvm['spinSec'])}"
                if jvm.get("spinSec") else "") + ".")
-tr = d.get("q177Tranches", [])
-if tr:
-    t_sum = sum(t.get("sec", 0.0) for t in tr)
+tr = d.get("gridTranches", d.get("q177Tranches", []))
+for qname in sorted({t.get("query", "q177") for t in tr}):
+    qtr = [t for t in tr if t.get("query", "q177") == qname]
+    t_sum = sum(t.get("sec", 0.0) for t in qtr)
     parts = "; ".join(
         f"{t['tranche']} {t['sec']:.1f} s (spin {t.get('spinPre', -1):.2f}, "
         f"steal {t.get('stealPct', -1):.1f}%, gc {t.get('gcSec', 0):.1f} s, "
-        f"probe-after {t.get('calibMlAfter', -1):.2f} s)" for t in tr)
+        f"probe-after {t.get('calibMlAfter', -1):.2f} s)" for t in qtr)
     lines.append(
-        f"q177 tranches (sum {t_sum:.1f} s, an upper bound of the "
-        f"monolith's steady state): {parts}.")
+        f"{qname} retime tranches (sum {t_sum:.1f} s, an upper bound of "
+        f"the monolith's steady state): {parts}.")
 block = ("<!-- BENCH_BANDS_BEGIN: generated by tools/readme_bands.py from "
          "BENCH_detail.json - do not hand-edit -->\n"
          + "\n".join(lines) +
