@@ -376,6 +376,8 @@ object SparkEntry {
       graft.operators.Relational.q225CdfRefresh(s, d)),
     "q226_zone_maps"          -> ((s: SparkSession, d: String) =>
       graft.operators.Relational.q226ZoneMaps(s, d)),
+    "q227_mor_change_feed"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Relational.q227MorChangeFeed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1918,21 +1920,11 @@ object SparkEntry {
     // q222: per-clause counts + net char deltas replay directly from
     // the CDC derivation (update = +1000 each, insert = +42 each,
     // delete = -the deleted docs' original chars)
-    "q222_change_feed" ->
-      (s"WITH $cdcSrcCte, " +
-       "del AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_rows, " +
-       "-CAST(sum(d.n_chars) AS BIGINT) AS delta_chars " +
-       "FROM documents d JOIN src s USING (doc_id) WHERE s.op = 'del' " +
-       "GROUP BY 1), " +
-       "upd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, " +
-       "CAST(1000 * count(*) AS BIGINT) AS delta_chars FROM src " +
-       "WHERE op = 'upd' GROUP BY 1), " +
-       "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, " +
-       "CAST(42 * count(*) AS BIGINT) AS delta_chars FROM src " +
-       "WHERE op = 'ins' GROUP BY 1) " +
-       "SELECT lang, 'delete' AS op, n_rows, delta_chars FROM del " +
-       "UNION ALL SELECT lang, 'update', n_rows, delta_chars FROM upd " +
-       "UNION ALL SELECT lang, 'insert', n_rows, delta_chars FROM ins"),
+    "q222_change_feed" -> cdfOracleSql,
+    // q227: the MOR chain (upsert commit + pure-DV delete commit) and
+    // the COW batch mean the SAME mutation, so the DV-aware snapshot
+    // diff shares q222's oracle verbatim
+    "q227_mor_change_feed" -> cdfOracleSql,
     // q223: the MOR read must equal the COW post-image (same CDC
     // algebra), and the file ledger is a pure function of the commits:
     // touched langs carry v0's file + v1's append (2), untouched 1;
@@ -3240,6 +3232,28 @@ object SparkEntry {
   private lazy val cdcInsCte: String =
     "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM src " +
     "WHERE op = 'ins' GROUP BY 1)"
+
+  /** Per-clause counts + net char deltas replayed directly from the
+    * CDC derivation (update = +1000 each, insert = +42 each, delete =
+    * -the deleted docs' original chars) — shared VERBATIM by q222 (the
+    * COW-versioned chain) and q227 (the MOR deletion-vector chain):
+    * the two write disciplines mean the same mutation, so one oracle
+    * pins both. */
+  private lazy val cdfOracleSql: String =
+    (s"WITH $cdcSrcCte, " +
+     "del AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_rows, " +
+     "-CAST(sum(d.n_chars) AS BIGINT) AS delta_chars " +
+     "FROM documents d JOIN src s USING (doc_id) WHERE s.op = 'del' " +
+     "GROUP BY 1), " +
+     "upd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, " +
+     "CAST(1000 * count(*) AS BIGINT) AS delta_chars FROM src " +
+     "WHERE op = 'upd' GROUP BY 1), " +
+     "ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, " +
+     "CAST(42 * count(*) AS BIGINT) AS delta_chars FROM src " +
+     "WHERE op = 'ins' GROUP BY 1) " +
+     "SELECT lang, 'delete' AS op, n_rows, delta_chars FROM del " +
+     "UNION ALL SELECT lang, 'update', n_rows, delta_chars FROM upd " +
+     "UNION ALL SELECT lang, 'insert', n_rows, delta_chars FROM ins")
 
   private def mergeOracleSql: String =
    (s"WITH $cdcSrcCte, " +

@@ -1969,7 +1969,8 @@ object Relational {
         .write.mode("append").partitionBy("lang").parquet(whUri)
       commitEntries(v, prior.filterNot(e => e.kind == "d" &&
         touched.exists(l => e.path.startsWith(s"lang=$l/"))) ++
-        appendedFiles(before, touched).map(ManifestEntry(v, "d", _)))
+        withInheritedStats(v - 1,
+          appendedFiles(before, touched).map(ManifestEntry(v, "d", _))))
       touched
     }
 
@@ -2012,7 +2013,8 @@ object Relational {
       val dv = writeDeleteVector(v, clause
         .filter(col("clause").isin("deleted", "updated")))
       commitEntries(v, prior ++
-        appendedFiles(before, touched).map(ManifestEntry(v, "d", _)) ++
+        withInheritedStats(v - 1,
+          appendedFiles(before, touched).map(ManifestEntry(v, "d", _))) ++
         dv.map(ManifestEntry(v, "x", _)))
       touched
     }
@@ -2041,7 +2043,8 @@ object Relational {
         .repartition(math.max(langs.size, 1), col("lang"))
         .write.mode("append").partitionBy("lang").parquet(whUri)
       val compacted = listDataFiles().filterNot(before)
-      commitEntries(v, compacted.map(ManifestEntry(v, "d", _)))
+      commitEntries(v, withInheritedStats(v - 1,
+        compacted.map(ManifestEntry(v, "d", _))))
       compacted
     }
 
@@ -2069,6 +2072,25 @@ object Relational {
       val stats = fileStats(files)
       commitEntries(v, files.map(f => ManifestEntry(v, "d", f, stats.get(f))))
     }
+
+    /** Whether version `v`'s manifest carries zone maps — a
+      * stats-enabled store stays stats-enabled through mutating
+      * commits ([[commitMerge]]/[[optimize]] stat their NEW files when
+      * this is true; retained entries keep theirs verbatim). */
+    private def statsEnabled(v: Int): Boolean =
+      manifestEntries(v).exists(e => e.kind == "d" && e.stats.isDefined)
+
+    /** Stamp stats onto fresh data entries iff the prior version was
+      * stats-enabled (one extra |newFiles|-bounded job per commit —
+      * production formats get these free from write-task commit
+      * messages). */
+    private def withInheritedStats(priorV: Int,
+        entries: Seq[ManifestEntry]): Seq[ManifestEntry] =
+      if (!statsEnabled(priorV) || entries.isEmpty) entries
+      else {
+        val stats = fileStats(entries.map(_.path))
+        entries.map(e => e.copy(stats = stats.get(e.path)))
+      }
 
     /** Partitions whose DATA FILE LISTS differ between versions `v0`
       * and `v1` — decided on manifest metadata only; identical file
@@ -2498,6 +2520,42 @@ object Relational {
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("sum_chars"), lit(0L)).as("sum_chars"),
           col("n_scanned"), col("n_skipped"))
+        .localCheckpoint()
+    } finally graft.util.Fs.deleteRecursively(scratch)
+  }
+
+  /** q227: CHANGE DATA FEED ACROSS A MERGE-ON-READ CHAIN — the
+    * composition pinning that the snapshot diff is DELETION-VECTOR-
+    * AWARE: v1 applies the CDC batch's upsert half as a MOR commit
+    * (appended post-images + a DV masking the replaced keys), v2 its
+    * delete half as a pure-DV commit, and changeFeed(0, 2) must read
+    * both endpoints THROUGH their deletion vectors (the seq-rule
+    * anti-joins) to emit exactly the per-(lang, op) counts and char
+    * deltas of q222's copy-on-write chain — the DuckDB oracle is
+    * q222's VERBATIM, because the two-step MOR chain and the one-shot
+    * COW batch mean the same mutation. A DV delta makes the partition
+    * prune conservative (a key-based DV can mask rows in any
+    * partition, so changed = all) — correctness first; a format that
+    * binds delete files to data files narrows that back to k/n. */
+  def q227MorChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_q227_" +
+      java.util.UUID.randomUUID().toString
+    val docs = Tables.load(spark, dir, "documents")
+    try {
+      docs.write.partitionBy("lang").parquet(s"file://$scratch/wh")
+      val vw = new VersionedWarehouse(spark, s"$scratch/wh")
+      vw.commit(0, vw.listDataFiles())
+      val src = cdcSource(docs)
+      vw.commitMorMerge(1, src.filter(col("op") =!= "del"))
+      vw.commitMorDelete(2,
+        src.filter(col("op") === "del").select(col("doc_id")))
+      vw.changeFeed(0, 2)
+        .select(col("lang"), col("op"),
+          (coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L)))
+            .as("delta"))
+        .groupBy(col("lang"), col("op"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("delta")).cast("bigint").as("delta_chars"))
         .localCheckpoint()
     } finally graft.util.Fs.deleteRecursively(scratch)
   }

@@ -990,6 +990,40 @@ class PlanSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(scratch)
   }
 
+  test("zone-map stats propagate through commitMerge and optimize") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_stats_spec").toString
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val nLangs = docs.select(col("lang")).distinct().count().toInt
+    docs.repartition(nLangs, col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write.option("maxRecordsPerFile", 64)
+      .partitionBy("lang").parquet(s"file://$scratch/wh")
+    val vw = new graft.operators.Relational.VersionedWarehouse(
+      spark, s"$scratch/wh")
+    vw.commitWithStats(0, vw.listDataFiles())
+    vw.commitMerge(1, graft.operators.Relational.cdcSource(docs))
+    // a stats-enabled store stays stats-enabled: the merge's NEW files
+    // carry stats, retained files keep theirs verbatim
+    def dataEntries(v: Int) =
+      vw.manifestEntries(v).filter(_.kind == "d")
+    assert(dataEntries(1).forall(_.stats.isDefined),
+      s"commitMerge dropped zone maps: ${dataEntries(1).filter(_.stats.isEmpty)}")
+    val retained0 = dataEntries(0).map(e => e.path -> e.stats).toMap
+    dataEntries(1).filter(e => retained0.contains(e.path)).foreach(e =>
+      assert(e.stats === retained0(e.path),
+        s"retained entry ${e.path} changed stats"))
+    vw.optimize(2)
+    assert(dataEntries(2).forall(_.stats.isDefined),
+      "optimize dropped zone maps")
+    // and the post-merge version still prunes on them
+    val (_, decisions) = vw.asOfWhere(1, 120L, 260L)
+    assert(decisions.exists(_._2),
+      "post-merge zone maps skipped nothing on a selective range")
+    graft.util.Fs.deleteRecursively(scratch)
+  }
+
   test("manifest entries: legacy bare paths parse, stats roundtrip") {
     import graft.operators.Relational.ManifestEntry
     val legacy = ManifestEntry.parse("lang=en/part-0.parquet")
