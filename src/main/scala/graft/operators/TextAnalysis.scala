@@ -1200,7 +1200,13 @@ object TextAnalysis {
     * holds a vocabulary-sized structure anywhere but the executors.
     * Cost: nMerges jobs over the persisted word frame, each one scan +
     * one |pairs|-key exchange — the honest price of training where no
-    * driver cap is sound. */
+    * driver cap is sound. Codegen-size bound: [[foldedSyms]] nests one
+    * `aggregate` lambda per learned merge, so the round-R plan carries
+    * an R-deep expression tree — fine at the gate's 20 merges, but a
+    * large-vocab run (hundreds of merges) would hit Janino method-size
+    * limits or fall off codegen; at that scale re-encode from a
+    * CHECKPOINTED symbol column every ~32 rounds instead of refolding
+    * from raw text. */
   private[graft] def trainMergesDistributed(wordFreq: DataFrame,
       nMerges: Int): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
