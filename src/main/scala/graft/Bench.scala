@@ -304,6 +304,48 @@ object Bench {
       // synthetic warm corpus left 8-26 s of deopt/recompile variance in
       // the first timed sample across r14 runs).
     }
+    // Query-shape warmup over a TINY synthetic corpus (r21): the queries
+    // below each showed a 1-5 s first-sample-vs-retime gap with clean
+    // steal/gc and only a handful of codegen-cache entries — i.e. pure
+    // first-run JIT of their own generated code and (for multimodal) the
+    // ImageIO/AudioSystem class graphs, landing inside the timed first
+    // pass (r20 detail: q137 4.5→1.5, q143 3.7→0.5, q144 2.3→0.6,
+    // q101 1.7→1.1, q80 4.7→1.9 first→retime). Running the SAME query
+    // functions over a 12-row corpus pays that compile untimed and
+    // data-independently — the established warm discipline (ml-roster /
+    // grid-runner / sketch-family above), extended to the shapes those
+    // warms did not reach. No query in this list stages durable
+    // artifacts (staging-keyed queries would litter per-run fingerprints;
+    // q116's band-table family is deliberately absent).
+    warmPhase("query-shapes") {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm_shapes")
+      val langs = Seq("en", "de", "fr")
+      // 16+ tokens per doc (shingle/gram windows need >= 8), a shared
+      // 12-token span across two docs (dup-span machinery), repeated
+      // bigrams (LM smoothing paths), ids 0..11 (q80's %50 split,
+      // doc_id%3 media types, %4 decoration variants)
+      (0 until 12).map { i =>
+        val span = "alpha beta gamma delta epsilon zeta eta theta iota " +
+          "kappa lambda mu"
+        val tail = s"tok${i % 5} tok${(i * 3) % 7} word$i end"
+        (i.toLong, s"$span $tail", langs(i % 3), s"src${i % 2}",
+          (span.length + tail.length + 1).toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val warmQs = Seq("q52_media_profile", "q137_image_neardup",
+        "q138_audio_neardup", "q143_ppl_buckets", "q101_unigram_logprob",
+        "q144_dup_spans", "q80_contamination", "q202_byte_bpe",
+        "q207_bpe_roundtrip")
+      for (q <- warmQs) {
+        try SparkEntry.queries(q)(spark, tmp.toString).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm shape $q failed: ${e.getMessage}") }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      graft.util.Fs.deleteRecursively(tmp.toFile)
+    }
     // Streaming-machinery warmup: the first streaming query in the timed
     // loop (alphabetically q106) otherwise absorbs the one-time JIT of
     // the whole micro-batch stack — IncrementalExecution, state store,
@@ -454,27 +496,44 @@ object Bench {
     // and is keyed to the probe's thread count: a different-width host
     // starts its own lineage rather than comparing against the wrong
     // hardware.
+    // ONE pin per spinThreads key (r21, ADVICE): the old single-entry file
+    // was overwritten whenever the stored entry didn't match this run's
+    // thread count — a different-width host clobbered the original
+    // lineage's pin and reset the min-only ratchet. The file now holds a
+    // small map {"byThreads":{"32":0.138,...}}; this run reads and
+    // ratchets ONLY its own key and rewrites the file preserving every
+    // other key (legacy single-entry files are migrated on first read).
     val spinRefPath = java.nio.file.Paths.get("SPIN_REF.json")
-    val storedSpinRef: Option[Double] =
+    val storedPins: Map[Int, Double] =
       try {
         val s = java.nio.file.Files.readString(spinRefPath)
-        val refRe = """"spinRefSec"\s*:\s*([0-9.]+)""".r
-        val cpuRe = """"spinThreads"\s*:\s*(\d+)""".r
-        for {
-          r <- refRe.findFirstMatchIn(s).map(_.group(1).toDouble)
-          c <- cpuRe.findFirstMatchIn(s).map(_.group(1).toInt)
-          if c == spinThreads
-        } yield r
-      } catch { case scala.util.control.NonFatal(_) => None }
+        val mapRe = """"(\d+)"\s*:\s*([0-9.]+)""".r
+        val fromMap = mapRe.findAllMatchIn(s)
+          .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+        if (fromMap.nonEmpty) fromMap
+        else { // legacy {"spinRefSec":r,"spinThreads":c} single entry
+          val refRe = """"spinRefSec"\s*:\s*([0-9.]+)""".r
+          val cpuRe = """"spinThreads"\s*:\s*(\d+)""".r
+          (for {
+            r <- refRe.findFirstMatchIn(s).map(_.group(1).toDouble)
+            c <- cpuRe.findFirstMatchIn(s).map(_.group(1).toInt)
+          } yield Map(c -> r)).getOrElse(Map.empty)
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val storedSpinRef: Option[Double] = storedPins.get(spinThreads)
     val spinRefPinned = storedSpinRef.fold(spinRef)(math.min(_, spinRef))
     val hostCapped = spinRef / spinRefPinned > 1.3
-    if (storedSpinRef.forall(spinRef < _))
+    if (storedSpinRef.forall(spinRef < _)) {
+      val merged = storedPins + (spinThreads -> spinRefPinned)
       // Double.toString is locale-independent (the f-interpolator is not)
+      val entries = merged.toSeq.sorted
+        .map { case (c, r) => s""""$c":$r""" }.mkString(",")
       try java.nio.file.Files.writeString(spinRefPath,
-        s"""{"spinRefSec":$spinRef,"spinThreads":$spinThreads,""" +
+        s"""{"byThreads":{$entries},""" +
           s""""updatedAt":"${java.time.Instant.now()}"}""" + "\n")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not persist SPIN_REF.json: $e") }
+    }
     if (hostCapped)
       System.err.println(s"[bench] HOST CAPPED: run spin reference " +
         s"$spinRef s is ${spinRef / spinRefPinned}x the pinned " +

@@ -63,43 +63,86 @@ object Evaluation {
     * (LinearSVC) evaluate too. Returns (accuracy, auc, pr, f1). */
   def evaluate4(model: Transformer, test: DataFrame)
       : (Double, Double, Double, Double) = {
+    import org.apache.spark.ml.functions.vector_to_array
     val predictions = model.transform(test)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cm = predictions.groupBy(col("prediction"), col("label"))
-      .agg(count(lit(1)).as("n")).collect()
-    val n = cm.map(_.getLong(2)).sum.toDouble
+    // ONE aggregation job feeds BOTH metric families (r21 — the old path
+    // ran a confusion-matrix job AND a per-score-counts job over a
+    // persisted predictions frame; with 240+ fit+evaluate chains per
+    // grid query, the second job plus the persist/unpersist round-trip
+    // was the grid runner's largest remaining fixed cost): group by
+    // (score, prediction, label) — the confusion matrix is this frame
+    // re-aggregated over (prediction, label) and the per-threshold
+    // (positives, negatives) counts are it re-aggregated over score,
+    // both exact integer sums of the same rows the two old jobs read.
+    // The top-k cut keeps the collect bounded: binary folds carry at
+    // most 4 rows per distinct score, so 8000 complete rows certify
+    // < 2000 distinct scores — exactly the old local-path guard; a
+    // truncated result or >= 2000 distinct scores falls back to the
+    // distributed BCM path unchanged (value-neutral at the boundary:
+    // below 2000 distinct scores BCM does no downsampling and computes
+    // the identical curve, per binaryAucPrLocal's contract).
+    val s = element_at(vector_to_array(col("rawPrediction")), 2)
+    val g = predictions
+      .groupBy(s.as("s"), col("prediction"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("s").desc)
+      .take(8001)
+    val nDistinct = {
+      var d = 0; var prev = Double.NaN; var first = true
+      g.foreach { r =>
+        val v = r.getDouble(0)
+        if (first || java.lang.Double.compare(prev, v) != 0) d += 1
+        prev = v; first = false
+      }
+      d
+    }
+    val localRegime = g.length <= 8000 && nDistinct < 2000
+    // corpus-sized fold: the bounded probe cannot see every (prediction,
+    // label) cell — persist once and run the dedicated jobs, as before
+    val cached =
+      if (localRegime) null
+      else predictions.persist(StorageLevel.MEMORY_AND_DISK)
+    val cm: Seq[(Double, Double, Long)] =
+      if (localRegime)
+        g.toSeq.groupBy(r => (r.getDouble(1), r.getDouble(2)))
+          .map { case ((p, l), rs) => (p, l, rs.map(_.getLong(3)).sum) }.toSeq
+      else
+        cached.groupBy(col("prediction"), col("label"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    val n = cm.map(_._3).sum.toDouble
     // loud beats NaN: correct/0 would flow a silent NaN into the result row
     require(n > 0, "evaluate4: empty test frame (no rows to score)")
-    val correct = cm.filter(r => r.getDouble(0) == r.getDouble(1))
-      .map(_.getLong(2)).sum.toDouble
-    val tp = cm.filter(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
-      .map(_.getLong(2)).sum
-    val fp = cm.filter(r => r.getDouble(0) == 1.0 && r.getDouble(1) != 1.0)
-      .map(_.getLong(2)).sum
-    val fn = cm.filter(r => r.getDouble(0) != 1.0 && r.getDouble(1) == 1.0)
-      .map(_.getLong(2)).sum
+    val correct = cm.filter(r => r._1 == r._2).map(_._3).sum.toDouble
+    val tp = cm.filter(r => r._1 == 1.0 && r._2 == 1.0).map(_._3).sum
+    val fp = cm.filter(r => r._1 == 1.0 && r._2 != 1.0).map(_._3).sum
+    val fn = cm.filter(r => r._1 != 1.0 && r._2 == 1.0).map(_._3).sum
     val acc = correct / n
     val f1 =
       if (2 * tp + fp + fn == 0) 0.0
       else 2.0 * tp / (2.0 * tp + fp + fn)
-    // per-distinct-score (positives, negatives), score descending — the
-    // same per-threshold counts BCM's combineByKey+sortByKey builds, as
-    // one codegen'd aggregation under a top-k cut (score = rawPrediction
-    // margin component 1, the value the old RDD path extracted)
-    import org.apache.spark.ml.functions.vector_to_array
-    val counts = predictions
-      .select(element_at(vector_to_array(col("rawPrediction")), 2).as("s"),
-        col("label"))
-      .groupBy(col("s")).agg(
-        sum(when(col("label") > 0.5, 1L).otherwise(0L)).as("p"),
-        sum(when(col("label") > 0.5, 0L).otherwise(1L)).as("ng"))
-      .orderBy(col("s").desc)
-      .take(2000)
-      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
     val (auc, pr) =
-      if (counts.length < 2000) binaryAucPrLocal(counts)
-      else binaryAucPrDistributed(predictions)
-    predictions.unpersist(blocking = false)
+      if (localRegime) {
+        // per-distinct-score (positives, negatives), score descending —
+        // adjacent rows of the sorted collect fold into one entry per
+        // score (same integer sums the old per-score job produced)
+        val counts = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Long, Long)]
+        g.foreach { r =>
+          val v = r.getDouble(0)
+          val pos = if (r.getDouble(2) > 0.5) r.getLong(3) else 0L
+          val neg = if (r.getDouble(2) > 0.5) 0L else r.getLong(3)
+          if (counts.nonEmpty &&
+              java.lang.Double.compare(counts.last._1, v) == 0) {
+            val last = counts.last
+            counts(counts.length - 1) = (v, last._2 + pos, last._3 + neg)
+          } else counts += ((v, pos, neg))
+        }
+        binaryAucPrLocal(counts.toSeq)
+      } else {
+        try binaryAucPrDistributed(cached)
+        finally cached.unpersist(blocking = false)
+      }
     (acc, auc, pr, f1)
   }
 

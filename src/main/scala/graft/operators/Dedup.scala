@@ -887,11 +887,18 @@ object Dedup {
   def q146PageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = minhashCandidatePairs(spark, dir)
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges0 = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(MEMORY_AND_DISK)
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val deg = edges0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .persist(MEMORY_AND_DISK)
+    // deg is loop-INVARIANT: attach it to the edge list once, outside the
+    // iteration (r21 — the old loop re-joined edges⋈deg every round, one
+    // redundant hash join × iters; contribution is r DIV deg per edge, so
+    // the degree can ride the edge row)
+    val edges = edges0.join(deg, Seq("u")).persist(MEMORY_AND_DISK)
+    edges.count()
+    edges0.unpersist(false)
     val n = deg.count()
     // a corpus with zero near-dup pairs has no graph to rank — fail with
     // the reason rather than a divide-by-zero three lines later
@@ -919,7 +926,6 @@ object Dedup {
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("v", "u"), Seq("u"))
-        .join(deg, Seq("u"))
         .select(col("v"), expr("r DIV deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
@@ -1124,29 +1130,39 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labelsBefore = stagedComponentLabels(spark, dir)
     val labelsAfter = connectedComponentsStars(pairsAfter)
-    // rows referencing a deleted id in ANY listed column, counted ONCE
-    // (the oracle's OR semantics): total minus rows clean in EVERY column
-    // — chained anti equi-joins, no OR-condition nested loop
-    def refs(df: DataFrame, total: Long, cols: Seq[String]): Long =
-      total - cols.foldLeft(df) { (d, c) =>
+    // rows CLEAN in every listed column (total − clean = rows referencing
+    // a deleted id in ANY column, the oracle's OR semantics) — chained
+    // anti equi-joins, no OR-condition nested loop
+    def clean(df: DataFrame, cols: Seq[String]): () => Long =
+      () => cols.foldLeft(df) { (d, c) =>
         d.join(del.select(col("doc_id").as(c)), Seq(c), "left_anti")
       }.count()
-    val (nDocsA, nBtA, nPairsA, nLabA) =
-      (docsAfter.count(), btAfter.count(), pairsAfter.count(),
-        labelsAfter.count())
+    // materialize the shared cache (pairsAfter) and the iterative CC
+    // output sequentially, then run the THIRTEEN independent audit
+    // counts as concurrent jobs (guide §2.6 — the old sequential chain
+    // paid 13 full job latencies over frames that are mostly cached or
+    // checkpointed by this point; values are unchanged, each action is
+    // read-only over an immutable frame)
+    val nPairsA = pairsAfter.count()
+    val nLabA = labelsAfter.count()
+    val m = graft.ml.Par.mapAll(Seq[() => Long](
+      () => docs.count(), () => docsAfter.count(),
+      clean(docsAfter, Seq("doc_id")),
+      () => bt.count(), () => btAfter.count(),
+      clean(btAfter, Seq("doc_id")),
+      () => pairsBefore.count(),
+      clean(pairsAfter, Seq("doc_a", "doc_b")),
+      () => labelsBefore.count(),
+      clean(labelsAfter.select(col("node").as("doc_id"),
+        col("label").as("doc_b")), Seq("doc_id", "doc_b")),
+      () => labelsBefore.select(col("label")).distinct().count(),
+      () => labelsAfter.select(col("label")).distinct().count()))(_.apply())
     val out = Seq(
-      ("documents", docs.count(), nDocsA,
-        refs(docsAfter, nDocsA, Seq("doc_id"))),
-      ("band_table", bt.count(), nBtA,
-        refs(btAfter, nBtA, Seq("doc_id"))),
-      ("candidate_pairs", pairsBefore.count(), nPairsA,
-        refs(pairsAfter, nPairsA, Seq("doc_a", "doc_b"))),
-      ("cluster_labels", labelsBefore.count(), nLabA,
-        refs(labelsAfter.select(col("node").as("doc_id"),
-          col("label").as("doc_b")), nLabA, Seq("doc_id", "doc_b"))),
-      ("clusters",
-        labelsBefore.select(col("label")).distinct().count(),
-        labelsAfter.select(col("label")).distinct().count(), 0L)
+      ("documents", m(0), m(1), m(1) - m(2)),
+      ("band_table", m(3), m(4), m(4) - m(5)),
+      ("candidate_pairs", m(6), nPairsA, nPairsA - m(7)),
+      ("cluster_labels", m(8), nLabA, nLabA - m(9)),
+      ("clusters", m(10), m(11), 0L)
     ).toDF("artifact", "n_before", "n_after", "n_deleted_refs_after")
       .localCheckpoint()
     pairsAfter.unpersist(blocking = true)
@@ -1192,13 +1208,27 @@ object Dedup {
         else 0L
       walk(new java.io.File(p))
     }
+    // persisted: 17 concurrent fragment/tombstone writes below would
+    // otherwise each re-probe the staged parquet (and at sf where the
+    // band table rebuilds, re-run its pipeline 17×)
     val bt = stagedBandTable(spark, dir)
-    for (b <- 0 until 16)
-      bt.filter(pmod(col("doc_id"), lit(16)) === b)
-        .repartition(4).write.parquet(s"$scratch/frags/batch_$b")
-    bt.select(col("doc_id")).distinct()
-      .filter(pmod(col("doc_id"), lit(13)) === 0)
-      .write.parquet(s"$scratch/tombstones")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bt.count()
+    // the 16 per-batch fragment writes (and the tombstone write) are
+    // INDEPENDENT jobs over one cached frame — submitted concurrently
+    // (guide §2.6: the scheduler back-fills each write's tapering tail
+    // with the next write's tasks; r21 — the old sequential loop paid 17
+    // full job latencies). Each write's output is its own directory, so
+    // the result is bit-identical to the sequential loop's.
+    graft.ml.Par.mapBounded((0 until 16).map(Some(_)) :+ None, 6) {
+      case Some(b) =>
+        bt.filter(pmod(col("doc_id"), lit(16)) === b)
+          .repartition(4).write.parquet(s"$scratch/frags/batch_$b")
+      case None =>
+        bt.select(col("doc_id")).distinct()
+          .filter(pmod(col("doc_id"), lit(13)) === 0)
+          .write.parquet(s"$scratch/tombstones")
+    }
     val frags = spark.read.parquet(
       (0 until 16).map(b => s"$scratch/frags/batch_$b"): _*)
     val tombs = spark.read.parquet(s"$scratch/tombstones")
@@ -1207,14 +1237,21 @@ object Dedup {
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.parquet(s"$scratch/compacted")
     val compacted = spark.read.parquet(s"$scratch/compacted")
+    // the seven audit metrics are independent read-only actions (two of
+    // them full probe-path pair counts) — overlapped the same way; file
+    // counts are driver-local walks, kept out of the pool
+    val counts = graft.ml.Par.mapAll(Seq(
+      () => frags.count(),
+      () => compacted.count(),
+      () => tombs.count(),
+      () => candidatePairsFromBands(live).count(),
+      () => candidatePairsFromBands(compacted).count()))(_.apply())
+    bt.unpersist(blocking = false)
     val out = Seq((
-      frags.count(),
-      compacted.count(),
-      tombs.count(),
+      counts(0), counts(1), counts(2),
       nFiles(s"$scratch/frags"),
       nFiles(s"$scratch/compacted"),
-      candidatePairsFromBands(live).count(),
-      candidatePairsFromBands(compacted).count()
+      counts(3), counts(4)
     )).toDF("n_rows_frag", "n_rows_compacted", "n_docs_tombstoned",
       "n_files_frag", "n_files_compacted", "n_pairs_frag",
       "n_pairs_compacted")

@@ -1894,6 +1894,16 @@ object Relational {
       def read(paths: Seq[String]): DataFrame =
         spark.read.option("basePath", whUri)
           .parquet(paths.map(rel => s"$whUri/$rel"): _*)
+      // empty entry set (e.g. asOfWhere pruned every file): an empty
+      // frame with the table schema — the reduce/zero-path reads below
+      // both throw on empty input. Schema comes from any data file in
+      // the store (footer-only, limit 0 reads no rows).
+      if (data.isEmpty) {
+        val any = listDataFiles()
+        require(any.nonEmpty, s"readEntries: empty entry set and no data " +
+          s"files in store $wh — cannot derive the table schema")
+        return read(Seq(any.head)).limit(0)
+      }
       if (dvs.isEmpty) read(data.map(_.path))
       else data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, grp) =>
         val applicable = dvs.filter(_.seq > seq)
@@ -2107,9 +2117,12 @@ object Relational {
       val (m0, m1) = (byLang(v0), byLang(v1))
       val dataChanged = (m0.keySet ++ m1.keySet)
         .filter(l => m0.get(l) != m1.get(l))
-      // a DV delta can mask rows in any partition its keys touch; at
-      // gate scale the conservative answer (all partitions) is exact
-      // enough — the gate's MOR chains never feed the change feed
+      // a DV delta can mask rows in any partition its keys touch, so
+      // the prune goes conservative (ALL partitions) whenever the DV
+      // sets differ — q227's MOR change feed therefore scans both full
+      // endpoints (its scaladoc documents this); the k/n-restoring fix
+      // is to bind each DV to the partitions its keys touch at commit
+      // time and record that in the manifest entry
       val all = if (dvs(v0) != dvs(v1)) m0.keySet ++ m1.keySet
         else dataChanged
       all.toSeq.sorted
@@ -2176,11 +2189,16 @@ object Relational {
         // only v<digits> names ARE versions — a stray v-prefixed file
         // must not abort the sweep with a NumberFormatException; a
         // crashed commit's leftover .staging_* manifest is the one
-        // orphan class nothing else resweeps, so expire collects it
+        // orphan class nothing else resweeps, so expire collects it —
+        // AGE-GATED (r21, ADVICE): an in-flight commitEntries in this
+        // process (staging written, rename pending) must not have its
+        // staging file swept out from under it; anything minutes old is
+        // dead by definition (a commit stages and renames in one call)
         if (f.getName.matches("v\\d+")) {
           if (!retain.contains(f.getName.drop(1).toInt))
             java.nio.file.Files.delete(f.toPath)
-        } else if (f.getName.startsWith(".staging_"))
+        } else if (f.getName.startsWith(".staging_") &&
+            System.currentTimeMillis() - f.lastModified() > 300000L)
           java.nio.file.Files.delete(f.toPath)
       }
       removable.foreach { rel =>

@@ -21,9 +21,17 @@ object Similarity {
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
   /** Left-fold dot product of two double-array columns (fixed index order —
-    * deterministic summation). */
+    * deterministic summation). Codegen'd kernel since r21
+    * ([[graft.functions.ArrDot]] — the HOF spelling
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` is CodegenFallback,
+    * interpreted per element with boxing, and this runs once per
+    * candidate pair in every verify join); identical IEEE operation
+    * sequence, bit-identical results. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ArrDot(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
@@ -32,11 +40,13 @@ object Similarity {
     * single correctly-rounded IEEE ops, the ·2²⁰ only shifts the exponent,
     * and integer summation is order-independent — so the distance is
     * bit-identical in any engine regardless of summation order (same trick
-    * as the q71 centroids; see that scaladoc). */
+    * as the q71 centroids; see that scaladoc). Codegen'd kernel since r21
+    * ([[graft.functions.ArrL2Fixed]]) — same arithmetic, compiled loop. */
   def l2Fixed(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => ((x - y) * (x - y) * lit(1048576d)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ArrL2Fixed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 

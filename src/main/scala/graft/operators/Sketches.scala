@@ -293,8 +293,11 @@ object Sketches {
         "event_id", mTargets)
       cuts.map { case (g, (c, _)) => g -> ((c, idCuts(g))) }
     }
-    val hi = tailCuts("value")
-    val lo = tailCuts("negv")
+    // the hi- and lo-tail refinements are independent multi-job chains
+    // over the same cached frame — overlapped (guide §2.6); each is a
+    // deterministic pure function of `ev`, so values are unchanged
+    val Seq(hi, lo) =
+      graft.ml.Par.mapAll(Seq("value", "negv"))(tailCuts)
     import spark.implicits._
     val cutoffs = ts.keys.toSeq.map { g =>
       (g, hi(g)._1, hi(g)._2, lo(g)._1, lo(g)._2)

@@ -738,9 +738,13 @@ object TextAnalysis {
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
     // one corpus shuffle; persisted because the trainer and the
-    // distinct-word encode both read it
+    // distinct-word encode both read it. Materialized EAGERLY so its
+    // cached RDD registers before the distributed trainer's checkpoint
+    // sweep starts diffing getPersistentRDDs — a lazily-registered cache
+    // id would land in the sweep set and be dropped mid-query
     val wordFreq = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
       .persist(MEMORY_AND_DISK)
+    wordFreq.count()
     val merges = trainer(wordFreq)
     val encoded = wordFreq.select(col("w"),
       length(col("w")).cast("bigint").as("n_chr"),
@@ -980,38 +984,43 @@ object TextAnalysis {
     val docs = decoratedDocs(spark, dir)
     val pipe = byteBpePipe(docs, nMerges, 1 << 20)
     // ENCODE to ids (exactly q202's token stream — shared definition),
-    // then DECODE each id back to its symbol through the inverted vocab
-    val decoded = tokenIdStream(pipe)
-      .join(broadcast(pipe.idTable.select(col("id"),
-        col("sym").as("dsym"))), Seq("id"))
+    // then DECODE each id back through the inverted vocab. The byte-level
+    // checksum Σ(byte+1)·i decomposes per token as s1 + b0·s0 with
+    // s0 = Σ_j (byte_j+1) and s1 = Σ_j (byte_j+1)·j computed ONCE PER
+    // SYMBOL on the vocab table (vocab-bounded, broadcast) — so the
+    // corpus-scale pass never explodes to per-byte rows and the per-doc
+    // aggregation shuffles |tokens| partial sums instead of |bytes| rows
+    // (r21: the per-byte Generate + its corpus-byte-scale HashAggregate
+    // were the query's dominant exchange; identical integer arithmetic,
+    // Σ_j (byte_j+1)(b0+j) = b0·s0 + s1 exactly).
+    val symStats = pipe.idTable
+      .withColumn("nb", expr("CAST(length(sym) DIV 2 AS BIGINT)"))
+      .withColumn("s0", expr(
+        "aggregate(sequence(1, CAST(length(sym) DIV 2 AS INT)), 0L, " +
+          "(acc, j) -> acc + CAST(conv(substr(sym, 2*j-1, 2), 16, 10) " +
+          "AS BIGINT) + 1L)"))
+      .withColumn("s1", expr(
+        "aggregate(sequence(1, CAST(length(sym) DIV 2 AS INT)), 0L, " +
+          "(acc, j) -> acc + (CAST(conv(substr(sym, 2*j-1, 2), 16, 10) " +
+          "AS BIGINT) + 1L) * j)"))
+      .select(col("id"), col("nb"), col("s0"), col("s1"))
     val wTok = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
-    val decBytes = decoded
-      .withColumn("nb", (length(col("dsym")) / 2).cast("bigint"))
+    val decBytes = tokenIdStream(pipe)
+      .join(broadcast(symStats), Seq("id"))
       .withColumn("b0", sum(col("nb")).over(wTok) - col("nb"))
-      .select(col("source"), col("doc_id"), col("b0"),
-        posexplode(expr("transform(sequence(1, CAST(length(dsym) DIV 2 " +
-          "AS INT)), k -> substr(dsym, 2*k-1, 2))")).as(Seq("k", "p")))
-      .select(col("source"), col("doc_id"),
-        (col("b0") + col("k") + 1).as("i"),
-        expr("CAST(conv(p, 16, 10) AS BIGINT)").as("byte"))
       .groupBy(col("source"), col("doc_id"))
-      .agg(pmod(sum((col("byte") + 1) * col("i")), lit(1073741824L))
-        .as("dck"), count(lit(1)).as("dnb"))
-    // the ORIGINAL side, straight off the decorated text's UTF-8 bytes.
-    // hex(encode(..)) is hoisted OUT of the lambda: Catalyst evaluates
-    // higher-order-function bodies per element, so an inline hex would
-    // re-hex the whole document once per byte — O(bytes^2) per doc
+      .agg(pmod(sum(col("s1") + col("b0") * col("s0")), lit(1073741824L))
+        .as("dck"), sum(col("nb")).as("dnb"))
+    // the ORIGINAL side, straight off the decorated text's UTF-8 bytes:
+    // ONE codegen'd loop per doc ([[graft.functions.ByteWeightedCk]] —
+    // byte k carries weight k, exactly the old posexplode+groupBy
+    // arithmetic) — no hex expansion, no per-byte row explosion, no
+    // corpus-byte-scale exchange at all
+    graft.functions.ByteWeightedCk.register(spark)
     val origBytes = docs
-      .withColumn("hx", expr("hex(encode(text, 'UTF-8'))"))
       .select(col("source"), col("doc_id"),
-        posexplode(expr("transform(sequence(1, octet_length(text)), " +
-          "k -> substr(hx, 2*k-1, 2))"))
-          .as(Seq("k", "p")))
-      .select(col("source"), col("doc_id"), (col("k") + 1).as("i"),
-        expr("CAST(conv(p, 16, 10) AS BIGINT)").as("byte"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(pmod(sum((col("byte") + 1) * col("i")), lit(1073741824L))
-        .as("ock"), count(lit(1)).as("onb"))
+        pmod(expr("byte_weighted_ck(text, 0L)"), lit(1073741824L)).as("ock"),
+        octet_length(col("text")).cast("bigint").as("onb"))
     val out = origBytes
       .join(decBytes, Seq("source", "doc_id"), "left_outer")
       .groupBy(col("source"))
@@ -1188,34 +1197,79 @@ object TextAnalysis {
   }
 
   /** Cap-free DISTRIBUTED BPE merge learning over the full (w, f)
-    * word-frequency frame — [[trainMerges]]' scale twin (q220). Each
-    * round re-derives the current symbol arrays by folding the merges
-    * learned so far ([[foldedSyms]] — a fresh expression over the
-    * persisted frame, so no InMemoryRelation nesting accumulates across
-    * rounds, the failure mode that killed the looped-DataFrame draft),
-    * explodes adjacent pairs with their word frequencies, and takes the
-    * argmax of one map-side-combined aggregation under the driver
-    * trainer's exact total order (count DESC, a ASC, b ASC). Exactly
+    * word-frequency frame — [[trainMerges]]' scale twin (q220). The
+    * symbol arrays live as a MATERIALIZED column (localCheckpoint every
+    * few rounds — lineage truncated, so no InMemoryRelation nesting
+    * accumulates, the failure mode that killed the looped-DataFrame
+    * draft); each round explodes adjacent pairs with their word
+    * frequencies, takes the argmax of one map-side-combined aggregation
+    * under the driver trainer's exact total order (count DESC, a ASC,
+    * b ASC), and applies ONLY the merges since the last checkpoint as a
+    * shallow expression fold (the r21 fix: refolding all R−1 merges
+    * from raw text made round R pay R nested lambda passes, O(nMerges²)
+    * total, with an nMerges-deep expression tree near the Janino
+    * method-size bound; the checkpointed column bounds both at any
+    * vocab scale). Exactly
     * one (a, b, count) row crosses the driver per round; the plan never
     * holds a vocabulary-sized structure anywhere but the executors.
-    * Cost: nMerges jobs over the persisted word frame, each one scan +
-    * one |pairs|-key exchange — the honest price of training where no
-    * driver cap is sound. Codegen-size bound: [[foldedSyms]] nests one
-    * `aggregate` lambda per learned merge, so the round-R plan carries
-    * an R-deep expression tree — fine at the gate's 20 merges, but a
-    * large-vocab run (hundreds of merges) would hit Janino method-size
-    * limits or fall off codegen; at that scale re-encode from a
-    * CHECKPOINTED symbol column every ~32 rounds instead of refolding
-    * from raw text. */
+    * Cost: nMerges argmax jobs + nMerges vocab-bounded checkpoint
+    * materializations — the honest price of training where no driver
+    * cap is sound. */
   private[graft] def trainMergesDistributed(wordFreq: DataFrame,
       nMerges: Int): Seq[(String, String)] = {
+    val spark = wordFreq.sparkSession
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // INCREMENTAL symbol state (r21): the original loop re-derived round
+    // R's symbol arrays by folding all R−1 learned merges over the raw
+    // word column — O(R·|words|) lambda passes per round, O(nMerges²)
+    // total, and an nMerges-deep nested expression tree near the Janino
+    // method-size bound. Materializing the symbol column once and
+    // applying only THE round's single new merge makes each round one
+    // shallow pass (O(nMerges) total). localCheckpoint (not persist)
+    // truncates lineage each round, so no InMemoryRelation nesting
+    // accumulates (the failure mode that killed the looped-DataFrame
+    // draft); the previous round's checkpoint blocks are released by the
+    // same getPersistentRDDs-diff discipline as q146's rank loop. Words
+    // merged down to ONE symbol can never pair again (merging only
+    // shrinks arrays), so dropping them is exact. Pair counts — and
+    // therefore every argmax under (count DESC, a ASC, b ASC) — are
+    // bit-identical to the refolding loop's; parity with the driver
+    // trainer stays pinned by ScaleOpsSpec and q220's shared q149 oracle.
+    var prevIds: Set[Int] = Set.empty
+    def checkpointSweeping(df: DataFrame): DataFrame = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      val fresh = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      for (id <- prevIds; rdd <- spark.sparkContext.getPersistentRDDs.get(id))
+        rdd.unpersist(false)
+      prevIds = fresh
+      out
+    }
+    // symbol-frame partitioning derived from ROW COUNT (the
+    // cvSlicePartitions rule), never from core count: the trainer runs
+    // 2·nMerges tiny driver-coordinated jobs, and dragging each through
+    // shuffle.partitions-many near-empty tasks is pure scheduler latency
+    // (wordFreq is cached by the caller, so the count is a cache read)
+    val symParts = math.max(1L,
+      math.min(2000L, (wordFreq.count() + 65535) / 65536)).toInt
+    var syms = checkpointSweeping(wordFreq
+      .coalesce(symParts)
+      .select(col("f"), foldedSyms(Nil).as("syms"))
+      .filter(size(col("syms")) >= 2))
+    // merges applied since the last checkpoint ride the EXPRESSION (one
+    // shallow fold each); every checkpointEvery rounds they materialize
+    // into the column and the fold resets — bounded expression depth at
+    // any vocab scale. Every round (measured): letting folds accumulate
+    // traded one vocab-bounded checkpoint job for analyzer/optimizer
+    // passes over an ever-deeper lambda tree in EVERY argmax plan, a
+    // net loss — the argmax plan staying constant-shape also keeps its
+    // generated code cache-hot across rounds
+    val checkpointEvery = 1
+    var pendingDepth = 0
     var round = 0
     var exhausted = false
     while (round < nMerges && !exhausted) {
-      val top = wordFreq
-        .select(col("f"), foldedSyms(merges.toSeq).as("syms"))
-        .filter(size(col("syms")) >= 2)
+      val top = syms
         .select(col("f"), explode(expr(
           "transform(sequence(0, size(syms) - 2), " +
             "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
@@ -1225,9 +1279,24 @@ object TextAnalysis {
         .limit(1)
         .collect()
       if (top.isEmpty) exhausted = true
-      else merges += ((top(0).getString(0), top(0).getString(1)))
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        if (round < nMerges - 1) {
+          val applied = syms
+            .select(col("f"),
+              applyMerge(col("syms"), a, b, size(col("syms"))).as("syms"))
+            .filter(size(col("syms")) >= 2)
+          pendingDepth += 1
+          syms =
+            if (pendingDepth < checkpointEvery) applied
+            else { pendingDepth = 0; checkpointSweeping(applied) }
+        }
+      }
       round += 1
     }
+    for (id <- prevIds; rdd <- spark.sparkContext.getPersistentRDDs.get(id))
+      rdd.unpersist(false)
     merges.toSeq
   }
 

@@ -975,17 +975,25 @@ class PlanSpec extends AnyFunSuite {
     vw.commit(0, vw.listDataFiles())
     val mdir = new java.io.File(s"$scratch/wh", "_manifests")
     // a stray v-prefixed non-version file (vNOTES) and a crashed
-    // commit's leftover staging manifest — neither may abort the sweep
+    // commit's leftover staging manifest — neither may abort the sweep.
+    // The dead staging file is BACKDATED past the sweep's age gate; a
+    // fresh one (an in-flight commit's staging, r21 ADVICE fix) must
+    // survive the sweep untouched.
     java.nio.file.Files.writeString(
       new java.io.File(mdir, "vNOTES").toPath, "not a version")
+    val dead = new java.io.File(mdir, ".staging_dead")
+    java.nio.file.Files.writeString(dead.toPath, "torn")
+    dead.setLastModified(System.currentTimeMillis() - 3600000L)
     java.nio.file.Files.writeString(
-      new java.io.File(mdir, ".staging_dead").toPath, "torn")
+      new java.io.File(mdir, ".staging_inflight").toPath, "mid-commit")
     val removed = vw.expire(retain = Seq(0))
     assert(removed.isEmpty)
     assert(new java.io.File(mdir, "vNOTES").isFile,
       "expire deleted a non-version file it does not own")
-    assert(!new java.io.File(mdir, ".staging_dead").exists(),
+    assert(!dead.exists(),
       "expire left a stale staging manifest (the unsweepable orphan class)")
+    assert(new java.io.File(mdir, ".staging_inflight").isFile,
+      "expire swept an in-flight commit's fresh staging manifest")
     assert(vw.hasVersion(0))
     graft.util.Fs.deleteRecursively(scratch)
   }
