@@ -222,9 +222,21 @@ object Experiments {
       // The staging window (a few parallel scans + persists) doubles as
       // the host-load sample phase 2's concurrency cap reads (below).
       val hostT0 = graft.util.HostLoad.cpuTicks()
+      // r21: staging parallelizes ACROSS datasets, and across a
+      // dataset's (pct, fold) masks once its fold table is sealed — the
+      // determinism seal needs (a) a dataset's fold split persisted +
+      // counted BEFORE any of its masks evaluate (masks read the sealed
+      // fold table, enforced by the per-dataset sequencing below) and
+      // (b) every mask persisted + counted before any fit runs (the
+      // phase barrier, unchanged). Each staged frame is a distinct plan
+      // (different dataset/fold/pct literals), so no CacheManager
+      // canonical-dedupe can cross the concurrent materializations; the
+      // old strictly-sequential loop paid one full job latency per
+      // slice (q177: 15 of them) for no extra safety.
       val slicesByKey: Map[(String, Double), Seq[(DataFrame, DataFrame)]] =
-        cells.map(c => (c.dataName, c.percentageLabeled)).distinct
-          .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (dataName, keys) =>
+        Par.mapAll(cells.map(c => (c.dataName, c.percentageLabeled))
+          .distinct.groupBy(_._1).toSeq.sortBy(_._1)) {
+          case (dataName, keys) =>
             val raw = datasets(dataName)
             // slice partitioning sized to the frame (Evaluation
             // .cvSlicePartitions): the grid's thousands of tiny fit jobs
@@ -234,23 +246,26 @@ object Experiments {
               .coalesce(Evaluation.cvSlicePartitions(raw.count()))
               .withColumn("__fold", (rand(seed) * k).cast("int"))
               .persist(StorageLevel.MEMORY_AND_DISK)
-            handles += folded
+            handles.synchronized { handles += folded }
             folded.count()
             val folds = (0 until k).map { i =>
               (folded.filter(col("__fold") =!= i).drop("__fold"),
                 folded.filter(col("__fold") === i).drop("__fold"))
             }
-            keys.map { case key @ (_, pct) =>
-              key -> folds.map { case (train, test) =>
-                val masked = mask(cells.find(c =>
-                  (c.dataName, c.percentageLabeled) == key).get, train)
-                  .persist(StorageLevel.MEMORY_AND_DISK)
-                handles += masked
-                masked.count()
-                (masked, test)
-              }
-            }
-          }.toMap
+            val maskJobs = for {
+              key <- keys
+              (train, test) <- folds
+            } yield (key, train, test)
+            Par.mapAll(maskJobs) { case (key, train, test) =>
+              val masked = mask(cells.find(c =>
+                (c.dataName, c.percentageLabeled) == key).get, train)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              handles.synchronized { handles += masked }
+              masked.count()
+              (key, (masked, test))
+            }.groupBy(_._1).view
+              .mapValues(_.map(_._2)).toMap.toSeq
+        }.flatten.toMap
       val hostT1 = graft.util.HostLoad.cpuTicks()
       // phase 2: one concurrent sweep over the whole grid. The in-flight
       // bound adapts to the host's EFFECTIVE parallelism (r18 lesson: on

@@ -112,6 +112,17 @@ object EventStreams {
     * FILE in `dir` — the micro-batch staging idiom every file-stream
     * query here shares (mtime orders the batches; one file = one batch
     * under maxFilesPerTrigger = 1). */
+  /** Stage several independent filtered slices CONCURRENTLY (r21, guide
+    * §2.6): each slice is its own filter+coalesce(1) write job over the
+    * same frame, and batch order is defined by the EXPLICIT mtimes, not
+    * by staging order — so overlapping the writes changes nothing but
+    * the wall-clock the sequential loop paid per job. */
+  private def stageFiles(df: DataFrame, dir: java.nio.file.Path,
+      specs: (String, org.apache.spark.sql.Column, Long)*): Unit =
+    graft.ml.Par.mapAll(specs.toSeq) { case (n, p, m) =>
+      stageSingleFile(df, dir, n, p, m)
+    }
+
   private def stageSingleFile(df: DataFrame, dir: java.nio.file.Path,
       name: String, pred: org.apache.spark.sql.Column,
       mtime: Long): Unit = {
@@ -627,11 +638,10 @@ object EventStreams {
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-      def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
-      stage("a.parquet", col("event_id") % 2 === 0, t0)
-      stage("b.parquet", col("event_id") % 2 === 1, t0 + 60000L)
+      stageFiles(ev, tmp,
+        ("a.parquet", col("event_id") % 2 === 0, t0),
+        ("b.parquet", col("event_id") % 2 === 1, t0 + 60000L))
       val batch = spark.readStream
         .schema(inferredSchema(spark, tmp.toString))
         .option("maxFilesPerTrigger", "1")
@@ -675,11 +685,10 @@ object EventStreams {
       val src = graft.operators.Relational.cdcSource(docs)
       val cdcDir = tmp.resolve("cdc")
       java.nio.file.Files.createDirectory(cdcDir)
-      def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = stageSingleFile(src, cdcDir, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
-      stage("a.parquet", pmod(col("doc_id"), lit(2)) === 0, t0)
-      stage("b.parquet", pmod(col("doc_id"), lit(2)) === 1, t0 + 60000L)
+      stageFiles(src, cdcDir,
+        ("a.parquet", pmod(col("doc_id"), lit(2)) === 0, t0),
+        ("b.parquet", pmod(col("doc_id"), lit(2)) === 1, t0 + 60000L))
       // pre-ingest state, materialized before any batch rewrites files
       val before = graft.operators.Relational.mergeBeforeState(spark, wh)
       val batches = spark.readStream
@@ -737,11 +746,10 @@ object EventStreams {
     try {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
         .select(col("source"), col("doc_id"), col("text"))
-      def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = stageSingleFile(docs, tmp, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
-      stage("a.parquet", col("doc_id") % 2 === 0, t0)
-      stage("b.parquet", col("doc_id") % 2 === 1, t0 + 60000L)
+      stageFiles(docs, tmp,
+        ("a.parquet", col("doc_id") % 2 === 0, t0),
+        ("b.parquet", col("doc_id") % 2 === 1, t0 + 60000L))
       val batch = spark.readStream
         .schema(inferredSchema(spark, tmp.toString))
         .option("maxFilesPerTrigger", "1")
@@ -774,11 +782,10 @@ object EventStreams {
         least(floor(v / 10.0), lit(31.0)).cast("bigint")
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val t0 = System.currentTimeMillis() - 120000L
-      stage("a.parquet", col("ts") >= cut && col("ts") < cut2, t0)
-      stage("b.parquet", col("ts") >= cut2, t0 + 60000L)
+      stageFiles(ev, tmp,
+        ("a.parquet", col("ts") >= cut && col("ts") < cut2, t0),
+        ("b.parquet", col("ts") >= cut2, t0 + 60000L))
       val live = readEvents(spark, tmp.toString)
         .select(col("event_type"), bin(col("value")).as("bin"))
         .groupBy(col("event_type"), col("bin"))
@@ -839,15 +846,13 @@ object EventStreams {
     try {
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"))
-      def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val cut = "2024-01-30 12:00:00"
       val t0 = System.currentTimeMillis() - 180000L
-      stage("a.parquet",
-        col("ts") < cut && col("event_id") % 11 =!= 0, t0)
-      stage("b.parquet", col("ts") >= cut, t0 + 60000L)
-      stage("c.parquet",
-        col("ts") < cut && col("event_id") % 11 === 0, t0 + 120000L)
+      stageFiles(ev, tmp,
+        ("a.parquet", col("ts") < cut && col("event_id") % 11 =!= 0, t0),
+        ("b.parquet", col("ts") >= cut, t0 + 60000L),
+        ("c.parquet", col("ts") < cut && col("event_id") % 11 === 0,
+          t0 + 120000L))
       val agg = readEvents(spark, tmp.toString)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour"))
@@ -884,12 +889,11 @@ object EventStreams {
     try {
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("user_id"), col("ts"))
-      def stage(name: String, pred: org.apache.spark.sql.Column,
-          mtime: Long): Unit = stageSingleFile(ev, tmp, name, pred, mtime)
       val cut = "2024-01-30 12:00:00"
       val t0 = System.currentTimeMillis() - 120000L
-      stage("a.parquet", col("ts") < cut, t0)
-      stage("b.parquet", col("ts") >= cut, t0 + 60000L)
+      stageFiles(ev, tmp,
+        ("a.parquet", col("ts") < cut, t0),
+        ("b.parquet", col("ts") >= cut, t0 + 60000L))
       val reaped = readEvents(spark, tmp.toString)
         .withWatermark("ts", "30 minutes")
         .selectExpr("user_id", "ts", "unix_micros(ts) AS tsm")
@@ -1028,9 +1032,9 @@ object EventStreams {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
       val t0 = System.currentTimeMillis() - 120000L
-      stageSingleFile(docs, tmp, "a.parquet", col("doc_id") % 2 === 0, t0)
-      stageSingleFile(docs, tmp, "b.parquet", col("doc_id") % 2 === 1,
-        t0 + 60000L)
+      stageFiles(docs, tmp,
+        ("a.parquet", col("doc_id") % 2 === 0, t0),
+        ("b.parquet", col("doc_id") % 2 === 1, t0 + 60000L))
       val words = spark.readStream
         .schema(inferredSchema(spark, tmp.toString))
         .option("maxFilesPerTrigger", "1")
