@@ -64,7 +64,16 @@ object Evaluation {
   def evaluate4(model: Transformer, test: DataFrame)
       : (Double, Double, Double, Double) = {
     import org.apache.spark.ml.functions.vector_to_array
+    // r22 (ADVICE): persist BEFORE the bounded probe below — on the
+    // corpus-sized (non-local) path the probe job and the fallback's two
+    // dedicated jobs all read this frame, and an unpersisted probe ran
+    // model.transform + the full grouped aggregation once extra on
+    // exactly the large folds the regime guard exists for. The local
+    // regime unpersists immediately after the single probe job (its one
+    // and only action), so small folds pay one persist round-trip — the
+    // storage write rides the probe job itself.
     val predictions = model.transform(test)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE aggregation job feeds BOTH metric families (r21 — the old path
     // ran a confusion-matrix job AND a per-score-counts job over a
     // persisted predictions frame; with 240+ fit+evaluate chains per
@@ -97,17 +106,15 @@ object Evaluation {
       d
     }
     val localRegime = g.length <= 8000 && nDistinct < 2000
-    // corpus-sized fold: the bounded probe cannot see every (prediction,
-    // label) cell — persist once and run the dedicated jobs, as before
-    val cached =
-      if (localRegime) null
-      else predictions.persist(StorageLevel.MEMORY_AND_DISK)
+    // local regime: the probe was this fold's ONLY distributed action —
+    // release the blocks before the driver-side finish
+    if (localRegime) predictions.unpersist(blocking = false)
     val cm: Seq[(Double, Double, Long)] =
       if (localRegime)
         g.toSeq.groupBy(r => (r.getDouble(1), r.getDouble(2)))
           .map { case ((p, l), rs) => (p, l, rs.map(_.getLong(3)).sum) }.toSeq
       else
-        cached.groupBy(col("prediction"), col("label"))
+        predictions.groupBy(col("prediction"), col("label"))
           .agg(count(lit(1)).as("n")).collect()
           .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
     val n = cm.map(_._3).sum.toDouble
@@ -140,8 +147,8 @@ object Evaluation {
         }
         binaryAucPrLocal(counts.toSeq)
       } else {
-        try binaryAucPrDistributed(cached)
-        finally cached.unpersist(blocking = false)
+        try binaryAucPrDistributed(predictions)
+        finally predictions.unpersist(blocking = false)
       }
     (acc, auc, pr, f1)
   }
@@ -270,21 +277,39 @@ object Evaluation {
   def crossValidateSlices(
       slices: Seq[(DataFrame, DataFrame)],
       fitFn: DataFrame => (Transformer, Option[SemiSupervisedSummary]))
-      : CvMetrics = {
+      : CvMetrics =
+    combineFolds(crossValidateSlicesPerFold(slices, fitFn))
+
+  /** The per-fold raw results behind [[crossValidateSlices]], in slice
+    * order: the (accuracy, auc, pr, f1) quadruple and the self-labeling
+    * summary of each fold. Exposed (r22) so the grid runner's
+    * fit-equivalence classes can re-combine ONE class's fold results
+    * into every member cell's CvMetrics — the supervised member zeroes
+    * the summaries ([[Experiments.runGridShared]]'s collapse note)
+    * without re-running the fits. */
+  private[graft] def crossValidateSlicesPerFold(
+      slices: Seq[(DataFrame, DataFrame)],
+      fitFn: DataFrame => (Transformer, Option[SemiSupervisedSummary]))
+      : Seq[((Double, Double, Double, Double), SemiSupervisedSummary)] =
     // folds are independent seeded fits over disjoint pre-built slices, so
     // they run concurrently (same shape as Spark's own CrossValidator with
-    // parallelism = k: one model per future); `per` keeps slice order, so
-    // the fold-mean summation order is fixed. Metrics via the fused
-    // [[evaluate4]] — 2 jobs per fold instead of 4 separate evaluator
-    // passes (each BinaryClassificationEvaluator.evaluate re-sorts the
-    // score RDD from scratch); with 22 concurrent fold fits in the q84
-    // grid that halves the evaluation job count.
-    val per = Par.mapAll(slices) { case (train, test) =>
+    // parallelism = k: one model per future); the result keeps slice
+    // order, so the fold-mean summation order is fixed. Metrics via the
+    // fused [[evaluate4]] — 2 jobs per fold instead of 4 separate
+    // evaluator passes (each BinaryClassificationEvaluator.evaluate
+    // re-sorts the score RDD from scratch); with 22 concurrent fold fits
+    // in the q84 grid that halves the evaluation job count.
+    Par.mapAll(slices) { case (train, test) =>
       val (model, summary) = fitFn(train)
       val (a, u, p, f) = evaluate4(model, test)
       ((a, u, p, f), summary.getOrElse(SemiSupervisedSummary(0, 0, 0, 0, 0)))
     }
 
+  /** Fold means → CvMetrics — [[crossValidateSlices]]'s combination
+    * body, factored out so per-fold results can be re-combined. */
+  private[graft] def combineFolds(
+      per: Seq[((Double, Double, Double, Double), SemiSupervisedSummary)])
+      : CvMetrics = {
     val n = per.size.toDouble
     // counters are rounded means (integer division would truncate toward
     // zero and systematically under-report)

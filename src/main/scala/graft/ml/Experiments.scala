@@ -233,9 +233,14 @@ object Experiments {
       // canonical-dedupe can cross the concurrent materializations; the
       // old strictly-sequential loop paid one full job latency per
       // slice (q177: 15 of them) for no extra safety.
+      // staging fan-out BOUNDED (r22, VERDICT r21 #2): 2 datasets × 2
+      // masks = ≤4 concurrent staging jobs in flight (was: all datasets
+      // × all masks, up to 12) — guide §2.6's "2-3 jobs is plenty"
+      // discipline; the staging jobs are tiny scans, the bound costs
+      // nothing measurable and keeps cluster executors uncontended.
       val slicesByKey: Map[(String, Double), Seq[(DataFrame, DataFrame)]] =
-        Par.mapAll(cells.map(c => (c.dataName, c.percentageLabeled))
-          .distinct.groupBy(_._1).toSeq.sortBy(_._1)) {
+        Par.mapBounded(cells.map(c => (c.dataName, c.percentageLabeled))
+          .distinct.groupBy(_._1).toSeq.sortBy(_._1), 2) {
           case (dataName, keys) =>
             val raw = datasets(dataName)
             // slice partitioning sized to the frame (Evaluation
@@ -256,7 +261,7 @@ object Experiments {
               key <- keys
               (train, test) <- folds
             } yield (key, train, test)
-            Par.mapAll(maskJobs) { case (key, train, test) =>
+            Par.mapBounded(maskJobs, 2) { case (key, train, test) =>
               val masked = mask(cells.find(c =>
                 (c.dataName, c.percentageLabeled) == key).get, train)
                 .persist(StorageLevel.MEMORY_AND_DISK)
@@ -291,14 +296,85 @@ object Experiments {
       if (effectivePar < parallelism)
         System.err.println(f"[grid] host steal $stagingSteal%.1f%% during " +
           f"staging: capping concurrent cells $parallelism -> $effectivePar")
-      Evaluation.resultsDF(datasets.head._2.sparkSession,
-        Par.mapBounded(cells.zipWithIndex, effectivePar) { case (cell, i) =>
-          val row = toResult(cell, Evaluation.crossValidateSlices(
-            slicesByKey((cell.dataName, cell.percentageLabeled)),
-            fitOnMasked(cell)))
+      // r22: FIT-EQUIVALENCE CLASSES (guide §1.2 "don't compute things
+      // you throw away") — cells whose entire fit+evaluate chain is
+      // provably bit-identical run it ONCE and share the fold results.
+      // The provable classes (each claim checked against the estimator
+      // source, pinned by ExperimentsSpec's collapse-parity test and the
+      // q141/q177 golden oracles):
+      //  (a) ST or CT with maxIter <= 1: fitWithSummary's self-labeling
+      //      loop guard is `iter < maxIter` with iter initialized to 1,
+      //      so the loop body — the ONLY reader of criterion /
+      //      thresholdOrKBest (numberOfKBest and probMax are computed
+      //      but consumed nowhere else) — cannot execute. The fitted
+      //      model and the summary are then pure functions of
+      //      (dataset, pct, fold, classifier): cells differing only in
+      //      criterion axis values fit the same model twice. q141's 40
+      //      cells carry 16 such duplicates; q177's 120 carry 48.
+      //  (b) supervised: SupervisedOnLabeled reads NONE of criterion /
+      //      thresholdOrKBest / maxIter — all supervised cells over the
+      //      same (dataset, pct, classifier) are one class (grid()
+      //      already collapses them at build time; this also covers
+      //      hand-built cell lists).
+      //  (c) supervised ⊆ ST(maxIter<=1): the ST model IS
+      //      base.fit(masked.filter(isLabeled).select(features, label))
+      //      — row-for-row the frame SupervisedOnLabeled fits (same
+      //      parent, same partitioning, same seeded estimator params) —
+      //      so the metric quadruple is shared verbatim and only the
+      //      summary differs: fitOnMasked's supervised branch returns
+      //      None, which crossValidateSlicesPerFold materializes as the
+      //      zero summary. A supervised member of an ST class therefore
+      //      re-combines the class's fold quadruples with zeroed
+      //      summaries — no fit, no evaluate, bit-identical row.
+      // Everything else (maxIter >= 2: the loop runs and criterion
+      // genuinely shapes the fit) stays a singleton class — exactly the
+      // old per-cell path.
+      val classKey: Cell => (String, String, Double, String) = c =>
+        c.algo match {
+          case "supervised" =>
+            (c.dataName, c.classifierName, c.percentageLabeled, "SUP")
+          case a @ ("ST" | "CT") if c.maxIter <= 1 =>
+            (c.dataName, c.classifierName, c.percentageLabeled, a + "1")
+          case _ =>
+            (c.dataName, c.classifierName, c.percentageLabeled,
+              s"CELL:${c.toString}")
+        }
+      val keyed = cells.zipWithIndex.map { case (c, i) =>
+        val k = classKey(c)
+        // (c): fold a SUP class into its ST1 twin when one exists
+        val merged =
+          if (k._4 == "SUP" && cells.exists(o => classKey(o) ==
+            (k._1, k._2, k._3, "ST1"))) (k._1, k._2, k._3, "ST1")
+          else k
+        (merged, c, i)
+      }
+      // classes ordered by first member index: deterministic submission
+      // order regardless of Map iteration order
+      val classes = keyed.groupBy(_._1).toSeq
+        .sortBy(_._2.map(_._3).min)
+        .map { case (_, members) => members.map(m => (m._2, m._3)) }
+      val rowsByIdx = Par.mapBounded(classes, effectivePar) { members =>
+        // representative: an ST/CT member if present (its chain carries
+        // the real summaries); an all-supervised class fits the plain
+        // supervised path
+        val rep = members.map(_._1).find(_.algo != "supervised")
+          .getOrElse(members.head._1)
+        val perFold = Evaluation.crossValidateSlicesPerFold(
+          slicesByKey((rep.dataName, rep.percentageLabeled)),
+          fitOnMasked(rep))
+        val zeroed = perFold.map { case (quad, _) =>
+          (quad, SemiSupervisedSummary(0, 0, 0, 0, 0)) }
+        members.map { case (cell, i) =>
+          val row = toResult(cell, Evaluation.combineFolds(
+            if (cell.algo == "supervised" && rep.algo != "supervised")
+              zeroed
+            else perFold))
           onResult(i, row)
-          row
-        })
+          i -> row
+        }
+      }.flatten.toMap
+      Evaluation.resultsDF(datasets.head._2.sparkSession,
+        cells.indices.map(rowsByIdx))
     // blocking: an async unpersist drains block deletions into whatever
     // runs NEXT in the JVM — the transient "Block rdd_N does not exist"
     // race a later same-plan run can hit through the cache lookup

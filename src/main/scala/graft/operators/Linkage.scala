@@ -204,6 +204,26 @@ object Linkage {
   /** Candidate generation + exact verify over a (possibly staged) prefix
     * table and forward index — the timed body of q121. */
   def joinFromPrefixIndex(prefix: DataFrame, arrs: DataFrame): DataFrame = {
+    // r22 (guide §2.5 input skew): in the broadcast regime the candidate
+    // join streams the staged prefix table AS SCANNED — a 14k-row
+    // parquet read is ONE partition, so the 22.4M-row pair expansion,
+    // the in-join filters, and the distinct's partial aggregate all ran
+    // in a single task (PpjoinProbe: 3.5 s of q121's 4.4 s steady in
+    // that stage at 32 idle cores). Spreading the PROBE side over the
+    // cores first costs one tiny exchange of the prefix rows and buys
+    // fully parallel pair generation; per-row expansion is bounded by a
+    // token's df, so round-robin rows spread the work evenly (no hot-key
+    // task, unlike repartitioning by tok). Gated on the SAME size
+    // estimate the planner's broadcast decision reads: in the
+    // corpus-scale regime the join shuffles both sides by tok anyway and
+    // a keyless repartition would be a wasted full pass of the table.
+    val inBroadcastRegime = prefix.queryExecution.optimizedPlan.stats
+      .sizeInBytes <= org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    val probe =
+      if (inBroadcastRegime)
+        prefix.repartition(prefix.sparkSession.sparkContext.defaultParallelism)
+      else prefix
     // Candidate pruning applies PPJoin's two EXACT filters inside the
     // equi-join on the shared prefix token (measured at sf0.1: 11.3M raw
     // candidate pairs → 3.3M, wall 110 s → ~23 s; true pairs 965k):
@@ -214,7 +234,7 @@ object Linkage {
     //    token always passes (its suffixes must still hold ≥ α−1 shared
     //    tokens, α = ⌈τ(|A|+|B|)/(1+τ)⌉ = (9(|A|+|B|)+18) div 19), so
     //    dropping failing OCCURRENCES never drops a qualifying PAIR.
-    val cand = prefix.as("pa")
+    val cand = probe.as("pa")
       .join(prefix.as("pb"), col("pa.tok") === col("pb.tok") &&
         col("pa.doc_id") < col("pb.doc_id") &&
         col("pa.sz") * 9 <= col("pb.sz") * 10 &&
@@ -223,6 +243,17 @@ object Linkage {
           col("pb.sz") - col("pb.rn"))) >=
           expr("(9 * (pa.sz + pb.sz) + 18) DIV 19"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      // r22 dead end kept honest (guide §1.1): a per-pair aggregated
+      // positional/suffix bound (groupBy pair; o + min(sz−maxRn) ≥ α
+      // replacing distinct()) was built and MEASURED — it pruned 0 of the
+      // 3.28M candidate pairs at sf0.1 (PpjoinProbe: occurrences 4.18M,
+      // distinct pairs 3.28M, post-bound 3.28M, true 0.96M), because 73%
+      // of pairs share exactly ONE prefix token (occ/pair = 1.27) and
+      // the per-occurrence filter above is then already the same test.
+      // It is also subtly UNSOUND as an aggregate: the join's positional
+      // filter drops failing occurrences, so a per-pair count over the
+      // SURVIVORS undercounts |prefix∩prefix| and could (on a different
+      // profile) drop a true pair. Reverted to the plain dedup.
       .distinct()
     // the verify kernel: toks is sorted+distinct by index construction, so
     // |∩| is one allocation-free merge walk per candidate (codegen'd

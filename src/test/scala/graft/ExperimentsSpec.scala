@@ -157,6 +157,40 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown dataset 'blobs'"))
   }
 
+  test("fit-equivalence collapse (maxIter<=1) equals the per-cell sweep") {
+    // r22: the q141/q177 shape — at maxIter = 1 the ST/CT self-labeling
+    // loop body cannot execute, so criterion/thresholdOrKBest are dead
+    // params and {ST-threshold, ST-kBest, supervised} / {CT-threshold,
+    // CT-kBest} collapse into one fit+evaluate chain per class. Ground
+    // truth is the sequential per-cell sweep: the collapsed runner must
+    // reproduce EVERY row bit-exactly, including the supervised row
+    // derived from the ST class's fold quadruples with zeroed counters.
+    val cells = Seq(
+      Experiments.Cell("sep", "DT", "ST", "threshold", 0.3, 0.8, maxIter = 1),
+      Experiments.Cell("sep", "DT", "ST", "kBest", 0.3, 0.5, maxIter = 1),
+      Experiments.Cell("sep", "DT", "CT", "threshold", 0.3, 0.8, maxIter = 1),
+      Experiments.Cell("sep", "DT", "CT", "kBest", 0.3, 0.5, maxIter = 1),
+      Experiments.Cell("sep", "DT", "supervised", "na", 0.3, 0.0, maxIter = 1),
+      Experiments.Cell("blobs", "NB", "ST", "threshold", 0.3, 0.8, maxIter = 1),
+      Experiments.Cell("blobs", "NB", "supervised", "na", 0.3, 0.0, maxIter = 1),
+      // a maxIter = 2 ST pair on the same (dataset, pct, classifier):
+      // the loop RUNS there, criteria genuinely diverge, and the runner
+      // must keep them as singleton classes
+      Experiments.Cell("sep", "LR", "ST", "threshold", 0.3, 0.8, maxIter = 2),
+      Experiments.Cell("sep", "LR", "ST", "kBest", 0.3, 0.5, maxIter = 2))
+    val datasets = Map("sep" -> separable, "blobs" -> positiveBlobs)
+    val sequential = cells.map(c =>
+      Experiments.runCell(datasets(c.dataName), c, k = 2, seed = 8L))
+    val a = graft.ml.Evaluation.resultsDF(spark, sequential).collect().toSeq
+    val b = Experiments.runGridShared(datasets, cells, k = 2, seed = 8L,
+      parallelism = 3).collect().toSeq
+    assert(a === b, "collapsed grid diverged from the sequential sweep")
+    // the collapse must actually be value-visible in the duplicate rows:
+    // ST-threshold and ST-kBest rows at maxIter=1 carry identical metrics
+    assert(b(0).getDouble(11) === b(1).getDouble(11)) // accuracy
+    assert(b(2).getDouble(12) === b(3).getDouble(12)) // AUC
+  }
+
   test("CSV-ingested Keel-shaped dataset flows through the grid end-to-end") {
     // the reference's grid axis IS CSV-loaded Keel datasets (its
     // AllResults.csv spans 7 of them; ref
