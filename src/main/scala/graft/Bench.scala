@@ -339,10 +339,17 @@ object Bench {
         "q144_dup_spans", "q80_contamination", "q202_byte_bpe",
         "q207_bpe_roundtrip")
       for (q <- warmQs) {
+        // unpersist only what THIS warm query registered (r22, ADVICE:
+        // the blanket sweep also unpersisted locally-checkpointed RDDs
+        // belonging to earlier phases — unrecoverable by definition; the
+        // before/after diff is the q146 sweep discipline)
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         try SparkEntry.queries(q)(spark, tmp.toString).count()
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warm shape $q failed: ${e.getMessage}") }
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(false)
+        }
       }
       graft.util.Fs.deleteRecursively(tmp.toFile)
     }
@@ -560,6 +567,13 @@ object Bench {
     val gridClass = Set("q39_supervised_roster", "q44_cotrain_featsplit",
       "q84_experiment_grid", "q141_full_grid", "q177_grid_datasets",
       "q199_grid_resume")
+    // first-sample calm courtesy beyond the grid class (r22, VERDICT r21
+    // #5): queries whose first/retime ratio exceeded ~3x on CLEAN runs
+    // with clean per-sample stamps (r22 baseline: q143 4.54/0.78 = 5.8x,
+    // q144 2.53/0.70 = 3.6x) — predecessor-cleanup residue landing in
+    // exactly these mid-loop samples, not query cost. They get the same
+    // untimed pre-sample calm; the timed region itself is unchanged.
+    val calmClass = Set("q143_ppl_buckets", "q144_dup_spans")
     // drain the per-invocation grid-concurrency ledger: every
     // runGridShared that ran since the last drain appended its
     // effective bound (a query like q199 runs TWO resumable passes —
@@ -591,7 +605,9 @@ object Bench {
       // fit) stamps empty instead of inheriting the PREVIOUS grid's
       // bound (r19 artifact showed q39/q44 carrying q199's gridPar=8)
       if (isGrid) drainGridPars()
-      val spinPre = if (isGrid) { calmJvm(); spinSecs() } else -1.0
+      val spinPre =
+        if (isGrid) { calmJvm(); spinSecs() }
+        else { if (calmClass(name)) calmJvm(); -1.0 }
       val gc0 = jvmGcHeap(); val cg0 = codegenCacheEntries()
       val host0 = hostCpuTicks()
       val t0 = System.nanoTime()

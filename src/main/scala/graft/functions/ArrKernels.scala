@@ -125,6 +125,14 @@ object ArrKernels {
       val sq = d * d * 1048576d
       if (java.lang.Double.isNaN(sq))
         throw new ArithmeticException("arr_l2fixed: NaN distance component")
+      // r22 (ADVICE): sq.toLong would SATURATE at Long.MaxValue past
+      // ±2⁶³, silently diverging from the replaced HOF spelling, whose
+      // ANSI double→long cast throws there (components |a−b| ≳ 3e6) —
+      // throw like the NaN guard so the 'replicated exactly' contract
+      // holds at every input
+      if (sq >= 9.223372036854776e18)
+        throw new ArithmeticException(
+          "arr_l2fixed: component overflows the 44.20 fixed-point sum")
       acc += sq.toLong
       i += 1
     }

@@ -138,13 +138,26 @@ object Multimodal {
   def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema)
-    graft.sources.Tables.load(spark, dir, "documents")
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
       .select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         encode(col("text"), "UTF-8").as("payload"),
         col("source"))
+    // r22 (guide §2.5 input skew): the per-row codec work below (PNG/WAV
+    // encode, ~ms per row) is orders of magnitude heavier than the bytes
+    // that carry it, and the gate corpus is ONE parquet file — one scan
+    // partition, so the whole encode (and every decode chained on it:
+    // q52/q137/q138) ran single-task at any core count (q137 measured
+    // 5.4 s steady at 32 idle cores, all in one task). Spread rows over
+    // the cores first when the scan is narrower than the session's
+    // parallelism; a wide production scan is left exactly as it is.
+    val parts = spark.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < parts) docs.repartition(parts)
+      else docs
+    spread
       .mapPartitions { rows =>
         // positional access only: rows crossing fused mapPartitions stages
         // are schemaless GenericRows (name lookup throws)

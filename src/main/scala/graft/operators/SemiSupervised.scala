@@ -125,8 +125,9 @@ object SemiSupervised {
       sum(when(isnan(col("labelSelection")), 1L).otherwise(0L))).head
     val (lab, unl) = (counts.getLong(0), counts.getLong(1))
     // the five fits are independent jobs — schedule them concurrently so
-    // the cluster isn't idle through each job's tapering final stages
-    val rows = Par.mapAll(Seq("DT", "RF", "NB", "LR", "SVM")) { name =>
+    // the cluster isn't idle through each job's tapering final stages;
+    // bounded to 4 in flight (r22 fan-out audit, guide §2.6)
+    val rows = Par.mapBounded(Seq("DT", "RF", "NB", "LR", "SVM"), 4) { name =>
       val model = Experiments.fitSupervised(name, df)
       val (acc, auc, pr, f1) = evaluate4(model, test)
       Evaluation.ExperimentResult(

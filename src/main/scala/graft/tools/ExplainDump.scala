@@ -48,8 +48,19 @@ object ExplainDump {
       val top = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       df.count()
-      // listener events are posted async; give the bus a moment to drain
-      Thread.sleep(1500)
+      // listener events are posted async — poll the capture queue until
+      // it stops growing (r22, ADVICE: the old fixed 1.5 s sleep dropped
+      // late onSuccess events on a loaded host, silently truncating
+      // committed plan artifacts). Stable-for-1s with a 30 s deadline:
+      // plan capture is a dev/evidence tool, a stall must not hang it.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var stable = 0
+      var lastSize = -1
+      while (stable < 5 && System.nanoTime() < deadline) {
+        val s = captured.size
+        if (s == lastSize) stable += 1 else { stable = 0; lastSize = s }
+        Thread.sleep(200)
+      }
       val sb = new StringBuilder
       sb ++= s"==== $name: returned frame ====\n$top\n"
       var i = 0
