@@ -1001,7 +1001,17 @@ object Dedup {
 
   def q144DupSpans(spark: SparkSession, dir: String, g: Int = 8,
       dfCap: Int = 16, minSpan: Int = 12): DataFrame =
-    dupSpans(Tables.load(spark, dir, "documents"), g, dfCap, minSpan)
+    // Spread.toCores (r22, guide §2.5): the g-gram explode expands the
+    // corpus ~190x INSIDE the scan stage — one task over the gate's
+    // single-file corpus (q144's 3.6x first/retime gap was a fresh
+    // generated class walking that explode cold, single-threaded).
+    // Applied at the batch entry, not in gramTable — the streaming
+    // caller feeds gramTable an unbounded frame where a repartition-by-
+    // inspection is illegal. All downstream aggregates are exact-integer
+    // and the diagonal row_number orders a unique key (verified:
+    // oracle-matched at sf0.001/0.01/0.1 post-change).
+    dupSpans(graft.plans.Spread.toCores(
+      Tables.load(spark, dir, "documents")), g, dfCap, minSpan)
 
   /** q144's engine over any (doc_id, text) frame (probe + spec entry). */
   def dupSpans(docs: DataFrame, g: Int = 8,

@@ -588,7 +588,19 @@ object TextAnalysis {
     * engines agree by construction). Output: per (lang, bucket) doc count
     * and exact-4dp score range. */
   def q143PplBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val docBigrams = Tables.load(spark, dir, "documents")
+    // r22 (guide §2.5): the bigram explode + per-doc partial aggregate
+    // below expand the corpus ~190x and ran entirely inside the scan
+    // stage — ONE task over the gate's single-file corpus at any core
+    // count, and the reason q143's first samples sat 5-6x over its
+    // retimes through three rounds (a fresh generated class walks 22M
+    // exploded rows cold in one thread; the retime reuses it C2-hot).
+    // Spread the doc rows first (Spread.toCores: no-op on a wide scan).
+    // Values: every downstream aggregate is keyed (doc_id, lang) or
+    // exact-integer; the per-doc float nll sum is order-stable here
+    // because tf*log(p) terms reduce per doc over the SAME exchange
+    // (verified: q143 oracle-matched at sf0.001/0.01/0.1 post-change).
+    val docBigrams = graft.plans.Spread.toCores(
+      Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("lang"),
         explode(zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
