@@ -114,12 +114,22 @@ class CoTrainingClassifier[
     var uCount1 = viewCounts.getOrElse(2, 0L)
     var uCount2 = viewCounts.getOrElse(3, 0L)
 
-    // the two view fits are independent — run them as concurrent jobs (the
-    // second on a param-copy so no estimator instance is shared across
-    // threads); deterministic per view regardless of scheduling
-    var (model1, model2) = Par.both(
-      baseClassifier.fit(labeled1),
-      baseClassifier.copy(ParamMap.empty).fit(labeled2))
+    // r22 (guide §1.2 "don't compute things you throw away"): the view
+    // models exist ONLY to drive the self-labeling loop — the returned
+    // model is fit on the views' labeled union below regardless, and the
+    // summary reads the count variables, not the models. When the loop
+    // provably cannot run (maxIter <= 1, or an empty unlabeled view —
+    // the loop's own guard), fitting them is dead compute: 2 of this
+    // fit's 3 base fits at q141/q177's maxIter = 1. When it can run,
+    // the two view fits are independent — concurrent jobs (the second
+    // on a param-copy so no estimator instance is shared across
+    // threads); deterministic per view regardless of scheduling.
+    val loopCanRun = 1 < $(maxIter) && uCount1 > 0 && uCount2 > 0
+    var (model1, model2): (M, M) =
+      if (loopCanRun) Par.both(
+        baseClassifier.fit(labeled1),
+        baseClassifier.copy(ParamMap.empty).fit(labeled2))
+      else (null.asInstanceOf[M], null.asInstanceOf[M])
     var iter = 1
 
     // custom codegen'd expression instead of the reference's UDF barrier
@@ -251,10 +261,13 @@ class CoTrainingClassifier[
     var labeledCount = labeledIni
     var poolCount = unlabeledIni
 
-    // independent view fits → concurrent jobs (see fitRowSplit)
-    var (model1, model2) = Par.both(
-      baseClassifier.fit(labeled1),
-      baseClassifier.copy(ParamMap.empty).fit(labeled2))
+    // dead-fit guard + concurrent view fits — see fitRowSplit's note
+    val loopCanRun = 1 < $(maxIter) && poolCount > 0
+    var (model1, model2): (M, M) =
+      if (loopCanRun) Par.both(
+        baseClassifier.fit(labeled1),
+        baseClassifier.copy(ParamMap.empty).fit(labeled2))
+      else (null.asInstanceOf[M], null.asInstanceOf[M])
     var iter = 1
 
     graft.functions.VectorMax.register(df.sparkSession)
