@@ -534,6 +534,18 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // r22: loop exchange width derived from the GRAPH SIZE (row count,
+    // never core count — the cvSlicePartitions rule; q146's loop note
+    // has the measurement). min-label propagation is
+    // partitioning-invariant by construction (min/sum are commutative,
+    // ids are integers), so the width cannot move a value. Scoped
+    // set-and-restore, the runToMemory precedent. The count reads the
+    // just-checkpointed blocks — one cheap job.
+    val spark = pairs.sparkSession
+    val ccParts = math.max(1L, math.min(2000L, (labels.count() + 65535) / 65536))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
+    try {
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
@@ -558,6 +570,7 @@ object Dedup {
         "component is deeper than maxIter; raise it or use " +
         "connectedComponentsStars (O(log n) rounds on any shape)")
     labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** O(log n)-round connected components — the alternating
@@ -590,6 +603,15 @@ object Dedup {
     }
     var edges = dedup(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .localCheckpoint()
+    // r22: loop exchange width derived from the EDGE COUNT (row count,
+    // never core count — see connectedComponents' note; every per-round
+    // operator here is min/distinct/commutative-sum over integer ids,
+    // partitioning-invariant by construction). Scoped set-and-restore.
+    val spark = pairs.sparkSession
+    val ccParts = math.max(1L, math.min(2000L, (edges.count() + 65535) / 65536))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
+    try {
     var prev: (Long, java.math.BigDecimal) = null
     var round = 0
     var stable = false
@@ -633,6 +655,7 @@ object Dedup {
     edges.select(col("u").as("node"), col("v").as("label"))
       .union(edges.select(col("v").as("node"), col("v").as("label")))
       .distinct()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** q67: duplicate-cluster roster — LSH candidate pairs collapsed to
@@ -905,6 +928,22 @@ object Dedup {
     require(n > 0, s"q146PageRank: no candidate pairs at $dir — " +
       "the near-dup graph is empty, centrality is undefined")
     val teleport = (15L * 1000000000000L) / (100L * n)
+    // r22: the loop's exchange width derives from the GRAPH SIZE (the
+    // cvSlicePartitions rule — row count, never core count), scoped
+    // set-and-restore like the streaming runToMemory precedent. Each
+    // iteration runs 2 joins + an aggregation + a checkpoint over
+    // n-row frames; at shuffle.partitions = cpus that was ~100
+    // near-empty tasks per round of pure scheduler latency (the clean
+    // 8-core run beat the 32-core one 2.8x on this query — width is
+    // overhead here, not parallelism). Every rank value is integer
+    // fixed-point with floor division at each step — bit-exact across
+    // partitionings BY DESIGN (the query's documented contract), so
+    // the width change cannot move a value; oracle re-verified at
+    // sf0.001/0.01/0.1.
+    val loopParts = math.max(1L, math.min(2000L, (n + 65535) / 65536))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     var ranks = deg.select(col("u").as("v"),
       lit(1000000000000L / n).as("r"))
     // prev-handle discipline (M14) over localCheckpoint frames: each
@@ -946,6 +985,7 @@ object Dedup {
     sweepPrev(Set.empty)
     deg.unpersist(false); edges.unpersist(false)
     out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** q162: TRIANGLE COUNT over the near-dup candidate graph — the
